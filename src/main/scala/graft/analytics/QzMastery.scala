@@ -1,0 +1,41 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** J2 (knowledge-point mastery) arithmetic as a pure batch aggregate
+  * (reference QzPointStreaming.scala:124-184).
+  *
+  * Input columns: uid, courseid, pointid, questionid (string),
+  * istrue ("0"/"1"), createtime (sortable string).
+  *
+  * The reference maintains this per-key state in MySQL with one SELECT +
+  * one UPSERT per key per batch — its scalability ceiling. Here the whole
+  * computation is one hash aggregate: partial aggregation happens map-side,
+  * a single shuffle on the composite grouping key, and the distinct
+  * question-id set is a `collect_set` bounded by the 30-questions-per-point
+  * domain (QzPointStreaming.scala:171). The streaming variant keeps the
+  * identical per-key state in the state store (see
+  * graft.streaming.QzMasteryStream).
+  */
+object QzMastery {
+
+  /** Questions per knowledge point, hard-coded 30 in the reference
+    * (QzPointStreaming.scala:171); a constant here. */
+  val QuestionsPerPoint = 30.0
+
+  def mastery(qz: DataFrame): DataFrame =
+    qz.groupBy(col("uid"), col("courseid"), col("pointid"))
+      .agg(
+        array_join(sort_array(collect_set(col("questionid"))), ",")
+          .as("questionids"),
+        count(lit(1)).as("qz_sum"),
+        countDistinct(col("questionid")).as("qz_count"),
+        sum(when(col("istrue") === "1", 1L).otherwise(0L)).as("qz_istrue"),
+        min(col("createtime")).as("createtime"))
+      .withColumn("correct_rate",
+        col("qz_istrue").cast("double") / col("qz_sum").cast("double"))
+      .withColumn("qz_detail_rate",
+        col("qz_count").cast("double") / lit(QuestionsPerPoint))
+      .withColumn("mastery_rate", col("qz_detail_rate") * col("correct_rate"))
+}

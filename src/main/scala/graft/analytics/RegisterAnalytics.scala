@@ -1,0 +1,46 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** J1 (registration analytics) semantics as pure batch transforms
+  * (reference RegisterStreaming.scala:75-101), generalized over any
+  * event table with a timestamp and a key column.
+  *
+  * Scale notes: the sliding-window count is a single hash aggregate after a
+  * generator (each row lands in window/slide buckets) — shuffle on
+  * (window, key) only; the cumulative count is a running sum over per-day
+  * partial aggregates, so the analytic window function sorts only
+  * #days × #keys rows, never raw events.
+  */
+object RegisterAnalytics {
+
+  /** Keyed counts over sliding event-time windows (reference
+    * reduceByKeyAndWindow, RegisterStreaming.scala:91 — upgraded from
+    * processing-time to event-time). Window start rendered as a string so
+    * results are engine-portable. */
+  def slidingCounts(events: DataFrame, ts: Column, key: Column,
+      windowDur: String, slideDur: String): DataFrame =
+    events
+      .groupBy(window(ts, windowDur, slideDur).as("w"), key.as("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("key"),
+        col("n"))
+
+  /** Cumulative per-key totals by day (reference updateStateByKey,
+    * RegisterStreaming.scala:95-101, as a batch analog): aggregate to
+    * (day, key) partials first, then running-sum the partials. */
+  def cumulativeDaily(events: DataFrame, ts: Column, key: Column): DataFrame = {
+    val daily = events
+      .groupBy(date_format(ts, "yyyy-MM-dd").as("day"), key.as("key"))
+      .agg(count(lit(1)).as("registrations"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+    daily.select(
+      col("day"),
+      col("key"),
+      sum(col("registrations")).over(w).as("cum_registrations"))
+  }
+}
