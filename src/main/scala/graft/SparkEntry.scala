@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.analytics.{PageAnalytics, QzMastery, RegisterAnalytics}
+import graft.analytics.{PageAnalytics, QzMastery, RegisterAnalytics, Tpch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -79,6 +79,15 @@ object SparkEntry {
       PageAnalytics.dayBuckets(
           Tables.events(s, dir), col("ts"), col("event_type"))
         .withColumnRenamed("key", "event_type")),
+    // Batch surface: scan+pushdown, joins, windows, top-k, set ops
+    "q7_pricing_summary" -> ((s, dir) => Tpch.pricingSummary(s, dir)),
+    "q8_region_revenue" -> ((s, dir) => Tpch.regionRevenue(s, dir)),
+    "q9_top_customers" -> ((s, dir) => Tpch.topCustomers(s, dir)),
+    "q10_priority_heavy" -> ((s, dir) => Tpch.priorityWithHeavyItems(s, dir)),
+    "q11_customers_no_orders" -> ((s, dir) => Tpch.customersWithoutOrders(s, dir)),
+    "q12_supplier_part_rank" -> ((s, dir) => Tpch.supplierPartRank(s, dir)),
+    "q13_segment_setops" -> ((s, dir) => Tpch.segmentSetOps(s, dir)),
+    "q14_events_by_segment" -> ((s, dir) => Tpch.eventsBySegment(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -140,5 +149,79 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y%m%d') AS dt, event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q7_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+        |           (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "q8_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q9_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 10""".stripMargin,
+    "q10_priority_heavy" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+        |GROUP BY 1""".stripMargin,
+    "q11_customers_no_orders" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |GROUP BY 1""".stripMargin,
+    "q12_supplier_part_rank" ->
+      """SELECT l_suppkey, l_partkey, part_revenue, rnk FROM (
+        |  SELECT l_suppkey, l_partkey, part_revenue,
+        |         CAST(row_number() OVER (PARTITION BY l_suppkey
+        |              ORDER BY part_revenue DESC, l_partkey) AS INT) AS rnk
+        |  FROM (SELECT l_suppkey, l_partkey,
+        |          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |               (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |            AS part_revenue
+        |        FROM lineitem GROUP BY 1, 2))
+        |WHERE rnk <= 3""".stripMargin,
+    "q13_segment_setops" ->
+      """SELECT c_custkey, 'intersect' AS op FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 'except' AS op FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders)""".stripMargin,
+    "q14_events_by_segment" ->
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
   )
 }
