@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.analytics.{PageAnalytics, QzMastery, RegisterAnalytics, Tpch}
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -88,6 +90,52 @@ object SparkEntry {
     "q12_supplier_part_rank" -> ((s, dir) => Tpch.supplierPartRank(s, dir)),
     "q13_segment_setops" -> ((s, dir) => Tpch.segmentSetOps(s, dir)),
     "q14_events_by_segment" -> ((s, dir) => Tpch.eventsBySegment(s, dir)),
+    // Extensions: dedup
+    "x1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "x2_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), threshold = 0.5)),
+    "x3_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)),
+    "x4_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardBlocked(Tables.documents(s, dir), "source",
+        threshold = 0.5)),
+    // Extensions: similarity search
+    "x5_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    }),
+    "x6_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    }),
+    "x12_cosine_dedup" -> ((s, dir) =>
+      Similarity.cosineDedupBlocked(Tables.embeddings(s, dir), "label", 0.3)),
+    // Extensions: text analysis
+    "x7_text_stats" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+        TextAnalysis.alphaChars(col("text")).cast("long").as("n_alpha"),
+        TextAnalysis.avgWordLen(col("text")).as("avg_word_len"),
+        length(col("text")).cast("long").as("n_chars"))),
+    "x8_text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+    "x9_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_guess"))),
+    "x10_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))),
+    // Extensions: multimodal plumbing (byte-level slice)
+    "x11_media_stats" -> ((s, dir) =>
+      Multimodal.payloadStats(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -223,5 +271,96 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin,
+    "x1_dedup_exact" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY lower(trim(text))""".stripMargin,
+    "x4_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(list_transform(
+        |           generate_series(1, greatest(length(text) - 2, 0)),
+        |           i -> substr(text, i, 3))) AS ng
+        |  FROM documents)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+        |         CAST(len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+        |           AS jaccard
+        |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin,
+    "x5_cosine_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+        |s AS (
+        |  SELECT query_id, vec_id,
+        |         round(list_sum(list_transform(generate_series(1, len(v)),
+        |                 i -> qv[i] * v[i])) / (qnrm * nrm), 6) AS cosine
+        |  FROM n, q WHERE vec_id <> query_id)
+        |SELECT query_id, vec_id, cosine, rnk FROM (
+        |  SELECT query_id, vec_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cosine DESC, vec_id) AS INT) AS rnk
+        |  FROM s)
+        |WHERE rnk <= 10""".stripMargin,
+    "x12_cosine_dedup" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         round(list_sum(list_transform(generate_series(1, len(a.v)),
+        |                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.3""".stripMargin,
+    "x7_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS n_bpeish,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+        |  CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+')) > 0
+        |       THEN CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) /
+        |            CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE)
+        |       END AS avg_word_len,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+    "x8_text_quality" ->
+      """SELECT doc_id,
+        |  0.3 * least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0) +
+        |  0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |               greatest(CAST(length(text) AS DOUBLE), 1.0)) +
+        |  0.4 * least(CAST(len(regexp_extract_all(lower(text),
+        |               '\b(the|and|of|to|a|in|is|was)\b')) AS DOUBLE) / 10.0, 1.0)
+        |    AS quality
+        |FROM documents""".stripMargin,
+    "x9_lang_id" ->
+      """SELECT doc_id, lang,
+        |  CASE
+        |    WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+        |    WHEN s_zh >= greatest(s_es, s_fr, s_de) THEN 'zh'
+        |    WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+        |    WHEN s_fr >= s_de THEN 'fr'
+        |    ELSE 'de' END AS lang_guess
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los)\b')) AS s_es,
+        |    len(regexp_extract_all(lower(text), '\b(le|les|de|et|un|une|dans)\b')) AS s_fr,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS s_de,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        |  FROM documents)""".stripMargin,
+    "x11_media_stats" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  greatest(CAST(floor(octet_length(encode(text)) / 256) AS BIGINT), 1)
+        |    AS n_frames
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is a pure Catalyst column expression (whole-stage
+  * codegen, no UDFs), so a 100 TB corpus pays one projection pass —
+  * no Python/JVM serialization boundary, no per-row closures.
+  */
+object TextAnalysis {
+
+  /** Whitespace-delimited token count. */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single
+    * non-alphanumeric symbols — a cheap proxy for subword tokenizers. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]"))
+
+  /** Number of alphabetic characters. */
+  def alphaChars(text: Column): Column = regexp_count(text, lit("[A-Za-z]"))
+
+  /** Number of ASCII punctuation marks. */
+  def punctChars(text: Column): Column = regexp_count(text, lit("[.,;:!?]"))
+
+  /** English stopword hits (small fixed profile). */
+  def stopwordHits(text: Column): Column =
+    regexp_count(lower(text), lit("\\b(the|and|of|to|a|in|is|was)\\b"))
+
+  /** Mean alphabetic word length; null when the text has no words. */
+  def avgWordLen(text: Column): Column = {
+    val words = regexp_count(text, lit("[A-Za-z]+"))
+    when(words > 0, alphaChars(text).cast("double") / words.cast("double"))
+  }
+
+  /** Heuristic quality score in [0,1]: length signal + low punctuation
+    * density + stopword presence (the classic cheap pre-filter before
+    * expensive model-based scoring). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val lengthSignal = least(toks / lit(100.0), lit(1.0))
+    val punctRatio = punctChars(text).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val stopSignal = least(stopwordHits(text).cast("double") / lit(10.0), lit(1.0))
+    lit(0.3) * lengthSignal + lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.4) * stopSignal
+  }
+
+  /** N-gram heuristic language ID over a tiny per-language marker profile
+    * plus a CJK-codepoint counter. Deterministic argmax with a fixed
+    * tie-break order (en, zh, es, fr, de). */
+  def langId(text: Column): Column = {
+    val lo = lower(text)
+    val en = regexp_count(lo, lit("\\b(the|and|of|to|a|in|is)\\b"))
+    val es = regexp_count(lo, lit("\\b(el|la|de|que|y|en|los)\\b"))
+    val fr = regexp_count(lo, lit("\\b(le|les|de|et|un|une|dans)\\b"))
+    val de = regexp_count(lo, lit("\\b(der|die|das|und|ist|ein)\\b"))
+    val zh = regexp_count(text, lit("[\\u4e00-\\u9fff]"))
+    when(en >= greatest(es, fr, de, zh), "en")
+      .when(zh >= greatest(es, fr, de), "zh")
+      .when(es >= greatest(fr, de), "es")
+      .when(fr >= de, "fr")
+      .otherwise("de")
+  }
+
+  /** 64-bit content fingerprint (xxhash64 of the raw text). */
+  def fingerprint(text: Column): Column = xxhash64(text)
+
+  /** Winnowing-style rolling fingerprint: minimum xxhash64 over
+    * character k-shingles — robust to local edits, one pass, no state. */
+  def rollingFingerprint(text: Column, k: Int = 8): Column =
+    array_min(transform(shingleArray(text, k), s => xxhash64(s)))
+
+  /** Character k-shingles (raw, with duplicates). Empty array for texts
+    * shorter than k. */
+  def shingleArray(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - (k - 1)),
+        i => text.substr(i, lit(k))))
+      .otherwise(array())
+
+  /** Distinct character n-grams. */
+  def ngramSet(text: Column, n: Int): Column =
+    array_distinct(shingleArray(text, n))
+}

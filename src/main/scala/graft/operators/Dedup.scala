@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Document deduplication operators, each stated in partition-scalable
+  * form: no driver collects, no O(n²) cross joins — candidate generation
+  * is always a key-equality shuffle (exact hash, LSH band, SimHash chunk,
+  * or a blocking key), and only candidates pay the verification cost.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical (normalized) texts, keep the smallest id.
+    * One hash aggregate — shuffles the normalized-text key, not the corpus.
+    * At 100 TB, group by a 128-bit text hash instead of the text itself to
+    * shrink shuffle width (collision probability negligible). */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(lower(trim(col(textCol))).as("norm_text"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+
+  // ---- MinHash + LSH --------------------------------------------------
+
+  /** Number of minhash permutations / LSH layout (16 bands × 4 rows
+    * targets ~0.5 Jaccard). */
+  val MinhashPerms = 64
+  val Bands = 16
+  private val RowsPerBand = MinhashPerms / Bands
+
+  // Deterministic permutation parameters (seeded, engine constants).
+  private val prime = 4294967311L
+  private lazy val permParams: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(MinhashPerms)(
+      (rnd.nextLong(1L << 29) + 1, rnd.nextLong(1L << 29) + 1))
+  }
+
+  /** MinHash signature (array<long> of length 64) over character
+    * k-shingles. Signature is 64 mins over one shingle-hash array —
+    * computed in a single codegen'd projection. */
+  def minhashSignature(text: Column, shingleLen: Int = 5): Column = {
+    // murmur3 of each shingle, widened to an unsigned 32-bit long
+    val hashes = transform(TextAnalysis.ngramSet(text, shingleLen),
+      s => hash(s).cast("long").bitwiseAND(lit(0xffffffffL)))
+    val mins = permParams.map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(prime))))
+    }
+    array(mins: _*)
+  }
+
+  /** (band, bandHash) pairs for a signature — the LSH bucketing key. */
+  private def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      b => struct(b.as("band"),
+        hash(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand))).as("bh")))
+
+  /** Near-duplicate pairs via MinHash LSH, verified with true shingle-set
+    * Jaccard. Flow: signature projection → explode 16 band keys → self-join
+    * on (band, bandHash) → distinct candidate pairs → Jaccard verify.
+    * The self-join is a key-equality shuffle on the band hash; the corpus
+    * is never paired quadratically. */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
+      shingleLen: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("id"),
+      TextAnalysis.ngramSet(col(textCol), shingleLen).as("ng"),
+      minhashSignature(col(textCol), shingleLen).as("sig"))
+
+    val bands = base.select(col("id"), explode(bandKeys(col("sig"))).as("k"))
+      .select(col("id"), col("k.band").as("band"), col("k.bh").as("bh"))
+
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+
+    val withSets = candidates
+      .join(base.select(col("id"), col("ng").as("ng_a")),
+        col("doc_a") === col("id")).drop("id")
+      .join(base.select(col("id"), col("ng").as("ng_b")),
+        col("doc_b") === col("id")).drop("id")
+
+    jaccardVerify(withSets, threshold)
+  }
+
+  /** Blocked exact n-gram Jaccard: candidate pairs share a blocking key
+    * (here: a coarse partition column such as `source`), verified with
+    * exact distinct-n-gram Jaccard. SQL-expressible, so oracle-checkable;
+    * the LSH variant above is the scale path when no blocking key exists. */
+  def ngramJaccardBlocked(docs: DataFrame, blockCol: String,
+      threshold: Double = 0.5, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val g = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      TextAnalysis.ngramSet(col(textCol), n).as("ng"))
+    val pairs = g.as("a")
+      .join(g.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.ng").as("ng_a"), col("b.ng").as("ng_b"))
+    jaccardVerify(pairs, threshold)
+  }
+
+  private def jaccardVerify(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .withColumn("inter",
+        size(array_intersect(col("ng_a"), col("ng_b"))))
+      .withColumn("uni",
+        size(col("ng_a")) + size(col("ng_b")) - col("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** 64-bit SimHash per document: explode tokens, one grouped aggregate
+    * computing all 64 bit-sums, reassemble the fingerprint. One shuffle
+    * on doc id; no per-document state. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b"))
+    val agg = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("id"), sh.as("simhash"))
+  }
+
+  /** Near-duplicate pairs with Hamming distance ≤ maxHamming, found by
+    * chunk banding (pigeonhole: distance ≤ 3 ⇒ one of the four 16-bit
+    * chunks is equal), then verified with bit_count(xor). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val chunks = sh.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))
+            .as("ck"))): _*)).as("k"))
+      .select(col("id"), col("simhash"), col("k.chunk").as("chunk"),
+        col("k.ck").as("ck"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths: brute-force cosine top-k (exact baseline — the query set is
+  * broadcast, the corpus streams through one codegen'd projection), and a
+  * random-hyperplane LSH variant (the 100 TB path: bucket equality join
+  * prunes the corpus before any dot product is computed).
+  */
+object Similarity {
+
+  /** Element-wise double view of a float embedding. */
+  private def vec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential left-to-right dot product (deterministic fp order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k neighbors for each query vector (brute force baseline).
+    * The (small) query set is broadcast; similarity is computed in one
+    * pass over the corpus; per-query ranking sorts only corpus×|queries|
+    * rows pre-pruned by row_number. Cosine is rounded to 6 dp to make the
+    * output engine-portable. */
+  def cosineTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val corpus = embeddings.select(col(idCol).as("vec_id"),
+      vec(col(embCol)).as("v"))
+    val qs = queries.select(col(idCol).as("query_id"),
+      vec(col(embCol)).as("qv"))
+    val scored = corpus.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Embedding near-duplicate pairs within a blocking key (exact within
+    * block; SQL-expressible for the oracle). */
+  def cosineDedupBlocked(embeddings: DataFrame, blockCol: String,
+      threshold: Double, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      vec(col(embCol)).as("v"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  // ---- LSH (random hyperplane) ANN -------------------------------------
+
+  /** Deterministic random hyperplanes (seeded engine constants). */
+  private def planes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id from nBits hyperplane projections. */
+  def lshBucket(v: Column, nBits: Int, dim: Int): Column =
+    planes(nBits, dim).zipWithIndex.map { case (p, i) =>
+      val proj = dot(v, typedlit(p))
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+
+  /** Approximate top-k: candidates share the query's LSH bucket, ranked by
+    * exact cosine within the bucket. The bucket join replaces the cross
+    * product — at scale each query touches |corpus| / 2^nBits candidates
+    * in expectation. Multi-probe (nTables signatures from disjoint bit
+    * ranges) lifts recall without widening any single bucket. */
+  def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      nBits: Int = 8, nTables: Int = 2, dim: Int = 64,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val allPlanes = nBits * nTables
+    val corpus = embeddings.select(col(idCol).as("vec_id"),
+      vec(col(embCol)).as("v"))
+      .withColumn("sig", lshBucket(col("v"), allPlanes, dim))
+    val tbl = explode(array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"),
+        shiftright(col("sig"), t * nBits)
+          .bitwiseAND(lit((1L << nBits) - 1)).as("bucket"))): _*))
+
+    val corpusB = corpus.select(col("vec_id"), col("v"), tbl.as("k"))
+      .select(col("vec_id"), col("v"), col("k.tbl").as("tbl"),
+        col("k.bucket").as("bucket"))
+    val queriesB = corpusB
+      .join(broadcast(queries.select(col(idCol).as("query_id"))),
+        col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("v").as("qv"), col("tbl"), col("bucket"))
+
+    val scored = corpusB.as("c")
+      .join(broadcast(queriesB).as("q"),
+        col("c.tbl") === col("q.tbl") && col("c.bucket") === col("q.bucket") &&
+          col("c.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id").as("query_id"), col("c.vec_id").as("vec_id"),
+        round(cosine(col("q.qv"), col("c.v")), 6).as("cosine"))
+      .distinct() // a pair can collide in several tables
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+}
