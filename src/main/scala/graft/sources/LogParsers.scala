@@ -71,17 +71,21 @@ object LogParsers {
         f.getItem(5).as("createtime"))
   }
 
+  private val pageFields = Seq("uid", "app_id", "device_id", "ip",
+    "last_page_id", "page_id", "next_page_id")
+  // _corrupt_record captures unparseable lines (PERMISSIVE mode yields a
+  // struct of nulls, not a null struct, so a bare isNotNull can't drop them)
   private val pageSchema = StructType(
-    Seq("uid", "app_id", "device_id", "ip", "last_page_id", "page_id",
-      "next_page_id").map(StructField(_, StringType)))
+    (pageFields :+ "_corrupt_record").map(StructField(_, StringType)))
 
   /** JSON page view; single from_json, invalid JSON dropped, absent keys → ""
     * (reference PageStreaming.scala:68-88). */
   def parsePage(lines: DataFrame, valueCol: String = "value"): DataFrame = {
     val parsed = lines
-      .select(from_json(col(valueCol), pageSchema).as("j"))
-      .filter(col("j").isNotNull)
-    parsed.select(pageSchema.fieldNames.map(n =>
+      .select(from_json(col(valueCol), pageSchema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
+      .filter(col("j").isNotNull && col("j._corrupt_record").isNull)
+    parsed.select(pageFields.map(n =>
       coalesce(col(s"j.$n"), lit("")).as(n)): _*)
   }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exact dedup keeps min id per normalized text") {
+    val docs = Seq(
+      (1L, "Hello World"), (2L, "  hello world  "), (3L, "unique")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exact(docs).as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds a near-duplicate pair") {
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val docs = Seq(
+      (1L, base), (2L, base + "tail edit"), (3L, "совершенно другой текст " * 10)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash of identical docs has hamming 0; pairs found via banding") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zq xw vv uu tt ss rr qq pp oo nn mm")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
+  test("cosine top-k: exact neighbors with self excluded") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(1f, 0.01f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(-1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(emb, emb.filter($"vec_id" === 0), k = 2)
+      .orderBy($"rnk").select("vec_id").as[Long].collect()
+    assert(top.toSeq === Seq(1L, 2L))
+  }
+
+  test("ann lsh ranks the near-identical vector first for its query") {
+    val dim = 64
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == axis) 1f else 0f)
+    val near = unit(0); near(1) = 0.02f
+    val emb = ((0L, unit(0)) +: (1L, near) +:
+      (2 until 40).map(i => (i.toLong, unit(i % dim)))).toDF("vec_id", "embedding")
+    val got = Similarity.annTopK(emb, emb.filter($"vec_id" === 0), k = 5,
+      nBits = 4, nTables = 2, dim = dim)
+    val first = got.filter($"rnk" === 1).select("vec_id").as[Long].head()
+    assert(first === 1L)
+  }
+
+  test("text analysis basics") {
+    val df = Seq("The cat and the dog. A bird!").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount($"text").as("t"),
+      TextAnalysis.punctChars($"text").as("p"),
+      TextAnalysis.langId($"text").as("l")).head()
+    assert(r.getAs[Int]("t") === 7)
+    assert(r.getAs[Int]("p") === 2)
+    assert(r.getAs[String]("l") === "en")
+  }
+
+  test("multimodal feature extraction over binary payloads") {
+    import Multimodal._
+    val media = Seq(
+      MediaRecord(1L, "image/fake", Array.fill(1024)(7.toByte), 32, 32, 0L),
+      MediaRecord(2L, "image/fake", Array.emptyByteArray, 0, 0, 0L)
+    ).toDS()
+    val feats = extractFeatures(media).collect().sortBy(_.mediaId)
+    assert(feats(0).byteLen === 1024L)
+    assert(feats(0).nFrames === 4)
+    assert(feats(0).meanLuma === 7.0 / 255.0)
+    assert(feats(0).featureVec.length === 8)
+    assert(feats(1).byteLen === 0L && feats(1).nFrames === 1)
+  }
+}

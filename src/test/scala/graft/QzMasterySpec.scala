@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.analytics.QzMastery
+import graft.sources.Models.QzEvent
+import graft.streaming.QzMasteryStream
+
+class QzMasterySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val events = Seq(
+    QzEvent(1, 10, 5, "1", "1", "2019-09-12 11:17:48"),
+    QzEvent(1, 10, 5, "1", "0", "2019-09-12 11:18:00"),
+    QzEvent(1, 10, 5, "2", "1", "2019-09-12 11:19:00"),
+    QzEvent(2, 10, 5, "3", "0", "2019-09-12 11:20:00"))
+
+  test("batch mastery arithmetic matches the reference formula") {
+    val got = QzMastery.mastery(events.toDF())
+      .filter($"uid" === 1).head()
+    assert(got.getAs[String]("questionids") === "1,2")
+    assert(got.getAs[Long]("qz_sum") === 3L)
+    assert(got.getAs[Long]("qz_count") === 2L)
+    assert(got.getAs[Long]("qz_istrue") === 2L)
+    assert(got.getAs[String]("createtime") === "2019-09-12 11:17:48")
+    assert(got.getAs[Double]("correct_rate") === 2.0 / 3.0)
+    assert(got.getAs[Double]("qz_detail_rate") === 2.0 / 30.0)
+    assert(got.getAs[Double]("mastery_rate") === (2.0 / 30.0) * (2.0 / 3.0))
+  }
+
+  test("streaming state merge across batches equals batch-over-all result") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[QzEvent]
+    val q = QzMasteryStream.mastery(input.toDS())
+      .writeStream.format("memory").queryName("mastery_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(events.take(2)) // batch 1
+      q.processAllAvailable()
+      input.addData(events.drop(2)) // batch 2 -> history merge
+      q.processAllAvailable()
+      val rows = spark.table("mastery_out")
+      // last update per key must equal the batch result over all events
+      val latest = rows.filter($"uid" === 1 && $"qz_sum" === 3).head()
+      assert(latest.getAs[String]("questionids") === "1,2")
+      assert(latest.getAs[Long]("qz_istrue") === 2L)
+      assert(latest.getAs[Double]("mastery_rate") === (2.0 / 30.0) * (2.0 / 3.0))
+      assert(latest.getAs[String]("createtime") === "2019-09-12 11:17:48")
+      val k2 = rows.filter($"uid" === 2).head()
+      assert(k2.getAs[Long]("qz_sum") === 1L)
+      assert(k2.getAs[Double]("correct_rate") === 0.0)
+    } finally q.stop()
+  }
+
+  test("merge is batch-split invariant") {
+    val all = QzMasteryStream.merge(
+      QzMasteryStream.MasteryState(Set.empty, 0, 0, ""), events)
+    val split = QzMasteryStream.merge(
+      QzMasteryStream.merge(
+        QzMasteryStream.MasteryState(Set.empty, 0, 0, ""), events.take(1)),
+      events.drop(1))
+    assert(all === split)
+  }
+}
