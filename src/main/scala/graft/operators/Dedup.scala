@@ -38,18 +38,29 @@ object Dedup {
       (rnd.nextLong(1L << 29) + 1, rnd.nextLong(1L << 29) + 1))
   }
 
-  /** MinHash signature (array<long> of length 64) over character
-    * k-shingles. Signature is 64 mins over one shingle-hash array —
-    * computed in a single codegen'd projection. */
-  def minhashSignature(text: Column, shingleLen: Int = 5): Column = {
-    // murmur3 of each shingle, widened to an unsigned 32-bit long
-    val hashes = transform(TextAnalysis.ngramSet(text, shingleLen),
+  /** murmur3 of each distinct k-shingle, widened to an unsigned 32-bit
+    * long. Materialize this ONCE per row (e.g. via withColumn) before
+    * feeding [[signatureFromHashes]] — referencing it as an attribute keeps
+    * the 64 permutation mins from re-deriving the shingle array 64×. */
+  def shingleHashes(text: Column, shingleLen: Int = 5): Column =
+    transform(TextAnalysis.ngramSet(text, shingleLen),
       s => hash(s).cast("long").bitwiseAND(lit(0xffffffffL)))
-    val mins = permParams.map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(prime))))
+
+  /** MinHash signature (array<long> of length 64) from a shingle-hash
+    * array expression. The hash array is bound as a lambda variable (via a
+    * one-element transform), guaranteeing it is evaluated ONCE per row even
+    * after Catalyst's CollapseProject — inlining it into all 64 permutation
+    * mins costs 64× the shingle hashing. */
+  def signatureFromHashes(hashes: Column): Column = {
+    def mins(hs: Column) = permParams.map { case (a, b) =>
+      array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(prime))))
     }
-    array(mins: _*)
+    element_at(transform(array(hashes), hs => array(mins(hs): _*)), 1)
   }
+
+  /** Convenience: signature straight from text. */
+  def minhashSignature(text: Column, shingleLen: Int = 5): Column =
+    signatureFromHashes(shingleHashes(text, shingleLen))
 
   /** (band, bandHash) pairs for a signature — the LSH bucketing key. */
   private def bandKeys(sig: Column): Column =
@@ -57,8 +68,27 @@ object Dedup {
       b => struct(b.as("band"),
         hash(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand))).as("bh")))
 
+  /** MinHash signatures via explode + one codegen'd hash aggregate: each
+    * (doc, shingle-hash) row updates all 64 permutation mins map-side.
+    * An order of magnitude faster than per-row higher-order-function
+    * lambdas (which Catalyst evaluates interpreted, off the codegen path).
+    * One shuffle on the doc id; agg state is 64 longs per doc. */
+  def minhashSignatures(docs: DataFrame, shingleLen: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.ngramSet(col(textCol), shingleLen)).as("s"))
+      .withColumn("h", hash(col("s")).cast("long").bitwiseAND(lit(0xffffffffL)))
+    val minCols = permParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(prime))).as(s"m$i")
+    }
+    exploded.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array(permParams.indices.map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   /** Near-duplicate pairs via MinHash LSH, verified with true shingle-set
-    * Jaccard. Flow: signature projection → explode 16 band keys → self-join
+    * Jaccard. Flow: signature aggregate → explode 16 band keys → self-join
     * on (band, bandHash) → distinct candidate pairs → Jaccard verify.
     * The self-join is a key-equality shuffle on the band hash; the corpus
     * is never paired quadratically. */
@@ -67,8 +97,9 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val base = docs.select(
       col(idCol).as("id"),
-      TextAnalysis.ngramSet(col(textCol), shingleLen).as("ng"),
-      minhashSignature(col(textCol), shingleLen).as("sig"))
+      TextAnalysis.ngramSet(col(textCol), shingleLen).as("ng"))
+      .join(minhashSignatures(docs, shingleLen, idCol, textCol),
+        Seq("id"))
 
     val bands = base.select(col("id"), explode(bandKeys(col("sig"))).as("k"))
       .select(col("id"), col("k.band").as("band"), col("k.bh").as("bh"))
@@ -89,21 +120,47 @@ object Dedup {
     jaccardVerify(withSets, threshold)
   }
 
-  /** Blocked exact n-gram Jaccard: candidate pairs share a blocking key
-    * (here: a coarse partition column such as `source`), verified with
-    * exact distinct-n-gram Jaccard. SQL-expressible, so oracle-checkable;
-    * the LSH variant above is the scale path when no blocking key exists. */
+  /** Blocked exact n-gram Jaccard as a prefix-filtering set-similarity
+    * join (SSJoin): within each block, candidate pairs must share a gram
+    * in their rare-first prefix of length ⌊(1−t)·|doc|⌋+1 — a LOSSLESS
+    * filter for Jaccard ≥ t under a global token order — plus mutual size
+    * bounds (J(A,B) ≤ min|·|/max|·|). Exact Jaccard verifies candidates.
+    *
+    * Result is identical to the brute-force within-block pairwise join
+    * (so the DuckDB oracle stays the naive formulation) but the quadratic
+    * pair space is replaced by a key-equality join on rare prefix grams:
+    * every stage is a shuffle on a key, nothing is O(block²). */
   def ngramJaccardBlocked(docs: DataFrame, blockCol: String,
       threshold: Double = 0.5, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val g = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       TextAnalysis.ngramSet(col(textCol), n).as("ng"))
-    val pairs = g.as("a")
-      .join(g.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.ng").as("ng_a"), col("b.ng").as("ng_b"))
-    jaccardVerify(pairs, threshold)
+      .withColumn("sz", size(col("ng")))
+    val toks = g.select(col("id"), col("blk"), col("sz"),
+      explode(col("ng")).as("gram"))
+    // rare-first order: document frequency per (block, gram)
+    val gramDf = toks.groupBy(col("blk"), col("gram"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
+    val prefix = toks.join(gramDf, Seq("blk", "gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
+      .select(col("id"), col("blk"), col("gram"), col("sz"))
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.blk") === col("b.blk") && col("a.gram") === col("b.gram") &&
+          col("a.id") < col("b.id") &&
+          col("a.sz") >= ceil(col("b.sz") * threshold) &&
+          col("b.sz") >= ceil(col("a.sz") * threshold))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val withSets = candidates
+      .join(g.select(col("id"), col("ng").as("ng_a")),
+        col("doc_a") === col("id")).drop("id")
+      .join(g.select(col("id"), col("ng").as("ng_b")),
+        col("doc_b") === col("id")).drop("id")
+    jaccardVerify(withSets, threshold)
   }
 
   private def jaccardVerify(pairs: DataFrame, threshold: Double): DataFrame =
