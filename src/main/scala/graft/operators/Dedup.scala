@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextAnalysis
 
@@ -75,10 +76,18 @@ object Dedup {
     * One shuffle on the doc id; agg state is 64 longs per doc. */
   def minhashSignatures(docs: DataFrame, shingleLen: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // raw shingles, not the distinct set: min() is insensitive to
+    // duplicates. Shingling is an exploded int sequence + substr — all
+    // codegen'd — rather than transform(..., substr) whose lambda Catalyst
+    // evaluates interpreted.
     val exploded = docs
-      .select(col(idCol).as("id"),
-        explode(TextAnalysis.ngramSet(col(textCol), shingleLen)).as("s"))
-      .withColumn("h", hash(col("s")).cast("long").bitwiseAND(lit(0xffffffffL)))
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .filter(length(col("t")) >= shingleLen)
+      .select(col("id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - (shingleLen - 1)))
+          .as("i"))
+      .withColumn("h", hash(col("t").substr(col("i"), lit(shingleLen)))
+        .cast("long").bitwiseAND(lit(0xffffffffL)))
     val minCols = permParams.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(prime))).as(s"m$i")
     }
@@ -91,18 +100,26 @@ object Dedup {
     * Jaccard. Flow: signature aggregate → explode 16 band keys → self-join
     * on (band, bandHash) → distinct candidate pairs → Jaccard verify.
     * The self-join is a key-equality shuffle on the band hash; the corpus
-    * is never paired quadratically. */
+    * is never paired quadratically.
+    *
+    * Plan shape matters: signatures feed ONLY the band path and the ngram
+    * sets feed ONLY the verify path. Spark recomputes a non-cached
+    * DataFrame's full lineage per referencing join branch, so threading
+    * one `sig ⋈ ng` relation through all three uses would re-run the
+    * signature aggregate (the most expensive stage) three times. The two
+    * verify-side `ng` scans share one canonical Exchange and are
+    * deduplicated by ReuseExchange. */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
       shingleLen: Int = 5, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val base = docs.select(
-      col(idCol).as("id"),
-      TextAnalysis.ngramSet(col(textCol), shingleLen).as("ng"))
-      .join(minhashSignatures(docs, shingleLen, idCol, textCol),
-        Seq("id"))
+    val sigs = minhashSignatures(docs, shingleLen, idCol, textCol)
 
-    val bands = base.select(col("id"), explode(bandKeys(col("sig"))).as("k"))
+    // persisted: the self-join references this twice and Spark recomputes
+    // non-cached lineage (the signature aggregate) per branch — at scale
+    // you would likewise materialize signatures before banding
+    val bands = sigs.select(col("id"), explode(bandKeys(col("sig"))).as("k"))
       .select(col("id"), col("k.band").as("band"), col("k.bh").as("bh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val candidates = bands.as("x")
       .join(bands.as("y"),
@@ -111,10 +128,13 @@ object Dedup {
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .distinct()
 
+    val ng = docs.select(col(idCol).as("id"),
+      TextAnalysis.ngramSet(col(textCol), shingleLen).as("ng"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val withSets = candidates
-      .join(base.select(col("id"), col("ng").as("ng_a")),
+      .join(ng.select(col("id"), col("ng").as("ng_a")),
         col("doc_a") === col("id")).drop("id")
-      .join(base.select(col("id"), col("ng").as("ng_b")),
+      .join(ng.select(col("id"), col("ng").as("ng_b")),
         col("doc_b") === col("id")).drop("id")
 
     jaccardVerify(withSets, threshold)
@@ -137,16 +157,21 @@ object Dedup {
     val g = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       TextAnalysis.ngramSet(col(textCol), n).as("ng"))
       .withColumn("sz", size(col("ng")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val toks = g.select(col("id"), col("blk"), col("sz"),
       explode(col("ng")).as("gram"))
-    // rare-first order: document frequency per (block, gram)
-    val gramDf = toks.groupBy(col("blk"), col("gram"))
-      .agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
-    val prefix = toks.join(gramDf, Seq("blk", "gram"))
-      .withColumn("rn", row_number().over(w))
+    // rare-first order: document frequency per (block, gram), computed as
+    // a window count rather than a groupBy⋈self join — a join would force
+    // the exploded token table to be evaluated twice (Spark recomputes
+    // non-cached lineage per referencing branch)
+    val wDf = Window.partitionBy(col("blk"), col("gram"))
+    val wRank = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
+    val prefix = toks
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
       .select(col("id"), col("blk"), col("gram"), col("sz"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.blk") === col("b.blk") && col("a.gram") === col("b.gram") &&

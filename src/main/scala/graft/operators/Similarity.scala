@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorExprs
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Two paths: brute-force cosine top-k (exact baseline — the query set is
@@ -13,12 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Element-wise double view of a float embedding. */
-  private def vec(c: Column): Column = transform(c, x => x.cast("double"))
-
-  /** Sequential left-to-right dot product (deterministic fp order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential left-to-right dot product (deterministic fp order) — a
+    * native codegen'd expression, see [[graft.functions.DotProduct]].
+    * Works directly on `array<float>` (each element widened to double),
+    * so no interpreted element-wise cast pass is needed. */
+  def dot(a: Column, b: Column): Column = VectorExprs.dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -33,9 +34,9 @@ object Similarity {
   def cosineTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val corpus = embeddings.select(col(idCol).as("vec_id"),
-      vec(col(embCol)).as("v"))
+      col(embCol).as("v"))
     val qs = queries.select(col(idCol).as("query_id"),
-      vec(col(embCol)).as("qv"))
+      col(embCol).as("qv"))
     val scored = corpus.join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cosine"))
@@ -50,7 +51,7 @@ object Similarity {
       threshold: Double, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      vec(col(embCol)).as("v"))
+      col(embCol).as("v"))
     e.as("a")
       .join(e.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
@@ -84,7 +85,7 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val allPlanes = nBits * nTables
     val corpus = embeddings.select(col(idCol).as("vec_id"),
-      vec(col(embCol)).as("v"))
+      col(embCol).as("v"))
       .withColumn("sig", lshBucket(col("v"), allPlanes, dim))
     val tbl = explode(array((0 until nTables).map(t =>
       struct(lit(t).as("tbl"),
