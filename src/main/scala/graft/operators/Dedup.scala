@@ -96,30 +96,43 @@ object Dedup {
         array(permParams.indices.map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** Near-duplicate pairs via MinHash LSH, verified with true shingle-set
-    * Jaccard. Flow: signature aggregate → explode 16 band keys → self-join
-    * on (band, bandHash) → distinct candidate pairs → Jaccard verify.
-    * The self-join is a key-equality shuffle on the band hash; the corpus
-    * is never paired quadratically.
+  /** Near-duplicate pairs via MinHash LSH, verified with shingle-set
+    * Jaccard over hashed shingles. Flow: ONE aggregation pass computes
+    * both the signature (64 permutation mins) and the distinct hashed-
+    * shingle set per doc → explode 16 band keys → self-join on (band,
+    * bandHash) → distinct candidate pairs → Jaccard verify from the same
+    * persisted relation. The self-join is a key-equality shuffle on the
+    * band hash; the corpus is never paired quadratically.
     *
-    * Plan shape matters: signatures feed ONLY the band path and the ngram
-    * sets feed ONLY the verify path. Spark recomputes a non-cached
-    * DataFrame's full lineage per referencing join branch, so threading
-    * one `sig ⋈ ng` relation through all three uses would re-run the
-    * signature aggregate (the most expensive stage) three times. The two
-    * verify-side `ng` scans share one canonical Exchange and are
-    * deduplicated by ReuseExchange. */
+    * The per-doc relation is persisted: three join branches reference it
+    * (two band sides, two verify sides) and Spark recomputes non-cached
+    * lineage per branch — at scale you would likewise materialize
+    * signatures before banding. Jaccard over 32-bit-hashed shingles
+    * equals true Jaccard up to vanishing collision probability
+    * (~|union|²/2³³ per pair), and int-array intersection is far cheaper
+    * than string-array intersection. */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
       shingleLen: Int = 5, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sigs = minhashSignatures(docs, shingleLen, idCol, textCol)
-
-    // persisted: the self-join references this twice and Spark recomputes
-    // non-cached lineage (the signature aggregate) per branch — at scale
-    // you would likewise materialize signatures before banding
-    val bands = sigs.select(col("id"), explode(bandKeys(col("sig"))).as("k"))
-      .select(col("id"), col("k.band").as("band"), col("k.bh").as("bh"))
+    val exploded = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .filter(length(col("t")) >= shingleLen)
+      .select(col("id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - (shingleLen - 1)))
+          .as("i"))
+      .withColumn("h", hash(col("t").substr(col("i"), lit(shingleLen)))
+        .cast("long").bitwiseAND(lit(0xffffffffL)))
+    val minCols = permParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(prime))).as(s"m$i")
+    }
+    val base = exploded.groupBy(col("id"))
+      .agg(minCols.head, minCols.tail :+ collect_set(col("h")).as("ng"): _*)
+      .select(col("id"), col("ng"),
+        array(permParams.indices.map(i => col(s"m$i")): _*).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val bands = base.select(col("id"), explode(bandKeys(col("sig"))).as("k"))
+      .select(col("id"), col("k.band").as("band"), col("k.bh").as("bh"))
 
     val candidates = bands.as("x")
       .join(bands.as("y"),
@@ -128,13 +141,10 @@ object Dedup {
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .distinct()
 
-    val ng = docs.select(col(idCol).as("id"),
-      TextAnalysis.ngramSet(col(textCol), shingleLen).as("ng"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val withSets = candidates
-      .join(ng.select(col("id"), col("ng").as("ng_a")),
+      .join(base.select(col("id"), col("ng").as("ng_a")),
         col("doc_a") === col("id")).drop("id")
-      .join(ng.select(col("id"), col("ng").as("ng_b")),
+      .join(base.select(col("id"), col("ng").as("ng_b")),
         col("doc_b") === col("id")).drop("id")
 
     jaccardVerify(withSets, threshold)
@@ -158,8 +168,13 @@ object Dedup {
       TextAnalysis.ngramSet(col(textCol), n).as("ng"))
       .withColumn("sz", size(col("ng")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // candidate generation runs entirely on 32-bit gram hashes: int sort
+    // keys for the windows, an int equality key for the prefix join, and
+    // J(hashed) ≥ J(true) keeps every qualifying pair (collisions only
+    // merge grams). Exact string verification happens last.
     val toks = g.select(col("id"), col("blk"), col("sz"),
-      explode(col("ng")).as("gram"))
+      explode(col("ng")).as("g0"))
+      .select(col("id"), col("blk"), col("sz"), hash(col("g0")).as("gram"))
     // rare-first order: document frequency per (block, gram), computed as
     // a window count rather than a groupBy⋈self join — a join would force
     // the exploded token table to be evaluated twice (Spark recomputes
@@ -180,7 +195,24 @@ object Dedup {
           col("b.sz") >= ceil(col("a.sz") * threshold))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    val withSets = candidates
+    // hashed-set Jaccard prefilter: discards only pairs with
+    // J(hashed) < t, which implies J(true) < t — never a missed pair.
+    // Int-array intersection costs a fraction of the string one, so the
+    // exact verify below touches only near-qualifying pairs.
+    val ngh = toks.groupBy(col("id")).agg(collect_set(col("gram")).as("ngh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefiltered = candidates
+      .join(ngh.select(col("id"), col("ngh").as("ngh_a")),
+        col("doc_a") === col("id")).drop("id")
+      .join(ngh.select(col("id"), col("ngh").as("ngh_b")),
+        col("doc_b") === col("id")).drop("id")
+      .withColumn("hinter",
+        size(array_intersect(col("ngh_a"), col("ngh_b"))))
+      .filter(col("hinter").cast("double") /
+        (size(col("ngh_a")) + size(col("ngh_b")) - col("hinter"))
+          .cast("double") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val withSets = prefiltered
       .join(g.select(col("id"), col("ng").as("ng_a")),
         col("doc_a") === col("id")).drop("id")
       .join(g.select(col("id"), col("ng").as("ng_b")),
