@@ -81,6 +81,16 @@ object SparkEntry {
       PageAnalytics.dayBuckets(
           Tables.events(s, dir), col("ts"), col("event_type"))
         .withColumnRenamed("key", "event_type")),
+    // J3: page-jump counts + conversion rates (the analysis the reference
+    // stops short of at PageStreaming.scala:89)
+    "q15_page_conversion" -> ((s, dir) => {
+      val pv = Tables.events(s, dir).select(
+        (col("user_id") % 20).cast("string").as("last_page_id"),
+        (col("event_id") % 20).cast("string").as("page_id"),
+        ((col("event_id") + 1) % 20).cast("string").as("next_page_id"))
+      graft.streaming.PageStream.conversionRates(
+        graft.streaming.PageStream.jumpCounts(pv))
+    }),
     // Batch surface: scan+pushdown, joins, windows, top-k, set ops
     "q7_pricing_summary" -> ((s, dir) => Tpch.pricingSummary(s, dir)),
     "q8_region_revenue" -> ((s, dir) => Tpch.regionRevenue(s, dir)),
@@ -197,6 +207,21 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y%m%d') AS dt, event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q15_page_conversion" ->
+      """WITH pv AS (
+        |  SELECT CAST(user_id % 20 AS VARCHAR) AS last_page_id,
+        |         CAST(event_id % 20 AS VARCHAR) AS page_id,
+        |         CAST((event_id + 1) % 20 AS VARCHAR) AS next_page_id
+        |  FROM events),
+        |j AS (SELECT last_page_id, page_id, next_page_id,
+        |             CAST(COUNT(*) AS BIGINT) AS jumps
+        |      FROM pv GROUP BY 1, 2, 3),
+        |p AS (SELECT page_id, CAST(SUM(jumps) AS BIGINT) AS page_total
+        |      FROM j GROUP BY 1)
+        |SELECT j.page_id, j.next_page_id, j.jumps, p.page_total,
+        |       CAST(j.jumps AS DOUBLE) / CAST(p.page_total AS DOUBLE)
+        |         AS conversion_rate
+        |FROM j JOIN p ON j.page_id = p.page_id""".stripMargin,
     "q7_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

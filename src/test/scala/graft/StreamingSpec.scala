@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{RawArchive, RegisterStream}
+import graft.streaming.{PageStream, RawArchive, RegisterStream}
 
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
@@ -50,6 +50,35 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       val totals = spark.table("reg_total").as[(String, Long)].collect().toMap
       assert(totals === Map("PC" -> 7L, "Other" -> 2L))
+    } finally q.stop()
+  }
+
+  test("page stream: jump counts and conversion rates") {
+    implicit val sql = spark.sqlContext
+    def view(last: String, page: String, next: String) =
+      s"""{"uid":"u1","app_id":"a","device_id":"d","ip":"1.2.3.4",""" +
+        s""""last_page_id":"$last","page_id":"$page","next_page_id":"$next"}"""
+    val input = MemoryStream[String]
+    val q = PageStream.jumpCounts(PageStream.parse(input.toDF()))
+      .writeStream.format("memory").queryName("page_jumps")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(Seq(view("0", "1", "2"), view("0", "1", "2"), "not json"))
+      q.processAllAvailable()
+      input.addData(Seq(view("0", "1", "3"), """{"page_id":"9"}"""))
+      q.processAllAvailable()
+      val jumps = spark.table("page_jumps")
+      assert(jumps.filter($"page_id" === "1" && $"next_page_id" === "2")
+        .select($"jumps").as[Long].head() === 2L)
+      // absent JSON keys default to "", malformed lines are dropped
+      assert(jumps.filter($"page_id" === "9" && $"last_page_id" === "")
+        .count() === 1)
+
+      val rates = PageStream.conversionRates(jumps)
+        .filter($"page_id" === "1").collect()
+      val to2 = rates.find(_.getAs[String]("next_page_id") == "2").get
+      assert(to2.getAs[Long]("page_total") === 3L)
+      assert(math.abs(to2.getAs[Double]("conversion_rate") - 2.0 / 3) < 1e-9)
     } finally q.stop()
   }
 
