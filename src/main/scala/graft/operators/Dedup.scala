@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.TextAnalysis
+import graft.functions.{MinHashSig, TextAnalysis}
 
 /** Document deduplication operators, each stated in partition-scalable
   * form: no driver collects, no O(n²) cross joins — candidate generation
@@ -31,13 +31,11 @@ object Dedup {
   val Bands = 16
   private val RowsPerBand = MinhashPerms / Bands
 
-  // Deterministic permutation parameters (seeded, engine constants).
-  private val prime = 4294967311L
-  private lazy val permParams: Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(MinhashPerms)(
-      (rnd.nextLong(1L << 29) + 1, rnd.nextLong(1L << 29) + 1))
-  }
+  // Deterministic permutation parameters — shared with the imperative
+  // aggregate so column-level and aggregate-level signatures agree.
+  private val prime = MinHashSig.Prime
+  private lazy val permParams: Seq[(Long, Long)] =
+    MinHashSig.A.zip(MinHashSig.B).toSeq
 
   /** murmur3 of each distinct k-shingle, widened to an unsigned 32-bit
     * long. Materialize this ONCE per row (e.g. via withColumn) before
@@ -88,12 +86,8 @@ object Dedup {
           .as("i"))
       .withColumn("h", hash(col("t").substr(col("i"), lit(shingleLen)))
         .cast("long").bitwiseAND(lit(0xffffffffL)))
-    val minCols = permParams.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(prime))).as(s"m$i")
-    }
-    exploded.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
-      .select(col("id"),
-        array(permParams.indices.map(i => col(s"m$i")): _*).as("sig"))
+    exploded.groupBy(col("id"))
+      .agg(MinHashSig.signature(col("h")).as("sig"))
   }
 
   /** Near-duplicate pairs via MinHash LSH, verified with shingle-set
@@ -122,13 +116,9 @@ object Dedup {
           .as("i"))
       .withColumn("h", hash(col("t").substr(col("i"), lit(shingleLen)))
         .cast("long").bitwiseAND(lit(0xffffffffL)))
-    val minCols = permParams.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(prime))).as(s"m$i")
-    }
     val base = exploded.groupBy(col("id"))
-      .agg(minCols.head, minCols.tail :+ collect_set(col("h")).as("ng"): _*)
-      .select(col("id"), col("ng"),
-        array(permParams.indices.map(i => col(s"m$i")): _*).as("sig"))
+      .agg(MinHashSig.signature(col("h")).as("sig"),
+        collect_set(col("h")).as("ng"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val bands = base.select(col("id"), explode(bandKeys(col("sig"))).as("k"))
