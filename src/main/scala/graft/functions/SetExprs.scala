@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, TypeUtils}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+
+/** Intersection cardinality of two SORTED, null-free, duplicate-free
+  * arrays, by linear merge.
+  *
+  * Jaccard verification evaluates an intersection per candidate pair —
+  * the hottest loop of the set-similarity joins. The built-in
+  * `array_intersect` builds a hash set of one side per row-pair
+  * (allocation + full-width hashing of every element); over pre-sorted
+  * arrays a merge does at most |a|+|b| comparisons that short-circuit on
+  * the first differing byte, allocates nothing, and returns only the
+  * count (the verify path never needs the intersection's elements).
+  *
+  * Caller contract: both arrays ascending-sorted (`sort_array`),
+  * no nulls, no duplicates — which ngram/collect_set outputs satisfy.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(a, _), ArrayType(b, _)) if a == b =>
+      TypeUtils.checkForOrderingExpr(a, prettyName)
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two arrays of the same orderable type, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  @transient private lazy val ordering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(elemType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < nx && j < ny) {
+      val c = ordering.compare(x.get(i, elemType), y.get(j, elemType))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val va = ctx.freshName("va")
+      val vb = ctx.freshName("vb")
+      val jt = CodeGenerator.javaType(elemType)
+      val getA = CodeGenerator.getValue(a, elemType, i)
+      val getB = CodeGenerator.getValue(b, elemType, j)
+      s"""
+         |int $i = 0; int $j = 0; int $n = 0;
+         |final int ${i}N = $a.numElements();
+         |final int ${j}N = $b.numElements();
+         |while ($i < ${i}N && $j < ${j}N) {
+         |  $jt $va = $getA;
+         |  $jt $vb = $getB;
+         |  int $c = ${ctx.genComp(elemType, va, vb)};
+         |  if ($c == 0) { $n++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object SetExprs {
+  /** Column API for [[SortedIntersectSize]]. */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntersectSize(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

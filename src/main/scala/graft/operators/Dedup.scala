@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{MinHashSig, TextAnalysis}
+import graft.functions.{MinHashSig, SetExprs, TextAnalysis}
 
 /** Document deduplication operators, each stated in partition-scalable
   * form: no driver collects, no O(n²) cross joins — candidate generation
@@ -118,7 +118,7 @@ object Dedup {
         .cast("long").bitwiseAND(lit(0xffffffffL)))
     val base = exploded.groupBy(col("id"))
       .agg(MinHashSig.signature(col("h")).as("sig"),
-        collect_set(col("h")).as("ng"))
+        sort_array(collect_set(col("h"))).as("ng"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val bands = base.select(col("id"), explode(bandKeys(col("sig"))).as("k"))
@@ -155,7 +155,7 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      TextAnalysis.ngramSet(col(textCol), n).as("ng"))
+      sort_array(TextAnalysis.ngramSet(col(textCol), n)).as("ng"))
       .withColumn("sz", size(col("ng")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // candidate generation runs entirely on 32-bit gram hashes: int sort
@@ -189,7 +189,8 @@ object Dedup {
     // J(hashed) < t, which implies J(true) < t — never a missed pair.
     // Int-array intersection costs a fraction of the string one, so the
     // exact verify below touches only near-qualifying pairs.
-    val ngh = toks.groupBy(col("id")).agg(collect_set(col("gram")).as("ngh"))
+    val ngh = toks.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("gram"))).as("ngh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val prefiltered = candidates
       .join(ngh.select(col("id"), col("ngh").as("ngh_a")),
@@ -197,7 +198,7 @@ object Dedup {
       .join(ngh.select(col("id"), col("ngh").as("ngh_b")),
         col("doc_b") === col("id")).drop("id")
       .withColumn("hinter",
-        size(array_intersect(col("ngh_a"), col("ngh_b"))))
+        SetExprs.sortedIntersectSize(col("ngh_a"), col("ngh_b")))
       .filter(col("hinter").cast("double") /
         (size(col("ngh_a")) + size(col("ngh_b")) - col("hinter"))
           .cast("double") >= threshold)
@@ -210,10 +211,12 @@ object Dedup {
     jaccardVerify(withSets, threshold)
   }
 
+  /** Exact Jaccard over pre-sorted ngram-set columns `ng_a`/`ng_b` via a
+    * codegen'd linear merge (see [[graft.functions.SortedIntersectSize]]). */
   private def jaccardVerify(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
       .withColumn("inter",
-        size(array_intersect(col("ng_a"), col("ng_b"))))
+        SetExprs.sortedIntersectSize(col("ng_a"), col("ng_b")))
       .withColumn("uni",
         size(col("ng_a")) + size(col("ng_b")) - col("inter"))
       .withColumn("jaccard",
