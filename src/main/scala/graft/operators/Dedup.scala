@@ -154,8 +154,19 @@ object Dedup {
       threshold: Double = 0.5, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      sort_array(TextAnalysis.ngramSet(col(textCol), n)).as("ng"))
+    // raw grams via exploded int sequence + substr — fully codegen'd
+    // (transform-lambda ngram extraction runs interpreted); the distinct
+    // sorted gram set per doc is then one cheap aggregation away
+    val rawGrams = docs
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        col(textCol).as("t"))
+      .filter(length(col("t")) >= n)
+      .select(col("id"), col("blk"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - (n - 1))).as("i"))
+      .select(col("id"), col("blk"),
+        col("t").substr(col("i"), lit(n)).as("g0"))
+    val g = rawGrams.groupBy(col("id"), col("blk"))
+      .agg(sort_array(collect_set(col("g0"))).as("ng"))
       .withColumn("sz", size(col("ng")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // candidate generation runs entirely on 32-bit gram hashes: int sort
@@ -165,14 +176,19 @@ object Dedup {
     val toks = g.select(col("id"), col("blk"), col("sz"),
       explode(col("ng")).as("g0"))
       .select(col("id"), col("blk"), col("sz"), hash(col("g0")).as("gram"))
-    // rare-first order: document frequency per (block, gram), computed as
-    // a window count rather than a groupBy⋈self join — a join would force
-    // the exploded token table to be evaluated twice (Spark recomputes
-    // non-cached lineage per referencing branch)
-    val wDf = Window.partitionBy(col("blk"), col("gram"))
+    // rare-first order: document frequency per (block, gram) as a small
+    // aggregated table broadcast back onto the token stream — cheaper
+    // than a window, which would sort-shuffle the full token table just
+    // to attach a count. The char n-gram universe is bounded (charset^n),
+    // so the broadcast stays small at any corpus size; for unbounded
+    // token universes (word shingles) swap back to a shuffle join.
+    // toks derives from the persisted g, so the two references cost two
+    // cache reads, not two token-table builds.
+    val gramDf = toks.groupBy(col("blk"), col("gram"))
+      .agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
     val prefix = toks
-      .withColumn("df", count(lit(1)).over(wDf))
+      .join(broadcast(gramDf), Seq("blk", "gram"))
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
       .select(col("id"), col("blk"), col("gram"), col("sz"))
