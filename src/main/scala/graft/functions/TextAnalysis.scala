@@ -69,10 +69,12 @@ object TextAnalysis {
   /** 64-bit content fingerprint (xxhash64 of the raw text). */
   def fingerprint(text: Column): Column = xxhash64(text)
 
-  /** Winnowing-style rolling fingerprint: minimum xxhash64 over
-    * character k-shingles — robust to local edits, one pass, no state. */
+  /** Winnowing-style rolling fingerprint: minimum xxhash64 over k-byte
+    * windows — robust to local edits; a document-local codegen kernel
+    * (one pass, no intermediate array; see
+    * [[graft.functions.RollingMinHash]]). Null for texts under k bytes. */
   def rollingFingerprint(text: Column, k: Int = 8): Column =
-    array_min(transform(shingleArray(text, k), s => xxhash64(s)))
+    ShingleExprs.rollingMinHash(text, k)
 
   /** Character k-shingles (raw, with duplicates). Empty array for texts
     * shorter than k. */

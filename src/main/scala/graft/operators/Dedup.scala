@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{MinHashSig, SetExprs, TextAnalysis}
+import graft.functions.{MinHashSig, SetExprs, ShingleExprs, TextAnalysis}
 
 /** Document deduplication operators, each stated in partition-scalable
   * form: no driver collects, no O(n²) cross joins — candidate generation
@@ -67,58 +67,41 @@ object Dedup {
       b => struct(b.as("band"),
         hash(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand))).as("bh")))
 
-  /** MinHash signatures via explode + one codegen'd hash aggregate: each
-    * (doc, shingle-hash) row updates all 64 permutation mins map-side.
-    * An order of magnitude faster than per-row higher-order-function
-    * lambdas (which Catalyst evaluates interpreted, off the codegen path).
-    * One shuffle on the doc id; agg state is 64 longs per doc. */
+  /** MinHash signatures as one projection pass — the signature is a
+    * document-local computation (see [[graft.functions.MinHashSigExpr]]),
+    * so no explode and no shuffle: at corpus scale the explode→aggregate
+    * formulation shuffles ~15× the corpus size just to regroup shingles
+    * by the document they came from. Docs shorter than the shingle
+    * length are dropped (no signature). */
   def minhashSignatures(docs: DataFrame, shingleLen: Int = 5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // raw shingles, not the distinct set: min() is insensitive to
-    // duplicates. Shingling is an exploded int sequence + substr — all
-    // codegen'd — rather than transform(..., substr) whose lambda Catalyst
-    // evaluates interpreted.
-    val exploded = docs
-      .select(col(idCol).as("id"), col(textCol).as("t"))
-      .filter(length(col("t")) >= shingleLen)
-      .select(col("id"), col("t"),
-        explode(sequence(lit(1), length(col("t")) - (shingleLen - 1)))
-          .as("i"))
-      .withColumn("h", hash(col("t").substr(col("i"), lit(shingleLen)))
-        .cast("long").bitwiseAND(lit(0xffffffffL)))
-    exploded.groupBy(col("id"))
-      .agg(MinHashSig.signature(col("h")).as("sig"))
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      ShingleExprs.minhashSignature(col(textCol), shingleLen).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** Near-duplicate pairs via MinHash LSH, verified with shingle-set
-    * Jaccard over hashed shingles. Flow: ONE aggregation pass computes
-    * both the signature (64 permutation mins) and the distinct hashed-
-    * shingle set per doc → explode 16 band keys → self-join on (band,
-    * bandHash) → distinct candidate pairs → Jaccard verify from the same
-    * persisted relation. The self-join is a key-equality shuffle on the
-    * band hash; the corpus is never paired quadratically.
+    * Jaccard over hashed shingles. Flow: ONE shuffle-free projection
+    * computes the signature (64 permutation mins) and the sorted distinct
+    * hashed-shingle set per doc → explode 16 band keys → self-join on
+    * (band, bandHash) → distinct candidate pairs → merge-intersect
+    * Jaccard verify from the same persisted relation. The self-join is a
+    * key-equality shuffle on the band hash; the corpus is never paired
+    * quadratically.
     *
-    * The per-doc relation is persisted: three join branches reference it
+    * The per-doc relation is persisted: four join branches reference it
     * (two band sides, two verify sides) and Spark recomputes non-cached
     * lineage per branch — at scale you would likewise materialize
     * signatures before banding. Jaccard over 32-bit-hashed shingles
     * equals true Jaccard up to vanishing collision probability
-    * (~|union|²/2³³ per pair), and int-array intersection is far cheaper
-    * than string-array intersection. */
+    * (~|union|²/2³³ per pair), and sorted-int-array merge intersection is
+    * far cheaper than string-array hash intersection. */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
       shingleLen: Int = 5, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("id"), col(textCol).as("t"))
-      .filter(length(col("t")) >= shingleLen)
-      .select(col("id"), col("t"),
-        explode(sequence(lit(1), length(col("t")) - (shingleLen - 1)))
-          .as("i"))
-      .withColumn("h", hash(col("t").substr(col("i"), lit(shingleLen)))
-        .cast("long").bitwiseAND(lit(0xffffffffL)))
-    val base = exploded.groupBy(col("id"))
-      .agg(MinHashSig.signature(col("h")).as("sig"),
-        sort_array(collect_set(col("h"))).as("ng"))
+    val base = docs.select(col(idCol).as("id"),
+      ShingleExprs.minhashSignature(col(textCol), shingleLen).as("sig"),
+      ShingleExprs.shingleSet(col(textCol), shingleLen).as("ng"))
+      .filter(col("sig").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val bands = base.select(col("id"), explode(bandKeys(col("sig"))).as("k"))
@@ -242,22 +225,13 @@ object Dedup {
 
   // ---- SimHash ---------------------------------------------------------
 
-  /** 64-bit SimHash per document: explode tokens, one grouped aggregate
-    * computing all 64 bit-sums, reassemble the fingerprint. One shuffle
-    * on doc id; no per-document state. */
+  /** 64-bit SimHash per document — a document-local kernel (one
+    * projection pass, no explode/shuffle; see
+    * [[graft.functions.SimHash64]]). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b"))
-    val agg = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col("id"), sh.as("simhash"))
-  }
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      ShingleExprs.simhash64(lower(col(textCol))).as("simhash"))
 
   /** Near-duplicate pairs with Hamming distance ≤ maxHamming, found by
     * chunk banding (pigeonhole: distance ≤ 3 ⇒ one of the four 16-bit
@@ -272,6 +246,7 @@ object Dedup {
             .as("ck"))): _*)).as("k"))
       .select(col("id"), col("simhash"), col("k.chunk").as("chunk"),
         col("k.ck").as("ck"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     chunks.as("x")
       .join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
