@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SetExprs, ShingleExprs, ShingleOps, VectorExprs}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expression kernels: interpreted eval vs codegen agreement,
+  * null semantics, edge cases. Each test evaluates through a DataFrame
+  * (whole-stage codegen path) and, where cheap, against a hand-computed
+  * expected value (the interpreted path is exercised by expression-tree
+  * contexts such as filters over non-codegen plans). */
+class ExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("DotProduct: values, nulls, length mismatch") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)), // 32
+      (2L, Seq(1.5f, -2.0f), Seq(2.0f, 0.5f)) // 2
+    ).toDF("id", "a", "b")
+    val got = df.select($"id", VectorExprs.dot($"a", $"b").as("d"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - 32.0) < 1e-12)
+    assert(math.abs(got(2L) - 2.0) < 1e-12)
+
+    // length mismatch -> null
+    val mismatch = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(VectorExprs.dot($"a", $"b").as("d"))
+      .collect()(0)
+    assert(mismatch.isNullAt(0))
+
+    // null array -> null; mixed float/double element types work
+    val mixed = Seq((Seq(2.0f), Seq(3.5))).toDF("a", "b")
+      .select(VectorExprs.dot($"a", $"b").as("d"))
+      .as[Double].head()
+    assert(math.abs(mixed - 7.0) < 1e-12)
+  }
+
+  test("SortedIntersectSize: merge semantics on sorted sets") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L), 2), // {3,5}
+      (Seq(1L, 2L), Seq(3L, 4L), 0),
+      (Seq[Long](), Seq(1L), 0),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3)
+    ).toDF("a", "b", "expected")
+    val rows = df.select(
+      SetExprs.sortedIntersectSize($"a", $"b").as("got"), $"expected")
+      .as[(Int, Int)].collect()
+    rows.foreach { case (got, expected) => assert(got === expected) }
+
+    // string arrays (x4's exact verification path)
+    val s = Seq((Seq("ab", "cd", "ef"), Seq("cd", "zz")))
+      .toDF("a", "b")
+      .select(SetExprs.sortedIntersectSize($"a", $"b").as("n"))
+      .as[Int].head()
+    assert(s === 1)
+  }
+
+  test("shingle kernels: doc-local results match reference computation") {
+    val text = "abcdefgabcdefg"
+    // shingleSet = sorted distinct murmur3(k-byte windows) & 0xffffffff
+    val k = 5
+    val expectedSet = (0 to text.length - k)
+      .map { i =>
+        val sub = UTF8String.fromString(text.substring(i, i + k))
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
+          sub.getBaseObject, sub.getBaseOffset, sub.numBytes, 42) & 0xffffffffL
+      }.distinct.sorted
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val gotSet = df.select(ShingleExprs.shingleSet($"text", k).as("s"))
+      .as[Seq[Long]].head()
+    assert(gotSet === expectedSet)
+
+    // minhash signature: 64 mins over the same window hashes
+    val sig = df.select(ShingleExprs.minhashSignature($"text", k).as("s"))
+      .as[Seq[Long]].head()
+    assert(sig.length === 64)
+    val hs = (0 to text.length - k).map { i =>
+      val sub = UTF8String.fromString(text.substring(i, i + k))
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
+        sub.getBaseObject, sub.getBaseOffset, sub.numBytes, 42) & 0xffffffffL
+    }
+    import graft.functions.MinHashSig.{A, B, Prime}
+    val expSig = (0 until 64).map(p => hs.map(h => (h * A(p) + B(p)) % Prime).min)
+    assert(sig === expSig)
+
+    // short text -> null signature / null set
+    val shortRow = Seq((1L, "abc")).toDF("doc_id", "text")
+      .select(ShingleExprs.minhashSignature($"text", k).as("sig"),
+        ShingleExprs.shingleSet($"text", k).as("s"))
+      .collect()(0)
+    assert(shortRow.isNullAt(0) && shortRow.isNullAt(1))
+  }
+
+  test("rolling fingerprint: min xxhash64 over byte windows") {
+    val text = "hello world, hello graft"
+    val k = 8
+    val expected = (0 to text.length - k).map { i =>
+      val sub = UTF8String.fromString(text.substring(i, i + k))
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        sub.getBaseObject, sub.getBaseOffset, sub.numBytes, 42L)
+    }.min
+    val got = Seq(Tuple1(text)).toDF("text")
+      .select(ShingleExprs.rollingMinHash($"text", k).as("fp"))
+      .as[Long].head()
+    assert(got === expected)
+  }
+
+  test("simhash64: bit-majority over token hashes; identical docs agree") {
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"),
+      (3L, "a completely different document")).toDF("id", "text")
+    val fps = df.select($"id", ShingleExprs.simhash64($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+
+    // single token: fingerprint equals the token hash's bit pattern
+    val one = Seq(Tuple1("token")).toDF("text")
+      .select(ShingleExprs.simhash64($"text").as("fp")).as[Long].head()
+    val s = UTF8String.fromString("token")
+    val expected = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+    assert(one === expected)
+  }
+
+  test("ShingleOps kernels agree between eval and direct call") {
+    val s = UTF8String.fromString("abcdefghij")
+    assert(ShingleOps.shingleSet(s, 3).toSeq ===
+      ShingleOps.shingleSet(UTF8String.fromString("abcdefghij"), 3).toSeq)
+    assert(ShingleOps.rollingMin(s, 3) ===
+      ShingleOps.rollingMin(UTF8String.fromString("abcdefghij"), 3))
+  }
+}
