@@ -71,6 +71,58 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame: parent media id + frame index + per-frame
+    * features (fixed-width — safe to shuffle/aggregate). */
+  case class FrameSample(mediaId: Long, frameIdx: Int, luma: Double,
+      features: Array[Float])
+
+  /** Frame sampling: split the payload into fixed-size frame windows,
+    * decode every `stride`-th one, emit one row per sampled frame. The
+    * per-record fan-out happens map-side (one iterator pass, no
+    * intermediate collection of all frames), so a long video expands
+    * into frame rows without materializing them in executor memory. */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 4,
+      decoder: MediaDecoder = FakeDecoder): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    require(stride >= 1, "stride must be >= 1")
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val nFrames = math.max(1, m.payload.length / FrameBytes)
+        Iterator.range(0, nFrames, stride).map { f =>
+          val from = f * FrameBytes
+          val until = math.min(from + FrameBytes, m.payload.length)
+          val frame = java.util.Arrays.copyOfRange(m.payload, from,
+            math.max(until, from))
+          val d = decoder.decode(frame, m.width, m.height)
+          FrameSample(m.mediaId, f, d.luma, d.features)
+        }
+      }
+    }
+  }
+
+  /** "Resize" stub: deterministic byte-domain downsample of the payload
+    * to a target size (every ceil(len/target)-th byte). Real deployments
+    * replace the byte loop with a codec resize; the Spark plumbing —
+    * map-side transform, no shuffle, bounded output width — is the part
+    * that survives the swap. */
+  def resizePayload(media: Dataset[MediaRecord],
+      targetBytes: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    require(targetBytes >= 1, "targetBytes must be >= 1")
+    media.mapPartitions { it =>
+      it.map { m =>
+        if (m.payload.length <= targetBytes) m
+        else {
+          val step = math.ceil(m.payload.length.toDouble / targetBytes).toInt
+          val out = Array.ofDim[Byte]((m.payload.length + step - 1) / step)
+          var i = 0
+          while (i < out.length) { out(i) = m.payload(i * step); i += 1 }
+          m.copy(payload = out)
+        }
+      }
+    }
+  }
+
   /** Synthesize a media table from `documents` (text bytes as payload) —
     * lets the plumbing run against harness data. Pure column expressions,
     * so the byte-level stats are oracle-checkable. */

@@ -81,4 +81,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(feats(0).featureVec.length === 8)
     assert(feats(1).byteLen === 0L && feats(1).nFrames === 1)
   }
+
+  test("multimodal frame sampling and payload resize") {
+    import Multimodal._
+    val media = Seq(
+      MediaRecord(1L, "video/fake", Array.tabulate(2048)(_.toByte), 32, 32, 0L)
+    ).toDS()
+    // 2048 bytes -> 8 frames; stride 3 samples frames 0, 3, 6
+    val frames = sampleFrames(media, stride = 3).collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq === Seq(0, 3, 6))
+    assert(frames.forall(_.features.length === 8))
+    // frame 0 luma = mean of bytes 0..255 = 127.5/255
+    assert(math.abs(frames(0).luma - 127.5 / 255.0) < 1e-9)
+
+    val resized = resizePayload(media, targetBytes = 512).collect()(0)
+    assert(resized.payload.length === 512)
+    assert(resized.payload(1) === media.collect()(0).payload(4))
+    // already-small payloads pass through untouched
+    val small = resizePayload(media, targetBytes = 4096).collect()(0)
+    assert(small.payload.length === 2048)
+  }
 }
