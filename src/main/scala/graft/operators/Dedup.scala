@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{MinHashSig, SetExprs, ShingleExprs, TextAnalysis}
+import graft.functions.{SetExprs, ShingleExprs}
 
 /** Document deduplication operators, each stated in partition-scalable
   * form: no driver collects, no O(n²) cross joins — candidate generation
@@ -30,36 +30,6 @@ object Dedup {
   val MinhashPerms = 64
   val Bands = 16
   private val RowsPerBand = MinhashPerms / Bands
-
-  // Deterministic permutation parameters — shared with the imperative
-  // aggregate so column-level and aggregate-level signatures agree.
-  private val prime = MinHashSig.Prime
-  private lazy val permParams: Seq[(Long, Long)] =
-    MinHashSig.A.zip(MinHashSig.B).toSeq
-
-  /** murmur3 of each distinct k-shingle, widened to an unsigned 32-bit
-    * long. Materialize this ONCE per row (e.g. via withColumn) before
-    * feeding [[signatureFromHashes]] — referencing it as an attribute keeps
-    * the 64 permutation mins from re-deriving the shingle array 64×. */
-  def shingleHashes(text: Column, shingleLen: Int = 5): Column =
-    transform(TextAnalysis.ngramSet(text, shingleLen),
-      s => hash(s).cast("long").bitwiseAND(lit(0xffffffffL)))
-
-  /** MinHash signature (array<long> of length 64) from a shingle-hash
-    * array expression. The hash array is bound as a lambda variable (via a
-    * one-element transform), guaranteeing it is evaluated ONCE per row even
-    * after Catalyst's CollapseProject — inlining it into all 64 permutation
-    * mins costs 64× the shingle hashing. */
-  def signatureFromHashes(hashes: Column): Column = {
-    def mins(hs: Column) = permParams.map { case (a, b) =>
-      array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(prime))))
-    }
-    element_at(transform(array(hashes), hs => array(mins(hs): _*)), 1)
-  }
-
-  /** Convenience: signature straight from text. */
-  def minhashSignature(text: Column, shingleLen: Int = 5): Column =
-    signatureFromHashes(shingleHashes(text, shingleLen))
 
   /** (band, bandHash) pairs for a signature — the LSH bucketing key. */
   private def bandKeys(sig: Column): Column =

@@ -82,6 +82,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("end-to-end: file-source stream equals batch over the same logs") {
+    val dir = Files.createTempDirectory("graft_logs_").toString
+    val lines = registerLines(5, "1", "2019-07-16 10:00:00") ++
+      registerLines(3, "2", "2019-07-16 11:30:00") ++
+      Seq("malformed line") ++
+      registerLines(2, "9", "2019-07-16 12:00:00")
+    Files.write(java.nio.file.Paths.get(dir, "register.log"),
+      String.join("\n", lines: _*).getBytes)
+
+    val src = graft.sources.StreamSources.lines(spark,
+      graft.sources.StreamSources.SourceConfig("text",
+        Map("path" -> dir, "maxFilesPerTrigger" -> "1")))
+    assert(src.isStreaming)
+    val q = RegisterStream.cumulativeCounts(RegisterStream.parse(src))
+      .writeStream.format("memory").queryName("e2e_reg")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("e2e_reg")
+        .as[(String, Long)].collect().toMap
+      // batch over the same file through the same parser
+      val batch = RegisterStream
+        .parse(spark.read.text(dir).toDF("value"))
+        .groupBy($"platform").count()
+        .as[(String, Long)].collect().toMap
+      assert(streamed === batch)
+      assert(streamed === Map("PC" -> 5L, "APP" -> 3L, "Other" -> 2L))
+    } finally q.stop()
+  }
+
   test("raw archive: day-partitioned exactly-once file sink") {
     implicit val sql = spark.sqlContext
     val out = Files.createTempDirectory("graft_archive_").toString
