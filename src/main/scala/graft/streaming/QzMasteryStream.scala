@@ -52,25 +52,42 @@ object QzMasteryStream {
       correctRate, detailRate, detailRate * correctRate)
   }
 
-  private def update(key: QzKey, events: Iterator[QzEvent],
+  private[graft] def update(stateTtl: Option[String])(
+      key: QzKey, events: Iterator[QzEvent],
       state: GroupState[MasteryState]): Iterator[MasteryRow] = {
-    val batch = events.toSeq
-    if (batch.isEmpty) Iterator.empty
-    else {
-      val prev = state.getOption.getOrElse(MasteryState(Set.empty, 0L, 0L, ""))
-      val next = merge(prev, batch)
-      state.update(next)
-      Iterator.single(toRow(key, next))
+    if (state.hasTimedOut) {
+      // inactive key evicted — the detail row already reached the sink on
+      // its last update; dropping state loses only future history merges
+      // for a key that stopped producing events
+      state.remove()
+      Iterator.empty
+    } else {
+      val batch = events.toSeq
+      if (batch.isEmpty) Iterator.empty
+      else {
+        val prev = state.getOption.getOrElse(MasteryState(Set.empty, 0L, 0L, ""))
+        val next = merge(prev, batch)
+        state.update(next)
+        stateTtl.foreach(state.setTimeoutDuration)
+        Iterator.single(toRow(key, next))
+      }
     }
   }
 
   /** Streaming mastery: one stateful aggregation, Update output mode —
-    * each batch emits refreshed rows only for keys it touched. */
-  def mastery(events: Dataset[QzEvent]): Dataset[MasteryRow] = {
+    * each batch emits refreshed rows only for keys it touched.
+    *
+    * `stateTtl` bounds state for open-ended key universes (SURVEY.md §7.4
+    * risk 3): keys idle longer than the TTL are evicted via
+    * ProcessingTimeTimeout. None = reference-parity unbounded history. */
+  def mastery(events: Dataset[QzEvent],
+      stateTtl: Option[String] = None): Dataset[MasteryRow] = {
     import events.sparkSession.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(e => QzKey(e.uid, e.courseid, e.pointid))
-      .flatMapGroupsWithState(OutputMode.Update(),
-        GroupStateTimeout.NoTimeout())(update)
+      .flatMapGroupsWithState(OutputMode.Update(), timeout)(update(stateTtl))
   }
 }

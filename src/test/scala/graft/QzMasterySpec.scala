@@ -53,6 +53,41 @@ class QzMasterySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("state TTL evicts idle keys (bounded-state mode)") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import QzMasteryStream.{MasteryState, QzKey}
+    val key = QzKey(1, 1, 1)
+    val ttl = Some("200 milliseconds")
+
+    // data batch: state updated and a timeout registered
+    val live = TestGroupState.create[MasteryState](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty(), hasTimedOut = false)
+    val out = QzMasteryStream.update(ttl)(key,
+      Iterator(QzEvent(1, 1, 1, "1", "1", "2019-09-12 10:00:00")), live)
+    assert(out.toSeq.map(_.qz_sum) === Seq(1L))
+    assert(live.exists && live.getTimeoutTimestampMs.get === 1200L)
+
+    // timeout batch: state evicted, nothing emitted
+    val timedOut = TestGroupState.create[MasteryState](
+      Optional.of(live.get), GroupStateTimeout.ProcessingTimeTimeout,
+      2000L, Optional.empty(), hasTimedOut = true)
+    val evicted = QzMasteryStream.update(ttl)(key, Iterator.empty, timedOut)
+    assert(evicted.isEmpty)
+    assert(timedOut.isRemoved)
+
+    // the key re-appears later: history starts fresh
+    val fresh = TestGroupState.create[MasteryState](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      3000L, Optional.empty(), hasTimedOut = false)
+    val again = QzMasteryStream.update(ttl)(key,
+      Iterator(QzEvent(1, 1, 1, "2", "1", "2019-09-12 10:00:05")), fresh)
+      .toSeq
+    assert(again.map(_.qz_sum) === Seq(1L)) // not 2: history was evicted
+    assert(again.head.questionids === "2")
+  }
+
   test("merge is batch-split invariant") {
     val all = QzMasteryStream.merge(
       QzMasteryStream.MasteryState(Set.empty, 0, 0, ""), events)

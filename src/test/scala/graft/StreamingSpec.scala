@@ -82,6 +82,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("throughput: register pipeline sustains the reference ingest " +
+    "ceiling (1000 rec/s at a 3 s trigger — BASELINE.md)") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = RegisterStream.cumulativeCounts(RegisterStream.parse(input.toDF()))
+      .writeStream.format("memory").queryName("tp_reg")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // warm the pipeline, then time 30k records (= 10 reference batches)
+      input.addData(registerLines(100, "1", "2019-07-16 16:00:00"))
+      q.processAllAvailable()
+      val n = 30000
+      val t0 = System.nanoTime()
+      input.addData((0 until n).map(i =>
+        s"${i}\t${i % 3}\t2019-07-16 16:01:55"))
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val recPerSec = n / secs
+      info(f"streaming throughput: $recPerSec%.0f rec/s")
+      assert(recPerSec > 1000.0,
+        f"pipeline must beat the reference's 1000 rec/s ceiling, " +
+          f"got $recPerSec%.0f")
+    } finally q.stop()
+  }
+
   test("end-to-end: file-source stream equals batch over the same logs") {
     val dir = Files.createTempDirectory("graft_logs_").toString
     val lines = registerLines(5, "1", "2019-07-16 10:00:00") ++
