@@ -118,6 +118,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
     }),
+    "x13_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    }),
     "x12_cosine_dedup" -> ((s, dir) =>
       Similarity.cosineDedupBlocked(Tables.embeddings(s, dir), "label", 0.3)),
     // Extensions: text analysis

@@ -75,6 +75,63 @@ object Similarity {
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
 
+  // ---- IVF (inverted-file, k-means coarse quantizer) ANN ---------------
+
+  /** Approximate top-k via an IVF index: a k-means coarse quantizer
+    * partitions the corpus into `nLists` cells; each query probes its
+    * `nProbe` nearest cells and ranks candidates by exact cosine.
+    *
+    * Scale shape: training runs on a bounded sample (driver holds only
+    * the nLists×dim centroid matrix); assignment is one broadcast-closure
+    * projection over the corpus; the probe is a key-equality join on the
+    * cell id. Expected candidates per query ≈ |corpus|·nProbe/nLists.
+    * Deterministic (fixed seed). */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4, trainSample: Int = 100000,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpus = embeddings.select(col(idCol).as("vec_id"),
+      col(embCol).as("v"))
+    val model = new KMeans()
+      .setK(nLists).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("features")
+      .fit(corpus.limit(trainSample)
+        .select(array_to_vector(col("v").cast("array<double>"))
+          .as("features")))
+    val centers = model.clusterCenters.map(_.toArray)
+
+    // nearest cell(s) by L2 — a plain codegen'd expression per centroid
+    // (the centroid matrix rides in the plan as literals)
+    def dist2(v: Column, c: Array[Double]): Column =
+      VectorExprs.dot(v, v) - lit(2.0) * VectorExprs.dot(v, typedlit(c.toSeq)) +
+        lit(c.map(x => x * x).sum)
+    def cellsRanked(v: Column): Column =
+      sort_array(array(centers.zipWithIndex.map { case (c, i) =>
+        struct(dist2(v, c).as("d"), lit(i).as("cell"))
+      }: _*))
+
+    val assigned = corpus
+      .withColumn("cell", element_at(cellsRanked(col("v")), 1)("cell"))
+    val probes = corpus
+      .join(broadcast(queries.select(col(idCol).as("query_id"))),
+        col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("v").as("qv"),
+        explode(slice(cellsRanked(col("v")), 1, nProbe)("cell")).as("cell"))
+
+    val scored = assigned.as("c")
+      .join(broadcast(probes).as("q"),
+        col("c.cell") === col("q.cell") &&
+          col("c.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id").as("query_id"), col("c.vec_id").as("vec_id"),
+        round(cosine(col("q.qv"), col("c.v")), 6).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Approximate top-k: candidates share the query's LSH bucket, ranked by
     * exact cosine within the bucket. The bucket join replaces the cross
     * product — at scale each query touches |corpus| / 2^nBits candidates

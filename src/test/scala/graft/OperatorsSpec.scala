@@ -57,6 +57,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(first === 1L)
   }
 
+  test("ann ivf ranks the near-identical vector first for its query") {
+    val dim = 64
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == axis) 1f else 0f)
+    val near = unit(0); near(1) = 0.02f
+    val emb = ((0L, unit(0)) +: (1L, near) +:
+      (2 until 40).map(i => (i.toLong, unit(i % dim)))).toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 0), k = 5,
+      nLists = 4, nProbe = 2)
+    val first = got.filter($"rnk" === 1).select("vec_id").as[Long].head()
+    assert(first === 1L)
+  }
+
   test("text analysis basics") {
     val df = Seq("The cat and the dog. A bird!").toDF("text")
     val r = df.select(
