@@ -107,6 +107,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("fixture producers: generated logs parse cleanly end-to-end") {
+    import graft.sources.{FixtureProducers, LogParsers}
+    val dir = Files.createTempDirectory("graft_prod_").toString
+    FixtureProducers.produce(
+      FixtureProducers.registerLines(spark, 300, partitions = 3), dir)
+    val parsed = LogParsers.parseRegister(spark.read.text(dir).toDF("value"))
+    assert(parsed.count() === 300)
+    val platforms = parsed.groupBy($"platform").count()
+      .as[(String, Long)].collect().toMap
+    assert(platforms === Map("PC" -> 100L, "APP" -> 100L, "Other" -> 100L))
+
+    val qz = LogParsers.parseQz(
+      FixtureProducers.qzLines(spark, 120).toDF("value"))
+    assert(qz.count() === 120)
+    val pages = LogParsers.parsePage(
+      FixtureProducers.pageLines(spark, 60).toDF("value"))
+    assert(pages.count() === 60)
+    assert(pages.filter($"page_id" === "1").count() === 3)
+  }
+
   test("end-to-end: file-source stream equals batch over the same logs") {
     val dir = Files.createTempDirectory("graft_logs_").toString
     val lines = registerLines(5, "1", "2019-07-16 10:00:00") ++
