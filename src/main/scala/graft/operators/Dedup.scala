@@ -10,6 +10,16 @@ import graft.functions.{SetExprs, ShingleExprs}
   * form: no driver collects, no O(n²) cross joins — candidate generation
   * is always a key-equality shuffle (exact hash, LSH band, SimHash chunk,
   * or a blocking key), and only candidates pay the verification cost.
+  *
+  * Algorithms (public literature): MinHash resemblance sketching
+  * [Broder, "On the resemblance and containment of documents", 1997];
+  * banded LSH [Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets"
+  * ch. 3]; SimHash [Charikar, "Similarity estimation techniques from
+  * rounding algorithms", 2002] with the chunk-pigeonhole search of
+  * [Manku/Jain/Sarma, "Detecting near-duplicates for web crawling",
+  * 2007]; prefix-filtering set-similarity join [Chaudhuri/Ganti/Kaushik,
+  * "A primitive operator for similarity joins", 2006; Xiao et al.,
+  * "Efficient similarity joins for near duplicate detection", 2008].
   */
 object Dedup {
 

@@ -125,6 +125,23 @@ class ExpressionsSpec extends SparkTestBase {
     assert(one === expected)
   }
 
+  test("MinHashSig aggregate agrees with the document-local kernel") {
+    import graft.functions.MinHashSig
+    val text = "the quick brown fox jumps over the lazy dog"
+    // aggregate path: explode this doc's window hashes as rows
+    val u = UTF8String.fromString(text)
+    val hashes = (0 to u.numBytes - 5).map { i =>
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
+        u.getBaseObject, u.getBaseOffset + i, 5, 42) & 0xffffffffL
+    }
+    val aggSig = hashes.toDF("h")
+      .agg(MinHashSig.signature($"h").as("sig"))
+      .as[Seq[Long]].head()
+    // kernel path: one doc-local pass
+    val kernelSig = graft.functions.ShingleOps.minhashSig(u, 5).toSeq
+    assert(aggSig === kernelSig)
+  }
+
   test("ShingleOps kernels agree between eval and direct call") {
     val s = UTF8String.fromString("abcdefghij")
     assert(ShingleOps.shingleSet(s, 3).toSeq ===
