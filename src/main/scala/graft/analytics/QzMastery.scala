@@ -38,4 +38,24 @@ object QzMastery {
       .withColumn("qz_detail_rate",
         col("qz_count").cast("double") / lit(QuestionsPerPoint))
       .withColumn("mastery_rate", col("qz_detail_rate") * col("correct_rate"))
+
+  /** Degraded mode for open question universes (SURVEY.md §2.3): the
+    * exact distinct set (`collect_set` + `countDistinct`) is replaced by
+    * a HyperLogLog++ sketch with bounded relative error — fixed-width
+    * aggregation state regardless of per-key cardinality, no question-id
+    * list in the output. Exact mode remains the default because the
+    * reference's domain is 30 questions/point. */
+  def masteryApprox(qz: DataFrame, rsd: Double = 0.05): DataFrame =
+    qz.groupBy(col("uid"), col("courseid"), col("pointid"))
+      .agg(
+        count(lit(1)).as("qz_sum"),
+        approx_count_distinct(col("questionid"), rsd).as("qz_count"),
+        sum(when(col("istrue") === "1", 1L).otherwise(0L)).as("qz_istrue"),
+        min(col("createtime")).as("createtime"))
+      .withColumn("correct_rate",
+        col("qz_istrue").cast("double") / col("qz_sum").cast("double"))
+      .withColumn("qz_detail_rate",
+        least(col("qz_count").cast("double") / lit(QuestionsPerPoint),
+          lit(1.0)))
+      .withColumn("mastery_rate", col("qz_detail_rate") * col("correct_rate"))
 }

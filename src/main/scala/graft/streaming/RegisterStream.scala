@@ -40,4 +40,52 @@ object RegisterStream {
     * flatMapGroupsWithState with timeouts instead. */
   def cumulativeCounts(registers: DataFrame): DataFrame =
     registers.groupBy(col("platform")).agg(count(lit(1)).as("total"))
+
+  /** Single-read dual aggregation (reference parity: one cached DStream
+    * feeding both aggregations, RegisterStreaming.scala:88-101). One
+    * foreachBatch computes BOTH aggregates per micro-batch from one
+    * persisted batch and appends their *contributions* — both aggregates
+    * are additive across batches (a window's count is the sum of each
+    * batch's rows landing in it), so the read views below just sum.
+    * Idempotence: contributions are partitioned by batch_id with dynamic
+    * partition overwrite — a replayed batch overwrites its own partition,
+    * never double-counts (unlike the reference, SURVEY.md §2.8). */
+  def dualSink(parsed: DataFrame, outDir: String, checkpoint: String,
+      windowDur: String = "60 seconds", slideDur: String = "6 seconds")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    parsed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val b = batch.persist()
+        try {
+          b.groupBy(window(col("createTime"), windowDur, slideDur),
+              col("platform"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("window.start").as("window_start"),
+              col("platform"), col("n"), lit(batchId).as("batch_id"))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$outDir/windowed")
+          b.groupBy(col("platform")).agg(count(lit(1)).as("n"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$outDir/totals")
+        } finally b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Read view over [[dualSink]]'s windowed contributions. */
+  def windowedView(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/windowed")
+      .groupBy(col("window_start"), col("platform"))
+      .agg(sum(col("n")).as("n"))
+
+  /** Read view over [[dualSink]]'s cumulative contributions. */
+  def totalsView(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/totals")
+      .groupBy(col("platform")).agg(sum(col("n")).as("total"))
 }

@@ -29,6 +29,15 @@ class QzMasterySpec extends SparkTestBase {
     assert(got.getAs[Double]("mastery_rate") === (2.0 / 30.0) * (2.0 / 3.0))
   }
 
+  test("approx mastery tracks exact at small cardinality") {
+    val approx = QzMastery.masteryApprox(events.toDF())
+      .filter($"uid" === 1).head()
+    // HLL++ is exact at tiny cardinalities; the contract is bounded error
+    assert(approx.getAs[Long]("qz_count") === 2L)
+    assert(approx.getAs[Long]("qz_sum") === 3L)
+    assert(approx.getAs[Double]("qz_detail_rate") <= 1.0)
+  }
+
   test("streaming state merge across batches equals batch-over-all result") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[QzEvent]

@@ -107,6 +107,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dual-sink: one stream read feeds both register aggregations") {
+    implicit val sql = spark.sqlContext
+    val out = Files.createTempDirectory("graft_dual_").toString
+    val ckpt = Files.createTempDirectory("graft_dual_ckpt_").toString
+    val input = MemoryStream[String]
+    val q = RegisterStream.dualSink(
+      RegisterStream.parse(input.toDF()), out, ckpt)
+    try {
+      input.addData(registerLines(3, "1", "2019-07-16 16:01:55"))
+      q.processAllAvailable()
+      input.addData(registerLines(2, "1", "2019-07-16 16:01:58") ++
+        registerLines(4, "2", "2019-07-16 16:02:10"))
+      q.processAllAvailable()
+
+      val totals = RegisterStream.totalsView(spark, out)
+        .as[(String, Long)].collect().toMap
+      assert(totals === Map("PC" -> 5L, "APP" -> 4L))
+
+      // windows spanning both batches sum their per-batch contributions:
+      // 16:01:55 and 16:01:58 share windows; each event is in 10 windows
+      val win = RegisterStream.windowedView(spark, out)
+      assert(win.filter($"platform" === "PC" && $"n" === 5).count() > 0)
+      assert(win.filter($"platform" === "APP").agg(max($"n"))
+        .as[Long].head() === 4L)
+    } finally q.stop()
+  }
+
   test("fixture producers: generated logs parse cleanly end-to-end") {
     import graft.sources.{FixtureProducers, LogParsers}
     val dir = Files.createTempDirectory("graft_prod_").toString
