@@ -24,20 +24,32 @@ object QzMastery {
     * (QzPointStreaming.scala:171); a constant here. */
   val QuestionsPerPoint = 30.0
 
-  def mastery(qz: DataFrame): DataFrame =
-    qz.groupBy(col("uid"), col("courseid"), col("pointid"))
-      .agg(
-        array_join(sort_array(collect_set(col("questionid"))), ",")
-          .as("questionids"),
-        count(lit(1)).as("qz_sum"),
-        countDistinct(col("questionid")).as("qz_count"),
-        sum(when(col("istrue") === "1", 1L).otherwise(0L)).as("qz_istrue"),
-        min(col("createtime")).as("createtime"))
+  /** Shared rate arithmetic (QzPointStreaming.scala:166-172). The detail
+    * rate is capped only in approx mode: the sketch can overestimate the
+    * distinct count, while exact mode reproduces the reference's
+    * uncapped formula verbatim (dirty data beyond 30 questions/point
+    * yields rates > 1 there too). */
+  private def withRates(agg: DataFrame, capDetail: Boolean): DataFrame = {
+    val rawDetail = col("qz_count").cast("double") / lit(QuestionsPerPoint)
+    agg
       .withColumn("correct_rate",
         col("qz_istrue").cast("double") / col("qz_sum").cast("double"))
       .withColumn("qz_detail_rate",
-        col("qz_count").cast("double") / lit(QuestionsPerPoint))
+        if (capDetail) least(rawDetail, lit(1.0)) else rawDetail)
       .withColumn("mastery_rate", col("qz_detail_rate") * col("correct_rate"))
+  }
+
+  def mastery(qz: DataFrame): DataFrame =
+    withRates(
+      qz.groupBy(col("uid"), col("courseid"), col("pointid"))
+        .agg(
+          array_join(sort_array(collect_set(col("questionid"))), ",")
+            .as("questionids"),
+          count(lit(1)).as("qz_sum"),
+          countDistinct(col("questionid")).as("qz_count"),
+          sum(when(col("istrue") === "1", 1L).otherwise(0L)).as("qz_istrue"),
+          min(col("createtime")).as("createtime")),
+      capDetail = false)
 
   /** Degraded mode for open question universes (SURVEY.md §2.3): the
     * exact distinct set (`collect_set` + `countDistinct`) is replaced by
@@ -46,16 +58,12 @@ object QzMastery {
     * list in the output. Exact mode remains the default because the
     * reference's domain is 30 questions/point. */
   def masteryApprox(qz: DataFrame, rsd: Double = 0.05): DataFrame =
-    qz.groupBy(col("uid"), col("courseid"), col("pointid"))
-      .agg(
-        count(lit(1)).as("qz_sum"),
-        approx_count_distinct(col("questionid"), rsd).as("qz_count"),
-        sum(when(col("istrue") === "1", 1L).otherwise(0L)).as("qz_istrue"),
-        min(col("createtime")).as("createtime"))
-      .withColumn("correct_rate",
-        col("qz_istrue").cast("double") / col("qz_sum").cast("double"))
-      .withColumn("qz_detail_rate",
-        least(col("qz_count").cast("double") / lit(QuestionsPerPoint),
-          lit(1.0)))
-      .withColumn("mastery_rate", col("qz_detail_rate") * col("correct_rate"))
+    withRates(
+      qz.groupBy(col("uid"), col("courseid"), col("pointid"))
+        .agg(
+          count(lit(1)).as("qz_sum"),
+          approx_count_distinct(col("questionid"), rsd).as("qz_count"),
+          sum(when(col("istrue") === "1", 1L).otherwise(0L)).as("qz_istrue"),
+          min(col("createtime")).as("createtime")),
+      capDetail = true)
 }

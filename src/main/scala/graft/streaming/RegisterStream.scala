@@ -55,37 +55,62 @@ object RegisterStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     parsed.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        val b = batch.persist()
+        // rows without a parseable timestamp would be dropped by the
+        // window expansion but counted by the totals — exclude them from
+        // both so the two aggregates describe the same event set
+        val b = batch.filter(col("createTime").isNotNull).persist()
         try {
           b.groupBy(window(col("createTime"), windowDur, slideDur),
               col("platform"))
             .agg(count(lit(1)).as("n"))
             .select(col("window.start").as("window_start"),
+              col("window.end").as("window_end"),
               col("platform"), col("n"), lit(batchId).as("batch_id"))
             .write.mode("overwrite").partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
             .parquet(s"$outDir/windowed")
           b.groupBy(col("platform")).agg(count(lit(1)).as("n"))
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite").partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
             .parquet(s"$outDir/totals")
-        } finally b.unpersist()
-        ()
+        } finally { b.unpersist(); () }
       }
       .option("checkpointLocation", checkpoint)
       .start()
 
-  /** Read view over [[dualSink]]'s windowed contributions. */
+  /** One batch_id partition accrues per micro-batch; long-running streams
+    * should periodically compact contributions older than the checkpoint
+    * horizon (sum them into one retired partition) — replay can only
+    * touch batch ids at or after the last checkpointed offset commit, so
+    * compaction below that watermark never races the overwrite. */
+  private def contributions(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // explicit schema: robust to a not-yet-created store and to a store
+    // that has only seen empty batches (no parquet footers to infer from)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+  }
+
+  /** Read view over [[dualSink]]'s windowed contributions. Empty (with
+    * the right schema) before the first batch commits. */
   def windowedView(spark: org.apache.spark.sql.SparkSession,
       outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/windowed")
-      .groupBy(col("window_start"), col("platform"))
+    contributions(spark, s"$outDir/windowed",
+      "window_start timestamp, window_end timestamp, platform string, " +
+        "n bigint, batch_id bigint")
+      .groupBy(col("window_start"), col("window_end"), col("platform"))
       .agg(sum(col("n")).as("n"))
 
-  /** Read view over [[dualSink]]'s cumulative contributions. */
+  /** Read view over [[dualSink]]'s cumulative contributions. Empty (with
+    * the right schema) before the first batch commits. */
   def totalsView(spark: org.apache.spark.sql.SparkSession,
       outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/totals")
+    contributions(spark, s"$outDir/totals",
+      "platform string, n bigint, batch_id bigint")
       .groupBy(col("platform")).agg(sum(col("n")).as("total"))
 }

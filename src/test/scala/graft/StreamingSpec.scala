@@ -111,6 +111,10 @@ class StreamingSpec extends SparkTestBase {
     implicit val sql = spark.sqlContext
     val out = Files.createTempDirectory("graft_dual_").toString
     val ckpt = Files.createTempDirectory("graft_dual_ckpt_").toString
+
+    // views are empty (not failing) before the first batch commits
+    assert(RegisterStream.totalsView(spark, out).count() === 0)
+
     val input = MemoryStream[String]
     val q = RegisterStream.dualSink(
       RegisterStream.parse(input.toDF()), out, ckpt)
@@ -132,6 +136,23 @@ class StreamingSpec extends SparkTestBase {
       assert(win.filter($"platform" === "APP").agg(max($"n"))
         .as[Long].head() === 4L)
     } finally q.stop()
+
+    // replay: a fresh checkpoint re-delivers the same batches with the
+    // same ids — dynamic partition overwrite must not double-count
+    val ckpt2 = Files.createTempDirectory("graft_dual_ckpt2_").toString
+    val replay = MemoryStream[String]
+    val q2 = RegisterStream.dualSink(
+      RegisterStream.parse(replay.toDF()), out, ckpt2)
+    try {
+      replay.addData(registerLines(3, "1", "2019-07-16 16:01:55"))
+      q2.processAllAvailable()
+      replay.addData(registerLines(2, "1", "2019-07-16 16:01:58") ++
+        registerLines(4, "2", "2019-07-16 16:02:10"))
+      q2.processAllAvailable()
+      val totals2 = RegisterStream.totalsView(spark, out)
+        .as[(String, Long)].collect().toMap
+      assert(totals2 === Map("PC" -> 5L, "APP" -> 4L)) // unchanged
+    } finally q2.stop()
   }
 
   test("fixture producers: generated logs parse cleanly end-to-end") {
