@@ -40,7 +40,11 @@ case class MinHashSig(child: Expression,
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      // mask to unsigned 32 bits: the permutation arithmetic overflows on
+      // 64-bit inputs (h*A exceeds Long range) and Java % goes negative
+      // on negative h — masking makes any long input well-defined and
+      // keeps 32-bit inputs (the documented contract) unchanged
+      val h = v.asInstanceOf[Long] & 0xffffffffL
       var i = 0
       while (i < NumPerms) {
         val x = (h * A(i) + B(i)) % Prime

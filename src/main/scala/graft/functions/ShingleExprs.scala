@@ -81,9 +81,20 @@ object ShingleOps {
   }
 
   /** Sorted distinct k-byte-window hashes (the shingle set, ready for
-    * merge-intersection). Caller guarantees numBytes >= k. */
+    * merge-intersection). xxhash64 — Jaccard over these equals true
+    * shingle-set Jaccard up to ~|union|²/2⁶⁴ collision probability,
+    * versus 2³² for the signature-path hashes (which must stay 32-bit
+    * for the permutation arithmetic). Caller guarantees numBytes >= k. */
   def shingleSet(s: UTF8String, k: Int): Array[Long] = {
-    val hs = windowHashes(s, k)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    val hs = new Array[Long](n - k + 1)
+    var j = 0
+    while (j <= n - k) {
+      hs(j) = XXH64.hashUnsafeBytes(base, off + j, k, Seed)
+      j += 1
+    }
     java.util.Arrays.sort(hs)
     var w = 0
     var i = 0

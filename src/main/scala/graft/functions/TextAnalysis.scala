@@ -59,11 +59,15 @@ object TextAnalysis {
     val fr = regexp_count(lo, lit("\\b(le|les|de|et|un|une|dans)\\b"))
     val de = regexp_count(lo, lit("\\b(der|die|das|und|ist|ein)\\b"))
     val zh = regexp_count(text, lit("[\\u4e00-\\u9fff]"))
-    when(en >= greatest(es, fr, de, zh), "en")
-      .when(zh >= greatest(es, fr, de), "zh")
-      .when(es >= greatest(fr, de), "es")
-      .when(fr >= de, "fr")
-      .otherwise("de")
+    // null text propagates as null — every `when` condition is null on
+    // null counts, so without the guard control would fall through to
+    // otherwise("de") and misclassify null documents as German
+    when(text.isNotNull,
+      when(en >= greatest(es, fr, de, zh), "en")
+        .when(zh >= greatest(es, fr, de), "zh")
+        .when(es >= greatest(fr, de), "es")
+        .when(fr >= de, "fr")
+        .otherwise("de"))
   }
 
   /** 64-bit content fingerprint (xxhash64 of the raw text). */
@@ -77,12 +81,13 @@ object TextAnalysis {
     ShingleExprs.rollingMinHash(text, k)
 
   /** Character k-shingles (raw, with duplicates). Empty array for texts
-    * shorter than k. */
+    * shorter than k; null for null text (matching the byte-window
+    * kernels in [[ShingleExprs]], which propagate null). */
   def shingleArray(text: Column, k: Int): Column =
     when(length(text) >= k,
       transform(sequence(lit(1), length(text) - (k - 1)),
         i => text.substr(i, lit(k))))
-      .otherwise(array())
+      .otherwise(when(text.isNotNull, array()))
 
   /** Distinct character n-grams. */
   def ngramSet(text: Column, n: Int): Column =

@@ -31,13 +31,16 @@ case class DotProduct(left: Expression, right: Expression)
     e.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // decimals excluded: the generated (double)(...) cast is invalid Java
+    // for Decimal element values — callers cast to double first
     def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(_: DecimalType, _) => false
       case ArrayType(_: NumericType, _) => true
       case _ => false
     }
     if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two numeric arrays, " +
+      s"$prettyName requires two non-decimal numeric arrays, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 

@@ -105,14 +105,17 @@ object Dedup {
 
   /** Blocked exact n-gram Jaccard as a prefix-filtering set-similarity
     * join (SSJoin): within each block, candidate pairs must share a gram
-    * in their rare-first prefix of length ⌊(1−t)·|doc|⌋+1 — a LOSSLESS
-    * filter for Jaccard ≥ t under a global token order — plus mutual size
-    * bounds (J(A,B) ≤ min|·|/max|·|). Exact Jaccard verifies candidates.
+    * in their rare-first prefix of length ⌊(1−t)·|doc|⌋+1 — lossless for
+    * Jaccard ≥ t under a global token order — plus mutual size bounds
+    * (J(A,B) ≤ min|·|/max|·|). Exact string Jaccard verifies candidates.
     *
-    * Result is identical to the brute-force within-block pairwise join
-    * (so the DuckDB oracle stays the naive formulation) but the quadratic
-    * pair space is replaced by a key-equality join on rare prefix grams:
-    * every stage is a shuffle on a key, nothing is O(block²). */
+    * Candidate generation runs on 64-bit gram hashes, so recall is
+    * probabilistic with per-pair miss probability ≈ |union|²/2⁶⁴ —
+    * in practice the result equals the brute-force within-block pairwise
+    * join (the DuckDB oracle stays the naive formulation), but the
+    * quadratic pair space is replaced by a key-equality join on rare
+    * prefix grams: every stage is a shuffle on a key, nothing is
+    * O(block²). */
   def ngramJaccardBlocked(docs: DataFrame, blockCol: String,
       threshold: Double = 0.5, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -132,13 +135,16 @@ object Dedup {
       .agg(sort_array(collect_set(col("g0"))).as("ng"))
       .withColumn("sz", size(col("ng")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // candidate generation runs entirely on 32-bit gram hashes: int sort
-    // keys for the windows, an int equality key for the prefix join, and
-    // J(hashed) ≥ J(true) keeps every qualifying pair (collisions only
-    // merge grams). Exact string verification happens last.
+    // candidate generation runs on 64-bit gram hashes: long sort keys
+    // for the windows, a long equality key for the prefix join. A
+    // collision can perturb hashed-set Jaccard in EITHER direction
+    // (merging two intersection grams deflates it), so candidate
+    // recall is probabilistic with miss probability ≈ |union|²/2⁶⁴ per
+    // pair — vanishing at any realistic scale. Exact string
+    // verification decides every emitted pair.
     val toks = g.select(col("id"), col("blk"), col("sz"),
       explode(col("ng")).as("g0"))
-      .select(col("id"), col("blk"), col("sz"), hash(col("g0")).as("gram"))
+      .select(col("id"), col("blk"), col("sz"), xxhash64(col("g0")).as("gram"))
     // rare-first order: document frequency per (block, gram) as a small
     // aggregated table broadcast back onto the token stream — cheaper
     // than a window, which would sort-shuffle the full token table just
@@ -164,10 +170,10 @@ object Dedup {
           col("b.sz") >= ceil(col("a.sz") * threshold))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    // hashed-set Jaccard prefilter: discards only pairs with
-    // J(hashed) < t, which implies J(true) < t — never a missed pair.
-    // Int-array intersection costs a fraction of the string one, so the
-    // exact verify below touches only near-qualifying pairs.
+    // hashed-set Jaccard prefilter: long-array merge intersection costs
+    // a fraction of the string one, so the exact verify below touches
+    // only near-qualifying pairs. Same 2⁻⁶⁴-collision caveat as the
+    // candidate stage; pairs that pass are still exactly verified.
     val ngh = toks.groupBy(col("id"))
       .agg(sort_array(collect_set(col("gram"))).as("ngh"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -23,8 +23,14 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two double arrays. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity; null (not NaN) when either vector has zero norm.
+    * NaN would poison downstream ranking — Spark orders NaN above every
+    * double, so a zero vector would win every top-k and pass every
+    * threshold filter. Null rows sort last and fail filters instead. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2norm(a) * l2norm(b)
+    when(denom > 0, dot(a, b) / denom)
+  }
 
   /** Exact top-k neighbors for each query vector (brute force baseline).
     * The (small) query set is broadcast; similarity is computed in one
@@ -68,12 +74,21 @@ object Similarity {
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit bucket id from nBits hyperplane projections. */
-  def lshBucket(v: Column, nBits: Int, dim: Int): Column =
-    planes(nBits, dim).zipWithIndex.map { case (p, i) =>
+  /** Sign-bit bucket id from nBits hyperplane projections. A vector
+    * whose width disagrees with `dim` fails loudly — a null projection
+    * would silently map every vector to bucket 0, degrading the bucket
+    * join into a cross join. */
+  def lshBucket(v: Column, nBits: Int, dim: Int): Column = {
+    val bits = planes(nBits, dim).zipWithIndex.map { case (p, i) =>
       val proj = dot(v, typedlit(p))
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
+    val guard = when(size(v) === dim, lit(0L))
+      .otherwise(raise_error(concat(
+        lit(s"lshBucket: embedding dim mismatch, expected $dim got "),
+        size(v).cast("string"))).cast("long"))
+    bits.bitwiseOR(guard)
+  }
 
   // ---- IVF (inverted-file, k-means coarse quantizer) ANN ---------------
 
@@ -101,32 +116,42 @@ object Similarity {
         .select(array_to_vector(col("v").cast("array<double>"))
           .as("features")))
     val centers = model.clusterCenters.map(_.toArray)
+    val dim = centers(0).length
 
     // nearest cell(s) by L2 — a plain codegen'd expression per centroid
-    // (the centroid matrix rides in the plan as literals)
+    // (the centroid matrix rides in the plan as literals). A row whose
+    // embedding width disagrees with the trained dimension fails loudly
+    // instead of silently collapsing into one cell (a null dot product
+    // would rank every centroid equal).
     def dist2(v: Column, c: Array[Double]): Column =
       VectorExprs.dot(v, v) - lit(2.0) * VectorExprs.dot(v, typedlit(c.toSeq)) +
         lit(c.map(x => x * x).sum)
-    def cellsRanked(v: Column): Column =
-      sort_array(array(centers.zipWithIndex.map { case (c, i) =>
+    def cellsRanked(v: Column): Column = {
+      val ranked = sort_array(array(centers.zipWithIndex.map { case (c, i) =>
         struct(dist2(v, c).as("d"), lit(i).as("cell"))
       }: _*))
+      when(size(v) === dim, ranked).otherwise(raise_error(concat(
+        lit(s"ivfTopK: embedding dim mismatch, expected $dim got "),
+        size(v).cast("string"))).cast("array<struct<d:double,cell:int>>"))
+    }
 
     val assigned = corpus
       .withColumn("cell", element_at(cellsRanked(col("v")), 1)("cell"))
-    val probes = corpus
-      .join(broadcast(queries.select(col(idCol).as("query_id"))),
-        col("vec_id") === col("query_id"))
-      .select(col("query_id"), col("v").as("qv"),
-        explode(slice(cellsRanked(col("v")), 1, nProbe)("cell")).as("cell"))
+    // probe from the query side's own embeddings: external query vectors
+    // (ids absent from the corpus) are first-class, matching cosineTopK
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(embCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(slice(cellsRanked(col("qv")), 1, nProbe)("cell")).as("cell"))
 
+    // no distinct: each corpus vector has exactly one cell and probes
+    // are distinct cells, so a (query, vec) pair matches at most once
     val scored = assigned.as("c")
       .join(broadcast(probes).as("q"),
         col("c.cell") === col("q.cell") &&
           col("c.vec_id") =!= col("q.query_id"))
       .select(col("q.query_id").as("query_id"), col("c.vec_id").as("vec_id"),
         round(cosine(col("q.qv"), col("c.v")), 6).as("cosine"))
-      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
@@ -141,21 +166,25 @@ object Similarity {
       nBits: Int = 8, nTables: Int = 2, dim: Int = 64,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val allPlanes = nBits * nTables
+    def tbl(sig: Column) = explode(array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"),
+        shiftright(sig, t * nBits)
+          .bitwiseAND(lit((1L << nBits) - 1)).as("bucket"))): _*))
+
     val corpus = embeddings.select(col(idCol).as("vec_id"),
       col(embCol).as("v"))
       .withColumn("sig", lshBucket(col("v"), allPlanes, dim))
-    val tbl = explode(array((0 until nTables).map(t =>
-      struct(lit(t).as("tbl"),
-        shiftright(col("sig"), t * nBits)
-          .bitwiseAND(lit((1L << nBits) - 1)).as("bucket"))): _*))
-
-    val corpusB = corpus.select(col("vec_id"), col("v"), tbl.as("k"))
+    val corpusB = corpus.select(col("vec_id"), col("v"), tbl(col("sig")).as("k"))
       .select(col("vec_id"), col("v"), col("k.tbl").as("tbl"),
         col("k.bucket").as("bucket"))
-    val queriesB = corpusB
-      .join(broadcast(queries.select(col(idCol).as("query_id"))),
-        col("vec_id") === col("query_id"))
-      .select(col("query_id"), col("v").as("qv"), col("tbl"), col("bucket"))
+    // bucket the query side from its own embeddings: external query
+    // vectors (ids absent from the corpus) are first-class
+    val queriesB = queries
+      .select(col(idCol).as("query_id"), col(embCol).as("qv"))
+      .withColumn("qsig", lshBucket(col("qv"), allPlanes, dim))
+      .select(col("query_id"), col("qv"), tbl(col("qsig")).as("k"))
+      .select(col("query_id"), col("qv"), col("k.tbl").as("tbl"),
+        col("k.bucket").as("bucket"))
 
     val scored = corpusB.as("c")
       .join(broadcast(queriesB).as("q"),

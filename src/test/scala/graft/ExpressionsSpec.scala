@@ -58,13 +58,13 @@ class ExpressionsSpec extends SparkTestBase {
 
   test("shingle kernels: doc-local results match reference computation") {
     val text = "abcdefgabcdefg"
-    // shingleSet = sorted distinct murmur3(k-byte windows) & 0xffffffff
+    // shingleSet = sorted distinct xxhash64(k-byte windows)
     val k = 5
     val expectedSet = (0 to text.length - k)
       .map { i =>
         val sub = UTF8String.fromString(text.substring(i, i + k))
-        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
-          sub.getBaseObject, sub.getBaseOffset, sub.numBytes, 42) & 0xffffffffL
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          sub.getBaseObject, sub.getBaseOffset, sub.numBytes, 42L)
       }.distinct.sorted
     val df = Seq((1L, text)).toDF("doc_id", "text")
     val gotSet = df.select(ShingleExprs.shingleSet($"text", k).as("s"))
