@@ -43,12 +43,20 @@ object QzMastery {
     withRates(
       qz.groupBy(col("uid"), col("courseid"), col("pointid"))
         .agg(
-          array_join(sort_array(collect_set(col("questionid"))), ",")
-            .as("questionids"),
+          sort_array(collect_set(col("questionid"))).as("qset"),
           count(lit(1)).as("qz_sum"),
-          countDistinct(col("questionid")).as("qz_count"),
           sum(when(col("istrue") === "1", 1L).otherwise(0L)).as("qz_istrue"),
-          min(col("createtime")).as("createtime")),
+          min(col("createtime")).as("createtime"))
+        // qz_count derives from the collected set: a countDistinct
+        // alongside other aggregates would trigger the Expand-based
+        // distinct rewrite, doubling the shuffled rows for a value the
+        // set already carries
+        .withColumn("qz_count", size(col("qset")).cast("long"))
+        .withColumn("questionids", array_join(col("qset"), ","))
+        .drop("qset")
+        .select(col("uid"), col("courseid"), col("pointid"),
+          col("questionids"), col("qz_sum"), col("qz_count"),
+          col("qz_istrue"), col("createtime")),
       capDetail = false)
 
   /** Degraded mode for open question universes (SURVEY.md §2.3): the

@@ -122,13 +122,16 @@ object Tpch {
       .unionAll(building.except(orderers).withColumn("op", lit("except")))
   }
 
-  /** Stream-table enrichment pattern: events joined to a broadcast customer
-    * dimension (events.user_id → c_custkey), aggregated per segment. */
+  /** Stream-table enrichment pattern: events joined to the customer
+    * table (events.user_id → c_custkey), aggregated per segment. No
+    * broadcast hint — customer grows with the scale factor, so the
+    * planner/AQE decides: broadcast below the threshold, shuffle join
+    * above it. */
   def eventsBySegment(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val cust = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+    ev.join(cust, ev("user_id") === cust("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double")

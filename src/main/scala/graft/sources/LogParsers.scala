@@ -46,29 +46,38 @@ object LogParsers {
   def platformOf(code: Column): Column =
     when(code === "1", "PC").when(code === "2", "APP").otherwise("Other")
 
-  /** TSV, arity 3 → (userId, platform, createTime). */
+  /** TSV, arity 3 → (userId, platform, createTime). Malformed values
+    * (non-numeric id, unparseable timestamp) drop the line via try_cast/
+    * try_to_timestamp — under Spark 4's default ANSI mode a plain cast
+    * would THROW and kill the streaming query on one dirty record. */
   def parseRegister(lines: DataFrame, valueCol: String = "value"): DataFrame = {
     val f = fields(col(valueCol))
     lines
       .filter(size(f) === 3)
       .select(
-        f.getItem(0).cast(LongType).as("userId"),
+        f.getItem(0).try_cast(LongType).as("userId"),
         platformOf(f.getItem(1)).as("platform"),
-        to_timestamp(f.getItem(2), "yyyy-MM-dd HH:mm:ss").as("createTime"))
+        try_to_timestamp(f.getItem(2), lit("yyyy-MM-dd HH:mm:ss"))
+          .as("createTime"))
+      .filter(col("userId").isNotNull && col("createTime").isNotNull)
   }
 
-  /** TSV, arity 6 → qz_log fields (reference QzPointStreaming.scala:66-76). */
+  /** TSV, arity 6 → qz_log fields (reference QzPointStreaming.scala:66-76).
+    * Non-numeric key fields drop the line (try_cast, same ANSI rationale
+    * as [[parseRegister]]). */
   def parseQz(lines: DataFrame, valueCol: String = "value"): DataFrame = {
     val f = fields(col(valueCol))
     lines
       .filter(size(f) === 6)
       .select(
-        f.getItem(0).cast(IntegerType).as("uid"),
-        f.getItem(1).cast(IntegerType).as("courseid"),
-        f.getItem(2).cast(IntegerType).as("pointid"),
+        f.getItem(0).try_cast(IntegerType).as("uid"),
+        f.getItem(1).try_cast(IntegerType).as("courseid"),
+        f.getItem(2).try_cast(IntegerType).as("pointid"),
         f.getItem(3).as("questionid"),
         f.getItem(4).as("istrue"),
         f.getItem(5).as("createtime"))
+      .filter(col("uid").isNotNull && col("courseid").isNotNull &&
+        col("pointid").isNotNull)
   }
 
   private val pageFields = Seq("uid", "app_id", "device_id", "ip",

@@ -33,6 +33,9 @@ object StreamSources {
   def lines(spark: SparkSession, cfg: SourceConfig): DataFrame =
     cfg.format match {
       case "text" =>
+        require(cfg.options.contains("path"),
+          "StreamSources: format \"text\" requires a \"path\" option " +
+            "(directory to watch)")
         spark.readStream.options(cfg.options - "path")
           .text(cfg.options("path"))
           .toDF("value")

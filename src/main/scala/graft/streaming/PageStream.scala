@@ -26,16 +26,17 @@ object PageStream {
   def parse(lines: DataFrame): DataFrame = LogParsers.parsePage(lines)
 
   /** Running page-jump counts per navigation triple (Update/Complete
-    * output modes). */
+    * output modes). Batch/stream agnostic — delegates to the analytics
+    * aggregate. */
   def jumpCounts(pageViews: DataFrame): DataFrame =
-    pageViews
-      .groupBy(col("last_page_id"), col("page_id"), col("next_page_id"))
-      .agg(count(lit(1)).as("jumps"))
+    graft.analytics.PageAnalytics.pageJumps(pageViews)
 
   /** Per-page conversion rate: of the views of `page_id`, the share that
     * continued to each `next_page_id` (the analysis implied by
-    * PageStreaming.scala:82-84). Computed per micro-batch via
-    * foreachBatch, or on the batch table directly. */
+    * PageStreaming.scala:82-84). Requires the COMPLETE jump-count table
+    * (a batch table, or a streaming aggregate in Complete output mode):
+    * over an Update-mode micro-batch the per-page totals would cover
+    * only the triples that batch touched, producing inflated rates. */
   def conversionRates(jumps: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // window sum, not a groupBy + self-join: one pass, no duplicate

@@ -32,6 +32,10 @@ object QzMasteryStream {
       createtime: String, correct_rate: Double, qz_detail_rate: Double,
       mastery_rate: Double)
 
+  /** State merge. `firstSeen` is null until the first event; events'
+    * createtime values — including empty strings from dirty data — take
+    * part in the min exactly as batch `min(createtime)` does, so the
+    * streaming and batch paths agree on any input. */
   def merge(state: MasteryState,
       batch: Seq[QzEvent]): MasteryState =
     MasteryState(
@@ -39,8 +43,8 @@ object QzMasteryStream {
       attempts = state.attempts + batch.size,
       correct = state.correct + batch.count(_.istrue == "1"),
       firstSeen = {
-        val ts = (state.firstSeen +: batch.map(_.createtime)).filter(_.nonEmpty)
-        if (ts.isEmpty) "" else ts.min
+        val ts = Option(state.firstSeen) ++ batch.map(_.createtime)
+        if (ts.isEmpty) null else ts.min
       })
 
   def toRow(key: QzKey, st: MasteryState): MasteryRow = {
@@ -65,7 +69,8 @@ object QzMasteryStream {
       val batch = events.toSeq
       if (batch.isEmpty) Iterator.empty
       else {
-        val prev = state.getOption.getOrElse(MasteryState(Set.empty, 0L, 0L, ""))
+        val prev =
+          state.getOption.getOrElse(MasteryState(Set.empty, 0L, 0L, null))
         val next = merge(prev, batch)
         state.update(next)
         stateTtl.foreach(state.setTimeoutDuration)

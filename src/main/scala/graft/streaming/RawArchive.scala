@@ -16,9 +16,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object RawArchive {
 
-  /** Stamp an event-time day-bucket column. */
+  /** Stamp an event-time day-bucket column. Records without a parseable
+    * timestamp land in an explicit `unknown` partition — a null dt would
+    * silently file them under __HIVE_DEFAULT_PARTITION__, invisible to
+    * every day-scoped reader; an archive must lose nothing. */
   def withDayBucket(records: DataFrame, tsCol: String = "ts"): DataFrame =
-    records.withColumn("dt", date_format(col(tsCol), "yyyyMMdd"))
+    records.withColumn("dt",
+      coalesce(date_format(col(tsCol), "yyyyMMdd"), lit("unknown")))
 
   /** Start the archive sink: parquet (columnar, splittable, snappy by
     * default — superseding the reference's snappy'd text), partitioned by

@@ -96,13 +96,29 @@ object RegisterStream {
       org.apache.spark.sql.types.StructType.fromDDL(schema))
   }
 
+  private val windowedSchema =
+    "window_start timestamp, window_end timestamp, platform string, " +
+      "n bigint, batch_id bigint"
+  private val totalsSchema = "platform string, n bigint, batch_id bigint"
+
+  /** Batches committed to BOTH stores. The two writes of one batch are
+    * not atomic together, so a reader racing batch N's commit could see
+    * its windowed contribution but not yet its totals; restricting every
+    * view to the common batch-id set keeps the two views describing the
+    * same event set at all times. */
+  private def committedBoth(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame =
+    contributions(spark, s"$outDir/windowed", windowedSchema)
+      .select(col("batch_id")).distinct()
+      .join(contributions(spark, s"$outDir/totals", totalsSchema)
+        .select(col("batch_id")).distinct(), Seq("batch_id"), "inner")
+
   /** Read view over [[dualSink]]'s windowed contributions. Empty (with
     * the right schema) before the first batch commits. */
   def windowedView(spark: org.apache.spark.sql.SparkSession,
       outDir: String): DataFrame =
-    contributions(spark, s"$outDir/windowed",
-      "window_start timestamp, window_end timestamp, platform string, " +
-        "n bigint, batch_id bigint")
+    contributions(spark, s"$outDir/windowed", windowedSchema)
+      .join(committedBoth(spark, outDir), Seq("batch_id"), "left_semi")
       .groupBy(col("window_start"), col("window_end"), col("platform"))
       .agg(sum(col("n")).as("n"))
 
@@ -110,7 +126,7 @@ object RegisterStream {
     * the right schema) before the first batch commits. */
   def totalsView(spark: org.apache.spark.sql.SparkSession,
       outDir: String): DataFrame =
-    contributions(spark, s"$outDir/totals",
-      "platform string, n bigint, batch_id bigint")
+    contributions(spark, s"$outDir/totals", totalsSchema)
+      .join(committedBoth(spark, outDir), Seq("batch_id"), "left_semi")
       .groupBy(col("platform")).agg(sum(col("n")).as("total"))
 }

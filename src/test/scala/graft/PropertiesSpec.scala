@@ -31,7 +31,7 @@ class PropertiesSpec extends SparkTestBase {
   } yield QzEvent(1, 1, 1, q.toString, ok,
     f"2019-07-16 ${t / 3600}%02d:${t % 3600 / 60}%02d:${t % 60}%02d")
 
-  private val empty = MasteryState(Set.empty, 0L, 0L, "")
+  private val empty = MasteryState(Set.empty, 0L, 0L, null)
 
   test("mastery invariants: rates bounded, mastery <= detail rate") {
     forAll(Gen.nonEmptyListOf(genEvent)) { events =>
