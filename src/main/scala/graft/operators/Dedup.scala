@@ -156,19 +156,30 @@ object Dedup {
     val gramDf = toks.groupBy(col("blk"), col("gram"))
       .agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
+    // asymmetric prefixes (PPJoin): the smaller doc of a qualifying pair
+    // must match within its probing prefix ⌊(1−t)·sz⌋+1, the larger doc
+    // within its shorter indexing prefix ⌊(1−2t/(1+t))·sz⌋+1 — the join
+    // below keys the a-side (smaller) on the probing prefix and requires
+    // the b-side row to lie in its indexing prefix, shrinking the pair
+    // space with no loss
+    val indexFrac = 1.0 - 2.0 * threshold / (1.0 + threshold)
     val prefix = toks
       .join(broadcast(gramDf), Seq("blk", "gram"))
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
-      .select(col("id"), col("blk"), col("gram"), col("sz"))
+      .withColumn("ixp",
+        col("rn") <= floor(lit(indexFrac) * col("sz")) + 1)
+      .select(col("id"), col("blk"), col("gram"), col("sz"), col("ixp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.blk") === col("b.blk") && col("a.gram") === col("b.gram") &&
-          col("a.id") < col("b.id") &&
-          col("a.sz") >= ceil(col("b.sz") * threshold) &&
-          col("b.sz") >= ceil(col("a.sz") * threshold))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))) &&
+          col("b.ixp") &&
+          col("a.sz") >= ceil(col("b.sz") * threshold))
+      .select(least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"))
       .distinct()
     // hashed-set Jaccard prefilter: long-array merge intersection costs
     // a fraction of the string one, so the exact verify below touches
