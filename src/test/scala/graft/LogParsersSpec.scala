@@ -30,6 +30,25 @@ class LogParsersSpec extends SparkTestBase {
     assert(r.getAs[String]("istrue") === "1")
   }
 
+  test("dirty field values drop the line instead of throwing (ANSI mode)") {
+    // Spark 4 runs with ANSI mode ON: a plain cast/to_timestamp would
+    // throw on these rows and kill a streaming query mid-batch
+    val reg = Seq(
+      "100\t1\t2019-07-16 16:01:55",
+      "not-a-number\t1\t2019-07-16 16:01:56", // bad id
+      "101\t2\tnot-a-timestamp" // bad time
+    ).toDF("value")
+    val got = LogParsers.parseRegister(reg).select("userId")
+      .as[Long].collect().toSeq
+    assert(got === Seq(100L))
+
+    val qz = Seq(
+      "1005\t505\t29\tq1\t1\t2019-09-12 11:17:48",
+      "x\t505\t29\tq1\t1\t2019-09-12 11:17:49" // non-numeric uid
+    ).toDF("value")
+    assert(LogParsers.parseQz(qz).count() === 1)
+  }
+
   test("page: single json parse, absent keys default to empty string") {
     val lines = Seq(
       """{"uid":"100","app_id":"1","device_id":"d-42","ip":"1.2.3.4","last_page_id":"1","page_id":"2","next_page_id":"3"}""",

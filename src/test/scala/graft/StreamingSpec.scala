@@ -211,7 +211,7 @@ class StreamingSpec extends SparkTestBase {
     val ckpt = Files.createTempDirectory("graft_ckpt_").toString
     val input = MemoryStream[(String, String)]
     val records = input.toDF().toDF("key", "value")
-      .withColumn("ts", to_timestamp(col("key")))
+      .withColumn("ts", try_to_timestamp(col("key")))
 
     val q1 = RawArchive.start(records, out, ckpt)
     input.addData(("2019-07-16 23:59:59", "a"), ("2019-07-17 00:00:01", "b"))
@@ -227,5 +227,13 @@ class StreamingSpec extends SparkTestBase {
     // event-time day bucketing: the 23:59:59 record lands in the earlier day
     assert(written.filter($"dt" === "20190716").count() === 1)
     assert(written.filter($"dt" === "20190717").count() === 2)
+
+    // a record with no parseable timestamp archives under an explicit
+    // partition (never the invisible __HIVE_DEFAULT_PARTITION__)
+    val q3 = RawArchive.start(records, out, ckpt)
+    input.addData(("not a timestamp", "d"))
+    q3.processAllAvailable(); q3.stop()
+    assert(spark.read.parquet(out).filter($"dt" === "unknown")
+      .select($"value").as[String].collect().toSeq === Seq("d"))
   }
 }
