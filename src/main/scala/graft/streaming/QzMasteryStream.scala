@@ -95,4 +95,17 @@ object QzMasteryStream {
       .groupByKey(e => QzKey(e.uid, e.courseid, e.pointid))
       .flatMapGroupsWithState(OutputMode.Update(), timeout)(update(stateTtl))
   }
+
+  /** End-to-end J2: mastery state → keyed-upsert detail table (the
+    * reference's qz_point_detail, minus the MySQL round-trips). Each
+    * micro-batch upserts the full-state rows it refreshed. */
+  def startDetailSink(events: Dataset[QzEvent], tableDir: String,
+      checkpoint: String, stateTtl: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    mastery(events, stateTtl).toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(KeyedUpsertSink.foreachBatchUpsert(tableDir,
+        Seq("uid", "courseid", "pointid")))
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -97,6 +97,30 @@ class QzMasterySpec extends SparkTestBase {
     assert(again.head.questionids === "2")
   }
 
+  test("keyed-upsert detail sink: on-duplicate-key-update semantics") {
+    implicit val sql = spark.sqlContext
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_detail_").toString + "/detail"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_detail_ckpt_").toString
+    val input = MemoryStream[QzEvent]
+    val q = QzMasteryStream.startDetailSink(input.toDS(), table, ckpt)
+    try {
+      input.addData(QzEvent(1, 1, 1, "1", "1", "2019-09-12 10:00:00"),
+        QzEvent(2, 1, 1, "5", "0", "2019-09-12 10:00:01"))
+      q.processAllAvailable()
+      input.addData(QzEvent(1, 1, 1, "2", "0", "2019-09-12 10:00:02"))
+      q.processAllAvailable()
+      val detail = spark.read.parquet(table)
+      assert(detail.count() === 2) // one row per key, updated in place
+      val k1 = detail.filter($"uid" === 1).head()
+      assert(k1.getAs[Long]("qz_sum") === 2L) // merged across batches
+      assert(k1.getAs[String]("questionids") === "1,2")
+      val k2 = detail.filter($"uid" === 2).head()
+      assert(k2.getAs[Long]("qz_sum") === 1L) // untouched key preserved
+    } finally q.stop()
+  }
+
   test("merge is batch-split invariant") {
     val all = QzMasteryStream.merge(
       QzMasteryStream.MasteryState(Set.empty, 0, 0, ""), events)
