@@ -21,25 +21,38 @@ object Bench {
     // warm-up at the smallest SF: compile + JIT every query's plan
     val warmDir = Seq("/root/testdata/sf0.001", sfDir)
       .find(d => new java.io.File(d).isDirectory).getOrElse(sfDir)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] warm-up $name failed (will time cold): ${e.getMessage}")
+      }
     }
 
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def time(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // operators persist reused intermediates; clear between queries so
+      // one query's cache residue cannot distort the next one's timing
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) => name -> time(fn)
+      case (name, fn) => name -> time(name, fn)
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failures = results.count(_._2 < 0)
+    // a failed query must not shrink the headline number: each failure
+    // contributes a visible penalty instead of silently dropping out
+    val total = results.map(_._2).filter(_ >= 0).sum + failures * 600.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,6 +29,17 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate returns any pre-existing session with builder configs
+    // silently ignored — re-assert the runtime-settable ones so engine
+    // semantics (UTC, AQE, shuffle width) hold regardless of who created
+    // the JVM's session first
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (64 * 1024 * 1024).toString)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

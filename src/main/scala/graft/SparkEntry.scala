@@ -310,7 +310,8 @@ object SparkEntry {
         |         list_distinct(list_transform(
         |           generate_series(1, greatest(length(text) - 2, 0)),
         |           i -> substr(text, i, 3))) AS ng
-        |  FROM documents)
+        |  FROM documents
+        |  WHERE length(text) >= 3)
         |SELECT doc_a, doc_b, jaccard FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
@@ -319,11 +320,12 @@ object SparkEntry {
         |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
     "x5_cosine_topk" ->
-      """WITH n AS (
+      """WITH n0 AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
         |         sqrt(list_sum(list_transform(embedding,
         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         |  FROM embeddings),
+        |n AS (SELECT * FROM n0 WHERE nrm > 0),
         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
         |s AS (
         |  SELECT query_id, vec_id,
@@ -337,12 +339,13 @@ object SparkEntry {
         |  FROM s)
         |WHERE rnk <= 10""".stripMargin,
     "x12_cosine_dedup" ->
-      """WITH n AS (
+      """WITH n0 AS (
         |  SELECT vec_id, label,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
         |         sqrt(list_sum(list_transform(embedding,
         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings)
+        |  FROM embeddings),
+        |n AS (SELECT * FROM n0 WHERE nrm > 0)
         |SELECT vec_a, vec_b, cosine FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |         round(list_sum(list_transform(generate_series(1, len(a.v)),
@@ -371,14 +374,16 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "x9_lang_id" ->
       """SELECT doc_id, lang,
-        |  CASE
-        |    WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
-        |    WHEN s_zh >= greatest(s_es, s_fr, s_de) THEN 'zh'
-        |    WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
-        |    WHEN s_fr >= s_de THEN 'fr'
-        |    ELSE 'de' END AS lang_guess
+        |  CASE WHEN has_text THEN
+        |    CASE
+        |      WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+        |      WHEN s_zh >= greatest(s_es, s_fr, s_de) THEN 'zh'
+        |      WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+        |      WHEN s_fr >= s_de THEN 'fr'
+        |      ELSE 'de' END
+        |  END AS lang_guess
         |FROM (
-        |  SELECT doc_id, lang,
+        |  SELECT doc_id, lang, text IS NOT NULL AS has_text,
         |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b')) AS s_en,
         |    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los)\b')) AS s_es,
         |    len(regexp_extract_all(lower(text), '\b(le|les|de|et|un|une|dans)\b')) AS s_fr,

@@ -21,9 +21,13 @@ object Tables {
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(spark, dir, "events")
+    // floor division, not truncation: `div` rounds toward zero, which
+    // would shift pre-epoch (negative) nanos forward a full microsecond
+    // relative to DuckDB's floor semantics
     df.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr(
+          "ts div 1000 - (case when ts % 1000 < 0 then 1 else 0 end)")))
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")

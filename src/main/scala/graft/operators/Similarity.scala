@@ -46,6 +46,9 @@ object Similarity {
     val scored = corpus.join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      // zero-norm rows (null cosine) are not neighbors — excluding them
+      // here keeps ranks dense over real candidates
+      .filter(col("cosine").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
