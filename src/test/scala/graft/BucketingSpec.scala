@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Bucketing
+
+/** Co-located joins over bucketed tables: the join-key shuffle happens
+  * once at write time, then every join on the key is exchange-free. */
+class BucketingSpec extends SparkTestBase {
+
+  test("bucketed fact-fact join runs with zero exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    for (t <- Seq("b_lineitem", "b_orders")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+      "b_lineitem", Seq("l_orderkey"), buckets = 4)
+    Bucketing.writeBucketed(
+      Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
+      "b_orders", Seq("o_orderkey"), buckets = 4)
+
+    // force the non-broadcast path: at test scale the planner would
+    // broadcast, which bypasses (and hides) the bucketed join
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val n = joined.count()
+      assert(n > 0)
+
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle, plan was:\n$plan")
+
+      // same join on the raw (unbucketed) parquet shuffles both sides
+      val raw = Tables.lineitem(spark, dir).select("l_orderkey")
+        .join(Tables.orders(spark, dir).select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+      raw.count()
+      assert(raw.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+}
