@@ -70,9 +70,11 @@ object SparkEntry {
       QzMastery.mastery(qzFromEvents(Tables.events(s, dir)))),
     // J3: JSON field extraction + aggregate
     "q5_props_extract" -> ((s, dir) => {
+      // try_cast: a dirty props value (non-numeric k) becomes null —
+      // matching the oracle's regexp_extract — instead of an ANSI throw
       val k = get_json_object(col("props"), "$.k")
       Tables.events(s, dir)
-        .select(when(k === "", null).otherwise(k).cast("long").as("k"))
+        .select(k.try_cast(org.apache.spark.sql.types.LongType).as("k"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"))
     }),

@@ -237,9 +237,12 @@ case class SimHash64(child: Expression) extends ShingleKernel {
   override protected def minBytes: Int = 0
   override protected def opsCall(input: String): String = "" // unused
 
-  @transient private lazy val counts = new Array[Int](64)
+  // scratch buffer is allocated per call: a bound expression instance can
+  // be evaluated from multiple threads on the interpreted path, so a
+  // shared per-instance array would race (codegen allocates per-plan
+  // mutable state, which is single-threaded by construction)
   override def nullSafeEval(v: Any): Any =
-    ShingleOps.simhash(v.asInstanceOf[UTF8String], counts)
+    ShingleOps.simhash(v.asInstanceOf[UTF8String], new Array[Int](64))
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val buf = ctx.addMutableState("int[]", "simhashCounts",

@@ -41,11 +41,13 @@ object Dedup {
   val Bands = 16
   private val RowsPerBand = MinhashPerms / Bands
 
-  /** (band, bandHash) pairs for a signature — the LSH bucketing key. */
+  /** (band, bandHash) pairs for a signature — the LSH bucketing key.
+    * xxhash64 (not 32-bit murmur3) keeps band-collision false positives
+    * at ~2⁻⁶⁴ per comparison, negligible at corpus scale. */
   private def bandKeys(sig: Column): Column =
     transform(sequence(lit(0), lit(Bands - 1)),
       b => struct(b.as("band"),
-        hash(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand))).as("bh")))
+        xxhash64(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand))).as("bh")))
 
   /** MinHash signatures as one projection pass — the signature is a
     * document-local computation (see [[graft.functions.MinHashSigExpr]]),
@@ -156,12 +158,13 @@ object Dedup {
     val gramDf = toks.groupBy(col("blk"), col("gram"))
       .agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
-    // asymmetric prefixes (PPJoin): the smaller doc of a qualifying pair
-    // must match within its probing prefix ⌊(1−t)·sz⌋+1, the larger doc
-    // within its shorter indexing prefix ⌊(1−2t/(1+t))·sz⌋+1 — the join
-    // below keys the a-side (smaller) on the probing prefix and requires
-    // the b-side row to lie in its indexing prefix, shrinking the pair
-    // space with no loss
+    // asymmetric prefixes (PPJoin, Xiao et al. 2008 Lemma 2): for a
+    // qualifying pair with |a| ≤ |b|, the SMALLER doc's indexing prefix
+    // ⌊(1−2t/(1+t))·sz⌋+1 and the LARGER doc's probing prefix
+    // ⌊(1−t)·sz⌋+1 must share a gram — so the join restricts the a-side
+    // (smaller) to its indexing prefix and leaves the b-side (larger) on
+    // its full probing prefix, shrinking the pair space with no loss.
+    // (Restricting b instead is NOT sound: the guarantee is one-sided.)
     val indexFrac = 1.0 - 2.0 * threshold / (1.0 + threshold)
     val prefix = toks
       .join(broadcast(gramDf), Seq("blk", "gram"))
@@ -176,7 +179,7 @@ object Dedup {
         col("a.blk") === col("b.blk") && col("a.gram") === col("b.gram") &&
           (col("a.sz") < col("b.sz") ||
             (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))) &&
-          col("b.ixp") &&
+          col("a.ixp") &&
           col("a.sz") >= ceil(col("b.sz") * threshold))
       .select(least(col("a.id"), col("b.id")).as("doc_a"),
         greatest(col("a.id"), col("b.id")).as("doc_b"))

@@ -34,6 +34,50 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("ngram Jaccard SSJoin equals brute-force within-block join " +
+    "(prefix filter is lossless)") {
+    // randomized corpus with heavy shared-gram overlap so prefix/size
+    // bounds are exercised near the threshold; a reversed PPJoin prefix
+    // asymmetry (round-1 advice) drops pairs on corpora like this
+    val rnd = new scala.util.Random(42)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (0 until 60).map { i =>
+      val len = 3 + rnd.nextInt(10)
+      val text = Seq.fill(len)(words(rnd.nextInt(words.size))).mkString(" ")
+      (i.toLong, s"b${i % 3}", text)
+    }.toDF("doc_id", "source", "text")
+    val t = 0.5
+    val got = Dedup.ngramJaccardBlocked(docs, "source", threshold = t, n = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+    def grams(s: String): Set[String] =
+      if (s.length < 3) Set.empty else s.sliding(3).toSet
+    val rows = docs.select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    val want = (for {
+      a <- rows; b <- rows
+      if a._2 == b._2 && a._1 < b._1 && grams(a._3).nonEmpty
+      inter = (grams(a._3) & grams(b._3)).size
+      uni = (grams(a._3) | grams(b._3)).size
+      if uni > 0 && inter.toDouble / uni >= t
+    } yield (a._1, b._1)).toSet
+    assert(got === want)
+  }
+
+  test("ngram Jaccard SSJoin: advice counterexample shape (small doc " +
+    "overlapping large doc exactly at threshold) is emitted") {
+    // J = 3/6 = 0.5 with |a|=4 < |b|=5 grams — the pair the reversed
+    // asymmetry silently dropped
+    val docs = Seq(
+      (1L, "blk", "abcdef"),   // grams: abc bcd cde def
+      (2L, "blk", "zabcdeq")   // grams: zab abc bcd cde deq
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.ngramJaccardBlocked(docs, "source", threshold = 0.5, n = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("cosine top-k: exact neighbors with self excluded") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(1f, 0.01f, 0f)),

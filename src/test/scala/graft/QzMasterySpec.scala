@@ -121,6 +121,37 @@ class QzMasterySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("keyed-upsert sink: crash between retire and swap loses no keys") {
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.KeyedUpsertSink
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_crash_").toString
+    val table = base + "/detail"
+    val fs = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val batch1 = Seq((1, 10L), (2, 20L)).toDF("uid", "v")
+    KeyedUpsertSink.upsert(batch1, table, Seq("uid"))
+
+    // crash window 1: live dir retired to .old, swap of .tmp never ran
+    // (and .tmp from the crashed attempt is incomplete — no _SUCCESS)
+    assert(fs.rename(new Path(table), new Path(table + ".old")))
+    fs.mkdirs(new Path(table + ".tmp"))
+    val batch2 = Seq((2, 21L)).toDF("uid", "v") // replayed partial batch
+    KeyedUpsertSink.upsert(batch2, table, Seq("uid"))
+    val after = spark.read.parquet(table).as[(Int, Long)].collect().toMap
+    assert(after === Map(1 -> 10L, 2 -> 21L)) // key 1 survived the crash
+
+    // crash window 2: .tmp committed (_SUCCESS), live dir retired — the
+    // newer generation must win
+    val batch3 = Seq((3, 30L)).toDF("uid", "v")
+    KeyedUpsertSink.upsert(batch3, table, Seq("uid"))
+    assert(fs.rename(new Path(table), new Path(table + ".tmp")))
+    KeyedUpsertSink.upsert(batch3, table, Seq("uid")) // replay
+    val fin = spark.read.parquet(table).as[(Int, Long)].collect().toMap
+    assert(fin === Map(1 -> 10L, 2 -> 21L, 3 -> 30L))
+  }
+
   test("merge is batch-split invariant") {
     val all = QzMasteryStream.merge(
       QzMasteryStream.MasteryState(Set.empty, 0, 0, ""), events)
