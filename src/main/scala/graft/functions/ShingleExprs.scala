@@ -105,6 +105,43 @@ object ShingleOps {
     java.util.Arrays.copyOf(hs, w)
   }
 
+  /** Sorted distinct k-CHAR-window hashes: gram boundaries follow UTF-8
+    * code points (the `substr(text, i, k)` gram semantics), each gram
+    * hashed over its underlying bytes. Identical to [[shingleSet]] on
+    * single-byte text, and the boundary scan is a single pass either
+    * way. Returns null for texts shorter than k chars. */
+  def shingleSetChars(s: UTF8String, k: Int): Array[Long] = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    // byte offset of each char start, plus the end sentinel
+    val starts = new Array[Int](n + 1)
+    var i = 0
+    var c = 0
+    while (i < n) {
+      starts(c) = i
+      c += 1
+      i += UTF8String.numBytesForFirstByte(s.getByte(i))
+    }
+    starts(c) = n
+    if (c < k) return null
+    val hs = new Array[Long](c - k + 1)
+    var j = 0
+    while (j <= c - k) {
+      hs(j) = XXH64.hashUnsafeBytes(
+        base, off + starts(j), starts(j + k) - starts(j), Seed)
+      j += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    i = 0
+    while (i < hs.length) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(hs, w)
+  }
+
   private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == '\f'
 
@@ -230,6 +267,38 @@ case class ShingleSetExpr(child: Expression, k: Int) extends ShingleKernel {
     copy(child = c)
 }
 
+/** Sorted distinct CHAR-shingle-hash set column (array<long>); null for
+  * texts shorter than k chars. Gram boundaries follow code points, so
+  * Jaccard over these matches `substr`-gram Jaccard on any text (up to
+  * xxhash64 collisions), not just ASCII. */
+case class ShingleSetCharsExpr(child: Expression, k: Int)
+    extends ShingleKernel {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingle_set_chars"
+  override protected def minBytes: Int = k
+  override protected def opsCall(input: String): String =
+    s"graft.functions.ShingleOps.shingleSetChars($input, $k)"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = ShingleOps.shingleSetChars(v.asInstanceOf[UTF8String], k)
+    if (a == null) null else new GenericArrayData(a)
+  }
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { c =>
+      val tmp = ctx.freshName("grams")
+      s"""
+      |long[] $tmp = ${opsCall(c)};
+      |if ($tmp == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} =
+      |  new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp); }
+      """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): ShingleSetCharsExpr =
+    copy(child = c)
+}
+
 /** 64-bit SimHash column over whitespace-delimited tokens. */
 case class SimHash64(child: Expression) extends ShingleKernel {
   override def dataType: DataType = LongType
@@ -265,5 +334,7 @@ object ShingleExprs {
     col(MinHashSigExpr(expr(text), k))
   def shingleSet(text: Column, k: Int): Column =
     col(ShingleSetExpr(expr(text), k))
+  def shingleSetChars(text: Column, k: Int): Column =
+    col(ShingleSetCharsExpr(expr(text), k))
   def simhash64(text: Column): Column = col(SimHash64(expr(text)))
 }

@@ -105,48 +105,35 @@ object Dedup {
     jaccardVerify(withSets, threshold)
   }
 
-  /** Blocked exact n-gram Jaccard as a prefix-filtering set-similarity
-    * join (SSJoin): within each block, candidate pairs must share a gram
-    * in their rare-first prefix of length ⌊(1−t)·|doc|⌋+1 — lossless for
-    * Jaccard ≥ t under a global token order — plus mutual size bounds
-    * (J(A,B) ≤ min|·|/max|·|). Exact string Jaccard verifies candidates.
+  /** Blocked n-gram Jaccard as a prefix-filtering set-similarity join
+    * (SSJoin): within each block, candidate pairs must share a gram in
+    * a rare-first prefix — lossless for Jaccard ≥ t under a global
+    * token order — plus mutual size bounds (J(A,B) ≤ min|·|/max|·|).
     *
-    * Candidate generation runs on 64-bit gram hashes, so recall is
-    * probabilistic with per-pair miss probability ≈ |union|²/2⁶⁴ —
-    * in practice the result equals the brute-force within-block pairwise
-    * join (the DuckDB oracle stays the naive formulation), but the
-    * quadratic pair space is replaced by a key-equality join on rare
-    * prefix grams: every stage is a shuffle on a key, nothing is
-    * O(block²). */
+    * The whole join runs on 64-bit gram hashes. The per-doc sorted
+    * distinct gram-hash set is ONE doc-local kernel pass (see
+    * [[graft.functions.ShingleSetCharsExpr]]) — no gram explode, no
+    * collect_set shuffle of string grams: the only full-width shuffles
+    * left are the doc-frequency count and the per-doc rank window, both
+    * over 8-byte hashes. Jaccard over hashed sets equals string-gram
+    * Jaccard unless xxhash64 collides inside a pair's union (probability
+    * ≈ |union|²/2⁶⁴ — vanishing at any realistic scale; in practice the
+    * result equals the brute-force within-block pairwise join, which is
+    * what the DuckDB oracle computes), and the quadratic pair space is
+    * replaced by a key-equality join on rare prefix grams: every stage
+    * is a shuffle on a key, nothing is O(block²). */
   def ngramJaccardBlocked(docs: DataFrame, blockCol: String,
       threshold: Double = 0.5, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // raw grams via exploded int sequence + substr — fully codegen'd
-    // (transform-lambda ngram extraction runs interpreted); the distinct
-    // sorted gram set per doc is then one cheap aggregation away
-    val rawGrams = docs
+    val g = docs
       .select(col(idCol).as("id"), col(blockCol).as("blk"),
-        col(textCol).as("t"))
-      .filter(length(col("t")) >= n)
-      .select(col("id"), col("blk"), col("t"),
-        explode(sequence(lit(1), length(col("t")) - (n - 1))).as("i"))
-      .select(col("id"), col("blk"),
-        col("t").substr(col("i"), lit(n)).as("g0"))
-    val g = rawGrams.groupBy(col("id"), col("blk"))
-      .agg(sort_array(collect_set(col("g0"))).as("ng"))
+        ShingleExprs.shingleSetChars(col(textCol), n).as("ng"))
+      .filter(col("ng").isNotNull)
       .withColumn("sz", size(col("ng")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // candidate generation runs on 64-bit gram hashes: long sort keys
-    // for the windows, a long equality key for the prefix join. A
-    // collision can perturb hashed-set Jaccard in EITHER direction
-    // (merging two intersection grams deflates it), so candidate
-    // recall is probabilistic with miss probability ≈ |union|²/2⁶⁴ per
-    // pair — vanishing at any realistic scale. Exact string
-    // verification decides every emitted pair.
     val toks = g.select(col("id"), col("blk"), col("sz"),
-      explode(col("ng")).as("g0"))
-      .select(col("id"), col("blk"), col("sz"), xxhash64(col("g0")).as("gram"))
+      explode(col("ng")).as("gram"))
     // rare-first order: document frequency per (block, gram) as a small
     // aggregated table broadcast back onto the token stream — cheaper
     // than a window, which would sort-shuffle the full token table just
@@ -184,25 +171,10 @@ object Dedup {
       .select(least(col("a.id"), col("b.id")).as("doc_a"),
         greatest(col("a.id"), col("b.id")).as("doc_b"))
       .distinct()
-    // hashed-set Jaccard prefilter: long-array merge intersection costs
-    // a fraction of the string one, so the exact verify below touches
-    // only near-qualifying pairs. Same 2⁻⁶⁴-collision caveat as the
-    // candidate stage; pairs that pass are still exactly verified.
-    val ngh = toks.groupBy(col("id"))
-      .agg(sort_array(collect_set(col("gram"))).as("ngh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val prefiltered = candidates
-      .join(ngh.select(col("id"), col("ngh").as("ngh_a")),
-        col("doc_a") === col("id")).drop("id")
-      .join(ngh.select(col("id"), col("ngh").as("ngh_b")),
-        col("doc_b") === col("id")).drop("id")
-      .withColumn("hinter",
-        SetExprs.sortedIntersectSize(col("ngh_a"), col("ngh_b")))
-      .filter(col("hinter").cast("double") /
-        (size(col("ngh_a")) + size(col("ngh_b")) - col("hinter"))
-          .cast("double") >= threshold)
-      .select(col("doc_a"), col("doc_b"))
-    val withSets = prefiltered
+    // verify: merge-intersect Jaccard over the same persisted hashed
+    // sets — the sorted-long-array merge is the cheapest exact check
+    // available, and no second per-doc aggregation is needed
+    val withSets = candidates
       .join(g.select(col("id"), col("ng").as("ng_a")),
         col("doc_a") === col("id")).drop("id")
       .join(g.select(col("id"), col("ng").as("ng_b")),

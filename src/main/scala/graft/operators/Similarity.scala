@@ -95,30 +95,90 @@ object Similarity {
 
   // ---- IVF (inverted-file, k-means coarse quantizer) ANN ---------------
 
+  /** Driver-local Lloyd's k-means with k-means++ seeding (fixed seed,
+    * deterministic). IVF quantizer training is a bounded-sample
+    * computation (FAISS trains the same way): at the default cap the
+    * sample is ~25 MB, while distributed k-means pays ~10 scheduler
+    * round-trips to fit 16 centroids. The *corpus* is never collected. */
+  private[operators] def lloyds(sample: Array[Array[Float]], k: Int,
+      iters: Int = 10): Array[Array[Double]] = {
+    val n = sample.length
+    val dim = sample(0).length
+    val rnd = new scala.util.Random(42)
+    def d2(v: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = v(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++: each next seed drawn ∝ distance² to the nearest seed
+    val centers = Array.ofDim[Array[Double]](k)
+    centers(0) = sample(rnd.nextInt(n)).map(_.toDouble)
+    val nearest = Array.fill(n)(Double.MaxValue)
+    for (c <- 1 until k) {
+      var i = 0
+      while (i < n) {
+        val d = d2(sample(i), centers(c - 1))
+        if (d < nearest(i)) nearest(i) = d
+        i += 1
+      }
+      val total = nearest.sum
+      var pick = rnd.nextDouble() * total
+      var j = 0
+      while (j < n - 1 && pick > nearest(j)) { pick -= nearest(j); j += 1 }
+      centers(c) = sample(j).map(_.toDouble)
+    }
+    val sums = Array.ofDim[Double](k, dim)
+    val counts = new Array[Int](k)
+    for (_ <- 0 until iters) {
+      java.util.Arrays.fill(counts, 0)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          val d = d2(sample(i), centers(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best); val v = sample(i)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        // empty cell keeps its previous centroid (no reseeding: keeps
+        // the run deterministic; probes simply never select it)
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+    }
+    centers
+  }
+
   /** Approximate top-k via an IVF index: a k-means coarse quantizer
     * partitions the corpus into `nLists` cells; each query probes its
     * `nProbe` nearest cells and ranks candidates by exact cosine.
     *
-    * Scale shape: training runs on a bounded sample (driver holds only
-    * the nLists×dim centroid matrix); assignment is one broadcast-closure
-    * projection over the corpus; the probe is a key-equality join on the
-    * cell id. Expected candidates per query ≈ |corpus|·nProbe/nLists.
-    * Deterministic (fixed seed). */
+    * Scale shape: training collects a bounded sample to the driver
+    * (~25 MB at the default cap — the index-build step every IVF system
+    * has); after that the driver holds only the nLists×dim centroid
+    * matrix, assignment is one codegen projection over the corpus, and
+    * the probe is a key-equality join on the cell id. Expected
+    * candidates per query ≈ |corpus|·nProbe/nLists. Deterministic
+    * (fixed seed). */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       nLists: Int = 16, nProbe: Int = 4, trainSample: Int = 100000,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val corpus = embeddings.select(col(idCol).as("vec_id"),
       col(embCol).as("v"))
-    val model = new KMeans()
-      .setK(nLists).setSeed(42).setMaxIter(10)
-      .setFeaturesCol("features")
-      .fit(corpus.limit(trainSample)
-        .select(array_to_vector(col("v").cast("array<double>"))
-          .as("features")))
-    val centers = model.clusterCenters.map(_.toArray)
+    val sample = corpus.select(col("v")).limit(trainSample)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val centers = lloyds(sample, nLists)
     val dim = centers(0).length
 
     // nearest cell(s) by L2 — a plain codegen'd expression per centroid

@@ -56,6 +56,30 @@ class ExpressionsSpec extends SparkTestBase {
     assert(s === 1)
   }
 
+  test("shingleSetChars: code-point windows on multibyte text; null " +
+    "below k chars") {
+    // 6 chars, 12 bytes — byte windows would split code points
+    val text = "абвгаб"
+    val k = 3
+    val expected = (0 to text.length - k)
+      .map { i =>
+        val sub = UTF8String.fromString(text.substring(i, i + k))
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          sub.getBaseObject, sub.getBaseOffset, sub.numBytes, 42L)
+      }.distinct.sorted
+    val df = Seq((1L, text), (2L, "аб"), (3L, "xyz")).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      ShingleExprs.shingleSetChars($"text", k).as("s"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(got(1L).get === expected)
+    assert(got(2L).isEmpty)        // 2 chars < k -> null
+    // ASCII: char windows == byte windows
+    val ascii = df.filter($"doc_id" === 3)
+      .select(ShingleExprs.shingleSet($"text", k).as("a"),
+        ShingleExprs.shingleSetChars($"text", k).as("b")).head()
+    assert(ascii.getSeq[Long](0) === ascii.getSeq[Long](1))
+  }
+
   test("shingle kernels: doc-local results match reference computation") {
     val text = "abcdefgabcdefg"
     // shingleSet = sorted distinct xxhash64(k-byte windows)
