@@ -99,9 +99,18 @@ object Tpch {
       .agg(count(lit(1)).as("n_customers"))
 
   /** Top-3 parts per supplier by revenue — ranking window function over
-    * pre-aggregated (supplier, part) partials. */
+    * pre-aggregated (supplier, part) partials.
+    *
+    * One shuffle, not two: hash-partitioning on suppkey alone satisfies
+    * both the (suppkey, partkey) aggregation (subset clustering) and the
+    * window's suppkey clustering, so the explicit repartition makes the
+    * agg→window pipeline exchange-free after a single raw-row shuffle.
+    * This trades away map-side partial aggregation — the right trade
+    * here because (supp, part) pairs scatter randomly across input
+    * splits, so per-mapper combining barely shrinks the shuffle. */
   def supplierPartRank(s: SparkSession, dir: String, topN: Int = 3): DataFrame = {
     val rev = Tables.lineitem(s, dir)
+      .repartition(col("l_suppkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(price * (one - disc)).cast("double").as("part_revenue"))
     val w = Window.partitionBy(col("l_suppkey"))

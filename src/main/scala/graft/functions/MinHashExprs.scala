@@ -40,14 +40,13 @@ case class MinHashSig(child: Expression,
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      // mask to unsigned 32 bits: the permutation arithmetic overflows on
-      // 64-bit inputs (h*A exceeds Long range) and Java % goes negative
-      // on negative h — masking makes any long input well-defined and
+      // mask to unsigned 32 bits: multiply-shift is universal over
+      // 32-bit inputs — masking makes any long input well-defined and
       // keeps 32-bit inputs (the documented contract) unchanged
       val h = v.asInstanceOf[Long] & 0xffffffffL
       var i = 0
       while (i < NumPerms) {
-        val x = (h * A(i) + B(i)) % Prime
+        val x = (h * A(i) + B(i)) >>> 32
         if (x < buf(i)) buf(i) = x
         i += 1
       }
@@ -92,13 +91,15 @@ case class MinHashSig(child: Expression,
 
 object MinHashSig {
   val NumPerms = 64
-  val Prime = 4294967311L
 
-  // deterministic permutation parameters (seeded engine constants)
+  // deterministic multiply-shift permutation parameters (seeded engine
+  // constants): odd 64-bit multiplier, 64-bit offset. The permutation
+  // (a·h + b) >>> 32 (Dietzfelbinger universal hashing over 32-bit
+  // inputs) replaces the classic (a·h + b) mod p — no 64-bit modulo in
+  // the 64-perms-per-shingle inner loop
   private val params: Array[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(NumPerms)(
-      (rnd.nextLong(1L << 29) + 1, rnd.nextLong(1L << 29) + 1))
+    Array.fill(NumPerms)((rnd.nextLong() | 1L, rnd.nextLong()))
   }
   val A: Array[Long] = params.map(_._1)
   val B: Array[Long] = params.map(_._2)

@@ -63,7 +63,7 @@ object ShingleOps {
   /** MinHash signature: the [[MinHashSig.NumPerms]] permutation minima
     * over the k-byte-window hashes. Caller guarantees numBytes >= k. */
   def minhashSig(s: UTF8String, k: Int): Array[Long] = {
-    import MinHashSig.{A, B, NumPerms, Prime}
+    import MinHashSig.{A, B, NumPerms}
     val sig = Array.fill(NumPerms)(java.lang.Long.MAX_VALUE)
     val hs = windowHashes(s, k)
     var j = 0
@@ -71,7 +71,7 @@ object ShingleOps {
       val h = hs(j)
       var i = 0
       while (i < NumPerms) {
-        val x = (h * A(i) + B(i)) % Prime
+        val x = (h * A(i) + B(i)) >>> 32
         if (x < sig(i)) sig(i) = x
         i += 1
       }

@@ -104,8 +104,8 @@ class ExpressionsSpec extends SparkTestBase {
       org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
         sub.getBaseObject, sub.getBaseOffset, sub.numBytes, 42) & 0xffffffffL
     }
-    import graft.functions.MinHashSig.{A, B, Prime}
-    val expSig = (0 until 64).map(p => hs.map(h => (h * A(p) + B(p)) % Prime).min)
+    import graft.functions.MinHashSig.{A, B}
+    val expSig = (0 until 64).map(p => hs.map(h => (h * A(p) + B(p)) >>> 32).min)
     assert(sig === expSig)
 
     // short text -> null signature / null set
