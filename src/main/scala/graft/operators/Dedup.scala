@@ -134,14 +134,14 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val toks = g.select(col("id"), col("blk"), col("sz"),
       explode(col("ng")).as("gram"))
-    // rare-first order: document frequency per (block, gram) as a small
-    // aggregated table broadcast back onto the token stream — cheaper
-    // than a window, which would sort-shuffle the full token table just
-    // to attach a count. The char n-gram universe is bounded (charset^n),
-    // so the broadcast stays small at any corpus size; for unbounded
-    // token universes (word shingles) swap back to a shuffle join.
-    // toks derives from the persisted g, so the two references cost two
-    // cache reads, not two token-table builds.
+    // rare-first order: document frequency per (block, gram), joined
+    // back onto the token stream. No forced broadcast hint — the gram
+    // universe is bounded per block (≤ charset^n) but gramDf grows with
+    // the NUMBER of blocks, so a mandatory broadcast would OOM on a
+    // many-block corpus; AQE sees the aggregate's true runtime size and
+    // broadcasts exactly when it fits. toks derives from the persisted
+    // g, so the two references cost two cache reads, not two
+    // token-table builds.
     val gramDf = toks.groupBy(col("blk"), col("gram"))
       .agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
@@ -154,7 +154,7 @@ object Dedup {
     // (Restricting b instead is NOT sound: the guarantee is one-sided.)
     val indexFrac = 1.0 - 2.0 * threshold / (1.0 + threshold)
     val prefix = toks
-      .join(broadcast(gramDf), Seq("blk", "gram"))
+      .join(gramDf, Seq("blk", "gram"))
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
       .withColumn("ixp",

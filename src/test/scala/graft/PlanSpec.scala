@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan shape guards: the properties that make these queries
+  * survive a 100 TB scale-up are asserted here so a refactor can't
+  * silently regress them (SCALE.md documents the contracts).
+  *
+  * Assertions run on the initial physical plan (pre-AQE): AQE may
+  * further improve a plan at runtime (coalesce, dynamic broadcast) but
+  * never adds exchanges or turns an equality join into a cartesian one,
+  * so the static shape is the right invariant.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q12: aggregation and ranking window share a single exchange") {
+    val p = plan("q12_supplier_part_rank")
+    assert(p.linesIterator.count(_.contains("Exchange")) === 1, p)
+  }
+
+  test("q8: dimension joins broadcast; fact joins shuffle on keys") {
+    val p = plan("q8_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q7: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan("q7_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"), p)
+    // projection pruned to the 7 referenced columns — not the full table
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_shipdate"), readSchema)
+  }
+
+  test("q10/q11: semi and anti joins never materialize the join product") {
+    assert(plan("q10_priority_heavy").contains("LeftSemi"))
+    assert(plan("q11_customers_no_orders").contains("LeftAnti"))
+  }
+
+  test("no query plans a cartesian product; nested-loop joins only " +
+    "where brute force is the contract") {
+    // x5 brute-force cosine is DELIBERATELY a broadcast nested-loop scan
+    // of corpus × queries — the exact baseline the ANN paths beat
+    val nestedLoopByDesign = Set("x5_cosine_topk")
+    for ((name, q) <- SparkEntry.queries) {
+      val p = q(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
+      if (!nestedLoopByDesign(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join")
+    }
+  }
+}
