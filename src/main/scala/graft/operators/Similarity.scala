@@ -100,7 +100,7 @@ object Similarity {
     * computation (FAISS trains the same way): at the default cap the
     * sample is ~25 MB, while distributed k-means pays ~10 scheduler
     * round-trips to fit 16 centroids. The *corpus* is never collected. */
-  private[operators] def lloyds(sample: Array[Array[Float]], k: Int,
+  private[graft] def lloyds(sample: Array[Array[Float]], k: Int,
       iters: Int = 10): Array[Array[Double]] = {
     val n = sample.length
     val dim = sample(0).length

@@ -34,6 +34,57 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("minhash LSH: exact precision, and recall on planted near-dupes") {
+    // planted pairs share long common bodies (shingle Jaccard >= ~0.8,
+    // where 16x4 banding detects with prob ~1-(1-J^4)^16 > 0.999);
+    // deterministic given the engine's fixed hash family
+    val rnd = new scala.util.Random(7)
+    def randText(len: Int) =
+      Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+    val bodies = Vector.fill(10)(randText(400))
+    val docs = (bodies.zipWithIndex.flatMap { case (b, i) =>
+      Seq((2L * i, b), (2L * i + 1, b + randText(20))) // planted pair
+    } ++ (100 until 130).map(i => (i.toLong, randText(200))))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLsh(docs, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+
+    def sh(s: String) = s.sliding(5).toSet
+    val byId = docs.as[(Long, String)].collect().toMap
+    def jac(a: Long, b: Long): Double = {
+      val (x, y) = (sh(byId(a)), sh(byId(b)))
+      (x & y).size.toDouble / (x | y).size
+    }
+    // precision is exact: every emitted pair verified >= threshold
+    got.foreach { case (a, b, j) =>
+      assert(jac(a, b) >= 0.5, s"false positive ($a,$b)")
+      assert(math.abs(jac(a, b) - j) < 1e-9)
+    }
+    // recall: every planted high-J pair is found
+    val found = got.map(p => (p._1, p._2)).toSet
+    (0 until 10).foreach { i =>
+      assert(found.contains((2L * i, 2L * i + 1)), s"missed planted pair $i")
+    }
+  }
+
+  test("lloyds k-means separates well-separated clusters") {
+    val rnd = new scala.util.Random(3)
+    val centersTrue = Array(Array.fill(8)(0f), Array.fill(8)(10f),
+      Array.tabulate(8)(i => if (i % 2 == 0) -10f else 10f))
+    val sample = Array.tabulate(300) { i =>
+      val c = centersTrue(i % 3)
+      c.map(x => x + rnd.nextGaussian().toFloat * 0.1f)
+    }
+    val centers = Similarity.lloyds(sample, k = 3)
+    // each true center has a learned centroid within noise distance
+    centersTrue.foreach { t =>
+      val best = centers.map(c =>
+        c.zip(t).map { case (x, y) => (x - y) * (x - y) }.sum).min
+      assert(best < 1.0, s"no centroid near ${t.toSeq}")
+    }
+  }
+
   test("ngram Jaccard SSJoin equals brute-force within-block join " +
     "(prefix filter is lossless)") {
     // randomized corpus with heavy shared-gram overlap so prefix/size
