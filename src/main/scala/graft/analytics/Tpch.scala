@@ -101,16 +101,24 @@ object Tpch {
   /** Top-3 parts per supplier by revenue — ranking window function over
     * pre-aggregated (supplier, part) partials.
     *
-    * One shuffle, not two: hash-partitioning on suppkey alone satisfies
-    * both the (suppkey, partkey) aggregation (subset clustering) and the
-    * window's suppkey clustering, so the explicit repartition makes the
-    * agg→window pipeline exchange-free after a single raw-row shuffle.
-    * This trades away map-side partial aggregation — the right trade
-    * here because (supp, part) pairs scatter randomly across input
-    * splits, so per-mapper combining barely shrinks the shuffle. */
-  def supplierPartRank(s: SparkSession, dir: String, topN: Int = 3): DataFrame = {
-    val rev = Tables.lineitem(s, dir)
-      .repartition(col("l_suppkey"))
+    * Default plan: one shuffle, not two. Hash-partitioning on suppkey
+    * alone satisfies both the (suppkey, partkey) aggregation (subset
+    * clustering) and the window's suppkey clustering, so the explicit
+    * repartition makes the agg→window pipeline exchange-free after a
+    * single raw-row shuffle. This trades away map-side partial
+    * aggregation AND concentrates each supplier's raw rows on one task
+    * — the right trade when (supp, part) pairs scatter randomly across
+    * splits (combining shrinks nothing) and no supplier dominates the
+    * table. For a skewed or highly-duplicated corpus, set
+    * `preAggregate = true` to restore the two-exchange plan whose
+    * map-side combine bounds any one task's input by the supplier's
+    * DISTINCT parts (AQE cannot split window partitions, so skew must
+    * be handled before the window either way). */
+  def supplierPartRank(s: SparkSession, dir: String, topN: Int = 3,
+      preAggregate: Boolean = false): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val partitioned = if (preAggregate) li else li.repartition(col("l_suppkey"))
+    val rev = partitioned
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(price * (one - disc)).cast("double").as("part_revenue"))
     val w = Window.partitionBy(col("l_suppkey"))

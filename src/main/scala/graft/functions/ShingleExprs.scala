@@ -95,6 +95,11 @@ object ShingleOps {
       hs(j) = XXH64.hashUnsafeBytes(base, off + j, k, Seed)
       j += 1
     }
+    sortedDistinct(hs)
+  }
+
+  /** Sort in place, drop adjacent duplicates, truncate. */
+  private def sortedDistinct(hs: Array[Long]): Array[Long] = {
     java.util.Arrays.sort(hs)
     var w = 0
     var i = 0
@@ -132,14 +137,7 @@ object ShingleOps {
         base, off + starts(j), starts(j + k) - starts(j), Seed)
       j += 1
     }
-    java.util.Arrays.sort(hs)
-    var w = 0
-    i = 0
-    while (i < hs.length) {
-      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
-      i += 1
-    }
-    java.util.Arrays.copyOf(hs, w)
+    sortedDistinct(hs)
   }
 
   private def isSpace(b: Byte): Boolean =

@@ -147,18 +147,35 @@ object Dedup {
     val wRank = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
     // asymmetric prefixes (PPJoin, Xiao et al. 2008 Lemma 2): for a
     // qualifying pair with |a| ≤ |b|, the SMALLER doc's indexing prefix
-    // ⌊(1−2t/(1+t))·sz⌋+1 and the LARGER doc's probing prefix
-    // ⌊(1−t)·sz⌋+1 must share a gram — so the join restricts the a-side
+    // sz−⌈(2t/(1+t))·sz⌉+1 and the LARGER doc's probing prefix
+    // sz−⌈t·sz⌉+1 must share a gram — so the join restricts the a-side
     // (smaller) to its indexing prefix and leaves the b-side (larger) on
     // its full probing prefix, shrinking the pair space with no loss.
     // (Restricting b instead is NOT sound: the guarantee is one-sided.)
-    val indexFrac = 1.0 - 2.0 * threshold / (1.0 + threshold)
+    //
+    // All bounds are computed in EXACT decimal arithmetic on a
+    // threshold nudged down by 1e-12. Double arithmetic here silently
+    // shortens prefixes for thresholds that aren't FP-exact — e.g.
+    // floor((1.0−0.8)·5)+1 = 1 instead of 2, dropping a J=4/5 pair at
+    // t=0.8 — and the 1e-12 slack additionally covers pairs whose real
+    // Jaccard sits within one double-rounding ulp below the threshold
+    // yet passes the final double comparison. The slack only ever
+    // lengthens prefixes (a handful of extra candidates, never a miss).
+    val tLow = BigDecimal.valueOf(threshold) - BigDecimal("1e-12")
+    // fixed scale 15, rounded DOWN: keeps the Spark-side decimal
+    // multiply within exact precision (scale 15 + int32 < 38 digits)
+    // and any rounding only lengthens the prefix (still conservative)
+    val ixLow = (tLow * 2 / (1 + tLow))
+      .setScale(15, scala.math.BigDecimal.RoundingMode.FLOOR)
+    // prefix length sz−⌈f·sz⌉+1 ⇔ rn ≤ sz−⌈f·sz⌉+1; Spark decimal
+    // multiply + ceil are exact, so the bound is the true integer one
+    def prefLen(f: BigDecimal): Column =
+      col("sz") - ceil(lit(f) * col("sz")) + 1
     val prefix = toks
       .join(gramDf, Seq("blk", "gram"))
       .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
-      .withColumn("ixp",
-        col("rn") <= floor(lit(indexFrac) * col("sz")) + 1)
+      .filter(col("rn") <= prefLen(tLow))
+      .withColumn("ixp", col("rn") <= prefLen(ixLow))
       .select(col("id"), col("blk"), col("gram"), col("sz"), col("ixp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val candidates = prefix.as("a")
@@ -167,7 +184,7 @@ object Dedup {
           (col("a.sz") < col("b.sz") ||
             (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))) &&
           col("a.ixp") &&
-          col("a.sz") >= ceil(col("b.sz") * threshold))
+          col("a.sz") >= ceil(lit(tLow) * col("b.sz")))
       .select(least(col("a.id"), col("b.id")).as("doc_a"),
         greatest(col("a.id"), col("b.id")).as("doc_b"))
       .distinct()

@@ -102,6 +102,8 @@ object Similarity {
     * round-trips to fit 16 centroids. The *corpus* is never collected. */
   private[graft] def lloyds(sample: Array[Array[Float]], k: Int,
       iters: Int = 10): Array[Array[Double]] = {
+    require(sample.nonEmpty,
+      "ivfTopK: cannot train the IVF quantizer on an empty corpus")
     val n = sample.length
     val dim = sample(0).length
     val rnd = new scala.util.Random(42)
@@ -176,7 +178,10 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val corpus = embeddings.select(col(idCol).as("vec_id"),
       col(embCol).as("v"))
-    val sample = corpus.select(col("v")).limit(trainSample)
+    // cast to array<float> first: embeddings may arrive as array<double>
+    // (the pre-rework MLlib path accepted both), and a raw getSeq[Float]
+    // on doubles would throw ClassCastException
+    val sample = corpus.select(col("v").cast("array<float>")).limit(trainSample)
       .collect().map(_.getSeq[Float](0).toArray)
     val centers = lloyds(sample, nLists)
     val dim = centers(0).length

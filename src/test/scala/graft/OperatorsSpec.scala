@@ -98,22 +98,24 @@ class OperatorsSpec extends SparkTestBase {
       val text = Seq.fill(len)(words(rnd.nextInt(words.size))).mkString(" ")
       (i.toLong, s"b${i % 3}", text)
     }.toDF("doc_id", "source", "text")
-    val t = 0.5
-    val got = Dedup.ngramJaccardBlocked(docs, "source", threshold = t, n = 3)
-      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-
     def grams(s: String): Set[String] =
       if (s.length < 3) Set.empty else s.sliding(3).toSet
     val rows = docs.select("doc_id", "source", "text")
       .as[(Long, String, String)].collect()
-    val want = (for {
-      a <- rows; b <- rows
-      if a._2 == b._2 && a._1 < b._1 && grams(a._3).nonEmpty
-      inter = (grams(a._3) & grams(b._3)).size
-      uni = (grams(a._3) | grams(b._3)).size
-      if uni > 0 && inter.toDouble / uni >= t
-    } yield (a._1, b._1)).toSet
-    assert(got === want)
+    // 0.8 and 0.55 are not FP-exact: double prefix arithmetic loses
+    // pairs at exactly these thresholds (review round 2)
+    for (t <- Seq(0.5, 0.55, 0.8)) {
+      val got = Dedup.ngramJaccardBlocked(docs, "source", threshold = t, n = 3)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        a <- rows; b <- rows
+        if a._2 == b._2 && a._1 < b._1 && grams(a._3).nonEmpty
+        inter = (grams(a._3) & grams(b._3)).size
+        uni = (grams(a._3) | grams(b._3)).size
+        if uni > 0 && inter.toDouble / uni >= t
+      } yield (a._1, b._1)).toSet
+      assert(got === want, s"threshold $t")
+    }
   }
 
   test("ngram Jaccard SSJoin: advice counterexample shape (small doc " +
@@ -127,6 +129,21 @@ class OperatorsSpec extends SparkTestBase {
     val got = Dedup.ngramJaccardBlocked(docs, "source", threshold = 0.5, n = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 2L)))
+  }
+
+  test("ngram Jaccard SSJoin: subset pair at FP-inexact threshold 0.8 " +
+    "(double prefix arithmetic would drop it)") {
+    // grams(a) ⊂ grams(b), J = 4/5 = 0.8: probing prefix must be
+    // 5−⌈0.8·5⌉+1 = 2, but floor((1.0−0.8)·5)+1 evaluates to 1 in
+    // doubles — exact decimal bounds keep the pair
+    val docs = Seq(
+      (1L, "blk", "abcdef"),   // grams: abc bcd cde def
+      (2L, "blk", "abcdefg")   // grams: abc bcd cde def efg
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.ngramJaccardBlocked(docs, "source", threshold = 0.8, n = 3)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 0.8)))
   }
 
   test("cosine top-k: exact neighbors with self excluded") {
