@@ -26,6 +26,15 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // streaming state off-heap: HDFSBackedStateStore keeps every key
+      // on the JVM heap (executor OOM once keyed state outgrows
+      // memory); RocksDB spills to local disk and incrementally
+      // checkpoints, which is the only state store that survives
+      // 100 TB-scale key cardinality. Validated by the streaming specs
+      // (SparkTestBase uses the same provider).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
