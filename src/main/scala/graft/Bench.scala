@@ -50,8 +50,14 @@ object Bench {
     val Runs = 2
     def time(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val ts = Seq.fill(Runs)(timeOnce(name, fn))
-      if (ts.exists(_ < 0)) -1.0 else ts.min
+      var best = Double.MaxValue
+      var i = 0
+      while (i < Runs && best >= 0) { // a failed run decides; no re-run
+        val t = timeOnce(name, fn)
+        best = if (t < 0) -1.0 else math.min(best, t)
+        i += 1
+      }
+      best
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {

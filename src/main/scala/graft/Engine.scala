@@ -49,6 +49,9 @@ object Engine {
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
       (64 * 1024 * 1024).toString)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

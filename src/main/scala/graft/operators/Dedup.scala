@@ -73,10 +73,11 @@ object Dedup {
     * The per-doc relation is persisted: four join branches reference it
     * (two band sides, two verify sides) and Spark recomputes non-cached
     * lineage per branch — at scale you would likewise materialize
-    * signatures before banding. Jaccard over 32-bit-hashed shingles
-    * equals true Jaccard up to vanishing collision probability
-    * (~|union|²/2³³ per pair), and sorted-int-array merge intersection is
-    * far cheaper than string-array hash intersection. */
+    * signatures before banding. Jaccard over 64-bit-hashed shingles
+    * (xxhash64, see [[graft.functions.ShingleOps.shingleSet]]) equals
+    * true Jaccard up to vanishing collision probability (~|union|²/2⁶⁴
+    * per pair), and sorted-long-array merge intersection is far cheaper
+    * than string-array hash intersection. */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
       shingleLen: Int = 5, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

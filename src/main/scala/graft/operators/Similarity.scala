@@ -180,8 +180,12 @@ object Similarity {
       col(embCol).as("v"))
     // cast to array<float> first: embeddings may arrive as array<double>
     // (the pre-rework MLlib path accepted both), and a raw getSeq[Float]
-    // on doubles would throw ClassCastException
-    val sample = corpus.select(col("v").cast("array<float>")).limit(trainSample)
+    // on doubles would throw ClassCastException. Null vectors / null
+    // elements are excluded from training the same way cosine treats
+    // them as non-neighbors.
+    val sample = corpus
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+      .select(col("v").cast("array<float>")).limit(trainSample)
       .collect().map(_.getSeq[Float](0).toArray)
     val centers = lloyds(sample, nLists)
     val dim = centers(0).length
