@@ -19,16 +19,39 @@ object RegisterAnalytics {
   /** Keyed counts over sliding event-time windows (reference
     * reduceByKeyAndWindow, RegisterStreaming.scala:91 — upgraded from
     * processing-time to event-time). Window start rendered as a string so
-    * results are engine-portable. */
+    * results are engine-portable.
+    *
+    * When the slide divides the window (the reference's 60s/6s shape),
+    * aggregation runs two-level: tumbling partials at slide width first,
+    * then the window/slide generator over the PARTIALS. The generator
+    * emits window÷slide rows per input — running it over raw events
+    * multiplies the corpus by that factor before any combining; over
+    * tumble partials it touches #tumbles×#keys rows. Identical results:
+    * every event in a tumble belongs to exactly the sliding windows
+    * containing that tumble. */
   def slidingCounts(events: DataFrame, ts: Column, key: Column,
-      windowDur: String, slideDur: String): DataFrame =
-    events
-      .groupBy(window(ts, windowDur, slideDur).as("w"), key.as("key"))
-      .agg(count(lit(1)).as("n"))
-      .select(
-        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-        col("key"),
-        col("n"))
+      windowDur: String, slideDur: String): DataFrame = {
+    def toSec(d: String) =
+      org.apache.spark.sql.catalyst.util.IntervalUtils
+        .fromIntervalString(d).microseconds / 1000000L
+    val (w, s) = (toSec(windowDur), toSec(slideDur))
+    val agged =
+      if (s > 0 && w % s == 0) {
+        events
+          .groupBy(window(ts, slideDur).as("tw"), key.as("key"))
+          .agg(count(lit(1)).as("pn"))
+          .groupBy(window(col("tw.start"), windowDur, slideDur).as("w"),
+            col("key"))
+          .agg(sum(col("pn")).as("n"))
+      } else
+        events
+          .groupBy(window(ts, windowDur, slideDur).as("w"), key.as("key"))
+          .agg(count(lit(1)).as("n"))
+    agged.select(
+      date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      col("key"),
+      col("n"))
+  }
 
   /** Cumulative per-key totals by day (reference updateStateByKey,
     * RegisterStreaming.scala:95-101, as a batch analog): aggregate to
