@@ -100,6 +100,33 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("minhash estimator tracks true shingle Jaccard (multiply-shift " +
+    "permutation family is min-wise enough at 64 perms)") {
+    val rnd = new scala.util.Random(11)
+    def randStr(n: Int) =
+      Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val k = 5
+    var sumErr = 0.0
+    val trials = 40
+    for (_ <- 0 until trials) {
+      val shared = randStr(100 + rnd.nextInt(300))
+      val a = shared + randStr(rnd.nextInt(200))
+      val b = shared + randStr(rnd.nextInt(200))
+      val (sa, sb) = (a.sliding(k).toSet, b.sliding(k).toSet)
+      val trueJ = (sa & sb).size.toDouble / (sa | sb).size
+      val (ga, gb) = (ShingleOps.minhashSig(UTF8String.fromString(a), k),
+        ShingleOps.minhashSig(UTF8String.fromString(b), k))
+      val est = ga.zip(gb).count(p => p._1 == p._2).toDouble / ga.length
+      val err = math.abs(est - trueJ)
+      // 4σ bound at 64 permutations: sd = sqrt(J(1−J)/64) ≤ 0.0625
+      assert(err <= 0.25, f"estimator off by $err%.3f (true $trueJ%.3f)")
+      sumErr += err
+    }
+    // a broken permutation family fails the aggregate even if no single
+    // pair crosses 4σ
+    assert(sumErr / trials <= 0.08, f"mean error ${sumErr / trials}%.3f")
+  }
+
   test("simhash: deterministic and token-order sensitive only via counts") {
     forAll(Gen.listOf(Gen.identifier)) { toks =>
       val a = UTF8String.fromString(toks.mkString(" "))
