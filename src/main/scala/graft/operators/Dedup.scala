@@ -24,12 +24,13 @@ import graft.functions.{SetExprs, ShingleExprs}
 object Dedup {
 
   /** Exact dedup: group identical (normalized) texts, keep the smallest id.
-    * One hash aggregate — shuffles the normalized-text key, not the corpus.
-    * At 100 TB, group by a 128-bit text hash instead of the text itself to
-    * shrink shuffle width (collision probability negligible). */
+    * One hash aggregate keyed on the 16-byte MD5 of the normalized text —
+    * fixed-width shuffle keys instead of document-length strings, with
+    * collision probability ~2⁻¹²⁸ (no corpus reaches the ~2⁶⁴ texts where
+    * that matters). */
   def exact(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs.groupBy(lower(trim(col(textCol))).as("norm_text"))
+    docs.groupBy(unhex(md5(lower(trim(col(textCol))))).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
