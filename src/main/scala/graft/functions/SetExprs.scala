@@ -89,9 +89,112 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaccard of two SORTED, null-free, duplicate-free arrays when it is
+  * ≥ `threshold`, else null — one merge pass for both the test and the
+  * value.
+  *
+  * Why thresholding lives inside the expression: a plain
+  * `filter(jaccard >= t)` over a projected jaccard column gets inlined
+  * by predicate pushdown into the join condition, so the merge runs once
+  * per occurrence — observed three evaluations per candidate pair
+  * (numerator + denominator in the pushed condition, plus the output
+  * projection). With the test fused into one null-producing expression,
+  * the pushed `IsNotNull` costs a single merge per candidate, and only
+  * surviving pairs pay a second merge in the output projection.
+  *
+  * Same caller contract as [[SortedIntersectSize]]; empty-vs-empty
+  * union yields null (no meaningful Jaccard), matching SQL NULL-division
+  * semantics.
+  */
+case class JaccardGE(left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jaccard_ge"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _)) if a == b =>
+        TypeUtils.checkForOrderingExpr(a, prettyName)
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two arrays of the same orderable type, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  @transient private lazy val ordering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(elemType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < nx && j < ny) {
+      val c = ordering.compare(x.get(i, elemType), y.get(j, elemType))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val uni = nx + ny - n
+    if (uni == 0) null
+    else {
+      val jac = n.toDouble / uni.toDouble
+      if (jac >= threshold) jac else null
+    }
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val va = ctx.freshName("va")
+      val vb = ctx.freshName("vb")
+      val uni = ctx.freshName("uni")
+      val jac = ctx.freshName("jac")
+      val jt = CodeGenerator.javaType(elemType)
+      val getA = CodeGenerator.getValue(a, elemType, i)
+      val getB = CodeGenerator.getValue(b, elemType, j)
+      s"""
+         |int $i = 0; int $j = 0; int $n = 0;
+         |final int ${i}N = $a.numElements();
+         |final int ${j}N = $b.numElements();
+         |while ($i < ${i}N && $j < ${j}N) {
+         |  $jt $va = $getA;
+         |  $jt $vb = $getB;
+         |  int $c = ${ctx.genComp(elemType, va, vb)};
+         |  if ($c == 0) { $n++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |final int $uni = ${i}N + ${j}N - $n;
+         |final double $jac = $uni == 0 ? -1.0 : ((double) $n) / $uni;
+         |if ($jac >= $threshold) { ${ev.value} = $jac; }
+         |else { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardGE =
+    copy(left = newLeft, right = newRight)
+}
+
 object SetExprs {
   /** Column API for [[SortedIntersectSize]]. */
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectSize(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column API for [[JaccardGE]]. */
+  def jaccardGE(a: Column, b: Column, threshold: Double): Column =
+    GraftColumnBridge.column(JaccardGE(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
+      threshold))
 }

@@ -202,16 +202,17 @@ object Dedup {
   }
 
   /** Exact Jaccard over pre-sorted ngram-set columns `ng_a`/`ng_b` via a
-    * codegen'd linear merge (see [[graft.functions.SortedIntersectSize]]). */
+    * codegen'd linear merge. The threshold test is fused into the
+    * expression ([[graft.functions.JaccardGE]]): a separate
+    * `filter(jaccard >= t)` gets inlined by predicate pushdown into the
+    * preceding join condition and re-evaluated in the output projection
+    * — three merge passes per candidate pair; the fused form pays one
+    * per candidate plus one per surviving pair. */
   private def jaccardVerify(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
-      .withColumn("inter",
-        SetExprs.sortedIntersectSize(col("ng_a"), col("ng_b")))
-      .withColumn("uni",
-        size(col("ng_a")) + size(col("ng_b")) - col("inter"))
       .withColumn("jaccard",
-        col("inter").cast("double") / col("uni").cast("double"))
-      .filter(col("jaccard") >= threshold)
+        SetExprs.jaccardGE(col("ng_a"), col("ng_b"), threshold))
+      .filter(col("jaccard").isNotNull)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
   // ---- SimHash ---------------------------------------------------------

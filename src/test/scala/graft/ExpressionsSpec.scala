@@ -56,6 +56,19 @@ class ExpressionsSpec extends SparkTestBase {
     assert(s === 1)
   }
 
+  test("JaccardGE: fused threshold test — value at/above, null below, " +
+    "null on empty union") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),  // J = 2/4 = 0.5
+      (Seq(1L, 2L), Seq(3L, 4L)),          // J = 0
+      (Seq[Long](), Seq[Long]()),          // empty union
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))   // J = 1
+    ).toDF("a", "b")
+    val got = df.select(SetExprs.jaccardGE($"a", $"b", 0.5).as("j"))
+      .as[Option[Double]].collect().toSeq
+    assert(got === Seq(Some(0.5), None, None, Some(1.0)))
+  }
+
   test("shingleSetChars: code-point windows on multibyte text; null " +
     "below k chars") {
     // 6 chars, 12 bytes — byte windows would split code points
