@@ -63,13 +63,39 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) => name -> time(name, fn)
     }
+
+    // streaming throughput vs BASELINE.md's 1,000 rec/s ingest ceiling:
+    // push 60k register lines (20 reference batches) through the J1
+    // cumulative pipeline and measure end-to-end rec/s. -1 on failure.
+    val streamRecPerSec: Double = try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sql = spark.sqlContext
+      val input = MemoryStream[String]
+      val q = graft.streaming.RegisterStream
+        .cumulativeCounts(graft.streaming.RegisterStream.parse(input.toDF()))
+        .writeStream.format("memory").queryName("bench_stream_tp")
+        .outputMode("complete").start()
+      try {
+        input.addData((0 until 1000).map(i => s"$i\t1\t2019-07-16 16:00:00"))
+        q.processAllAvailable() // warm the pipeline
+        val n = 60000
+        val t0 = System.nanoTime()
+        input.addData((0 until n).map(i => s"$i\t${i % 3}\t2019-07-16 16:01:55"))
+        q.processAllAvailable()
+        n / ((System.nanoTime() - t0) / 1e9)
+      } finally q.stop()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming throughput FAILED: ${e.getMessage}")
+      -1.0
+    }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failures = results.count(_._2 < 0)
     // a failed query must not shrink the headline number: each failure
     // contributes a visible penalty instead of silently dropping out
     val total = results.map(_._2).filter(_ >= 0).sum + failures * 600.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"runs_per_query":$Runs,"agg":"min","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"runs_per_query":$Runs,"agg":"min","stream_rec_per_sec":${streamRecPerSec.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
