@@ -18,10 +18,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session(appName = "graft-bench")
 
+    // debug aid: SPARK_GRAFT_ONLY=q7,x4 times a subset (never set by the
+    // harness — full set runs by default)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
     // warm-up at the smallest SF: compile + JIT every query's plan
     val warmDir = Seq("/root/testdata/sf0.001", sfDir)
       .find(d => new java.io.File(d).isDirectory).getOrElse(sfDir)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(
@@ -60,7 +67,7 @@ object Bench {
       best
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results = selected.map {
       case (name, fn) => name -> time(name, fn)
     }
 

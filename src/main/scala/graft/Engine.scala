@@ -12,6 +12,16 @@ import org.apache.spark.sql.SparkSession
   * dimension joins shuffle-free.
   */
 object Engine {
+  /** Broadcast-join threshold, env-tunable (SPARK_GRAFT_BROADCAST_MB).
+    * Default = Spark's 10 MB: in single-JVM local mode, building hash
+    * relations for tables in the 10–64 MB band (e.g. the ngram join's
+    * per-block gram-frequency table at bench scale) measurably loses to
+    * a key-equality shuffle. On a multi-executor cluster broadcasting
+    * that band saves shuffling the fact side — raise the env var there. */
+  private def broadcastThreshold: String =
+    (sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "10").toLong
+      * 1024 * 1024).toString
+
   def session(
       master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
       shufflePartitions: Int =
@@ -25,7 +35,7 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", broadcastThreshold)
       // streaming state off-heap: HDFSBackedStateStore keeps every key
       // on the JVM heap (executor OOM once keyed state outgrows
       // memory); RocksDB spills to local disk and incrementally
@@ -47,8 +57,7 @@ object Engine {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-      (64 * 1024 * 1024).toString)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastThreshold)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
