@@ -176,8 +176,11 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       nLists: Int = 16, nProbe: Int = 4, trainSample: Int = 100000,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // null vectors are non-neighbors (cosineTopK semantics) — exclude
+    // them up front rather than tripping the dim guard during assignment
     val corpus = embeddings.select(col(idCol).as("vec_id"),
       col(embCol).as("v"))
+      .filter(col("v").isNotNull)
     // cast to array<float> first: embeddings may arrive as array<double>
     // (the pre-rework MLlib path accepted both), and a raw getSeq[Float]
     // on doubles would throw ClassCastException. Null vectors / null
@@ -245,6 +248,7 @@ object Similarity {
 
     val corpus = embeddings.select(col(idCol).as("vec_id"),
       col(embCol).as("v"))
+      .filter(col("v").isNotNull) // nulls are non-neighbors, not errors
       .withColumn("sig", lshBucket(col("v"), allPlanes, dim))
     val corpusB = corpus.select(col("vec_id"), col("v"), tbl(col("sig")).as("k"))
       .select(col("vec_id"), col("v"), col("k.tbl").as("tbl"),

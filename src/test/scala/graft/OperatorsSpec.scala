@@ -146,6 +146,44 @@ class OperatorsSpec extends SparkTestBase {
     assert(got === Set((1L, 2L, 0.8)))
   }
 
+  test("dedup operators tolerate null text rows (dropped, not crashed)") {
+    val docs = Seq((1L, "b", "the quick brown fox jumps high"),
+      (2L, "b", null), (3L, "b", "the quick brown fox jumps high"))
+      .toDF("doc_id", "source", "text")
+    assert(Dedup.exact(docs).count() === 2) // null groups separately
+    assert(Dedup.minhashLsh(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      === Set((1L, 3L)))
+    assert(Dedup.ngramJaccardBlocked(docs, "source", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      === Set((1L, 3L)))
+    assert(Dedup.simhashPairs(docs).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet === Set((1L, 3L)))
+  }
+
+  test("ann paths tolerate null embeddings (excluded from index and " +
+    "training)") {
+    val dim = 8
+    val emb = Seq(
+      (0L, Array.tabulate(dim)(i => if (i == 0) 1f else 0f)),
+      (1L, null.asInstanceOf[Array[Float]]),
+      (2L, Array.tabulate(dim)(i => if (i == 0) 0.9f else 0.01f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(emb.filter($"embedding".isNotNull),
+      emb.filter($"vec_id" === 0), k = 2, nLists = 2, nProbe = 2)
+    assert(got.select("vec_id").as[Long].collect().toSet === Set(2L))
+    // with the null row left in the corpus: excluded from training AND
+    // from the index, not an assignment error
+    val trained = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 0),
+      k = 2, nLists = 2, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(trained === Set(2L))
+    val lsh = Similarity.annTopK(emb, emb.filter($"vec_id" === 0),
+      k = 2, nBits = 2, nTables = 1, dim = dim)
+      .select("vec_id").as[Long].collect().toSet
+    assert(lsh.subsetOf(Set(2L))) // bucket may or may not collide
+  }
+
   test("cosine top-k: exact neighbors with self excluded") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(1f, 0.01f, 0f)),
