@@ -178,15 +178,27 @@ object Dedup {
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= prefLen(tLow))
       .withColumn("ixp", col("rn") <= prefLen(ixLow))
-      .select(col("id"), col("blk"), col("gram"), col("sz"), col("ixp"))
+      .select(col("id"), col("blk"), col("gram"), col("sz"), col("rn"),
+        col("ixp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // positional filter (PPJoin Lemma 3): all shared grams of a pair sit
+    // at ranks ≥ the matched gram's rank in BOTH docs (global rare-first
+    // order), so overlap ≤ 1 + min(szA−pa, szB−pb); a qualifying pair
+    // needs overlap ≥ α = ⌈t/(1+t)·(szA+szB)⌉ and is kept via its FIRST
+    // shared prefix gram, where the bound is loosest. Prunes most of the
+    // per-gram pair space before the distinct.
+    val alphaFrac = (tLow / (1 + tLow))
+      .setScale(15, scala.math.BigDecimal.RoundingMode.FLOOR)
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.blk") === col("b.blk") && col("a.gram") === col("b.gram") &&
           (col("a.sz") < col("b.sz") ||
             (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))) &&
           col("a.ixp") &&
-          col("a.sz") >= ceil(lit(tLow) * col("b.sz")))
+          col("a.sz") >= ceil(lit(tLow) * col("b.sz")) &&
+          lit(1) + least(col("a.sz") - col("a.rn"),
+            col("b.sz") - col("b.rn")) >=
+            ceil(lit(alphaFrac) * (col("a.sz") + col("b.sz"))))
       .select(least(col("a.id"), col("b.id")).as("doc_a"),
         greatest(col("a.id"), col("b.id")).as("doc_b"))
       .distinct()
