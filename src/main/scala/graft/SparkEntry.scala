@@ -126,6 +126,18 @@ object SparkEntry {
     }),
     "x12_cosine_dedup" -> ((s, dir) =>
       Similarity.cosineDedupBlocked(Tables.embeddings(s, dir), "label", 0.3)),
+    // Extensions: point-in-time (as-of) lookup — strictly-previous order
+    // date per order, the inter-purchase-interval primitive
+    "x14_asof_prev_order" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      graft.operators.AsofJoin.asofLookup(
+        left = o, right = o,
+        leftKey = col("o_custkey"), rightKey = col("o_custkey"),
+        leftTime = col("o_orderdate"), rightTime = col("o_orderdate"),
+        valueCol = col("o_orderdate"), asofCol = "prev_order_date",
+        leftProjection = Seq(col("o_orderkey")),
+        inclusive = false)
+    }),
     // Extensions: text analysis
     "x7_text_stats" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -340,6 +352,12 @@ object SparkEntry {
         |              ORDER BY cosine DESC, vec_id) AS INT) AS rnk
         |  FROM s)
         |WHERE rnk <= 10""".stripMargin,
+    "x14_asof_prev_order" ->
+      """SELECT a.o_orderkey,
+        |       (SELECT max(b.o_orderdate) FROM orders b
+        |        WHERE b.o_custkey = a.o_custkey
+        |          AND b.o_orderdate < a.o_orderdate) AS prev_order_date
+        |FROM orders a""".stripMargin,
     "x12_cosine_dedup" ->
       """WITH n0 AS (
         |  SELECT vec_id, label,

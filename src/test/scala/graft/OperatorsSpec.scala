@@ -146,6 +146,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(got === Set((1L, 2L, 0.8)))
   }
 
+  test("asof lookup: inclusive and strict semantics, ties, no-match null") {
+    import graft.operators.AsofJoin
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq( // (key, time, price)
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:00"), 101.0), // same-instant duplicate
+      (1L, ts("2024-01-01 12:00:00"), 110.0),
+      (2L, ts("2024-01-01 11:00:00"), 50.0)
+    ).toDF("k", "t", "price")
+    val trades = Seq( // (trade_id, key, time)
+      (10L, 1L, ts("2024-01-01 10:00:00")), // at-instant
+      (11L, 1L, ts("2024-01-01 11:00:00")), // between quotes
+      (12L, 1L, ts("2024-01-01 13:00:00")), // after last quote
+      (13L, 2L, ts("2024-01-01 10:30:00")), // before any quote
+      (14L, 3L, ts("2024-01-01 10:00:00"))  // key with no quotes
+    ).toDF("trade_id", "k", "t")
+
+    def run(inclusive: Boolean) = AsofJoin.asofLookup(
+      trades, quotes, col("k"), col("k"), col("t"), col("t"),
+      col("price"), "px", Seq(col("trade_id")), inclusive)
+      .as[(Long, Option[Double])].collect().toMap
+
+    val incl = run(inclusive = true)
+    assert(incl === Map(10L -> Some(101.0), // ≤: same-instant max wins
+      11L -> Some(101.0), 12L -> Some(110.0), 13L -> None, 14L -> None))
+    val strict = run(inclusive = false)
+    assert(strict === Map(10L -> None, // <: same-instant quotes invisible
+      11L -> Some(101.0), 12L -> Some(110.0), 13L -> None, 14L -> None))
+  }
+
   test("dedup operators tolerate null text rows (dropped, not crashed)") {
     val docs = Seq((1L, "b", "the quick brown fox jumps high"),
       (2L, "b", null), (3L, "b", "the quick brown fox jumps high"))
