@@ -138,6 +138,27 @@ object SparkEntry {
         leftProjection = Seq(col("o_orderkey")),
         inclusive = false)
     }),
+    // Extensions: temporal band join — same-priority orders within ±1
+    // day of each other (temporal-proximity feature primitive)
+    "x15_range_near_orders" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate"))
+      val pairs = graft.operators.RangeJoin.withinTolerance(
+        o, o,
+        leftKey = col("o_orderpriority"), rightKey = col("o_orderpriority"),
+        leftTime = col("o_orderdate"), rightTime = col("o_orderdate"),
+        tolSec = 86400L,
+        leftProjection = Seq(col("o_orderkey").as("a_key")),
+        rightProjection = Seq(col("o_orderkey").as("b_key")))
+        .filter(col("a_key") =!= col("b_key"))
+      val counts = pairs.groupBy(col("a_key"))
+        .agg(count(lit(1)).as("n_near"))
+      o.select(col("o_orderkey"))
+        .join(counts, col("o_orderkey") === col("a_key"), "left_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+    }),
     // Extensions: text analysis
     "x7_text_stats" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -352,6 +373,15 @@ object SparkEntry {
         |              ORDER BY cosine DESC, vec_id) AS INT) AS rnk
         |  FROM s)
         |WHERE rnk <= 10""".stripMargin,
+    "x15_range_near_orders" ->
+      """SELECT a.o_orderkey,
+        |       CAST(count(b.o_orderkey) AS BIGINT) AS n_near
+        |FROM orders a
+        |LEFT JOIN orders b
+        |  ON b.o_orderpriority = a.o_orderpriority
+        | AND b.o_orderkey <> a.o_orderkey
+        | AND abs(epoch(a.o_orderdate) - epoch(b.o_orderdate)) <= 86400
+        |GROUP BY 1""".stripMargin,
     "x14_asof_prev_order" ->
       """SELECT a.o_orderkey,
         |       (SELECT max(b.o_orderdate) FROM orders b

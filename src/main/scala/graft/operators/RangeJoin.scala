@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Temporal band (range) join: pairs of rows sharing a key whose
+  * timestamps lie within a tolerance of each other.
+  *
+  * Spark's planner turns `a.t BETWEEN b.t - tol AND b.t + tol` into a
+  * key-equality join with the range as a post-join residual — fine — but
+  * with NO equality key it degenerates to a nested-loop cross join, and
+  * even with one, skewed keys pay the full per-key cross product before
+  * filtering. The granule trick bounds the pair space structurally:
+  * bucket both sides by ⌊epoch / tol⌋; any pair within `tol` seconds is
+  * at most one bucket apart, so the left side probes its own bucket ±1
+  * (a 3× explode of the probe side only) and an equi-join on
+  * (key, bucket) + the exact residual filter finds every pair exactly
+  * once — each right row lives in exactly one bucket, so no distinct
+  * pass is needed. Shuffle volume: 3·|L| + |R|, candidates per probe
+  * bounded by the key's rows per 2·tol window, never the key's total.
+  */
+object RangeJoin {
+
+  /** Pairs with equal join key and |leftTime − rightTime| ≤ tolSec.
+    * Output: leftProjection ++ rightProjection columns (alias them
+    * disjointly — notably for self-joins). */
+  def withinTolerance(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column, tolSec: Long,
+      leftProjection: Seq[Column], rightProjection: Seq[Column])
+      : DataFrame = {
+    require(tolSec > 0, "withinTolerance: tolSec must be positive")
+    val l = left.select((leftProjection :+ leftKey.as("_lk") :+
+      unix_timestamp(leftTime).as("_lt")): _*)
+      .withColumn("_off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_lb", col("_off") + floor(col("_lt") / tolSec))
+      .drop("_off")
+    val r = right.select((rightProjection :+ rightKey.as("_rk") :+
+      unix_timestamp(rightTime).as("_rt")): _*)
+      .withColumn("_rb", floor(col("_rt") / tolSec))
+    // the KEY must be part of the equi-join: shuffling on the bucket
+    // alone would funnel every key's rows of a 2·tol window through one
+    // reducer (time-global skew)
+    l.join(r, col("_lk") === col("_rk") && col("_lb") === col("_rb"))
+      .filter(abs(col("_lt") - col("_rt")) <= tolSec)
+      .drop("_lb", "_rb", "_lk", "_rk", "_lt", "_rt")
+  }
+}

@@ -177,6 +177,34 @@ class OperatorsSpec extends SparkTestBase {
       11L -> Some(101.0), 12L -> Some(110.0), 13L -> None, 14L -> None))
   }
 
+  test("range join: exact tolerance band, bucket boundaries, key " +
+    "separation, each pair once") {
+    import graft.operators.RangeJoin
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = Seq( // (id, key, time)
+      (1L, "k1", ts("2024-01-01 00:00:00")),
+      (2L, "k1", ts("2024-01-01 00:59:59")), // within 1h of 1 (edge)
+      (3L, "k1", ts("2024-01-01 01:00:01")), // within 1h of 2, not 1
+      (4L, "k1", ts("2024-01-01 05:00:00")), // isolated
+      (5L, "k2", ts("2024-01-01 00:30:00"))  // other key, overlapping time
+    ).toDF("id", "k", "t")
+    val pairs = RangeJoin.withinTolerance(rows, rows,
+      col("k"), col("k"), col("t"), col("t"), tolSec = 3600L,
+      Seq(col("id").as("a")), Seq(col("id").as("b")))
+      .filter(col("a") < col("b"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(pairs === Seq((1L, 2L), (2L, 3L)))
+    // exactly-at-tolerance matches (inclusive): 00:00:00 vs 01:00:00
+    val edge = Seq((1L, "k", ts("2024-01-01 00:00:00")),
+      (2L, "k", ts("2024-01-01 01:00:00"))).toDF("id", "k", "t")
+    val ep = RangeJoin.withinTolerance(edge, edge,
+      col("k"), col("k"), col("t"), col("t"), tolSec = 3600L,
+      Seq(col("id").as("a")), Seq(col("id").as("b")))
+      .filter(col("a") < col("b")).as[(Long, Long)].collect().toSeq
+    assert(ep === Seq((1L, 2L)))
+  }
+
   test("dedup operators tolerate null text rows (dropped, not crashed)") {
     val docs = Seq((1L, "b", "the quick brown fox jumps high"),
       (2L, "b", null), (3L, "b", "the quick brown fox jumps high"))
