@@ -17,6 +17,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     var failed = 0
     SparkEntry.queries.foreach { case (name, fn) =>
+      // remove any stale output first: a query that fails at analysis
+      // time writes nothing, and a leftover dir from a previous run
+      // would be silently graded in its place
+      val target = Paths.get(s"$outDir/$name")
+      if (Files.isDirectory(target)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(target).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -40,20 +40,26 @@ object AsofJoin {
       leftProjection: Seq[Column], inclusive: Boolean = true): DataFrame = {
     val vType = right.select(valueCol).schema.head.dataType
 
+    val reserved = Set("_k", "_t", "_is_left", "_v")
+    require(!reserved.contains(asofCol),
+      s"asofLookup: asofCol '$asofCol' collides with an internal column")
+
     val l = left.select((leftProjection :+
       leftKey.as("_k") :+ leftTime.as("_t")): _*)
       .withColumn("_is_left", lit(1))
       .withColumn("_v", lit(null).cast(vType))
-    val lCols = l.columns
+    require(!l.columns.contains(asofCol),
+      s"asofLookup: asofCol '$asofCol' collides with a projection column")
 
+    // equi-join semantics: right rows with a null key or null timestamp
+    // match nothing (SQL NULL never equals/compares) — without this
+    // filter they sort to the partition head (nulls-first) and their
+    // value would be served as 'infinitely old' state to every left
+    // row, and null keys would match each other via partitionBy
     val r = right.select(rightKey.as("_k"), rightTime.as("_t"),
       valueCol.cast(vType).as("_v"))
+      .filter(col("_k").isNotNull && col("_t").isNotNull)
       .withColumn("_is_left", lit(0))
-    // align schemas: left-only columns ride as nulls on right rows
-    val rAligned = lCols.foldLeft(r) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null))
-    }.select(lCols.map(col): _*)
 
     // equal-timestamp order decides inclusivity: right-first ⇒ time ≤ t,
     // left-first ⇒ time < t; then by value so same-instant right
@@ -64,7 +70,7 @@ object AsofJoin {
       .orderBy(col("_t"), sideOrder, col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l.unionByName(rAligned)
+    l.unionByName(r, allowMissingColumns = true)
       .withColumn(asofCol, last(col("_v"), ignoreNulls = true).over(w))
       .filter(col("_is_left") === 1)
       .drop("_k", "_t", "_is_left", "_v")

@@ -30,14 +30,20 @@ object RangeJoin {
       leftProjection: Seq[Column], rightProjection: Seq[Column])
       : DataFrame = {
     require(tolSec > 0, "withinTolerance: tolSec must be positive")
+    // decimal epoch seconds, not unix_timestamp: unix_timestamp floors
+    // to whole seconds, which would admit pairs up to tolSec+0.999s
+    // apart; timestamp→decimal keeps exact microseconds. The interim
+    // timestamp cast normalizes TIMESTAMP_NTZ/DATE inputs (NTZ casts
+    // directly to numeric are rejected); session TZ is pinned UTC.
+    def epochSec(t: Column) = t.cast("timestamp").cast("decimal(26,6)")
     val l = left.select((leftProjection :+ leftKey.as("_lk") :+
-      unix_timestamp(leftTime).as("_lt")): _*)
+      epochSec(leftTime).as("_lt")): _*)
       .withColumn("_off", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("_lb", col("_off") + floor(col("_lt") / tolSec))
+      .withColumn("_lb", col("_off") + floor(col("_lt") / tolSec).cast("long"))
       .drop("_off")
     val r = right.select((rightProjection :+ rightKey.as("_rk") :+
-      unix_timestamp(rightTime).as("_rt")): _*)
-      .withColumn("_rb", floor(col("_rt") / tolSec))
+      epochSec(rightTime).as("_rt")): _*)
+      .withColumn("_rb", floor(col("_rt") / tolSec).cast("long"))
     // the KEY must be part of the equi-join: shuffling on the bucket
     // alone would funnel every key's rows of a 2·tol window through one
     // reducer (time-global skew)

@@ -205,6 +205,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(ep === Seq((1L, 2L)))
   }
 
+  test("range join: sub-second precision honored; asof: null right " +
+    "keys/times match nothing (SQL equi-join semantics)") {
+    import graft.operators.{AsofJoin, RangeJoin}
+    import java.sql.Timestamp
+    val a = Seq((1L, "k", Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "k", "t")
+    val b = Seq((2L, "k", new Timestamp(
+        Timestamp.valueOf("2024-01-01 00:00:01").getTime + 999)), // +1.999s
+      (3L, "k", Timestamp.valueOf("2024-01-01 00:00:01"))) // +1.000s
+      .toDF("id", "k", "t")
+    val got = RangeJoin.withinTolerance(a, b, col("k"), col("k"),
+      col("t"), col("t"), tolSec = 1L,
+      Seq(col("id").as("x")), Seq(col("id").as("y")))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L))) // 1.999s apart excluded, 1.000s kept
+
+    val trades = Seq((10L, Option("k"), Option(Timestamp.valueOf(
+      "2024-01-01 10:00:00")))).toDF("trade_id", "k", "t")
+    val quotes = Seq(
+      (Option.empty[String], Option(Timestamp.valueOf("2024-01-01 09:00:00")),
+        111.0), // null key
+      (Option("k"), Option.empty[Timestamp], 222.0) // null time
+    ).toDF("k", "t", "price")
+    val asof = AsofJoin.asofLookup(trades, quotes, col("k"), col("k"),
+      col("t"), col("t"), col("price"), "px", Seq(col("trade_id")))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(asof === Map(10L -> None)) // neither null row matched
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofLookup(trades, quotes, col("k"), col("k"),
+        col("t"), col("t"), col("price"), "_v", Seq(col("trade_id")))
+    }
+  }
+
   test("dedup operators tolerate null text rows (dropped, not crashed)") {
     val docs = Seq((1L, "b", "the quick brown fox jumps high"),
       (2L, "b", null), (3L, "b", "the quick brown fox jumps high"))
