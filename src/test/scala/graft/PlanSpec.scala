@@ -41,6 +41,19 @@ class PlanSpec extends SparkTestBase {
     assert(plan("q11_customers_no_orders").contains("LeftAnti"))
   }
 
+  test("x14 as-of: one exchange total — union + keyed window, no join") {
+    val p = plan("x14_asof_prev_order")
+    assert(p.linesIterator.count(_.contains("Exchange")) === 1, p)
+    assert(!p.contains("Join"), p) // the whole point: no fan-out join
+  }
+
+  test("x15 range join: equi-join on (key, bucket), no nested loop") {
+    val p = plan("x15_range_near_orders")
+    assert(p.contains("Join"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("no query plans a cartesian product; nested-loop joins only " +
     "where brute force is the contract") {
     // x5 brute-force cosine is DELIBERATELY a broadcast nested-loop scan
