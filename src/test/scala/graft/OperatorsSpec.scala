@@ -205,6 +205,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(ep === Seq((1L, 2L)))
   }
 
+  test("asof lookup equals brute-force latest-predecessor on random " +
+    "data (both inclusivities)") {
+    import graft.operators.AsofJoin
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(5)
+    def t(off: Int) = new Timestamp(1700000000000L + off * 1000L)
+    // small time domain forces at-instant collisions and dense overlap
+    val trades = (0 until 120).map(i =>
+      (i.toLong, (rnd.nextInt(6)).toString, t(rnd.nextInt(40))))
+    val quotes = (0 until 80).map(_ =>
+      ((rnd.nextInt(6)).toString, t(rnd.nextInt(40)),
+        (rnd.nextInt(50) + 1).toDouble))
+    val tDf = trades.toDF("trade_id", "k", "t")
+    val qDf = quotes.toDF("k", "t", "price")
+
+    for (inclusive <- Seq(true, false)) {
+      val got = AsofJoin.asofLookup(tDf, qDf, col("k"), col("k"),
+        col("t"), col("t"), col("price"), "px", Seq(col("trade_id")),
+        inclusive)
+        .as[(Long, Option[Double])].collect().toMap
+      val want = trades.map { case (id, k, tt) =>
+        val preds = quotes.filter { case (qk, qt, _) =>
+          qk == k && (if (inclusive) !qt.after(tt) else qt.before(tt))
+        }
+        val px = if (preds.isEmpty) None else {
+          val tmax = preds.map(_._2.getTime).max
+          Some(preds.filter(_._2.getTime == tmax).map(_._3).max)
+        }
+        id -> px
+      }.toMap
+      assert(got === want, s"inclusive=$inclusive")
+    }
+  }
+
   test("range join: sub-second precision honored; asof: null right " +
     "keys/times match nothing (SQL equi-join semantics)") {
     import graft.operators.{AsofJoin, RangeJoin}
