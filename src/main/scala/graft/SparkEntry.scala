@@ -144,20 +144,18 @@ object SparkEntry {
       val o = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("o_orderdate"))
-      val pairs = graft.operators.RangeJoin.withinTolerance(
+      // keep the self-match and subtract it from the count: every order
+      // pairs with itself (distance 0), so every key is present in the
+      // aggregate and no join-back for zero-neighbor orders is needed
+      graft.operators.RangeJoin.withinTolerance(
         o, o,
         leftKey = col("o_orderpriority"), rightKey = col("o_orderpriority"),
         leftTime = col("o_orderdate"), rightTime = col("o_orderdate"),
         tolSec = 86400L,
-        leftProjection = Seq(col("o_orderkey").as("a_key")),
+        leftProjection = Seq(col("o_orderkey")),
         rightProjection = Seq(col("o_orderkey").as("b_key")))
-        .filter(col("a_key") =!= col("b_key"))
-      val counts = pairs.groupBy(col("a_key"))
-        .agg(count(lit(1)).as("n_near"))
-      o.select(col("o_orderkey"))
-        .join(counts, col("o_orderkey") === col("a_key"), "left_outer")
-        .select(col("o_orderkey"),
-          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .groupBy(col("o_orderkey"))
+        .agg((count(lit(1)) - 1).as("n_near"))
     }),
     // Extensions: text analysis
     "x7_text_stats" -> ((s, dir) =>
