@@ -179,6 +179,22 @@ class ExpressionsSpec extends SparkTestBase {
     assert(aggSig === kernelSig)
   }
 
+  test("JaccardGE interpreted eval agrees with the codegen results") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def lit(xs: Seq[Long]) =
+      Literal.create(new GenericArrayData(xs.toArray),
+        ArrayType(LongType, containsNull = false))
+    def ev(a: Seq[Long], b: Seq[Long], t: Double): Any =
+      graft.functions.JaccardGE(lit(a), lit(b), t)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    assert(ev(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L), 0.5) === 0.5)
+    assert(ev(Seq(1L, 2L), Seq(3L, 4L), 0.5) === null)
+    assert(ev(Seq(), Seq(), 0.5) === null)   // empty union
+    assert(ev(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 1.0) === 1.0)
+  }
+
   test("ShingleOps kernels agree between eval and direct call") {
     val s = UTF8String.fromString("abcdefghij")
     assert(ShingleOps.shingleSet(s, 3).toSeq ===
