@@ -23,9 +23,11 @@ object Verify {
       val target = Paths.get(s"$outDir/$name")
       if (Files.isDirectory(target)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(target).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
+        scala.util.Using.resource(Files.walk(target)) { stream =>
+          stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
       }
+      System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -31,12 +31,22 @@ object RegisterAnalytics {
     * containing that tumble. */
   def slidingCounts(events: DataFrame, ts: Column, key: Column,
       windowDur: String, slideDur: String): DataFrame = {
-    def toSec(d: String) =
-      org.apache.spark.sql.catalyst.util.IntervalUtils
-        .fromIntervalString(d).microseconds / 1000000L
-    val (w, s) = (toSec(windowDur), toSec(slideDur))
+    // Exact total microseconds (days are a separate CalendarInterval field;
+    // months have no fixed length, so any month component disqualifies the
+    // two-level plan). The decomposition below is only sound when the slide
+    // divides the window EXACTLY — sub-second remainders count.
+    def toUs(d: String): Option[Long] = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .fromIntervalString(d)
+      if (iv.months != 0) None
+      else Some(iv.days * 86400000000L + iv.microseconds)
+    }
+    val divides = (toUs(windowDur), toUs(slideDur)) match {
+      case (Some(wUs), Some(sUs)) => sUs > 0 && wUs % sUs == 0
+      case _ => false
+    }
     val agged =
-      if (s > 0 && w % s == 0) {
+      if (divides) {
         events
           .groupBy(window(ts, slideDur).as("tw"), key.as("key"))
           .agg(count(lit(1)).as("pn"))

@@ -109,6 +109,13 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 case class JaccardGE(left: Expression, right: Expression, threshold: Double)
     extends BinaryExpression {
 
+  // A Jaccard similarity is always in [0,1]; bounding the threshold keeps
+  // the generated Java literal valid (NaN/Infinity don't print as literals)
+  // and keeps the codegen path's -1.0 empty-union sentinel from ever
+  // satisfying the comparison.
+  require(threshold >= 0.0 && threshold <= 1.0,
+    s"graft_jaccard_ge threshold must be in [0,1], got $threshold")
+
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_jaccard_ge"

@@ -25,6 +25,12 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // Null is possible even with non-null children (length mismatch, null
+  // element): without this override, non-nullable inputs make
+  // nullSafeCodeGen drop the isNull declaration the result code assigns —
+  // the generated class fails to compile and the whole stage silently
+  // falls back to interpreted execution.
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   private def elemType(e: Expression): DataType =

@@ -30,9 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** For each left row: `valueCol`'s latest value at or before `leftTime`
-    * among right rows sharing the key; null when no right row precedes.
-    * Output: left's projection columns + `asofCol`. */
+  /** For each left row: `valueCol`'s latest NON-NULL value at or before
+    * `leftTime` among right rows sharing the key; null when no right row
+    * with a non-null value precedes. A right row whose value is null does
+    * NOT reset the lookup (unlike pandas merge_asof, which would surface
+    * that row's NaN) — null-valued right rows are dropped up front, so the
+    * contract is "latest non-null value", stated rather than an artifact
+    * of the union encoding. Output: left's projection columns + `asofCol`. */
   def asofLookup(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
@@ -55,10 +59,15 @@ object AsofJoin {
     // match nothing (SQL NULL never equals/compares) — without this
     // filter they sort to the partition head (nulls-first) and their
     // value would be served as 'infinitely old' state to every left
-    // row, and null keys would match each other via partitionBy
+    // row, and null keys would match each other via partitionBy.
+    // Null VALUES are dropped too: in the union encoding they are
+    // indistinguishable from left marker rows, so they cannot reset the
+    // carried value — dropping them makes the documented "latest
+    // non-null value" contract explicit
     val r = right.select(rightKey.as("_k"), rightTime.as("_t"),
       valueCol.cast(vType).as("_v"))
-      .filter(col("_k").isNotNull && col("_t").isNotNull)
+      .filter(col("_k").isNotNull && col("_t").isNotNull &&
+        col("_v").isNotNull)
       .withColumn("_is_left", lit(0))
 
     // equal-timestamp order decides inclusivity: right-first ⇒ time ≤ t,

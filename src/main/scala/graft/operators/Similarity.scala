@@ -176,18 +176,19 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       nLists: Int = 16, nProbe: Int = 4, trainSample: Int = 100000,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    // null vectors are non-neighbors (cosineTopK semantics) — exclude
-    // them up front rather than tripping the dim guard during assignment
+    // null vectors AND vectors with null elements are non-neighbors
+    // (cosineTopK semantics) — exclude both up front: size() counts null
+    // elements, so such a vector would pass the dim guard, get a null
+    // dist2 for every centroid (arbitrary cell via nulls-first sort) and
+    // surface with a null cosine when a bucket runs short of candidates
     val corpus = embeddings.select(col(idCol).as("vec_id"),
       col(embCol).as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
     // cast to array<float> first: embeddings may arrive as array<double>
     // (the pre-rework MLlib path accepted both), and a raw getSeq[Float]
-    // on doubles would throw ClassCastException. Null vectors / null
-    // elements are excluded from training the same way cosine treats
-    // them as non-neighbors.
+    // on doubles would throw ClassCastException. The corpus filter above
+    // already dropped null vectors / null elements.
     val sample = corpus
-      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
       .select(col("v").cast("array<float>")).limit(trainSample)
       .collect().map(_.getSeq[Float](0).toArray)
     val centers = lloyds(sample, nLists)
@@ -216,6 +217,7 @@ object Similarity {
     // (ids absent from the corpus) are first-class, matching cosineTopK
     val probes = queries
       .select(col(idCol).as("query_id"), col(embCol).as("qv"))
+      .filter(col("qv").isNotNull && !exists(col("qv"), _.isNull))
       .select(col("query_id"), col("qv"),
         explode(slice(cellsRanked(col("qv")), 1, nProbe)("cell")).as("cell"))
 

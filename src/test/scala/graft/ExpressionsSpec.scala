@@ -36,6 +36,23 @@ class ExpressionsSpec extends SparkTestBase {
     assert(math.abs(mixed - 7.0) < 1e-12)
   }
 
+  test("DotProduct compiles under codegen with NON-nullable array " +
+    "children (fallback disabled)") {
+    // pre-fix: DotProduct inherited nullable from its children, so
+    // non-nullable inputs made nullSafeCodeGen drop the isNull
+    // declaration that the result code assigns — the generated class
+    // failed to compile and the stage fell back to interpreted execution
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val d = spark.range(3)
+        .select(VectorExprs.dot(
+          array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("d"))
+        .as[Double].collect()
+      assert(d.toSeq === Seq(11.0, 11.0, 11.0))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("SortedIntersectSize: merge semantics on sorted sets") {
     val df = Seq(
       (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L), 2), // {3,5}
@@ -193,6 +210,19 @@ class ExpressionsSpec extends SparkTestBase {
     assert(ev(Seq(1L, 2L), Seq(3L, 4L), 0.5) === null)
     assert(ev(Seq(), Seq(), 0.5) === null)   // empty union
     assert(ev(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 1.0) === 1.0)
+  }
+
+  test("JaccardGE rejects thresholds outside [0,1] (NaN/Infinity would " +
+    "break codegen; negatives would leak the -1.0 sentinel)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val a = Literal.create(new GenericArrayData(Array(1L)),
+      ArrayType(LongType, containsNull = false))
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity, -0.5, 1.5))
+      intercept[IllegalArgumentException] {
+        graft.functions.JaccardGE(a, a, bad)
+      }
   }
 
   test("ShingleOps kernels agree between eval and direct call") {

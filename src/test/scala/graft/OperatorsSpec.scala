@@ -272,6 +272,52 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("asof lookup: null-valued right rows are skipped, not carried " +
+    "(documented latest-non-null contract)") {
+    import graft.operators.AsofJoin
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100.0)),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[Double]), // null value
+      (2L, ts("2024-01-01 10:00:00"), Option.empty[Double])  // only nulls
+    ).toDF("k", "t", "price")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 12:00:00")), // after the null quote
+      (11L, 2L, ts("2024-01-01 12:00:00"))  // key has only null quotes
+    ).toDF("trade_id", "k", "t")
+    val got = AsofJoin.asofLookup(trades, quotes, col("k"), col("k"),
+      col("t"), col("t"), col("price"), "px", Seq(col("trade_id")))
+      .as[(Long, Option[Double])].collect().toMap
+    // the 11:00 null quote does not reset key 1's lookup; a key with
+    // only null-valued quotes behaves as if it had none
+    assert(got === Map(10L -> Some(100.0), 11L -> None))
+  }
+
+  test("ivf excludes vectors with null ELEMENTS from corpus and probes") {
+    val dim = 8
+    val withNullElem: Array[java.lang.Float] =
+      Array.tabulate(dim)(i => if (i == 3) null
+        else java.lang.Float.valueOf(if (i == 0) 1f else 0f))
+    val emb = Seq(
+      (0L, Array.tabulate(dim)(i => if (i == 0) 1f else 0f)
+        .map(java.lang.Float.valueOf)),
+      (1L, withNullElem),
+      (2L, Array.tabulate(dim)(i => if (i == 0) 0.9f else 0.01f)
+        .map(java.lang.Float.valueOf))
+    ).toDF("vec_id", "embedding")
+    // corpus side: the null-element vector never surfaces as a neighbor
+    val got = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 0),
+      k = 3, nLists = 2, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === Set(2L))
+    // probe side: a null-element query yields no rows instead of a
+    // raise_error or null-cosine results
+    val probed = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 1),
+      k = 3, nLists = 2, nProbe = 2).count()
+    assert(probed === 0L)
+  }
+
   test("dedup operators tolerate null text rows (dropped, not crashed)") {
     val docs = Seq((1L, "b", "the quick brown fox jumps high"),
       (2L, "b", null), (3L, "b", "the quick brown fox jumps high"))
