@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{SetExprs, ShingleExprs}
+import graft.functions.{PrefixExprs, SetExprs, ShingleExprs}
 
 /** Document deduplication operators, each stated in partition-scalable
   * form: no driver collects, no O(n²) cross joins — candidate generation
@@ -115,18 +115,43 @@ object Dedup {
     * The whole join runs on 64-bit gram hashes. The per-doc sorted
     * distinct gram-hash set is ONE doc-local kernel pass (see
     * [[graft.functions.ShingleSetCharsExpr]]) — no gram explode, no
-    * collect_set shuffle of string grams: the only full-width shuffles
-    * left are the doc-frequency count and the per-doc rank window, both
-    * over 8-byte hashes. Jaccard over hashed sets equals string-gram
-    * Jaccard unless xxhash64 collides inside a pair's union (probability
-    * ≈ |union|²/2⁶⁴ — vanishing at any realistic scale; in practice the
-    * result equals the brute-force within-block pairwise join, which is
-    * what the DuckDB oracle computes), and the quadratic pair space is
-    * replaced by a key-equality join on rare prefix grams: every stage
-    * is a shuffle on a key, nothing is O(block²). */
+    * collect_set shuffle of string grams. Jaccard over hashed sets
+    * equals string-gram Jaccard unless xxhash64 collides inside a
+    * pair's union (probability ≈ |union|²/2⁶⁴ — vanishing at any
+    * realistic scale; in practice the result equals the brute-force
+    * within-block pairwise join, which is what the DuckDB oracle
+    * computes), and the quadratic pair space is replaced by a
+    * key-equality join on rare prefix grams: every stage is a shuffle
+    * on a key, nothing is O(block²).
+    *
+    * The join is cost-routed per block (the standard hybrid of the
+    * parallel SSJoin literature, cf. Vernica/Carey/Li 2010): a block
+    * with ≤ `allPairsMaxDocs` documents runs a direct within-block pair
+    * join with the Jaccard merge fused in — on dense, templated blocks
+    * the prefix join enumerates each similar pair once per shared
+    * prefix gram (measured 30× the pair count on an everything-similar
+    * corpus), so below the bound the quadratic-but-bounded verify is
+    * strictly cheaper and skips the prefix machinery entirely. Blocks
+    * above the bound take the prefix-filtering path, whose candidates
+    * scale with the output, not block². Per-block all-pairs work is
+    * bounded by `allPairsMaxDocs²/2` merges; at corpus scale every real
+    * block exceeds the bound and routes to the prefix join.
+    *
+    * Prefix ranking is doc-local by default (`localPrefixRank = true`):
+    * the per-block gram→df dictionary — bounded by the gram universe,
+    * ≤ charset^n for character n-grams — is aggregated once, broadcast,
+    * and each document ranks its own grams against it in a kernel
+    * ([[graft.functions.RankedPrefixGrams]]). The only token-table-wide
+    * stage left is the map-side-combined df count; the df join and the
+    * per-doc `row_number` window (a shuffle + sort of the full token
+    * stream each) are gone. For an unbounded gram universe (word
+    * n-grams over many blocks, where the dictionary cannot broadcast)
+    * set `localPrefixRank = false` to keep the window plan — same
+    * output, unbounded-safe. */
   def ngramJaccardBlocked(docs: DataFrame, blockCol: String,
       threshold: Double = 0.5, n: Int = 3, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", localPrefixRank: Boolean = true,
+      allPairsMaxDocs: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = docs
       .select(col(idCol).as("id"), col(blockCol).as("blk"),
@@ -134,19 +159,6 @@ object Dedup {
       .filter(col("ng").isNotNull)
       .withColumn("sz", size(col("ng")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val toks = g.select(col("id"), col("blk"), col("sz"),
-      explode(col("ng")).as("gram"))
-    // rare-first order: document frequency per (block, gram), joined
-    // back onto the token stream. No forced broadcast hint — the gram
-    // universe is bounded per block (≤ charset^n) but gramDf grows with
-    // the NUMBER of blocks, so a mandatory broadcast would OOM on a
-    // many-block corpus; AQE sees the aggregate's true runtime size and
-    // broadcasts exactly when it fits. toks derives from the persisted
-    // g, so the two references cost two cache reads, not two
-    // token-table builds.
-    val gramDf = toks.groupBy(col("blk"), col("gram"))
-      .agg(count(lit(1)).as("df"))
-    val wRank = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
     // asymmetric prefixes (PPJoin, Xiao et al. 2008 Lemma 2): for a
     // qualifying pair with |a| ≤ |b|, the SMALLER doc's indexing prefix
     // sz−⌈(2t/(1+t))·sz⌉+1 and the LARGER doc's probing prefix
@@ -171,15 +183,70 @@ object Dedup {
       .setScale(15, scala.math.BigDecimal.RoundingMode.FLOOR)
     // prefix length sz−⌈f·sz⌉+1 ⇔ rn ≤ sz−⌈f·sz⌉+1; Spark decimal
     // multiply + ceil are exact, so the bound is the true integer one
+    // (the kernel computes the identical bound with java BigDecimal)
     def prefLen(f: BigDecimal): Column =
       col("sz") - ceil(lit(f) * col("sz")) + 1
-    val prefix = toks
-      .join(gramDf, Seq("blk", "gram"))
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= prefLen(tLow))
+    // dense route: direct within-block pair join with the size bound as
+    // a join predicate and the Jaccard merge fused into the same stage —
+    // no prefix machinery, no distinct, no re-fetch of the gram sets
+    def denseRoute(gd0: DataFrame): DataFrame = {
+      val gd = gd0.withColumn("minSz", ceil(lit(tLow) * col("sz")))
+      val pairs = gd.as("a").join(gd.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")) >=
+            greatest(col("a.minSz"), col("b.minSz")))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+          col("a.ng").as("ng_a"), col("b.ng").as("ng_b"))
+      jaccardVerify(pairs, threshold)
+    }
+
+    def prefixRoute(gs: DataFrame): DataFrame = {
+    // per-(block, gram) document frequency — the rare-first order key.
+    // Map-side partial aggregation shrinks the explode to distinct
+    // grams before the shuffle.
+    val gramDf = gs.select(col("blk"), explode(col("ng")).as("gram"))
+      .groupBy(col("blk"), col("gram")).agg(count(lit(1)).as("df"))
+    val ranked = if (localPrefixRank) {
+      // dictionary per block: grams ascending, dfs aligned. Broadcast is
+      // the contract of this path (dictionary ≤ gram universe); the
+      // join attaches each block's dictionary row to its documents with
+      // zero shuffle, and the kernel emits prefix grams already in rank
+      // order — posexplode's position IS the rank.
+      val dict = gramDf.groupBy(col("blk"))
+        .agg(array_sort(collect_list(struct(col("gram"), col("df"))))
+          .as("gd"))
+        .select(col("blk"),
+          transform(col("gd"), x => x.getField("gram")).as("dict_grams"),
+          transform(col("gd"), x => x.getField("df")).as("dict_dfs"))
+      gs.join(broadcast(dict), Seq("blk"))
+        .select(col("id"), col("blk"), col("sz"),
+          posexplode(PrefixExprs.rankedPrefixGrams(
+            col("ng"), col("dict_grams"), col("dict_dfs"), tLow)))
+        .select(col("id"), col("blk"), col("col").as("gram"), col("sz"),
+          (col("pos") + 1).as("rn"))
+    } else {
+      // unbounded-universe fallback: df joined onto the exploded token
+      // stream, ranked by a per-doc window (shuffle + sort of the token
+      // table — the price of not broadcasting the dictionary)
+      val toks = gs.select(col("id"), col("blk"), col("sz"),
+        explode(col("ng")).as("gram"))
+      val wRank = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
+      toks.join(gramDf, Seq("blk", "gram"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= prefLen(tLow))
+        .select(col("id"), col("blk"), col("gram"), col("sz"), col("rn"))
+    }
+    // per-row join-condition ingredients, precomputed ONCE per prefix row
+    // instead of per probed pair: the join condition below runs on every
+    // per-gram pair the hash join probes (an order of magnitude more
+    // often than there are prefix rows), so decimal ceil arithmetic
+    // there dominates the probe loop — precompute `minSz` (the size
+    // lower bound ⌈t·sz⌉) and `sfx` (the positional-filter suffix
+    // budget sz−rn) as plain longs
+    val prefix = ranked
       .withColumn("ixp", col("rn") <= prefLen(ixLow))
-      .select(col("id"), col("blk"), col("gram"), col("sz"), col("rn"),
-        col("ixp"))
+      .withColumn("minSz", ceil(lit(tLow) * col("sz")))
+      .withColumn("sfx", col("sz") - col("rn"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // positional filter (PPJoin Lemma 3): all shared grams of a pair sit
     // at ranks ≥ the matched gram's rank in BOTH docs (global rare-first
@@ -187,18 +254,23 @@ object Dedup {
     // needs overlap ≥ α = ⌈t/(1+t)·(szA+szB)⌉ and is kept via its FIRST
     // shared prefix gram, where the bound is loosest. Prunes most of the
     // per-gram pair space before the distinct.
-    val alphaFrac = (tLow / (1 + tLow))
-      .setScale(15, scala.math.BigDecimal.RoundingMode.FLOOR)
+    //
+    // The α test runs in pure long arithmetic: with α′ = N/10⁹ a scale-9
+    // FLOOR of t/(1+t), integer x satisfies x ≥ ⌈α′·s⌉ ⇔ x·10⁹ ≥ N·s
+    // (x ≤ 2³¹ and s ≤ 2³² keep both products inside a long). The floor
+    // only loosens the candidate bound — never the verified output.
+    val alphaN9 = (tLow / (1 + tLow))
+      .setScale(9, scala.math.BigDecimal.RoundingMode.FLOOR)
+      .*(BigDecimal(1000000000L)).toLongExact
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.blk") === col("b.blk") && col("a.gram") === col("b.gram") &&
           (col("a.sz") < col("b.sz") ||
             (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))) &&
           col("a.ixp") &&
-          col("a.sz") >= ceil(lit(tLow) * col("b.sz")) &&
-          lit(1) + least(col("a.sz") - col("a.rn"),
-            col("b.sz") - col("b.rn")) >=
-            ceil(lit(alphaFrac) * (col("a.sz") + col("b.sz"))))
+          col("a.sz") >= col("b.minSz") &&
+          (lit(1L) + least(col("a.sfx"), col("b.sfx"))) * lit(1000000000L) >=
+            lit(alphaN9) * (col("a.sz").cast("long") + col("b.sz")))
       .select(least(col("a.id"), col("b.id")).as("doc_a"),
         greatest(col("a.id"), col("b.id")).as("doc_b"))
       .distinct()
@@ -206,11 +278,33 @@ object Dedup {
     // sets — the sorted-long-array merge is the cheapest exact check
     // available, and no second per-doc aggregation is needed
     val withSets = candidates
-      .join(g.select(col("id"), col("ng").as("ng_a")),
+      .join(gs.select(col("id"), col("ng").as("ng_a")),
         col("doc_a") === col("id")).drop("id")
-      .join(g.select(col("id"), col("ng").as("ng_b")),
+      .join(gs.select(col("id"), col("ng").as("ng_b")),
         col("doc_b") === col("id")).drop("id")
     jaccardVerify(withSets, threshold)
+    }
+
+    // cost-based routing on block size: the per-block count is a tiny
+    // aggregate over the persisted gram relation (one row per block);
+    // existence probes keep single-route corpora — the 100 TB case, all
+    // blocks large — on a plan with no routing join at all
+    val blockSizes = g.groupBy(col("blk")).agg(count(lit(1)).as("nb"))
+    val hasDense = allPairsMaxDocs > 0 &&
+      !blockSizes.filter(col("nb") <= allPairsMaxDocs).isEmpty
+    val hasSparse = allPairsMaxDocs > 0 &&
+      !blockSizes.filter(col("nb") > allPairsMaxDocs).isEmpty
+    if (allPairsMaxDocs <= 0) prefixRoute(g)
+    else if (!hasSparse) denseRoute(g) // also the empty-corpus case
+    else if (!hasDense) prefixRoute(g)
+    else {
+      val dense = blockSizes.filter(col("nb") <= allPairsMaxDocs)
+        .select(col("blk"))
+      val sparse = blockSizes.filter(col("nb") > allPairsMaxDocs)
+        .select(col("blk"))
+      denseRoute(g.join(broadcast(dense), Seq("blk")))
+        .union(prefixRoute(g.join(broadcast(sparse), Seq("blk"))))
+    }
   }
 
   /** Exact Jaccard over pre-sorted ngram-set columns `ng_a`/`ng_b` via a

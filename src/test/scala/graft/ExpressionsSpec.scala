@@ -225,6 +225,51 @@ class ExpressionsSpec extends SparkTestBase {
       }
   }
 
+  test("RankedPrefixGrams: rare-first order, exact prefix bound, " +
+    "interpreted eval matches the dataframe (codegen) result") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def lit(xs: Seq[Long]) =
+      Literal.create(new GenericArrayData(xs.toArray),
+        ArrayType(LongType, containsNull = false))
+    // dictionary: gram -> df, grams ascending
+    val dictG = Seq(10L, 20L, 30L, 40L, 50L)
+    val dictD = Seq(3L, 1L, 2L, 1L, 5L)
+    // doc grams (sorted set); rare-first rank: (1,20),(1,40),(2,30),(3,10),(5,50)
+    val ng = Seq(10L, 20L, 30L, 40L, 50L)
+    def run(frac: String): Seq[Long] =
+      graft.functions.RankedPrefixGrams(lit(ng), lit(dictG), lit(dictD), frac)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+    // sz=5, t=0.5: prefix len 5-ceil(2.5)+1 = 3 -> first 3 by (df, gram)
+    assert(run("0.5") === Seq(20L, 40L, 30L))
+    // t=0.8: 5-4+1 = 2
+    assert(run("0.8") === Seq(20L, 40L))
+    // t=1: single gram; t=0: whole set in rank order
+    assert(run("1") === Seq(20L))
+    assert(run("0") === Seq(20L, 40L, 30L, 10L, 50L))
+    // FP-inexact bound: 0.8*5 must ceil to exactly 4, not 5 (the double
+    // 0.8 is 0.8000...4 — decimal arithmetic keeps the pair; see
+    // Dedup.ngramJaccardBlocked)
+    assert(run("0.799999999999") === Seq(20L, 40L))
+
+    // dataframe (codegen) path agrees with direct interpreted eval
+    import spark.implicits._
+    val df = Seq((ng, dictG, dictD)).toDF("ng", "dg", "dd")
+    val viaDf = df.select(graft.functions.PrefixExprs.rankedPrefixGrams(
+        col("ng"), col("dg"), col("dd"), BigDecimal("0.5")).as("p"))
+      .as[Seq[Long]].collect().head
+    assert(viaDf === run("0.5"))
+    // a gram missing from the dictionary fails loudly
+    val bad = graft.functions.RankedPrefixGrams(
+      lit(Seq(99L)), lit(dictG), lit(dictD), "0.5")
+    intercept[IllegalStateException] {
+      bad.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+  }
+
   test("ShingleOps kernels agree between eval and direct call") {
     val s = UTF8String.fromString("abcdefghij")
     assert(ShingleOps.shingleSet(s, 3).toSeq ===

@@ -105,8 +105,6 @@ class OperatorsSpec extends SparkTestBase {
     // 0.8 and 0.55 are not FP-exact: double prefix arithmetic loses
     // pairs at exactly these thresholds (review round 2)
     for (t <- Seq(0.5, 0.55, 0.8)) {
-      val got = Dedup.ngramJaccardBlocked(docs, "source", threshold = t, n = 3)
-        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
       val want = (for {
         a <- rows; b <- rows
         if a._2 == b._2 && a._1 < b._1 && grams(a._3).nonEmpty
@@ -114,7 +112,23 @@ class OperatorsSpec extends SparkTestBase {
         uni = (grams(a._3) | grams(b._3)).size
         if uni > 0 && inter.toDouble / uni >= t
       } yield (a._1, b._1)).toSet
-      assert(got === want, s"threshold $t")
+      // every route must equal brute force: the dense within-block
+      // verify (default at this corpus size), the prefix join with the
+      // doc-local rank kernel, and the prefix join with the window
+      // fallback (allPairsMaxDocs = 0 forces the prefix path)
+      val routes = Seq(
+        "dense" -> (() => Dedup.ngramJaccardBlocked(
+          docs, "source", threshold = t, n = 3)),
+        "prefix-kernel" -> (() => Dedup.ngramJaccardBlocked(
+          docs, "source", threshold = t, n = 3, allPairsMaxDocs = 0)),
+        "prefix-window" -> (() => Dedup.ngramJaccardBlocked(
+          docs, "source", threshold = t, n = 3, localPrefixRank = false,
+          allPairsMaxDocs = 0)))
+      for ((label, run) <- routes) {
+        val got = run().select("doc_a", "doc_b")
+          .as[(Long, Long)].collect().toSet
+        assert(got === want, s"threshold $t route $label")
+      }
     }
   }
 
@@ -126,9 +140,40 @@ class OperatorsSpec extends SparkTestBase {
       (1L, "blk", "abcdef"),   // grams: abc bcd cde def
       (2L, "blk", "zabcdeq")   // grams: zab abc bcd cde deq
     ).toDF("doc_id", "source", "text")
-    val got = Dedup.ngramJaccardBlocked(docs, "source", threshold = 0.5, n = 3)
+    for (maxDocs <- Seq(2048, 0)) { // dense route and forced prefix route
+      val got = Dedup.ngramJaccardBlocked(docs, "source", threshold = 0.5,
+        n = 3, allPairsMaxDocs = maxDocs)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L)), s"allPairsMaxDocs=$maxDocs")
+    }
+  }
+
+  test("ngram Jaccard SSJoin: mixed routing (one dense block, one " +
+    "sparse block) unions both routes and equals brute force") {
+    // block "small" (4 docs) goes all-pairs, block "big" (12 docs) goes
+    // through the prefix join when allPairsMaxDocs sits between them
+    val rnd = new scala.util.Random(7)
+    val words = Vector("red", "green", "blue", "cyan", "teal", "plum")
+    val docs = (0 until 16).map { i =>
+      val blk = if (i < 4) "small" else "big"
+      val text = Seq.fill(4 + rnd.nextInt(6))(
+        words(rnd.nextInt(words.size))).mkString(" ")
+      (i.toLong, blk, text)
+    }.toDF("doc_id", "source", "text")
+    def grams(s: String): Set[String] =
+      if (s.length < 3) Set.empty else s.sliding(3).toSet
+    val rows = docs.as[(Long, String, String)].collect()
+    val want = (for {
+      a <- rows; b <- rows
+      if a._2 == b._2 && a._1 < b._1 && grams(a._3).nonEmpty
+      inter = (grams(a._3) & grams(b._3)).size
+      uni = (grams(a._3) | grams(b._3)).size
+      if uni > 0 && inter.toDouble / uni >= 0.5
+    } yield (a._1, b._1)).toSet
+    val got = Dedup.ngramJaccardBlocked(docs, "source", threshold = 0.5,
+      n = 3, allPairsMaxDocs = 8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    assert(got === Set((1L, 2L)))
+    assert(got === want)
   }
 
   test("ngram Jaccard SSJoin: subset pair at FP-inexact threshold 0.8 " +
@@ -140,10 +185,13 @@ class OperatorsSpec extends SparkTestBase {
       (1L, "blk", "abcdef"),   // grams: abc bcd cde def
       (2L, "blk", "abcdefg")   // grams: abc bcd cde def efg
     ).toDF("doc_id", "source", "text")
-    val got = Dedup.ngramJaccardBlocked(docs, "source", threshold = 0.8, n = 3)
-      .select("doc_a", "doc_b", "jaccard")
-      .as[(Long, Long, Double)].collect().toSet
-    assert(got === Set((1L, 2L, 0.8)))
+    for (maxDocs <- Seq(2048, 0)) { // dense route and forced prefix route
+      val got = Dedup.ngramJaccardBlocked(docs, "source", threshold = 0.8,
+        n = 3, allPairsMaxDocs = maxDocs)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === Set((1L, 2L, 0.8)), s"allPairsMaxDocs=$maxDocs")
+    }
   }
 
   test("asof lookup: inclusive and strict semantics, ties, no-match null") {

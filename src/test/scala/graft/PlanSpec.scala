@@ -54,6 +54,16 @@ class PlanSpec extends SparkTestBase {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("x4 prefix route with the rank kernel: no Window operator (the " +
+    "doc-local kernel replaced the token-table rank shuffle+sort)") {
+    val p = graft.operators.Dedup.ngramJaccardBlocked(
+      Tables.documents(spark, dir), "source", threshold = 0.5, n = 3,
+      allPairsMaxDocs = 0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no query plans a cartesian product; nested-loop joins only " +
     "where brute force is the contract") {
     // x5 brute-force cosine is DELIBERATELY a broadcast nested-loop scan
