@@ -10,14 +10,26 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every entry in `queries` has a matching DuckDB oracle in `oracleSql`
-  * (unless the operator is not SQL-expressible, e.g. hash-seeded LSH).
+  * Every entry in `queries` has a matching DuckDB oracle in `oracleSql`.
+  * Hash-dependent operators are made oracle-checkable one of two ways:
+  * oracle-replayable polynomial hashes that DuckDB recomputes exactly
+  * (x3 simhash, x10 fingerprints), or an exact-verified / recall-gated
+  * output whose correct value is engine-independent (x2 emits
+  * brute-force-equal verified pairs; x6/x13 emit the exact k-th cosine
+  * plus a recall-floor flag).
   * Column names and value arithmetic are aligned between both sides:
   * double aggregations go through exact DECIMAL(18,6) sums (order-
   * independent, identical across engines) and only the final arithmetic
   * step runs in double.
   */
 object SparkEntry {
+
+  /** Recall floors for the ANN gates (x6/x13): set with margin under the
+    * measured deterministic recalls at sf0.01/sf0.1 (seeds and data are
+    * fixed, so the measured value is stable; the floor guards against
+    * seed/bucketing regressions, not run-to-run noise). */
+  val AnnLshRecallFloor = 0.2 // measured min 0.3 (sf0.01 and sf0.1)
+  val AnnIvfRecallFloor = 0.4 // measured min 0.5 (sf0.01 and sf0.1)
 
   /** Exact, order-independent sum of a double column: cast each value to
     * DECIMAL(18,6) (exact for this corpus's ≤2-decimal doubles), sum
@@ -106,8 +118,14 @@ object SparkEntry {
     "x1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "x2_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), threshold = 0.5)),
+    // poly = true: the oracle-replayable token hash, so the DuckDB gate
+    // recomputes the simhash values themselves and the pigeonhole chunk
+    // search is checked end-to-end (it is exactly complete for
+    // hamming ≤ 3, so Spark's banded output must equal the oracle's
+    // brute-force pair scan)
     "x3_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)),
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3,
+        poly = true)),
     "x4_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardBlocked(Tables.documents(s, dir), "source",
         threshold = 0.5)),
@@ -116,13 +134,23 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
     }),
+    // ANN paths gated on recall vs the exact brute force (the neighbor
+    // lists themselves are seed-dependent and not SQL-replayable; the
+    // recall floor + the exact k-th cosine are — see
+    // Similarity.recallGate)
     "x6_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      val qs = emb.filter(col("vec_id") < 5)
+      Similarity.recallGate(
+        Similarity.annTopK(emb, qs, k = 10, probeHamming = 2),
+        Similarity.cosineTopK(emb, qs, k = 10), floor = AnnLshRecallFloor)
     }),
     "x13_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      val qs = emb.filter(col("vec_id") < 5)
+      Similarity.recallGate(
+        Similarity.ivfTopK(emb, qs, k = 10, nProbe = 6),
+        Similarity.cosineTopK(emb, qs, k = 10), floor = AnnIvfRecallFloor)
     }),
     "x12_cosine_dedup" -> ((s, dir) =>
       Similarity.cosineDedupBlocked(Tables.embeddings(s, dir), "label", 0.3)),
@@ -174,11 +202,14 @@ object SparkEntry {
       Tables.documents(s, dir).select(
         col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("lang_guess"))),
+    // oracle-replayable polynomial fingerprints (code-point folds DuckDB
+    // recomputes exactly); the xxhash64 variants remain the fast path
+    // for users and keep their kernel unit tests
     "x10_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
-        TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))),
+        TextAnalysis.polyFingerprint(col("text")).as("fingerprint"),
+        TextAnalysis.rollingPolyFingerprint(col("text")).as("rolling_fp"))),
     // Extensions: multimodal plumbing (byte-level slice)
     "x11_media_stats" -> ((s, dir) =>
       Multimodal.payloadStats(
@@ -333,6 +364,104 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin,
+    // brute-force 5-gram Jaccard over all pairs: the LSH banding is a
+    // candidate generator only — the emitted pairs are exact-verified,
+    // so at a recall of 1 (deterministic at this scale/threshold: every
+    // qualifying pair sits far above the banding threshold) the output
+    // IS the brute-force result
+    "x2_dedup_minhash" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 4, 0)),
+        |    i -> substr(text, i, 5))) AS ng
+        |  FROM documents
+        |  WHERE length(text) >= 5)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+        |         CAST(len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+        |           AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin,
+    // recomputes the 61-bit polynomial simhash per document and scans
+    // all pairs; Spark's chunk-pigeonhole search is exactly complete for
+    // hamming <= 3, so the sets must match row-for-row
+    "x3_dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\x0b\f]+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (
+        |  SELECT doc_id, list_transform(toks, tk ->
+        |    list_reduce([0::BIGINT] || list_transform(range(1, length(tk) + 1),
+        |      i -> ord(substr(tk, i, 1))::BIGINT), (a,x) -> (a*131 + x) % 2147483647) * 1073741824
+        |    + list_reduce([0::BIGINT] || list_transform(range(1, length(tk) + 1),
+        |      i -> ord(substr(tk, i, 1))::BIGINT), (a,x) -> (a*137 + x) % 1000000007)) AS hs
+        |  FROM t),
+        |fp AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 61), j ->
+        |    CASE WHEN coalesce(list_sum(list_transform(hs, v -> ((v >> j) & 1) * 2 - 1)), 0) > 0
+        |         THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sh
+        |  FROM h)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+    // recall gates: the oracle recomputes the query set and the exact
+    // k-th cosine from the data (engine-independent), and asserts the
+    // recall floor held for every query
+    "x6_ann_lsh" ->
+      """WITH n0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |n AS (SELECT * FROM n0 WHERE nrm > 0),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+        |s AS (
+        |  SELECT query_id, vec_id,
+        |         round(list_sum(list_transform(generate_series(1, len(v)),
+        |                 i -> qv[i] * v[i])) / (qnrm * nrm), 6) AS cosine
+        |  FROM n, q WHERE vec_id <> query_id),
+        |topk AS (
+        |  SELECT query_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cosine DESC, vec_id) AS INT) AS rnk
+        |  FROM s)
+        |SELECT query_id, min(cosine) AS kth_cosine, true AS recall_ok
+        |FROM topk WHERE rnk <= 10 GROUP BY 1""".stripMargin,
+    "x13_ann_ivf" ->
+      """WITH n0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |n AS (SELECT * FROM n0 WHERE nrm > 0),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+        |s AS (
+        |  SELECT query_id, vec_id,
+        |         round(list_sum(list_transform(generate_series(1, len(v)),
+        |                 i -> qv[i] * v[i])) / (qnrm * nrm), 6) AS cosine
+        |  FROM n, q WHERE vec_id <> query_id),
+        |topk AS (
+        |  SELECT query_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cosine DESC, vec_id) AS INT) AS rnk
+        |  FROM s)
+        |SELECT query_id, min(cosine) AS kth_cosine, true AS recall_ok
+        |FROM topk WHERE rnk <= 10 GROUP BY 1""".stripMargin,
+    // recomputes both polynomial fingerprints code point by code point
+    "x10_fingerprint" ->
+      """WITH c AS (
+        |  SELECT doc_id, list_transform(range(1, length(text) + 1),
+        |    i -> ord(substr(text, i, 1))::BIGINT) AS cps
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_reduce([0::BIGINT] || cps,
+        |    (a,x) -> (a*131 + x) % 1000000007) AS BIGINT) AS fingerprint,
+        |  CAST(list_min(list_transform(range(1, len(cps) - 8 + 2),
+        |    i -> list_reduce([0::BIGINT] || cps[i:i+7],
+        |      (a,x) -> (a*131 + x) % 1000000007))) AS BIGINT) AS rolling_fp
+        |FROM c""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_dups

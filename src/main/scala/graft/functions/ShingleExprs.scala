@@ -143,6 +143,116 @@ object ShingleOps {
   private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == '\f'
 
+  // ---- oracle-replayable polynomial hashes ------------------------------
+  //
+  // xxhash64/murmur3 have no SQL equivalent, so results built on them can
+  // only be checked by unit tests. The kernels below use code-point-wise
+  // polynomial folds (h ← (h·B + cp) mod P) whose exact values any SQL
+  // engine can recompute with integer arithmetic — the correctness gate
+  // can then hash-compare fingerprints and simhashes against an
+  // independent DuckDB evaluation. All arithmetic stays far inside a
+  // signed 64-bit long (P < 2³¹, cp < 2²¹).
+
+  final val PolyB1 = 131L
+  final val PolyP1 = 2147483647L   // 2³¹ − 1
+  final val PolyB2 = 137L
+  final val PolyP2 = 1000000007L
+
+  /** Code point starting at byte offset i (w = width from
+    * numBytesForFirstByte). */
+  private def codePointAt(s: UTF8String, i: Int, w: Int): Int = {
+    val b0 = s.getByte(i)
+    w match {
+      case 1 => b0 & 0x7f
+      case 2 => ((b0 & 0x1f) << 6) | (s.getByte(i + 1) & 0x3f)
+      case 3 => ((b0 & 0x0f) << 12) | ((s.getByte(i + 1) & 0x3f) << 6) |
+        (s.getByte(i + 2) & 0x3f)
+      case _ => ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3f) << 12) |
+        ((s.getByte(i + 2) & 0x3f) << 6) | (s.getByte(i + 3) & 0x3f)
+    }
+  }
+
+  /** Whole-text content fingerprint: fold (B₂, P₂) over code points.
+    * Empty text → 0. */
+  def polyFingerprint(s: UTF8String): Long = {
+    var h = 0L
+    var i = 0
+    val n = s.numBytes
+    while (i < n) {
+      val w = UTF8String.numBytesForFirstByte(s.getByte(i))
+      h = (h * PolyB1 + codePointAt(s, i, w)) % PolyP2
+      i += w
+    }
+    h
+  }
+
+  /** Winnowing-style rolling fingerprint on the oracle-replayable hash:
+    * minimum over all k-code-point windows of the (B₁ mod P₂) fold.
+    * Null (boxed) for texts shorter than k code points. */
+  def rollingPolyMin(s: UTF8String, k: Int): java.lang.Long = {
+    val n = s.numBytes
+    val cps = new Array[Int](n) // upper bound: one cp per byte
+    var i = 0
+    var c = 0
+    while (i < n) {
+      val w = UTF8String.numBytesForFirstByte(s.getByte(i))
+      cps(c) = codePointAt(s, i, w)
+      c += 1
+      i += w
+    }
+    if (c < k) return null
+    var min = Long.MaxValue
+    var start = 0
+    while (start <= c - k) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        h = (h * PolyB1 + cps(start + j)) % PolyP2
+        j += 1
+      }
+      if (h < min) min = h
+      start += 1
+    }
+    min
+  }
+
+  /** 61-bit SimHash over whitespace-delimited tokens with the
+    * oracle-replayable token hash h = fold(B₁ mod P₁)·2³⁰ + fold(B₂ mod
+    * P₂) (bits 30..60 and 0..29 respectively). Same bit-majority rule as
+    * [[simhash]]; token occurrences (not distinct tokens) are counted. */
+  def polySimhash(s: UTF8String, counts: Array[Int]): Long = {
+    java.util.Arrays.fill(counts, 0)
+    val n = s.numBytes
+    var i = 0
+    while (i < n) {
+      while (i < n && isSpace(s.getByte(i))) i += 1
+      if (i < n) {
+        var h1 = 0L
+        var h2 = 0L
+        while (i < n && !isSpace(s.getByte(i))) {
+          val w = UTF8String.numBytesForFirstByte(s.getByte(i))
+          val cp = codePointAt(s, i, w)
+          h1 = (h1 * PolyB1 + cp) % PolyP1
+          h2 = (h2 * PolyB2 + cp) % PolyP2
+          i += w
+        }
+        val h = h1 * 1073741824L + h2 // h1·2³⁰ | h2 (h2 < 2³⁰)
+        var b = 0
+        while (b < 61) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 61) {
+      if (counts(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
   /** 64-bit SimHash over whitespace-delimited byte tokens: per token one
     * xxhash64; bit b of the result is set when more tokens have bit b
     * set than clear. */
@@ -321,6 +431,70 @@ case class SimHash64(child: Expression) extends ShingleKernel {
     copy(child = c)
 }
 
+/** Whole-text polynomial content fingerprint (oracle-replayable; see
+  * [[ShingleOps.polyFingerprint]]). Empty text → 0, null text → null. */
+case class PolyFingerprint(child: Expression) extends ShingleKernel {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_fingerprint"
+  override protected def minBytes: Int = 0
+  override protected def opsCall(input: String): String =
+    s"graft.functions.ShingleOps.polyFingerprint($input)"
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.polyFingerprint(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): PolyFingerprint =
+    copy(child = c)
+}
+
+/** Rolling polynomial fingerprint: min fold over k-code-point windows
+  * (oracle-replayable; see [[ShingleOps.rollingPolyMin]]). Null for
+  * texts shorter than k code points. */
+case class RollingPolyMin(child: Expression, k: Int) extends ShingleKernel {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_rolling_poly_min"
+  override protected def minBytes: Int = k
+  override protected def opsCall(input: String): String =
+    s"graft.functions.ShingleOps.rollingPolyMin($input, $k)"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.rollingPolyMin(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { c =>
+      val tmp = ctx.freshName("rpm")
+      s"""
+      |java.lang.Long $tmp = ${opsCall(c)};
+      |if ($tmp == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $tmp.longValue(); }
+      """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): RollingPolyMin =
+    copy(child = c)
+}
+
+/** 61-bit SimHash on the oracle-replayable token hash (see
+  * [[ShingleOps.polySimhash]]). */
+case class PolySimHash(child: Expression) extends ShingleKernel {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_simhash"
+  override protected def minBytes: Int = 0
+  override protected def opsCall(input: String): String = "" // unused
+
+  // per-call scratch on the interpreted path (thread safety), per-plan
+  // mutable state under codegen — same reasoning as [[SimHash64]]
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.polySimhash(v.asInstanceOf[UTF8String], new Array[Int](61))
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val buf = ctx.addMutableState("int[]", "polySimhashCounts",
+      n => s"$n = new int[61];")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleOps.polySimhash($c, $buf);")
+  }
+  override protected def withNewChildInternal(c: Expression): PolySimHash =
+    copy(child = c)
+}
+
 /** Column API for the document-local kernels. */
 object ShingleExprs {
   private def expr(c: Column) = GraftColumnBridge.expression(c)
@@ -335,4 +509,8 @@ object ShingleExprs {
   def shingleSetChars(text: Column, k: Int): Column =
     col(ShingleSetCharsExpr(expr(text), k))
   def simhash64(text: Column): Column = col(SimHash64(expr(text)))
+  def polyFingerprint(text: Column): Column = col(PolyFingerprint(expr(text)))
+  def rollingPolyMin(text: Column, k: Int): Column =
+    col(RollingPolyMin(expr(text), k))
+  def polySimhash(text: Column): Column = col(PolySimHash(expr(text)))
 }

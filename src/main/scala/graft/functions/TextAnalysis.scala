@@ -80,6 +80,19 @@ object TextAnalysis {
   def rollingFingerprint(text: Column, k: Int = 8): Column =
     ShingleExprs.rollingMinHash(text, k)
 
+  /** Whole-text polynomial content fingerprint — same information as
+    * [[fingerprint]] but on an oracle-replayable hash (code-point fold,
+    * base 131 mod 1e9+7) that any SQL engine can recompute exactly, so
+    * the correctness gate can hash-compare it against DuckDB. */
+  def polyFingerprint(text: Column): Column =
+    ShingleExprs.polyFingerprint(text)
+
+  /** Rolling fingerprint on the oracle-replayable polynomial hash: min
+    * fold over k-code-point windows. Null for texts under k code
+    * points. */
+  def rollingPolyFingerprint(text: Column, k: Int = 8): Column =
+    ShingleExprs.rollingPolyMin(text, k)
+
   /** Character k-shingles (raw, with duplicates). Empty array for texts
     * shorter than k; null for null text (matching the byte-window
     * kernels in [[ShingleExprs]], which propagate null). */

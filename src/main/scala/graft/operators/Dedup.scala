@@ -323,20 +323,29 @@ object Dedup {
 
   // ---- SimHash ---------------------------------------------------------
 
-  /** 64-bit SimHash per document — a document-local kernel (one
-    * projection pass, no explode/shuffle; see
-    * [[graft.functions.SimHash64]]). */
+  /** SimHash per document — a document-local kernel (one projection
+    * pass, no explode/shuffle). `poly = false` (default): 64-bit
+    * fingerprint on xxhash64 token hashes ([[graft.functions.SimHash64]]
+    * — the fast path). `poly = true`: 61-bit fingerprint on an
+    * oracle-replayable polynomial token hash
+    * ([[graft.functions.PolySimHash]]) whose exact value a SQL engine
+    * can recompute — the variant the DuckDB correctness gate checks
+    * end-to-end. Same kernel structure either way; only the leaf token
+    * hash differs. */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("id"),
-      ShingleExprs.simhash64(lower(col(textCol))).as("simhash"))
+      textCol: String = "text", poly: Boolean = false): DataFrame = {
+    val fp = if (poly) ShingleExprs.polySimhash(lower(col(textCol)))
+    else ShingleExprs.simhash64(lower(col(textCol)))
+    docs.select(col(idCol).as("id"), fp.as("simhash"))
+  }
 
   /** Near-duplicate pairs with Hamming distance ≤ maxHamming, found by
     * chunk banding (pigeonhole: distance ≤ 3 ⇒ one of the four 16-bit
     * chunks is equal), then verified with bit_count(xor). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      poly: Boolean = false): DataFrame = {
+    val sh = simhash(docs, idCol, textCol, poly)
     val chunks = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),

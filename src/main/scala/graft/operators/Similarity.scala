@@ -69,6 +69,33 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Recall gate for an approximate top-k result against the exact
+    * brute-force top-k: one row per query with the exact k-th cosine
+    * (the data-derived anchor an oracle can recompute independently)
+    * and a boolean `recall_ok` = fraction of exact top-k neighbors the
+    * approximate result recovered ≥ `floor`.
+    *
+    * This is how the hash-seeded ANN paths become oracle-checkable: the
+    * approximate neighbor LIST depends on engine-internal seeds no SQL
+    * engine can replay, but the recall floor is an engine-independent
+    * quantitative contract — the oracle recomputes the query set and
+    * the exact k-th cosine from the data and asserts `recall_ok` true
+    * for every query, so any seed drift or recall regression flips the
+    * hash compare red. */
+  def recallGate(approx: DataFrame, exact: DataFrame,
+      floor: Double): DataFrame = {
+    val hits = exact.select(col("query_id"), col("vec_id"))
+      .join(approx.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    val base = exact.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), min(col("cosine")).as("kth_cosine"))
+    base.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("kth_cosine"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double") >= floor).as("recall_ok"))
+  }
+
   // ---- LSH (random hyperplane) ANN -------------------------------------
 
   /** Deterministic random hyperplanes (seeded engine constants). */
@@ -237,16 +264,39 @@ object Similarity {
   /** Approximate top-k: candidates share the query's LSH bucket, ranked by
     * exact cosine within the bucket. The bucket join replaces the cross
     * product — at scale each query touches |corpus| / 2^nBits candidates
-    * in expectation. Multi-probe (nTables signatures from disjoint bit
-    * ranges) lifts recall without widening any single bucket. */
+    * in expectation per probe. Recall comes from two levers: nTables
+    * signatures from disjoint bit ranges, and multi-probe [Lv et al.,
+    * "Multi-probe LSH", VLDB 2007] — each query additionally probes
+    * every bucket at Hamming distance ≤ `probeHamming` of its own
+    * (query-side fan-out only: the corpus still stores ONE row per
+    * table, so the index size is unchanged and the probe set rides the
+    * small broadcast side). With sign-bit agreement probability p per
+    * hyperplane, a true neighbor lands in the probe set of one table
+    * with probability p^b + b·p^(b−1)(1−p) at probeHamming = 1 — on
+    * weakly-clustered corpora (neighbor cosines ~0.3) this is the
+    * difference between near-zero and usable recall. */
   def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       nBits: Int = 8, nTables: Int = 2, dim: Int = 64,
+      probeHamming: Int = 1,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 2,
+      s"annTopK: probeHamming must be 0, 1 or 2, got $probeHamming")
     val allPlanes = nBits * nTables
     def tbl(sig: Column) = explode(array((0 until nTables).map(t =>
       struct(lit(t).as("tbl"),
         shiftright(sig, t * nBits)
           .bitwiseAND(lit((1L << nBits) - 1)).as("bucket"))): _*))
+    // bucket perturbations up to the probe radius (identity + single
+    // bit flips [+ pairs]) — a fixed, seed-free expansion of the query
+    // side's bucket ids
+    val flips: Seq[Long] = {
+      val one = (0 until nBits).map(i => 1L << i)
+      val two = for {
+        i <- 0 until nBits; j <- (i + 1) until nBits
+      } yield (1L << i) | (1L << j)
+      Seq(0L) ++ (if (probeHamming >= 1) one else Seq.empty) ++
+        (if (probeHamming >= 2) two else Seq.empty)
+    }
 
     val corpus = embeddings.select(col(idCol).as("vec_id"),
       col(embCol).as("v"))
@@ -263,6 +313,8 @@ object Similarity {
       .select(col("query_id"), col("qv"), tbl(col("qsig")).as("k"))
       .select(col("query_id"), col("qv"), col("k.tbl").as("tbl"),
         col("k.bucket").as("bucket"))
+      .withColumn("bucket",
+        explode(array(flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)))
 
     val scored = corpusB.as("c")
       .join(broadcast(queriesB).as("q"),

@@ -270,6 +270,66 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("polynomial fingerprint kernels: reference values, code-point " +
+    "folds on multibyte text, null/short-text semantics") {
+    // independent reference folds (string-indexed, vs the kernel's
+    // UTF-8 byte walk)
+    def fold(s: String, b: Long, p: Long): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, cp) => (h * b + cp) % p)
+    def fp(s: String): Long = fold(s, 131L, 1000000007L)
+    assert(ShingleOps.polyFingerprint(UTF8String.fromString("abcdefghij"))
+      === 784214924L) // cross-checked against the DuckDB list_reduce oracle
+    assert(ShingleOps.rollingPolyMin(UTF8String.fromString("abcdefghij"), 8)
+      === 221032441L)
+    assert(ShingleOps.rollingPolyMin(UTF8String.fromString("abc"), 8) === null)
+    assert(ShingleOps.polyFingerprint(UTF8String.fromString("")) === 0L)
+    // multibyte: code points, not bytes (é = U+00E9, 中 = U+4E2D)
+    for (s <- Seq("héllo", "中文 test", "naïve café")) {
+      assert(ShingleOps.polyFingerprint(UTF8String.fromString(s)) === fp(s), s)
+      val cps = s.codePoints().toArray
+      val wantRoll =
+        if (cps.length < 8) null
+        else (0 to cps.length - 8).map(i =>
+          cps.slice(i, i + 8).foldLeft(0L)((h, cp) =>
+            (h * 131L + cp) % 1000000007L)).min
+      assert(ShingleOps.rollingPolyMin(UTF8String.fromString(s), 8)
+        === wantRoll, s)
+    }
+    // poly simhash: bit-majority over the packed 61-bit token hashes
+    def tokenHash(t: String): Long =
+      fold(t, 131L, 2147483647L) * 1073741824L + fold(t, 137L, 1000000007L)
+    def refSimhash(tokens: Seq[String]): Long = {
+      val counts = new Array[Int](61)
+      for (t <- tokens; b <- 0 until 61)
+        counts(b) += (if (((tokenHash(t) >>> b) & 1L) == 1L) 1 else -1)
+      (0 until 61).map(b => if (counts(b) > 0) 1L << b else 0L).sum
+    }
+    assert(tokenHash("hello") === 850559823661254640L) // DuckDB cross-check
+    assert(ShingleOps.polySimhash(
+      UTF8String.fromString("hello world  foo"), new Array[Int](61))
+      === refSimhash(Seq("hello", "world", "foo")))
+    assert(ShingleOps.polySimhash(
+      UTF8String.fromString("  \t\n"), new Array[Int](61)) === 0L)
+
+    // dataframe (codegen) path agrees with the direct kernel calls
+    import spark.implicits._
+    val df = Seq("abcdefghij", "héllo", "hello world  foo", "ab")
+      .toDF("text")
+      .select(
+        graft.functions.ShingleExprs.polyFingerprint(col("text")).as("f"),
+        graft.functions.ShingleExprs.rollingPolyMin(col("text"), 8).as("r"),
+        graft.functions.ShingleExprs.polySimhash(col("text")).as("s"))
+      .as[(Long, Option[Long], Long)].collect()
+    assert(df(0) === ((784214924L, Some(221032441L),
+      ShingleOps.polySimhash(UTF8String.fromString("abcdefghij"),
+        new Array[Int](61)))))
+    assert(df(1)._2 === None) // 5 code points < 8
+    assert(df(2)._3 === refSimhash(Seq("hello", "world", "foo")))
+    assert(df(3) === ((fp("ab"), None,
+      ShingleOps.polySimhash(UTF8String.fromString("ab"),
+        new Array[Int](61)))))
+  }
+
   test("ShingleOps kernels agree between eval and direct call") {
     val s = UTF8String.fromString("abcdefghij")
     assert(ShingleOps.shingleSet(s, 3).toSeq ===

@@ -194,6 +194,23 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("recallGate: per-query floor flags, kth cosine, zero-hit queries") {
+    import graft.operators.Similarity
+    // exact top-3 per query; approx recovered 2/3, 1/3, 0/3
+    val exact = Seq(
+      (1L, 11L, 0.9), (1L, 12L, 0.8), (1L, 13L, 0.7),
+      (2L, 21L, 0.6), (2L, 22L, 0.5), (2L, 23L, 0.4),
+      (3L, 31L, 0.3), (3L, 32L, 0.2), (3L, 33L, 0.1)
+    ).toDF("query_id", "vec_id", "cosine")
+    val approx = Seq(
+      (1L, 11L), (1L, 13L), (1L, 99L), // 2 hits + 1 non-exact neighbor
+      (2L, 23L), (2L, 98L), (2L, 97L)  // 1 hit; query 3: nothing found
+    ).toDF("query_id", "vec_id")
+    val got = Similarity.recallGate(approx, exact, floor = 0.5)
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(got === Set((1L, 0.7, true), (2L, 0.4, false), (3L, 0.1, false)))
+  }
+
   test("asof lookup: inclusive and strict semantics, ties, no-match null") {
     import graft.operators.AsofJoin
     import java.sql.Timestamp

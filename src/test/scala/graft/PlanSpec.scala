@@ -67,8 +67,11 @@ class PlanSpec extends SparkTestBase {
   test("no query plans a cartesian product; nested-loop joins only " +
     "where brute force is the contract") {
     // x5 brute-force cosine is DELIBERATELY a broadcast nested-loop scan
-    // of corpus × queries — the exact baseline the ANN paths beat
-    val nestedLoopByDesign = Set("x5_cosine_topk")
+    // of corpus × queries — the exact baseline the ANN paths beat; the
+    // x6/x13 recall gates embed that same exact baseline as the
+    // reference side of the recall comparison
+    val nestedLoopByDesign =
+      Set("x5_cosine_topk", "x6_ann_lsh", "x13_ann_ivf")
     for ((name, q) <- SparkEntry.queries) {
       val p = q(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
