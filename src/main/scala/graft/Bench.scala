@@ -50,26 +50,32 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // best of 2 (JMH-style steady state): this box runs shared load, and
+    // best of 3 (JMH-style steady state): this box runs shared load, and
     // a single pass penalizes whichever query a load spike lands on —
-    // observed single-run spreads of 3× on identical code. The minimum
-    // of two runs measures the engine; both runs execute the full plan.
-    val Runs = 2
+    // observed single-run spreads of 3× on identical code (and one
+    // phantom regression investigated in round 2). The minimum measures
+    // the engine; the per-query spread (max − min) is reported so a
+    // noisy reading is visible as noise instead of masquerading as a
+    // regression. Every run executes the full plan.
+    val Runs = 3
     def time(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
       var best = Double.MaxValue
+      var worst = 0.0
       var i = 0
       while (i < Runs && best >= 0) { // a failed run decides; no re-run
         val t = timeOnce(name, fn)
-        best = if (t < 0) -1.0 else math.min(best, t)
+        if (t < 0) best = -1.0
+        else { best = math.min(best, t); worst = math.max(worst, t) }
         i += 1
       }
-      best
+      (best, if (best < 0) -1.0 else worst - best)
     }
 
     val results = selected.map {
-      case (name, fn) => name -> time(name, fn)
-    }
+      case (name, fn) => (name, time(name, fn))
+    }.map { case (name, (best, spread)) => (name, best, spread) }
 
     // streaming throughput vs BASELINE.md's 1,000 rec/s ingest ceiling:
     // push 60k register lines (20 reference batches) through the J1
@@ -97,12 +103,14 @@ object Bench {
       -1.0
     }
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val spreads = results
+      .map { case (k, _, s) => "\"" + k + "\":" + s }.mkString("{", ",", "}")
     val failures = results.count(_._2 < 0)
     // a failed query must not shrink the headline number: each failure
     // contributes a visible penalty instead of silently dropping out
     val total = results.map(_._2).filter(_ >= 0).sum + failures * 600.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"runs_per_query":$Runs,"agg":"min","stream_rec_per_sec":${streamRecPerSec.round},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"failures":$failures,"runs_per_query":$Runs,"agg":"min","stream_rec_per_sec":${streamRecPerSec.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

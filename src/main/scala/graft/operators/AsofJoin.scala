@@ -25,8 +25,14 @@ import org.apache.spark.sql.functions._
   * deterministic and equal to `max(value) over matching rows`.
   *
   * Scale: the window partitions by key — a key holding a large fraction
-  * of both sides serializes into one task (the same bound as any keyed
-  * window); pre-filter or sub-bucket such keys upstream.
+  * of both sides serializes into one task, the same bound as any keyed
+  * window. `timeSliceSeconds` removes that bound: the timeline is cut
+  * into ⌊epoch/s⌋ slices, the window partitions by (key, slice) — so a
+  * hot key parallelizes across its slices — and the value carried
+  * across slice boundaries is reconstructed from a per-(key, slice)
+  * aggregate (one row per slice, map-side combined) with a tiny per-key
+  * window over slices. Two keyed shuffles of the data instead of one;
+  * worth it exactly when a key's timeline is too big for one task.
   */
 object AsofJoin {
 
@@ -36,17 +42,26 @@ object AsofJoin {
     * NOT reset the lookup (unlike pandas merge_asof, which would surface
     * that row's NaN) — null-valued right rows are dropped up front, so the
     * contract is "latest non-null value", stated rather than an artifact
-    * of the union encoding. Output: left's projection columns + `asofCol`. */
+    * of the union encoding. Output: left's projection columns + `asofCol`.
+    *
+    * `timeSliceSeconds = Some(s)`: hot-key sub-bucketing (see class doc);
+    * results are identical for any s > 0. */
   def asofLookup(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
       valueCol: Column, asofCol: String,
-      leftProjection: Seq[Column], inclusive: Boolean = true): DataFrame = {
+      leftProjection: Seq[Column], inclusive: Boolean = true,
+      timeSliceSeconds: Option[Long] = None): DataFrame = {
     val vType = right.select(valueCol).schema.head.dataType
 
-    val reserved = Set("_k", "_t", "_is_left", "_v")
+    val reserved = Set("_k", "_t", "_is_left", "_v", "_slice", "_in", "_pv")
     require(!reserved.contains(asofCol),
       s"asofLookup: asofCol '$asofCol' collides with an internal column")
+    for (c <- left.select(leftProjection: _*).columns)
+      require(!reserved.contains(c),
+        s"asofLookup: projection column '$c' collides with an internal column")
+    timeSliceSeconds.foreach(s => require(s > 0,
+      s"asofLookup: timeSliceSeconds must be positive, got $s"))
 
     val l = left.select((leftProjection :+
       leftKey.as("_k") :+ leftTime.as("_t")): _*)
@@ -75,13 +90,47 @@ object AsofJoin {
     // duplicates resolve to the maximum
     val sideOrder =
       if (inclusive) col("_is_left").asc else col("_is_left").desc
-    val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), sideOrder, col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = l.unionByName(r, allowMissingColumns = true)
 
-    l.unionByName(r, allowMissingColumns = true)
-      .withColumn(asofCol, last(col("_v"), ignoreNulls = true).over(w))
-      .filter(col("_is_left") === 1)
-      .drop("_k", "_t", "_is_left", "_v")
+    timeSliceSeconds match {
+      case None =>
+        val w = Window.partitionBy(col("_k"))
+          .orderBy(col("_t"), sideOrder, col("_v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn(asofCol, last(col("_v"), ignoreNulls = true).over(w))
+          .filter(col("_is_left") === 1)
+          .drop("_k", "_t", "_is_left", "_v")
+
+      case Some(s) =>
+        // Two-level plan. Slicing is monotone (t1 < t2 ⇒ slice(t1) ≤
+        // slice(t2)) and equal timestamps share a slice, so a right row
+        // in an EARLIER slice is strictly older than every row of this
+        // slice — inclusivity only matters within a slice, where the
+        // same side order applies.
+        val us = u.withColumn("_slice",
+          floor(unix_timestamp(col("_t")) / s))
+        // level 1: the ordinary carry, confined to (key, slice)
+        val wIn = Window.partitionBy(col("_k"), col("_slice"))
+          .orderBy(col("_t"), sideOrder, col("_v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // level 2: end-of-slice state per (key, slice) — the latest
+        // (t, v) right row, a plain aggregate (map-side combined, one
+        // row per slice) — carried across earlier slices by a per-key
+        // window over SLICES (rows ∝ #slices, not #events, so the hot
+        // key's serialized portion is negligible)
+        val wCarry = Window.partitionBy(col("_k")).orderBy(col("_slice"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = us.groupBy(col("_k"), col("_slice"))
+          .agg(max(when(col("_is_left") === 0,
+            struct(col("_t"), col("_v")))).as("_end"))
+          .withColumn("_prev",
+            last(col("_end"), ignoreNulls = true).over(wCarry))
+          .select(col("_k"), col("_slice"), col("_prev")("_v").as("_pv"))
+        us.withColumn("_in", last(col("_v"), ignoreNulls = true).over(wIn))
+          .join(carry, Seq("_k", "_slice"), "left")
+          .withColumn(asofCol, coalesce(col("_in"), col("_pv")))
+          .filter(col("_is_left") === 1)
+          .drop("_k", "_t", "_is_left", "_v", "_slice", "_in", "_pv")
+    }
   }
 }

@@ -1,13 +1,13 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, hash, pmod}
 
-/** Keyed upsert into a parquet table — the engine's replacement for the
-  * reference's per-row `insert … on duplicate key update` into MySQL
-  * `qz_point_detail` (QzPointStreaming.scala:179-182, via
-  * SqlProxy.scala:27-41).
+/** Keyed upsert into a hash-bucketed parquet table — the engine's
+  * replacement for the reference's per-row `insert … on duplicate key
+  * update` into MySQL `qz_point_detail` (QzPointStreaming.scala:179-182,
+  * via SqlProxy.scala:27-41).
   *
   * Each upsert merges a batch of full-state rows into the table:
   * existing rows whose key appears in the batch are replaced
@@ -16,62 +16,156 @@ import org.apache.spark.sql.functions.col
   * rewrites identical rows — idempotent, unlike the reference's
   * read-add-write which double-counts on replay (SURVEY.md §2.8).
   *
-  * The swap is recoverable: write-to-temp, retire the live generation to
-  * `<dir>.old`, rename temp into place, drop `.old`. A crash at any
-  * point leaves either the live dir or a complete predecessor
-  * (`.old`/`.tmp`) on disk, and the next upsert's recovery step restores
-  * it before merging — so a replayed batch always merges against the
-  * full prior table, never against itself alone. Rename is still not
-  * atomic for *concurrent readers* on a plain filesystem; production
-  * deployments put a transactional table format underneath the same
-  * `upsert` contract. State-of-record remains the state store — the
-  * table is a queryable projection.
+  * The table is partitioned into `bucket=<hash(key) mod N>` directories
+  * so an upsert's I/O is O(batch), not O(table): only buckets containing
+  * batch keys are read (partition-pruned), merged, and rewritten —
+  * untouched buckets are not opened and their files stay byte-identical.
+  * At detail-table scale this is the difference between a micro-batch
+  * rewriting gigabytes per trigger and rewriting only the generations it
+  * touched. The bucket count is fixed at table creation (persisted in
+  * `_graft_nbuckets`) so the key→bucket mapping never shifts.
+  *
+  * Crash safety is the same recoverable-generation protocol as before,
+  * now per bucket: the batch's merged buckets are written to
+  * `<dir>.tmp` (partitioned, one `_SUCCESS` for the whole batch), and
+  * only after that commit marker exists does the swap loop run per
+  * bucket — retire live to `<dir>.retired/bucket=i`, move the new
+  * generation in, drop the retired one. `recover()` rolls an
+  * interrupted swap forward when `.tmp` is committed and backward when
+  * it is not, so the next upsert always merges against a complete prior
+  * generation of every bucket. Renames are still not atomic for
+  * *concurrent readers* on a plain filesystem; production deployments
+  * put a transactional table format underneath the same `upsert`
+  * contract. State-of-record remains the state store — the table is a
+  * queryable projection.
   */
 object KeyedUpsertSink {
 
-  /** Restore the live table dir after a crashed swap. Invariants of the
-    * swap protocol: `.tmp` is only renamed over a *retired* dir, so if
-    * the live dir is missing, a committed `.tmp` (has _SUCCESS) is the
-    * newest complete generation, else `.old` is. */
-  private def recover(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-      old: Path, tmp: Path): Unit = {
-    if (!fs.exists(dir)) {
-      if (fs.exists(new Path(tmp, "_SUCCESS"))) {
-        if (!fs.rename(tmp, dir))
-          throw new java.io.IOException(s"recovery rename $tmp -> $dir failed")
-        fs.delete(old, true)
-      } else if (fs.exists(old)) {
-        fs.delete(tmp, true)
-        if (!fs.rename(old, dir))
-          throw new java.io.IOException(s"recovery rename $old -> $dir failed")
-      }
-    } else fs.delete(old, true) // crash after swap, before cleanup
+  /** Partition column added to the stored table (visible to readers —
+    * it is honest layout metadata; `read` drops it for convenience). */
+  val BucketCol = "bucket"
+
+  private val MetaFile = "_graft_nbuckets"
+
+  /** The table with the bucket column dropped. */
+  def read(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(tableDir).drop(BucketCol)
+
+  private def bucketDirs(fs: FileSystem, root: Path): Seq[Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(BucketCol + "="))
+
+  private def readMeta(fs: FileSystem, dir: Path): Option[Int] = {
+    val p = new Path(dir, MetaFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](256)
+        var r = in.read(chunk)
+        while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+        Some(new String(buf.toByteArray, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
   }
 
-  /** Merge `rows` into the keyed parquet table at `tableDir`. */
-  def upsert(rows: DataFrame, tableDir: String, keys: Seq[String]): Unit = {
+  private def writeMeta(fs: FileSystem, dir: Path, n: Int): Unit = {
+    val out = fs.create(new Path(dir, MetaFile), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Restore every bucket to a complete generation after a crashed
+    * swap. With a committed `.tmp` (`_SUCCESS` present) the swap rolls
+    * FORWARD — the new generation of every bucket still in `.tmp`
+    * replaces the live one, exactly as the interrupted loop would have;
+    * without the marker it rolls BACK — any retired bucket is restored
+    * and the incomplete `.tmp` is dropped. */
+  private def recover(fs: FileSystem, dir: Path, tmp: Path,
+      retired: Path): Unit = {
+    if (fs.exists(new Path(tmp, "_SUCCESS"))) {
+      for (b <- bucketDirs(fs, tmp))
+        swapBucket(fs, dir, retired, b)
+      fs.delete(tmp, true)
+    } else {
+      for (b <- bucketDirs(fs, retired)) {
+        val live = new Path(dir, b.getName)
+        if (!fs.exists(live) && !fs.rename(b, live))
+          throw new java.io.IOException(s"recovery rename $b -> $live failed")
+      }
+      fs.delete(tmp, true)
+    }
+    fs.delete(retired, true)
+  }
+
+  /** Move one committed bucket generation into place: retire live →
+    * move new in → drop retired. Idempotent under replay from any
+    * intermediate crash point. */
+  private def swapBucket(fs: FileSystem, dir: Path, retired: Path,
+      tmpBucket: Path): Unit = {
+    val live = new Path(dir, tmpBucket.getName)
+    val ret = new Path(retired, tmpBucket.getName)
+    fs.mkdirs(retired)
+    if (fs.exists(live) && !fs.exists(ret)) {
+      if (!fs.rename(live, ret))
+        throw new java.io.IOException(s"retire $live -> $ret failed")
+    }
+    if (!fs.exists(live)) {
+      if (!fs.rename(tmpBucket, live))
+        throw new java.io.IOException(s"swap $tmpBucket -> $live failed")
+    }
+    fs.delete(ret, true)
+  }
+
+  /** Merge `rows` into the keyed parquet table at `tableDir`.
+    * `nBuckets` applies at table creation; existing tables keep their
+    * persisted bucket count. */
+  def upsert(rows: DataFrame, tableDir: String, keys: Seq[String],
+      nBuckets: Int = 256): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = rows.sparkSession
     val dir = new Path(tableDir)
-    val old = new Path(tableDir + ".old")
     val tmp = new Path(tableDir + ".tmp")
+    val retired = new Path(tableDir + ".retired")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    recover(fs, dir, old, tmp)
+    recover(fs, dir, tmp, retired)
 
-    val merged =
-      if (fs.exists(dir)) {
+    val existingN = readMeta(fs, dir)
+    val n = existingN.getOrElse(nBuckets)
+    val rowsB = rows.withColumn(BucketCol,
+      pmod(hash(keys.map(col): _*), org.apache.spark.sql.functions.lit(n)))
+
+    val merged = existingN match {
+      // empty-bucket guard: a crash after the meta write but before the
+      // first swap leaves a table with zero bucket dirs — nothing to
+      // merge against (and nothing parquet could infer a schema from)
+      case Some(_) if bucketDirs(fs, dir).nonEmpty =>
+        // only buckets containing batch keys participate; the filter is
+        // a partition-pruning predicate, so untouched buckets are never
+        // even opened
+        val touched = rowsB.select(col(BucketCol)).distinct()
+          .collect().map(_.getInt(0)).toSeq
         val existing = spark.read.parquet(tableDir)
+          .filter(col(BucketCol).isin(touched: _*))
         existing
-          .join(rows.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(rows)
-      } else rows
+          .join(rowsB.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(rowsB)
+      case _ =>
+        fs.mkdirs(dir)
+        writeMeta(fs, dir, n)
+        rowsB
+    }
 
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(dir) && !fs.rename(dir, old))
-      throw new java.io.IOException(s"rename $dir -> $old failed")
-    if (!fs.rename(tmp, dir))
-      throw new java.io.IOException(s"rename $tmp -> $dir failed")
-    fs.delete(old, true)
+    merged.write.mode("overwrite").partitionBy(BucketCol)
+      .parquet(tmp.toString)
+    // commit point: _SUCCESS exists. From here the swap (or its
+    // recovery replay) always completes forward.
+    for (b <- bucketDirs(fs, tmp))
+      swapBucket(fs, dir, retired, b)
+    fs.delete(tmp, true)
+    fs.delete(retired, true)
   }
 
   /** foreachBatch hook: upsert every micro-batch of full-state rows. */

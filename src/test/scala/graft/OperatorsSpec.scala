@@ -285,10 +285,14 @@ class OperatorsSpec extends SparkTestBase {
     val tDf = trades.toDF("trade_id", "k", "t")
     val qDf = quotes.toDF("k", "t", "price")
 
-    for (inclusive <- Seq(true, false)) {
+    // timeSliceSeconds = 7 cuts the 40 s domain into ~6 slices with
+    // boundaries landing inside dense regions — the sub-bucketed plan
+    // must carry values across every boundary identically
+    for (inclusive <- Seq(true, false);
+         slices <- Seq(None, Some(7L), Some(1L))) {
       val got = AsofJoin.asofLookup(tDf, qDf, col("k"), col("k"),
         col("t"), col("t"), col("price"), "px", Seq(col("trade_id")),
-        inclusive)
+        inclusive, timeSliceSeconds = slices)
         .as[(Long, Option[Double])].collect().toMap
       val want = trades.map { case (id, k, tt) =>
         val preds = quotes.filter { case (qk, qt, _) =>
@@ -300,8 +304,25 @@ class OperatorsSpec extends SparkTestBase {
         }
         id -> px
       }.toMap
-      assert(got === want, s"inclusive=$inclusive")
+      assert(got === want, s"inclusive=$inclusive slices=$slices")
     }
+  }
+
+  test("asof sub-bucketing: the event-wide window partitions by " +
+    "(key, slice), so a hot key parallelizes across slices") {
+    import graft.operators.AsofJoin
+    import java.sql.Timestamp
+    val df = Seq((1L, "k", Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "k", "t")
+    val plan = AsofJoin.asofLookup(df, df, col("k"), col("k"),
+      col("t"), col("t"), col("id"), "prev", Seq(col("id")),
+      inclusive = true, timeSliceSeconds = Some(3600L))
+      .queryExecution.executedPlan.toString
+    // the big window's partition spec carries the slice column
+    val windowLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.exists(l =>
+      l.contains("_slice") && l.contains("_is_left")), plan)
   }
 
   test("range join: sub-second precision honored; asof: null right " +

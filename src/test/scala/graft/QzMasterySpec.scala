@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{hash, lit, pmod}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.analytics.QzMastery
@@ -121,7 +122,11 @@ class QzMasterySpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("keyed-upsert sink: crash between retire and swap loses no keys") {
+  private def bucketOf(uid: Int, n: Int): Int =
+    Seq(uid).toDF("uid")
+      .select(pmod(hash($"uid"), lit(n))).head.getInt(0)
+
+  test("keyed-upsert sink: bucket-level crash windows lose no keys") {
     import org.apache.hadoop.fs.Path
     import graft.streaming.KeyedUpsertSink
     val base = java.nio.file.Files
@@ -129,27 +134,88 @@ class QzMasterySpec extends SparkTestBase {
     val table = base + "/detail"
     val fs = new Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val N = 4
 
     val batch1 = Seq((1, 10L), (2, 20L)).toDF("uid", "v")
-    KeyedUpsertSink.upsert(batch1, table, Seq("uid"))
+    KeyedUpsertSink.upsert(batch1, table, Seq("uid"), nBuckets = N)
 
-    // crash window 1: live dir retired to .old, swap of .tmp never ran
-    // (and .tmp from the crashed attempt is incomplete — no _SUCCESS)
-    assert(fs.rename(new Path(table), new Path(table + ".old")))
+    // crash window 1: key 2's bucket retired, swap never ran, and the
+    // crashed attempt's .tmp is incomplete (no _SUCCESS) — recovery
+    // must roll BACK (restore the retired generation) before merging
+    val b2 = s"bucket=${bucketOf(2, N)}"
+    fs.mkdirs(new Path(table + ".retired"))
+    assert(fs.rename(new Path(table, b2),
+      new Path(table + ".retired/" + b2)))
     fs.mkdirs(new Path(table + ".tmp"))
     val batch2 = Seq((2, 21L)).toDF("uid", "v") // replayed partial batch
     KeyedUpsertSink.upsert(batch2, table, Seq("uid"))
-    val after = spark.read.parquet(table).as[(Int, Long)].collect().toMap
-    assert(after === Map(1 -> 10L, 2 -> 21L)) // key 1 survived the crash
+    val after = KeyedUpsertSink.read(spark, table)
+      .as[(Int, Long)].collect().toMap
+    assert(after === Map(1 -> 10L, 2 -> 21L)) // both keys survived
 
-    // crash window 2: .tmp committed (_SUCCESS), live dir retired — the
-    // newer generation must win
+    // crash window 2: .tmp committed (_SUCCESS present), key 3's new
+    // generation still in .tmp, live bucket already retired away —
+    // recovery must roll FORWARD (the committed generation wins)
     val batch3 = Seq((3, 30L)).toDF("uid", "v")
     KeyedUpsertSink.upsert(batch3, table, Seq("uid"))
-    assert(fs.rename(new Path(table), new Path(table + ".tmp")))
+    val b3 = s"bucket=${bucketOf(3, N)}"
+    fs.mkdirs(new Path(table + ".tmp"))
+    assert(fs.rename(new Path(table, b3), new Path(table + ".tmp/" + b3)))
+    fs.create(new Path(table + ".tmp/_SUCCESS"), true).close()
     KeyedUpsertSink.upsert(batch3, table, Seq("uid")) // replay
-    val fin = spark.read.parquet(table).as[(Int, Long)].collect().toMap
+    val fin = KeyedUpsertSink.read(spark, table)
+      .as[(Int, Long)].collect().toMap
     assert(fin === Map(1 -> 10L, 2 -> 21L, 3 -> 30L))
+  }
+
+  test("bucketed upsert leaves untouched-bucket files byte-identical " +
+    "(upsert I/O is O(batch), not O(table))") {
+    import graft.streaming.KeyedUpsertSink
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bucketio_").toString
+    val table = base + "/detail"
+    val N = 8
+    val batch1 = (1 to 32).map(i => (i, i * 10L)).toDF("uid", "v")
+    KeyedUpsertSink.upsert(batch1, table, Seq("uid"), nBuckets = N)
+
+    def snapshot(): Map[String, Seq[Byte]] = {
+      val root = java.nio.file.Paths.get(table)
+      val s = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .filterNot(_.getFileName.toString.endsWith(".crc"))
+          .map(p => root.relativize(p).toString ->
+            java.nio.file.Files.readAllBytes(p).toSeq)
+          .toMap
+      } finally s.close()
+    }
+
+    val before = snapshot()
+    KeyedUpsertSink.upsert(Seq((7, 777L)).toDF("uid", "v"),
+      table, Seq("uid"))
+    val after = snapshot()
+
+    val touched = s"bucket=${bucketOf(7, N)}/"
+    // every file outside key 7's bucket is untouched, bit for bit —
+    // same paths, same bytes
+    assert(before.keys.filterNot(_.startsWith(touched)).toSet ===
+      after.keys.filterNot(_.startsWith(touched)).toSet)
+    for ((path, bytes) <- before if !path.startsWith(touched))
+      assert(after(path) === bytes, path)
+    // and the touched bucket did change (new file set or new bytes)
+    val sameFiles = before.keys.filter(_.startsWith(touched)).toSet ==
+      after.keys.filter(_.startsWith(touched)).toSet
+    val sameBytes = before.forall { case (p, b) =>
+      !p.startsWith(touched) || after.get(p).contains(b) }
+    assert(!(sameFiles && sameBytes))
+
+    // table contents: key 7 replaced, all others intact
+    val contents = KeyedUpsertSink.read(spark, table)
+      .as[(Int, Long)].collect().toMap
+    assert(contents === (1 to 32).map(i =>
+      i -> (if (i == 7) 777L else i * 10L)).toMap)
   }
 
   test("merge is batch-split invariant") {
