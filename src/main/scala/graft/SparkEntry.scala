@@ -214,6 +214,23 @@ object SparkEntry {
     "x11_media_stats" -> ((s, dir) =>
       Multimodal.payloadStats(
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)))),
+    // Extensions: corpus preparation (deterministic splits, cleanup,
+    // chunking — the projection passes between ingestion and training)
+    "x16_split_assign" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        graft.operators.Corpus.assignSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))),
+    "x17_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.normalizeText(
+          TextAnalysis.scrubPii(col("text"))).as("clean_text"),
+        TextAnalysis.stopwordRemovals(col("text")).cast("long")
+          .as("n_removed"))),
+    "x18_chunk" -> ((s, dir) =>
+      graft.operators.Corpus.chunk(Tables.documents(s, dir),
+        "doc_id", "text", chunkChars = 200, overlapChars = 20)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -567,6 +584,45 @@ object SparkEntry {
         |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS s_de,
         |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
         |  FROM documents)""".stripMargin,
+    // replays the polynomial key hash (+ two LCG mixing rounds) and the
+    // cumulative split ranges
+    "x16_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train'
+        |       WHEN u < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    ((list_reduce([0::BIGINT] || list_transform(
+        |        range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |        i -> ord(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |        (a,x) -> (a*131 + x) % 1000000007)
+        |      * 1103515245 + 12345) % 1000000007
+        |      * 69069 + 1) % 1000000007 / 1000000007.0 AS u
+        |  FROM documents)""".stripMargin,
+    "x17_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b(a|an|the|and|of|to|in|is)\b', '', 'g'),
+        |    '\s+', ' ', 'g')) AS clean_text,
+        |  CAST(len(regexp_extract_all(text, '\b(a|an|the|and|of|to|in|is)\b')) AS BIGINT)
+        |    AS n_removed
+        |FROM documents""".stripMargin,
+    "x18_chunk" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0,
+        |           CAST(floor((length(text) - 1) / 180.0) AS BIGINT))) AS i
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 1)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |       substr(text, CAST(1 + i * 180 AS BIGINT), 200) AS chunk,
+        |       CAST(length(substr(text, CAST(1 + i * 180 AS BIGINT), 200)) AS BIGINT)
+        |         AS n_chars
+        |FROM s""".stripMargin,
     "x11_media_stats" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

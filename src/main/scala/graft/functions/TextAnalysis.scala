@@ -80,6 +80,33 @@ object TextAnalysis {
   def rollingFingerprint(text: Column, k: Int = 8): Column =
     ShingleExprs.rollingMinHash(text, k)
 
+  /** Mask obvious PII spans: emails → `<EMAIL>`, NANP-style phone
+    * numbers → `<PHONE>`. Patterns stay inside the regex subset whose
+    * semantics agree between engines (char classes, bounded repeats,
+    * `\b`), so the DuckDB oracle replays them verbatim. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+        lit("<EMAIL>")),
+      lit("\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"), lit("<PHONE>"))
+
+  private val StopwordRe = "\\b(a|an|the|and|of|to|in|is)\\b"
+
+  /** Count of removable stopword tokens (the spans
+    * [[normalizeText]] drops). */
+  def stopwordRemovals(text: Column): Column =
+    regexp_count(text, lit(StopwordRe))
+
+  /** Cheap normalization pass: drop a small stopword profile and
+    * collapse the whitespace runs that removal (or the source) left
+    * behind. Composed after [[scrubPii]] this is the standard
+    * pre-tokenization cleanup projection. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, lit(StopwordRe), lit("")),
+      lit("\\s+"), lit(" ")))
+
   /** Whole-text polynomial content fingerprint — same information as
     * [[fingerprint]] but on an oracle-replayable hash (code-point fold,
     * base 131 mod 1e9+7) that any SQL engine can recompute exactly, so

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ShingleExprs
+
+/** Corpus-preparation operators a training-data pipeline runs between
+  * raw ingestion and tokenization: deterministic split assignment,
+  * hash-based sampling, and document chunking.
+  *
+  * Everything here is a pure projection / generator over columns — no
+  * shuffle, no RNG state, no driver participation — so each operator is
+  * a single embarrassingly-parallel pass at any corpus size, and every
+  * output is deterministic given the input (re-running a pipeline
+  * yields byte-identical splits and chunks, which is what makes
+  * experiment lineage reproducible).
+  */
+object Corpus {
+
+  /** Deterministic position of a key in [0, 1): an oracle-replayable
+    * polynomial fold of the key's string form, pushed through two LCG
+    * mixing rounds (the raw fold of a SHORT key never wraps the modulus
+    * — e.g. 4-digit ids all fold below 0.13·P — so without mixing the
+    * distribution is badly skewed; one multiply by a large constant mod
+    * P wraps for every nonzero value, and two rounds measure uniform to
+    * ±3% per decile on integer ids), scaled by the modulus. Stable
+    * across runs, partitionings, and engines — the property that makes
+    * hash-splits sound: a document's split never depends on what else
+    * is in the corpus (unlike `randomSplit`, whose assignment shifts
+    * with partitioning), so train/test membership survives corpus
+    * growth and incremental reprocessing. */
+  def hashUnit(key: Column): Column = {
+    val P = 1000000007L
+    val h0 = ShingleExprs.polyFingerprint(key.cast("string"))
+    val h1 = pmod(h0 * lit(1103515245L) + lit(12345L), lit(P))
+    val h2 = pmod(h1 * lit(69069L) + lit(1L), lit(P))
+    h2 / lit(1000000007.0)
+  }
+
+  /** Keep each row with probability `fraction`, decided by [[hashUnit]]
+    * of its key — a deterministic, join-stable sample (two tables
+    * sampled on the same key keep the same rows, so sampled relations
+    * still join). */
+  def sampleByHash(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"sampleByHash: fraction must be in [0,1], got $fraction")
+    df.filter(hashUnit(key) < fraction)
+  }
+
+  /** Assign each row a named split by cumulative [[hashUnit]] ranges:
+    * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)` sends u <
+    * 0.8 to train, u < 0.9 to val, the rest to test (the last split
+    * absorbs any rounding slack). Fractions must sum to ~1. */
+  def assignSplit(key: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty, "assignSplit: no splits given")
+    require(splits.forall(_._2 >= 0.0),
+      s"assignSplit: negative fraction in $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"assignSplit: fractions must sum to 1, got $total")
+    val u = hashUnit(key)
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail
+    splits.init.zip(cums.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), cum)) =>
+        Some(acc match {
+          case None => when(u < cum, name)
+          case Some(c) => c.when(u < cum, name)
+        })
+      } match {
+        case Some(c) => c.otherwise(splits.last._1)
+        case None => lit(splits.last._1) // single split
+      }
+  }
+
+  /** Fixed-width character chunks with overlap — the pre-embedding
+    * chunker. Chunk i covers code points [1 + i·step, 1 + i·step +
+    * chunkChars) with step = chunkChars − overlapChars; starts walk the
+    * text while they remain within it, so every code point lands in at
+    * least one chunk and the final chunk may run short. One generator
+    * projection: no shuffle, rows ∝ output chunks. Output columns:
+    * `idCol`, `chunk_idx` (0-based), `chunk`, `n_chars`. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, overlapChars: Int = 0): DataFrame = {
+    require(chunkChars > 0, s"chunk: chunkChars must be > 0, got $chunkChars")
+    require(overlapChars >= 0 && overlapChars < chunkChars,
+      s"chunk: overlapChars must be in [0, chunkChars), got $overlapChars")
+    val step = chunkChars - overlapChars
+    val t = col(textCol)
+    df.filter(t.isNotNull && length(t) >= 1)
+      .select(col(idCol), posexplode(
+        transform(
+          sequence(lit(0L), floor((length(t) - 1) / lit(step))),
+          i => t.substr((i * step + 1).cast("int"), lit(chunkChars)))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        col("col").as("chunk"))
+      .withColumn("n_chars", length(col("chunk")).cast("long"))
+  }
+}

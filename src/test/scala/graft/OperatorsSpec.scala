@@ -194,6 +194,75 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("corpus split assignment: deterministic, proportional, " +
+    "join-stable sampling") {
+    import graft.operators.Corpus
+    val keys = (0 until 2000).map(_.toLong).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def assign() = keys.select(col("id"),
+      Corpus.assignSplit(col("id"), splits).as("s"))
+      .as[(Long, String)].collect().toMap
+    val a1 = assign()
+    assert(a1 === assign()) // deterministic
+    val counts = a1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1450 && counts("train") < 1750, counts.toString)
+    assert(counts("val") > 100 && counts("val") < 320, counts.toString)
+    assert(counts("test") > 100 && counts("test") < 320, counts.toString)
+    // join-stability: sampling two relations on the same key keeps the
+    // same key set in both
+    val left = keys.withColumn("l", col("id") * 2)
+    val right = keys.withColumn("r", col("id") * 3)
+    val sl = Corpus.sampleByHash(left, col("id"), 0.3)
+      .select("id").as[Long].collect().toSet
+    val sr = Corpus.sampleByHash(right, col("id"), 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(sl === sr)
+    assert(sl.size > 400 && sl.size < 800, sl.size.toString)
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplit(col("id"), Seq("a" -> 0.5, "b" -> 0.3))
+    }
+  }
+
+  test("corpus chunking: coverage, overlap, short tail, degenerate texts") {
+    import graft.operators.Corpus
+    val docs = Seq(
+      (1L, "abcdefghij"), // 10 chars
+      (2L, "xy"),         // shorter than one chunk
+      (3L, ""),           // empty: no chunks
+      (4L, null)          // null: no chunks
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunk(docs, "doc_id", "text",
+      chunkChars = 4, overlapChars = 1)
+      .as[(Long, Int, String, Long)].collect().toSet
+    // step 3: starts 1, 4, 7, 10 — every char covered, 1-char overlap
+    assert(got === Set(
+      (1L, 0, "abcd", 4L), (1L, 1, "defg", 4L),
+      (1L, 2, "ghij", 4L), (1L, 3, "j", 1L),
+      (2L, 0, "xy", 2L)))
+    intercept[IllegalArgumentException] {
+      Corpus.chunk(docs, "doc_id", "text", chunkChars = 4, overlapChars = 4)
+    }
+  }
+
+  test("pii scrub + normalization: masking, stopword removal, " +
+    "whitespace collapse") {
+    import graft.functions.TextAnalysis
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "call 415-555-1234 or 415 555 9876",
+      "the quick fox is in a hurry and   the end",
+      "clean text"
+    ).toDF("text").select(
+      TextAnalysis.normalizeText(TextAnalysis.scrubPii($"text")).as("t"),
+      TextAnalysis.stopwordRemovals($"text").as("n"))
+      .as[(String, Int)].collect()
+    assert(df(0) === (("mail <EMAIL> now", 0)))
+    assert(df(1) === (("call <PHONE> or <PHONE>", 0)))
+    assert(df(2) === (("quick fox hurry end", 6)))
+    assert(df(3) === (("clean text", 0)))
+  }
+
   test("recallGate: per-query floor flags, kth cosine, zero-hit queries") {
     import graft.operators.Similarity
     // exact top-3 per query; approx recovered 2/3, 1/3, 0/3
