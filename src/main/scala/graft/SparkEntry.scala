@@ -231,6 +231,13 @@ object SparkEntry {
     "x18_chunk" -> ((s, dir) =>
       graft.operators.Corpus.chunk(Tables.documents(s, dir),
         "doc_id", "text", chunkChars = 200, overlapChars = 20)),
+    // distributed exact percentiles (sort-based, no per-group buffering
+    // — `percentile()` holds every group value in aggregation state);
+    // same quantile_cont definition as the oracle
+    "x19_len_percentiles" -> ((s, dir) =>
+      graft.operators.Corpus.exactPercentiles(
+        Tables.documents(s, dir), "source", length(col("text")),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -623,6 +630,12 @@ object SparkEntry {
         |       CAST(length(substr(text, CAST(1 + i * 180 AS BIGINT), 200)) AS BIGINT)
         |         AS n_chars
         |FROM s""".stripMargin,
+    "x19_len_percentiles" ->
+      """SELECT source,
+        |  round(quantile_cont(length(text), 0.5), 6) AS p50,
+        |  round(quantile_cont(length(text), 0.9), 6) AS p90,
+        |  round(quantile_cont(length(text), 0.99), 6) AS p99
+        |FROM documents GROUP BY 1""".stripMargin,
     "x11_media_stats" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

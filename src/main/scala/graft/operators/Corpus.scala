@@ -73,6 +73,58 @@ object Corpus {
       }
   }
 
+  /** Exact linear-interpolated percentiles per group, as a DISTRIBUTED
+    * plan: rank values with a per-group sort window, pick the two
+    * bracketing ranks per percentile (pos = p·(n−1), 0-based), and
+    * interpolate `lo + frac·(hi − lo)` — the same definition as
+    * numpy/DuckDB `quantile_cont`, so the result is oracle-checkable.
+    * Unlike `percentile()` (which buffers every group value in the
+    * aggregation state), nothing here holds a group in memory: the sort
+    * is Spark's spilling external sort, so the plan survives groups of
+    * any size — a group still sorts within one task, the usual keyed-
+    * window bound. For corpus-scale dashboards where ±ε is acceptable,
+    * [[approxPercentiles]] trades exactness for a bounded sketch. */
+  def exactPercentiles(df: DataFrame, groupCol: String, value: Column,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
+      s"exactPercentiles: percentiles must be in [0,1], got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(groupCol).as("g"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val ranked = v.withColumn("rn",
+      row_number().over(Window.partitionBy(col("g")).orderBy(col("v"))))
+    val counts = v.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val joined = ranked.join(counts, Seq("g"))
+    val aggs = ps.flatMap { case (name, p) =>
+      val pos = lit(p) * (col("n") - 1)
+      val lo = floor(pos) + 1 // 1-based ranks
+      val hi = ceil(pos) + 1
+      Seq(
+        max(when(col("rn") === lo, col("v"))).as(s"_lo_$name"),
+        max(when(col("rn") === hi, col("v"))).as(s"_hi_$name"),
+        max(pos - floor(pos)).as(s"_frac_$name"))
+    }
+    val out = ps.map { case (name, _) =>
+      round(col(s"_lo_$name") +
+        col(s"_frac_$name") * (col(s"_hi_$name") - col(s"_lo_$name")), 6)
+        .as(name)
+    }
+    joined.groupBy(col("g").as(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: out: _*)
+  }
+
+  /** Sketch-based percentiles for corpus-scale stats: bounded state per
+    * group (`approx_percentile`), accuracy controlled by the standard
+    * accuracy knob. The scale default where ±ε is acceptable. */
+  def approxPercentiles(df: DataFrame, groupCol: String, value: Column,
+      ps: Seq[(String, Double)], accuracy: Int = 10000): DataFrame = {
+    val exprs = ps.map { case (name, p) =>
+      percentile_approx(value.cast("double"), lit(p), lit(accuracy)).as(name)
+    }
+    df.groupBy(col(groupCol)).agg(exprs.head, exprs.tail: _*)
+  }
+
   /** Fixed-width character chunks with overlap — the pre-embedding
     * chunker. Chunk i covers code points [1 + i·step, 1 + i·step +
     * chunkChars) with step = chunkChars − overlapChars; starts walk the

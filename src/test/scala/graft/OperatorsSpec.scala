@@ -245,6 +245,28 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("exact percentiles: quantile_cont semantics, distributed plan; " +
+    "approx variant tracks exact") {
+    import graft.operators.Corpus
+    // group a: 1..5 -> p50 = 3, p90 = 0.9*4 = 3.6 -> 4.6? no: values
+    // 1..5 sorted, pos = 0.9*4 = 3.6 -> v[3] + 0.6*(v[4]-v[3]) = 4.6
+    val df = (Seq.tabulate(5)(i => ("a", (i + 1) * 10)) ++
+      Seq(("b", 7))).toDF("g", "v")
+    val got = Corpus.exactPercentiles(df, "g", col("v"),
+      Seq("p50" -> 0.5, "p90" -> 0.9))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") === ((30.0, 46.0)))
+    assert(got("b") === ((7.0, 7.0))) // single value: every percentile
+    // approx variant is close to exact on a bigger column
+    val big = (1 to 1000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val ap = Corpus.approxPercentiles(big, "g", col("v"),
+      Seq("p50" -> 0.5, "p99" -> 0.99))
+      .as[(String, Double, Double)].collect().head
+    assert(math.abs(ap._2 - 500) <= 2 && math.abs(ap._3 - 990) <= 3,
+      ap.toString)
+  }
+
   test("pii scrub + normalization: masking, stopword removal, " +
     "whitespace collapse") {
     import graft.functions.TextAnalysis

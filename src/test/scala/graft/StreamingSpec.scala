@@ -237,6 +237,24 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("custom DataSource V2 connector resolves through the transport " +
+    "seam by class name (the path a kafka connector jar takes)") {
+    import graft.sources.StreamSources
+    val lines = StreamSources.lines(spark,
+      StreamSources.SourceConfig("graft.FakeLinesSource",
+        Map("lines" -> (registerLines(3, "1", "2019-07-16 16:01:55") ++
+          registerLines(2, "2", "2019-07-16 16:01:58")).mkString("\n"))))
+    val q = RegisterStream.cumulativeCounts(RegisterStream.parse(lines))
+      .writeStream.format("memory").queryName("dsv2_seam")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val totals = spark.table("dsv2_seam")
+        .as[(String, Long)].collect().toMap
+      assert(totals === Map("PC" -> 3L, "APP" -> 2L))
+    } finally q.stop()
+  }
+
   test("fixture producers: generated logs parse cleanly end-to-end") {
     import graft.sources.{FixtureProducers, LogParsers}
     val dir = Files.createTempDirectory("graft_prod_").toString
