@@ -167,23 +167,16 @@ object SparkEntry {
         inclusive = false)
     }),
     // Extensions: temporal band join — same-priority orders within ±1
-    // day of each other (temporal-proximity feature primitive)
+    // day of each other (temporal-proximity feature primitive),
+    // cost-routed: RANGE-frame window (zero joins) while per-key volume
+    // is task-sized, granule-bucket join above it
     "x15_range_near_orders" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("o_orderdate"))
-      // keep the self-match and subtract it from the count: every order
-      // pairs with itself (distance 0), so every key is present in the
-      // aggregate and no join-back for zero-neighbor orders is needed
-      graft.operators.RangeJoin.withinTolerance(
-        o, o,
-        leftKey = col("o_orderpriority"), rightKey = col("o_orderpriority"),
-        leftTime = col("o_orderdate"), rightTime = col("o_orderdate"),
-        tolSec = 86400L,
-        leftProjection = Seq(col("o_orderkey")),
-        rightProjection = Seq(col("o_orderkey").as("b_key")))
-        .groupBy(col("o_orderkey"))
-        .agg((count(lit(1)) - 1).as("n_near"))
+      graft.operators.RangeJoin.neighborCounts(
+        o, idCol = col("o_orderkey"), key = col("o_orderpriority"),
+        time = col("o_orderdate"), tolSec = 86400L)
     }),
     // Extensions: text analysis
     "x7_text_stats" -> ((s, dir) =>

@@ -51,4 +51,50 @@ object RangeJoin {
       .filter(abs(col("_lt") - col("_rt")) <= tolSec)
       .drop("_lb", "_rb", "_lk", "_rk", "_lt", "_rt")
   }
+
+  /** Per-row temporal neighbor count: for each row, how many OTHER rows
+    * share its key within ±tolSec (the temporal-density feature
+    * primitive; `includeSelf` keeps the self-match). `idCol` must be
+    * unique per row; output is (id column, `n_near`), one row per input
+    * row with a non-null key and time.
+    *
+    * Cost-routed on the per-key row count (a tiny pre-aggregate):
+    * - keys at or below `maxRowsPerKeyForWindow` rows take a RANGE-frame
+    *   window over exact epoch microseconds — count over
+    *   [t − tol, t + tol] per key, ZERO joins and one keyed shuffle,
+    *   with the usual keyed-window bound (a key sorts in one task,
+    *   via the spilling external sort);
+    * - above the bound, the granule-bucket self-join ([[withinTolerance]])
+    *   aggregated by id — more stages, but a hot key's work is spread
+    *   over its (key, bucket) granules instead of one task.
+    * At corpus scale with low-cardinality keys the bucket route engages
+    * automatically; both routes are exact and identical. */
+  def neighborCounts(df: DataFrame, idCol: Column, key: Column,
+      time: Column, tolSec: Long, includeSelf: Boolean = false,
+      maxRowsPerKeyForWindow: Long = 10000000L): DataFrame = {
+    require(tolSec > 0, "neighborCounts: tolSec must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val idName = df.select(idCol).columns.head
+    val self = if (includeSelf) 0L else 1L
+    // exact epoch MICROsecond long: integral range-frame bounds, no
+    // sub-second truncation (same normalization as withinTolerance)
+    def epochUs(t: Column) =
+      (t.cast("timestamp").cast("decimal(26,6)") * 1000000L).cast("long")
+
+    val base = df.filter(key.isNotNull && time.isNotNull)
+    val maxPerKey = base.groupBy(key).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    if (maxPerKey <= maxRowsPerKeyForWindow) {
+      val w = Window.partitionBy(key).orderBy(epochUs(time))
+        .rangeBetween(-tolSec * 1000000L, tolSec * 1000000L)
+      base.select(idCol, (count(lit(1)).over(w) - self).as("n_near"))
+    } else {
+      withinTolerance(base, base, key, key, time, time, tolSec,
+        Seq(idCol), Seq(lit(1).as("_one")))
+        .groupBy(col(idName))
+        .agg((count(lit(1)) - self).as("n_near"))
+    }
+  }
 }

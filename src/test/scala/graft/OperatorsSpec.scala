@@ -361,6 +361,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(ep === Seq((1L, 2L)))
   }
 
+  test("neighborCounts: both routes equal brute force on random data; " +
+    "nulls excluded; includeSelf") {
+    import graft.operators.RangeJoin
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(11)
+    def t(off: Int) = new Timestamp(1700000000000L + off * 500L) // 0.5s grid
+    val rows = (0 until 150).map(i =>
+      (i.toLong, (rnd.nextInt(4)).toString, t(rnd.nextInt(120))))
+    val df = rows.toDF("id", "k", "t")
+    val want = rows.map { case (id, k, tt) =>
+      id -> rows.count { case (id2, k2, t2) =>
+        id2 != id && k2 == k &&
+          math.abs(t2.getTime - tt.getTime) <= 10000L
+      }.toLong
+    }.toMap
+    for (maxWin <- Seq(10000000L, 0L)) { // window route, bucket route
+      val got = RangeJoin.neighborCounts(df, col("id"), col("k"), col("t"),
+        tolSec = 10L, maxRowsPerKeyForWindow = maxWin)
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, s"maxRowsPerKeyForWindow=$maxWin")
+    }
+    // includeSelf adds exactly one to every count
+    val self = RangeJoin.neighborCounts(df, col("id"), col("k"), col("t"),
+      tolSec = 10L, includeSelf = true)
+      .as[(Long, Long)].collect().toMap
+    assert(self === want.map { case (k, v) => k -> (v + 1) })
+    // null key/time rows are excluded, others unaffected
+    val withNulls = (rows.map { case (i, k, tt) => (i, Option(k), Option(tt)) } ++
+      Seq((900L, None: Option[String], Option(t(5))),
+        (901L, Option("0"), None: Option[Timestamp])))
+      .toDF("id", "k", "t")
+    val gn = RangeJoin.neighborCounts(withNulls, col("id"), col("k"),
+      col("t"), tolSec = 10L)
+      .as[(Long, Long)].collect().toMap
+    assert(gn === want)
+  }
+
   test("asof lookup equals brute-force latest-predecessor on random " +
     "data (both inclusivities)") {
     import graft.operators.AsofJoin

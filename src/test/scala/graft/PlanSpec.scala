@@ -47,11 +47,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), p) // the whole point: no fan-out join
   }
 
-  test("x15 range join: equi-join on (key, bucket), no nested loop") {
+  test("x15 neighbor counts: window route has zero joins; bucket route " +
+    "is an equi-join on (key, bucket), no nested loop") {
+    // at test scale the cost router picks the RANGE-frame window — the
+    // whole count is one keyed shuffle, no join operator at all
     val p = plan("x15_range_near_orders")
-    assert(p.contains("Join"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin") &&
-      !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // the forced bucket route (the hot-key scale path) must be a plain
+    // equi-join — never a nested loop or cartesian
+    val o = Tables.orders(spark, dir)
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_orderpriority"),
+        org.apache.spark.sql.functions.col("o_orderdate"))
+    val pb = graft.operators.RangeJoin.neighborCounts(
+      o, o.col("o_orderkey"), o.col("o_orderpriority"),
+      o.col("o_orderdate"), tolSec = 86400L,
+      maxRowsPerKeyForWindow = 0L)
+      .queryExecution.executedPlan.toString
+    assert(pb.contains("Join"), pb)
+    assert(!pb.contains("BroadcastNestedLoopJoin") &&
+      !pb.contains("CartesianProduct"), pb)
   }
 
   test("x4 prefix route with the rank kernel: no Window operator (the " +
