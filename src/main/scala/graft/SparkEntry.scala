@@ -231,6 +231,21 @@ object SparkEntry {
       graft.operators.Corpus.exactPercentiles(
         Tables.documents(s, dir), "source", length(col("text")),
         Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))),
+    // benchmark decontamination: docs sharing ≥ 50 8-grams with the
+    // "benchmark" slice (doc_id < 10) are flagged — single-row
+    // broadcast + doc-local merge, the corpus never shuffles
+    "x20_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Dedup.decontaminate(
+        docs, docs.filter(col("doc_id") < 10),
+        minSharedGrams = 50, n = 8)
+    }),
+    // Gopher-style repetition signals
+    "x21_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.dupWordFraction(col("text")).as("dup_word_frac"),
+        TextAnalysis.dupGramFraction(col("text"), 3).as("dup_gram_frac"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -623,6 +638,46 @@ object SparkEntry {
         |       CAST(length(substr(text, CAST(1 + i * 180 AS BIGINT), 200)) AS BIGINT)
         |         AS n_chars
         |FROM s""".stripMargin,
+    // gram overlap against the benchmark slice; hashed-gram intersection
+    // counts equal string-gram counts up to ~|union|²/2⁶⁴ collisions
+    // (the same argument the x4 oracle rests on)
+    "x20_decontaminate" ->
+      """WITH bg AS (
+        |  SELECT list_sort(list_distinct(flatten(list(ng)))) AS g FROM (
+        |    SELECT list_distinct(list_transform(
+        |      generate_series(1, greatest(length(text) - 7, 0)),
+        |      i -> substr(text, i, 8))) AS ng
+        |    FROM documents WHERE doc_id < 10 AND length(text) >= 8)),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 8 THEN
+        |      len(list_intersect(
+        |        list_distinct(list_transform(
+        |          generate_series(1, greatest(length(text) - 7, 0)),
+        |          i -> substr(text, i, 8))),
+        |        bg.g))
+        |    ELSE 0 END AS n_shared
+        |  FROM documents CROSS JOIN bg)
+        |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+        |       n_shared >= 50 AS contaminated
+        |FROM d""".stripMargin,
+    "x21_repetition" ->
+      """SELECT doc_id,
+        |  round(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+        |    THEN CAST(len(regexp_extract_all(text, '\S+')) -
+        |              len(list_distinct(regexp_extract_all(text, '\S+'))) AS DOUBLE)
+        |         / len(regexp_extract_all(text, '\S+'))
+        |    ELSE 0.0 END, 6) AS dup_word_frac,
+        |  round(CASE WHEN greatest(length(text) - 2, 0) > 0
+        |    THEN CAST(greatest(length(text) - 2, 0) -
+        |              CASE WHEN length(text) >= 3
+        |                THEN len(list_distinct(list_transform(
+        |                  generate_series(1, length(text) - 2),
+        |                  i -> substr(text, i, 3))))
+        |                ELSE 0 END AS DOUBLE)
+        |         / greatest(length(text) - 2, 0)
+        |    ELSE 0.0 END, 6) AS dup_gram_frac
+        |FROM documents""".stripMargin,
     "x19_len_percentiles" ->
       """SELECT source,
         |  round(quantile_cont(length(text), 0.5), 6) AS p50,

@@ -107,6 +107,30 @@ object TextAnalysis {
       regexp_replace(text, lit(StopwordRe), lit("")),
       lit("\\s+"), lit(" ")))
 
+  /** Repetition signals (Gopher-style quality filters): the duplicate
+    * fraction among whitespace tokens and among character n-grams —
+    * heavily repeated content scores high on both. Null for null text;
+    * 0 when there is nothing to repeat. */
+  def dupWordFraction(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    val nw = when(trim(text) === "", 0).otherwise(size(words))
+    when(nw > 0,
+      round((nw - size(array_distinct(words))).cast("double") /
+        nw.cast("double"), 6))
+      .otherwise(when(text.isNotNull, 0.0))
+  }
+
+  /** Duplicate fraction among character n-grams (with duplicates):
+    * 1 − distinct/total. */
+  def dupGramFraction(text: Column, n: Int = 3): Column = {
+    val total = greatest(length(text) - (n - 1), lit(0))
+    val distinctN = when(length(text) >= n,
+      size(ShingleExprs.shingleSetChars(text, n))).otherwise(0)
+    when(total > 0,
+      round((total - distinctN).cast("double") / total.cast("double"), 6))
+      .otherwise(when(text.isNotNull, 0.0))
+  }
+
   /** Whole-text polynomial content fingerprint — same information as
     * [[fingerprint]] but on an oracle-replayable hash (code-point fold,
     * base 131 mod 1e9+7) that any SQL engine can recompute exactly, so

@@ -321,6 +321,43 @@ object Dedup {
       .filter(col("jaccard").isNotNull)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  // ---- benchmark decontamination --------------------------------------
+
+  /** Flag training documents that share at least `minSharedGrams`
+    * character n-grams with ANY document of a benchmark/eval set — the
+    * standard test-set-decontamination pass a training corpus runs
+    * before a model ever sees it.
+    *
+    * Scale shape: the benchmark side collapses to ONE sorted distinct
+    * hashed-gram array (benchmarks are small by nature — the aggregate
+    * is bounded by benchmark content, not corpus size), attached to
+    * every corpus partition by a single-row broadcast hash join; the
+    * overlap test is then the same doc-local sorted-merge kernel the
+    * Jaccard verify uses. The corpus is never shuffled and never pays
+    * more than one projection pass. Output: idCol, `n_shared`,
+    * `contaminated`. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      minSharedGrams: Int = 8, n: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minSharedGrams > 0,
+      s"decontaminate: minSharedGrams must be > 0, got $minSharedGrams")
+    val benchGrams = benchmark
+      .select(explode(ShingleExprs.shingleSetChars(col(textCol), n))
+        .as("g"))
+      .distinct()
+      .agg(sort_array(collect_list(col("g"))).as("_bg"))
+      .withColumn("_j", lit(1))
+    val d = docs.select(col(idCol),
+      ShingleExprs.shingleSetChars(col(textCol), n).as("_ng"))
+      .withColumn("_j", lit(1))
+    d.join(broadcast(benchGrams), Seq("_j"), "left")
+      .withColumn("n_shared",
+        coalesce(SetExprs.sortedIntersectSize(col("_ng"), col("_bg")),
+          lit(0)).cast("long"))
+      .withColumn("contaminated", col("n_shared") >= minSharedGrams)
+      .select(col(idCol), col("n_shared"), col("contaminated"))
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** SimHash per document — a document-local kernel (one projection

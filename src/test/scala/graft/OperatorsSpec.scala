@@ -285,6 +285,51 @@ class OperatorsSpec extends SparkTestBase {
     assert(df(3) === (("clean text", 0)))
   }
 
+  test("decontaminate: shared-gram counting vs any benchmark doc, " +
+    "threshold flag, short/degenerate texts") {
+    val docs = Seq(
+      (1L, "abcdefghijklmno"),   // shares a long run with the benchmark
+      (2L, "zzzzyyyyxxxxwwww"),  // shares nothing
+      (3L, "abcdefgh"),          // exactly one 8-gram, in the benchmark
+      (4L, "short"),             // under the gram width -> 0 shared
+      (5L, null)                 // null text -> 0 shared
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "abcdefghijk")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(docs, bench,
+      minSharedGrams = 2, n = 8)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // benchmark 8-grams of "abcdefghijk": abcdefgh bcdefghi cdefghij defghijk
+    assert(got(1L) === ((4L, true)))  // shares all four
+    assert(got(2L) === ((0L, false)))
+    assert(got(3L) === ((1L, false))) // one shared, below threshold 2
+    assert(got(4L) === ((0L, false)))
+    assert(got(5L) === ((0L, false)))
+  }
+
+  test("repetition signals: duplicate word and gram fractions") {
+    import graft.functions.TextAnalysis
+    val got = Seq(
+      (1L, "spam spam spam spam"), // 4 words, 1 distinct -> 0.75
+      (2L, "all words differ here"),
+      (3L, "aaaa"),                // grams: aa aa -> 1 distinct of 2
+      (4L, ""),
+      (5L, null)
+    ).toDF("doc_id", "text").select(
+      col("doc_id"),
+      TextAnalysis.dupWordFraction(col("text")).as("w"),
+      TextAnalysis.dupGramFraction(col("text"), 2).as("g"))
+      .as[(Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // 18 char 2-grams, 5 distinct (sp pa am "m " " s") -> 13/18
+    assert(got(1L) === ((Some(0.75), Some(0.722222))))
+    assert(got(2L)._1 === Some(0.0))
+    // "aaaa" 2-grams: aa aa aa -> 3 total, 1 distinct -> 2/3
+    assert(got(3L) === ((Some(0.0), Some(0.666667))))
+    assert(got(4L) === ((Some(0.0), Some(0.0))))
+    assert(got(5L) === ((None, None)))
+  }
+
   test("recallGate: per-query floor flags, kth cosine, zero-hit queries") {
     import graft.operators.Similarity
     // exact top-3 per query; approx recovered 2/3, 1/3, 0/3

@@ -85,9 +85,12 @@ class PlanSpec extends SparkTestBase {
     // x5 brute-force cosine is DELIBERATELY a broadcast nested-loop scan
     // of corpus × queries — the exact baseline the ANN paths beat; the
     // x6/x13 recall gates embed that same exact baseline as the
-    // reference side of the recall comparison
+    // reference side of the recall comparison; x20 attaches the
+    // benchmark-gram array (ONE broadcast row) to every corpus row —
+    // a 1×N dimension attach, not a quadratic pair scan
     val nestedLoopByDesign =
-      Set("x5_cosine_topk", "x6_ann_lsh", "x13_ann_ivf")
+      Set("x5_cosine_topk", "x6_ann_lsh", "x13_ann_ivf",
+        "x20_decontaminate")
     for ((name, q) <- SparkEntry.queries) {
       val p = q(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
