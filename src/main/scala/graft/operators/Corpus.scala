@@ -61,7 +61,7 @@ object Corpus {
       s"assignSplit: fractions must sum to 1, got $total")
     val u = hashUnit(key)
     val cums = splits.scanLeft(0.0)(_ + _._2).tail
-    splits.init.zip(cums.init)
+    val assigned = splits.init.zip(cums.init)
       .foldLeft(Option.empty[Column]) { case (acc, ((name, _), cum)) =>
         Some(acc match {
           case None => when(u < cum, name)
@@ -71,6 +71,9 @@ object Corpus {
         case Some(c) => c.otherwise(splits.last._1)
         case None => lit(splits.last._1) // single split
       }
+    // a null key has no hash position — surface null, don't silently
+    // fold it into the last split (every `u < cum` is null ⇒ otherwise)
+    when(key.isNotNull, assigned)
   }
 
   /** Exact linear-interpolated percentiles per group, as a DISTRIBUTED

@@ -124,6 +124,9 @@ object KeyedUpsertSink {
   def upsert(rows: DataFrame, tableDir: String, keys: Seq[String],
       nBuckets: Int = 256): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(!rows.columns.contains(BucketCol),
+      s"upsert: rows already carry a '$BucketCol' column — it is the " +
+        "sink's partition column")
     val spark = rows.sparkSession
     val dir = new Path(tableDir)
     val tmp = new Path(tableDir + ".tmp")

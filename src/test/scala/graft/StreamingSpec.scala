@@ -255,6 +255,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: duplicates dropped across micro-batches; " +
+    "watermark mode evicts state and matches within the horizon") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamDedup
+
+    // global mode: dedup across batches, state keyed by content hash
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamDedup.dedupForever(in1.toDF().toDF("id", "text"))
+      .writeStream.format("memory").queryName("dedup_forever")
+      .outputMode("append").start()
+    try {
+      in1.addData((1L, "alpha"), (2L, "ALPHA  "), (3L, "beta"))
+      q1.processAllAvailable()
+      in1.addData((4L, "beta"), (5L, "gamma")) // beta seen in batch 1
+      q1.processAllAvailable()
+      val kept = spark.table("dedup_forever")
+        .select("id").as[Long].collect().toSet
+      // normalization folds case/trim: ALPHA duplicates alpha
+      assert(kept === Set(1L, 3L, 5L))
+    } finally q1.stop()
+
+    // watermark mode: a duplicate inside the horizon is dropped; the
+    // query runs with event-time state that CAN be evicted (behavioral
+    // equivalence inside the horizon is what we assert — eviction
+    // timing is the engine's)
+    val in2 = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q2 = StreamDedup.dedupWithinWatermark(
+      in2.toDF().toDF("id", "ts", "text"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      in2.addData((1L, t("2024-01-01 10:00:00"), "doc-a"),
+        (2L, t("2024-01-01 10:01:00"), "doc-a"),
+        (3L, t("2024-01-01 10:02:00"), "doc-b"))
+      q2.processAllAvailable()
+      val kept2 = spark.table("dedup_wm")
+        .select("id").as[Long].collect().toSet
+      assert(kept2 === Set(1L, 3L))
+    } finally q2.stop()
+  }
+
   test("fixture producers: generated logs parse cleanly end-to-end") {
     import graft.sources.{FixtureProducers, LogParsers}
     val dir = Files.createTempDirectory("graft_prod_").toString
