@@ -248,6 +248,31 @@ object SparkEntry {
         TextAnalysis.dupGramFraction(col("text"), 3).as("dup_gram_frac"))),
   )
 
+  /** Shared reference side of BOTH ANN recall gates (x6/x13): the exact
+    * brute-force top-k definition (k = 10, cosine-desc/vec_id tie-break,
+    * vec_id < 5 queries). One constant so the two gates can never
+    * silently disagree about the same reference computation. */
+  private val AnnExactTopkOracle =
+      """WITH n0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |n AS (SELECT * FROM n0 WHERE nrm > 0),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+        |s AS (
+        |  SELECT query_id, vec_id,
+        |         round(list_sum(list_transform(generate_series(1, len(v)),
+        |                 i -> qv[i] * v[i])) / (qnrm * nrm), 6) AS cosine
+        |  FROM n, q WHERE vec_id <> query_id),
+        |topk AS (
+        |  SELECT query_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cosine DESC, vec_id) AS INT) AS rnk
+        |  FROM s)
+        |SELECT query_id, min(cosine) AS kth_cosine, true AS recall_ok
+        |FROM topk WHERE rnk <= 10 GROUP BY 1""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -441,46 +466,8 @@ object SparkEntry {
     // recall gates: the oracle recomputes the query set and the exact
     // k-th cosine from the data (engine-independent), and asserts the
     // recall floor held for every query
-    "x6_ann_lsh" ->
-      """WITH n0 AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-        |         sqrt(list_sum(list_transform(embedding,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
-        |n AS (SELECT * FROM n0 WHERE nrm > 0),
-        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
-        |s AS (
-        |  SELECT query_id, vec_id,
-        |         round(list_sum(list_transform(generate_series(1, len(v)),
-        |                 i -> qv[i] * v[i])) / (qnrm * nrm), 6) AS cosine
-        |  FROM n, q WHERE vec_id <> query_id),
-        |topk AS (
-        |  SELECT query_id, cosine,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |              ORDER BY cosine DESC, vec_id) AS INT) AS rnk
-        |  FROM s)
-        |SELECT query_id, min(cosine) AS kth_cosine, true AS recall_ok
-        |FROM topk WHERE rnk <= 10 GROUP BY 1""".stripMargin,
-    "x13_ann_ivf" ->
-      """WITH n0 AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-        |         sqrt(list_sum(list_transform(embedding,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
-        |n AS (SELECT * FROM n0 WHERE nrm > 0),
-        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
-        |s AS (
-        |  SELECT query_id, vec_id,
-        |         round(list_sum(list_transform(generate_series(1, len(v)),
-        |                 i -> qv[i] * v[i])) / (qnrm * nrm), 6) AS cosine
-        |  FROM n, q WHERE vec_id <> query_id),
-        |topk AS (
-        |  SELECT query_id, cosine,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |              ORDER BY cosine DESC, vec_id) AS INT) AS rnk
-        |  FROM s)
-        |SELECT query_id, min(cosine) AS kth_cosine, true AS recall_ok
-        |FROM topk WHERE rnk <= 10 GROUP BY 1""".stripMargin,
+    "x6_ann_lsh" -> AnnExactTopkOracle,
+    "x13_ann_ivf" -> AnnExactTopkOracle,
     // recomputes both polynomial fingerprints code point by code point
     "x10_fingerprint" ->
       """WITH c AS (

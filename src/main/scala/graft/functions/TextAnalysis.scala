@@ -112,8 +112,11 @@ object TextAnalysis {
     * heavily repeated content scores high on both. Null for null text;
     * 0 when there is nothing to repeat. */
   def dupWordFraction(text: Column): Column = {
-    val words = split(trim(text), "\\s+")
-    val nw = when(trim(text) === "", 0).otherwise(size(words))
+    // array_remove drops the empty strings split() keeps at whitespace
+    // edges (trim() strips only 0x20, so "foo\n" would otherwise count
+    // a phantom token and diverge from the oracle's \S+ extraction)
+    val words = array_remove(split(text, "\\s+"), "")
+    val nw = size(words)
     when(nw > 0,
       round((nw - size(array_distinct(words))).cast("double") /
         nw.cast("double"), 6))

@@ -94,10 +94,13 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val v = df.select(col(groupCol).as("g"), value.cast("double").as("v"))
       .filter(col("v").isNotNull)
-    val ranked = v.withColumn("rn",
-      row_number().over(Window.partitionBy(col("g")).orderBy(col("v"))))
-    val counts = v.groupBy(col("g")).agg(count(lit(1)).as("n"))
-    val joined = ranked.join(counts, Seq("g"))
+    // the group count piggybacks on the rank window's exchange (same
+    // partitioning, unordered frame) — no separate aggregate, no join
+    val joined = v
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("g")).orderBy(col("v"))))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("g"))))
     val aggs = ps.flatMap { case (name, p) =>
       val pos = lit(p) * (col("n") - 1)
       val lo = floor(pos) + 1 // 1-based ranks

@@ -23,6 +23,12 @@ import graft.functions.{PrefixExprs, SetExprs, ShingleExprs}
   */
 object Dedup {
 
+  /** 16-byte MD5 of the normalized content — THE content-identity hash
+    * (batch [[exact]] and [[graft.streaming.StreamDedup]] share this one
+    * definition, so a normalization change cannot silently diverge the
+    * two dedup passes). */
+  def contentHash(text: Column): Column = unhex(md5(lower(trim(text))))
+
   /** Exact dedup: group identical (normalized) texts, keep the smallest id.
     * One hash aggregate keyed on the 16-byte MD5 of the normalized text —
     * fixed-width shuffle keys instead of document-length strings, with
@@ -30,7 +36,7 @@ object Dedup {
     * that matters). */
   def exact(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs.groupBy(unhex(md5(lower(trim(col(textCol))))).as("h"))
+    docs.groupBy(contentHash(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
@@ -285,25 +291,32 @@ object Dedup {
     jaccardVerify(withSets, threshold)
     }
 
-    // cost-based routing on block size: the per-block count is a tiny
-    // aggregate over the persisted gram relation (one row per block);
-    // existence probes keep single-route corpora — the 100 TB case, all
-    // blocks large — on a plan with no routing join at all
-    val blockSizes = g.groupBy(col("blk")).agg(count(lit(1)).as("nb"))
-    val hasDense = allPairsMaxDocs > 0 &&
-      !blockSizes.filter(col("nb") <= allPairsMaxDocs).isEmpty
-    val hasSparse = allPairsMaxDocs > 0 &&
-      !blockSizes.filter(col("nb") > allPairsMaxDocs).isEmpty
+    // cost-based routing on block size: ONE aggregate job over the
+    // persisted gram relation decides both existence bits; the per-route
+    // block lists (needed only on mixed corpora) reuse the persisted
+    // blockSizes instead of re-aggregating per reference. Single-route
+    // corpora — the 100 TB case, all blocks large — keep a plan with no
+    // routing join at all.
     if (allPairsMaxDocs <= 0) prefixRoute(g)
-    else if (!hasSparse) denseRoute(g) // also the empty-corpus case
-    else if (!hasDense) prefixRoute(g)
     else {
-      val dense = blockSizes.filter(col("nb") <= allPairsMaxDocs)
-        .select(col("blk"))
-      val sparse = blockSizes.filter(col("nb") > allPairsMaxDocs)
-        .select(col("blk"))
-      denseRoute(g.join(broadcast(dense), Seq("blk")))
-        .union(prefixRoute(g.join(broadcast(sparse), Seq("blk"))))
+      val blockSizes = g.groupBy(col("blk")).agg(count(lit(1)).as("nb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val routeRow = blockSizes.agg(
+        sum(when(col("nb") <= allPairsMaxDocs, 1).otherwise(0)).as("d"),
+        sum(when(col("nb") > allPairsMaxDocs, 1).otherwise(0)).as("s"))
+        .collect().head
+      val hasDense = Option(routeRow.get(0)).exists(_.asInstanceOf[Long] > 0)
+      val hasSparse = Option(routeRow.get(1)).exists(_.asInstanceOf[Long] > 0)
+      if (!hasSparse) denseRoute(g) // also the empty-corpus case
+      else if (!hasDense) prefixRoute(g)
+      else {
+        val dense = blockSizes.filter(col("nb") <= allPairsMaxDocs)
+          .select(col("blk"))
+        val sparse = blockSizes.filter(col("nb") > allPairsMaxDocs)
+          .select(col("blk"))
+        denseRoute(g.join(broadcast(dense), Seq("blk")))
+          .union(prefixRoute(g.join(broadcast(sparse), Seq("blk"))))
+      }
     }
   }
 

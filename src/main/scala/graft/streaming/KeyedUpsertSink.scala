@@ -137,38 +137,76 @@ object KeyedUpsertSink {
 
     val existingN = readMeta(fs, dir)
     val n = existingN.getOrElse(nBuckets)
+    // the batch is read twice (touched-bucket collect + merged write);
+    // persisting pins ONE evaluation, so a nondeterministic batch
+    // lineage cannot place a row in a bucket the collect never saw
+    // (whose swap would then drop that bucket's pre-existing keys)
     val rowsB = rows.withColumn(BucketCol,
       pmod(hash(keys.map(col): _*), org.apache.spark.sql.functions.lit(n)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // root-level parquet files = a pre-bucketing (flat-layout) table:
+      // fold them into this merge (one-time O(table) migration) and
+      // remove them after the swap — otherwise their rows would be
+      // silently dropped from the keyed view
+      val legacy = if (fs.exists(dir))
+        fs.listStatus(dir).toSeq.filter(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+          .map(_.getPath)
+      else Seq.empty
 
-    val merged = existingN match {
-      // empty-bucket guard: a crash after the meta write but before the
-      // first swap leaves a table with zero bucket dirs — nothing to
-      // merge against (and nothing parquet could infer a schema from)
-      case Some(_) if bucketDirs(fs, dir).nonEmpty =>
-        // only buckets containing batch keys participate; the filter is
-        // a partition-pruning predicate, so untouched buckets are never
-        // even opened
-        val touched = rowsB.select(col(BucketCol)).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        val existing = spark.read.parquet(tableDir)
-          .filter(col(BucketCol).isin(touched: _*))
-        existing
-          .join(rowsB.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(rowsB)
-      case _ =>
+      val buckets = bucketDirs(fs, dir)
+      def withBucket(df: DataFrame): DataFrame =
+        df.withColumn(BucketCol, pmod(hash(keys.map(col): _*),
+          org.apache.spark.sql.functions.lit(n)))
+      // empty-bucket guard in the nonEmpty checks: a crash after the
+      // meta write but before the first swap leaves a table with zero
+      // bucket dirs — nothing to merge against (and nothing parquet
+      // could infer a schema from)
+      val merged =
+        if (legacy.nonEmpty) {
+          // migration pass: fold flat files + every bucket into one full
+          // rewrite. dropDuplicates guards the replay where a previous
+          // migration crashed after the swap but before the legacy
+          // delete — the same key then exists in both layouts.
+          val sources =
+            (if (buckets.nonEmpty)
+              Seq(withBucket(spark.read.parquet(
+                buckets.map(_.toString): _*)))
+            else Seq.empty) :+
+              withBucket(spark.read.parquet(legacy.map(_.toString): _*))
+          sources.reduce(_ unionByName _)
+            .dropDuplicates(keys)
+            .join(rowsB.select(keys.map(col): _*), keys, "left_anti")
+            .unionByName(rowsB)
+        } else if (buckets.nonEmpty) {
+          // steady state: only buckets containing batch keys
+          // participate; the filter is a partition-pruning predicate,
+          // so untouched buckets are never even opened
+          val touched = rowsB.select(col(BucketCol)).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          spark.read.parquet(tableDir)
+            .filter(col(BucketCol).isin(touched: _*))
+            .join(rowsB.select(keys.map(col): _*), keys, "left_anti")
+            .unionByName(rowsB)
+        } else rowsB
+      if (existingN.isEmpty) {
         fs.mkdirs(dir)
         writeMeta(fs, dir, n)
-        rowsB
-    }
+      }
 
-    merged.write.mode("overwrite").partitionBy(BucketCol)
-      .parquet(tmp.toString)
-    // commit point: _SUCCESS exists. From here the swap (or its
-    // recovery replay) always completes forward.
-    for (b <- bucketDirs(fs, tmp))
-      swapBucket(fs, dir, retired, b)
-    fs.delete(tmp, true)
-    fs.delete(retired, true)
+      merged.write.mode("overwrite").partitionBy(BucketCol)
+        .parquet(tmp.toString)
+      // commit point: _SUCCESS exists. From here the swap (or its
+      // recovery replay) always completes forward.
+      for (b <- bucketDirs(fs, tmp))
+        swapBucket(fs, dir, retired, b)
+      fs.delete(tmp, true)
+      fs.delete(retired, true)
+      // legacy files last: their content now lives in the buckets
+      legacy.foreach(fs.delete(_, false))
+    } finally { rowsB.unpersist(); () }
   }
 
   /** foreachBatch hook: upsert every micro-batch of full-state rows. */

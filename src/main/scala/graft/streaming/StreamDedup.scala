@@ -24,10 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object StreamDedup {
 
-  /** 16-byte MD5 of the normalized content — the fixed-width state key
-    * (same normalization as the batch `Dedup.exact`). */
+  /** The fixed-width state key: the SAME content-identity hash the
+    * batch pass groups on ([[graft.operators.Dedup.contentHash]]). */
   private def contentHash(textCol: String) =
-    unhex(md5(lower(trim(col(textCol)))))
+    graft.operators.Dedup.contentHash(col(textCol))
 
   /** Global streaming dedup: first occurrence of each distinct content
     * passes, every later one is dropped. State ∝ distinct contents. */

@@ -168,6 +168,34 @@ class QzMasterySpec extends SparkTestBase {
     assert(fin === Map(1 -> 10L, 2 -> 21L, 3 -> 30L))
   }
 
+  test("bucketed upsert migrates a pre-bucketing flat-layout table in " +
+    "place (no keys dropped, legacy files removed)") {
+    import graft.streaming.KeyedUpsertSink
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_migrate_").toString
+    val table = base + "/detail"
+    // a table written by the old (flat, whole-table-swap) protocol:
+    // parquet part files at the root, no bucket dirs, no meta
+    Seq((1, 10L), (2, 20L), (3, 30L)).toDF("uid", "v")
+      .write.mode("overwrite").parquet(table)
+
+    KeyedUpsertSink.upsert(Seq((2, 21L), (4, 40L)).toDF("uid", "v"),
+      table, Seq("uid"), nBuckets = 4)
+    val got = KeyedUpsertSink.read(spark, table)
+      .as[(Int, Long)].collect().toMap
+    assert(got === Map(1 -> 10L, 2 -> 21L, 3 -> 30L, 4 -> 40L))
+    // flat files gone, bucketed layout in place
+    val rootFiles = new java.io.File(table).listFiles().map(_.getName)
+    assert(!rootFiles.exists(f => f.endsWith(".parquet")), rootFiles.toSeq)
+    assert(rootFiles.exists(_.startsWith("bucket=")), rootFiles.toSeq)
+    // subsequent upserts take the steady-state bucketed path
+    KeyedUpsertSink.upsert(Seq((1, 11L)).toDF("uid", "v"),
+      table, Seq("uid"))
+    assert(KeyedUpsertSink.read(spark, table)
+      .as[(Int, Long)].collect().toMap ===
+      Map(1 -> 11L, 2 -> 21L, 3 -> 30L, 4 -> 40L))
+  }
+
   test("bucketed upsert leaves untouched-bucket files byte-identical " +
     "(upsert I/O is O(batch), not O(table))") {
     import graft.streaming.KeyedUpsertSink
