@@ -246,6 +246,13 @@ object SparkEntry {
         col("doc_id"),
         TextAnalysis.dupWordFraction(col("text")).as("dup_word_frac"),
         TextAnalysis.dupGramFraction(col("text"), 3).as("dup_gram_frac"))),
+    // deterministic weighted mixture: src0/src1 down-weighted, the rest
+    // kept whole — membership is a pure function of (doc_id, rate)
+    "x22_corpus_mix" -> ((s, dir) =>
+      graft.operators.Corpus.mixBySource(
+        Tables.documents(s, dir), col("doc_id"), col("source"),
+        Map("src0" -> 0.25, "src1" -> 0.5))
+        .select(col("doc_id"), col("source"))),
   )
 
   /** Shared reference side of BOTH ANN recall gates (x6/x13): the exact
@@ -665,6 +672,18 @@ object SparkEntry {
         |         / greatest(length(text) - 2, 0)
         |    ELSE 0.0 END, 6) AS dup_gram_frac
         |FROM documents""".stripMargin,
+    "x22_corpus_mix" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ((list_reduce([0::BIGINT] || list_transform(
+        |        range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |        i -> ord(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |        (a,x) -> (a*131 + x) % 1000000007)
+        |      * 1103515245 + 12345) % 1000000007
+        |      * 69069 + 1) % 1000000007 / 1000000007.0 AS u
+        |  FROM documents)
+        |WHERE u < CASE source WHEN 'src0' THEN 0.25
+        |                      WHEN 'src1' THEN 0.5 ELSE 1.0 END""".stripMargin,
     "x19_len_percentiles" ->
       """SELECT source,
         |  round(quantile_cont(length(text), 0.5), 6) AS p50,

@@ -76,6 +76,29 @@ object Corpus {
     when(key.isNotNull, assigned)
   }
 
+  /** Deterministic weighted corpus mixing: keep each row with its
+    * source's sampling rate, decided by [[hashUnit]] of the row key —
+    * the "data mixture" primitive (e.g. books at 2×-epoch-equivalent
+    * down-weighting, web at 0.1) as a reproducible projection. Sources
+    * absent from `rates` keep `defaultRate`. Like [[sampleByHash]],
+    * membership is stable across runs, partitionings, and corpus
+    * growth, so a mixture is re-derivable instead of a one-off artifact. */
+  def mixBySource(df: DataFrame, key: Column, sourceCol: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      s"mixBySource: rates must be in [0,1], got $rates / $defaultRate")
+    val rate = rates.foldLeft(Option.empty[Column]) {
+      case (acc, (src, r)) => Some(acc match {
+        case None => when(sourceCol === src, r)
+        case Some(c) => c.when(sourceCol === src, r)
+      })
+    } match {
+      case Some(c) => c.otherwise(defaultRate)
+      case None => lit(defaultRate)
+    }
+    df.filter(hashUnit(key) < rate)
+  }
+
   /** Exact linear-interpolated percentiles per group, as a DISTRIBUTED
     * plan: rank values with a per-group sort window, pick the two
     * bracketing ranks per percentile (pos = p·(n−1), 0-based), and

@@ -224,6 +224,29 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("corpus mixing: per-source rates, default rate, determinism, " +
+    "subset-of-sample consistency") {
+    import graft.operators.Corpus
+    val df = (0 until 1200).map(i =>
+      (i.toLong, s"src${i % 3}")).toDF("id", "src")
+    val mixed = Corpus.mixBySource(df, col("id"), col("src"),
+      Map("src0" -> 0.25, "src1" -> 0.5))
+    val counts = mixed.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("src2") === 400L) // default rate 1.0 keeps everything
+    assert(counts("src0") > 60 && counts("src0") < 140, counts.toString)
+    assert(counts("src1") > 150 && counts("src1") < 250, counts.toString)
+    // determinism + rate monotonicity: the 0.25 sample of a source is a
+    // subset of its 0.5 sample (same hash, higher threshold)
+    val lo = Corpus.mixBySource(df, col("id"), col("src"),
+      Map("src0" -> 0.25)).filter(col("src") === "src0")
+      .select("id").as[Long].collect().toSet
+    val hi = Corpus.mixBySource(df, col("id"), col("src"),
+      Map("src0" -> 0.5)).filter(col("src") === "src0")
+      .select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+  }
+
   test("corpus chunking: coverage, overlap, short tail, degenerate texts") {
     import graft.operators.Corpus
     val docs = Seq(
