@@ -290,6 +290,63 @@ class OperatorsSpec extends SparkTestBase {
       ap.toString)
   }
 
+  test("corpus chunking property: dropping each chunk's overlap prefix " +
+    "reconstructs the text exactly (random lengths/params)") {
+    import graft.operators.Corpus
+    val rnd = new scala.util.Random(13)
+    val docs = (0 until 40).map { i =>
+      val len = rnd.nextInt(300)
+      (i.toLong, rnd.alphanumeric.take(len).mkString)
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((chunk, overlap) <- Seq((50, 10), (64, 0), (7, 3))) {
+      val step = chunk - overlap
+      val got = Corpus.chunk(df, "doc_id", "text", chunk, overlap)
+        .as[(Long, Int, String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      for ((id, text) <- docs if text.nonEmpty) {
+        val chunks = got(id)
+        // chunk i starts at i·step, so dropping each later chunk's
+        // `overlap`-char prefix and concatenating rebuilds the text
+        val rebuilt = chunks.map { case (_, idx, s, _) =>
+          if (idx == 0) s else s.drop(overlap.min(s.length))
+        }.mkString
+        assert(rebuilt === text, s"id=$id chunk=$chunk ov=$overlap")
+        // each chunk's width is exactly min(chunkChars, remaining text)
+        // (with chunk > step, several TRAILING chunks run short, not
+        // just the last one)
+        chunks.foreach { case (_, idx, _, nChars) =>
+          assert(nChars === math.min(chunk, text.length - idx * step).toLong,
+            s"id=$id idx=$idx")
+        }
+      }
+      for ((id, text) <- docs if text.isEmpty)
+        assert(!got.contains(id))
+    }
+  }
+
+  test("decontaminate equals brute-force shared-gram counting on " +
+    "random overlapping docs") {
+    val rnd = new scala.util.Random(17)
+    val alphabet = "abcd" // tiny alphabet forces heavy gram overlap
+    def randText(n: Int) =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (0 until 50).map(i => (i.toLong, randText(20 + rnd.nextInt(60))))
+    val bench = (0 until 5).map(i => (100L + i, randText(30)))
+    val n = 4
+    def grams(s: String) =
+      if (s.length < n) Set.empty[String] else s.sliding(n).toSet
+    val benchGrams = bench.flatMap(b => grams(b._2)).toSet
+    val want = docs.map { case (id, t) =>
+      id -> (grams(t) & benchGrams).size.toLong
+    }.toMap
+    val got = Dedup.decontaminate(docs.toDF("doc_id", "text"),
+      bench.toDF("doc_id", "text"), minSharedGrams = 5, n = n)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got === want)
+  }
+
   test("pii scrub + normalization: masking, stopword removal, " +
     "whitespace collapse") {
     import graft.functions.TextAnalysis
