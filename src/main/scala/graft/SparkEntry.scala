@@ -253,6 +253,16 @@ object SparkEntry {
         Tables.documents(s, dir), col("doc_id"), col("source"),
         Map("src0" -> 0.25, "src1" -> 0.5))
         .select(col("doc_id"), col("source"))),
+    // gap-based sessionization over the event stream (30-min gap);
+    // timestamps formatted to microseconds for engine-portable compare
+    "x23_sessionize" -> ((s, dir) =>
+      graft.analytics.Sessionize.sessions(
+        Tables.events(s, dir), col("user_id"), col("ts"), gapSec = 1800L)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("start_ts"),
+          date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("end_ts"))),
   )
 
   /** Shared reference side of BOTH ANN recall gates (x6/x13): the exact
@@ -672,6 +682,24 @@ object SparkEntry {
         |         / greatest(length(text) - 2, 0)
         |    ELSE 0.0 END, 6) AS dup_gram_frac
         |FROM documents""".stripMargin,
+    "x23_sessionize" ->
+      """WITH f AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |      AS session_idx
+        |  FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "x22_corpus_mix" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

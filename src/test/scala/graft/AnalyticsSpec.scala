@@ -66,4 +66,35 @@ class AnalyticsSpec extends SparkTestBase {
       direct(events, "1 day", "6 hours")
         .as[(String, String, Long)].collect().toSet)
   }
+
+  test("sessionize: gap splits, session numbering, ties share a " +
+    "session, sub-second gaps honored, null rows dropped") {
+    import graft.analytics.Sessionize
+    // build via micros directly to exercise sub-second boundaries
+    def tsUs(us: Long): java.sql.Timestamp = {
+      val ts = new java.sql.Timestamp(us / 1000)
+      ts.setNanos((us % 1000000).toInt * 1000)
+      ts
+    }
+    val base = 1700000000000000L // epoch micros
+    val events = Seq(
+      // user a: 3 events within gap, then a 10s+1us jump -> 2 sessions
+      ("a", tsUs(base)), ("a", tsUs(base + 5000000L)),
+      ("a", tsUs(base + 9000000L)), ("a", tsUs(base + 19000001L)),
+      // user b: tie at the same instant then exactly-at-gap (no split:
+      // gap is strict >)
+      ("b", tsUs(base)), ("b", tsUs(base)), ("b", tsUs(base + 10000000L)),
+      // null rows dropped
+      (null.asInstanceOf[String], tsUs(base)))
+      .toDF("u", "t")
+    val got = Sessionize.sessions(events, col("u"), col("t"), gapSec = 10L)
+      .as[(String, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.keySet === Set(("a", 1L), ("a", 2L), ("b", 1L)))
+    assert(got(("a", 1L))._1 === 3L)
+    assert(got(("a", 2L)) === ((1L, tsUs(base + 19000001L),
+      tsUs(base + 19000001L))))
+    // tie rows share session 1; exactly-10s gap does NOT split
+    assert(got(("b", 1L)) === ((3L, tsUs(base), tsUs(base + 10000000L))))
+  }
 }

@@ -80,6 +80,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x23 sessionize: lag flag, running session index, and the " +
+    "per-session aggregate all share ONE exchange") {
+    val p = plan("x23_sessionize")
+    assert(p.linesIterator.count(_.contains("Exchange")) === 1, p)
+  }
+
   test("no query plans a cartesian product; nested-loop joins only " +
     "where brute force is the contract") {
     // x5 brute-force cosine is DELIBERATELY a broadcast nested-loop scan
