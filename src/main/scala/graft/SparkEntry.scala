@@ -689,6 +689,7 @@ object SparkEntry {
         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
         |         THEN 1 ELSE 0 END AS ns
         |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
         |s AS (
         |  SELECT user_id, ts,

@@ -82,7 +82,11 @@ object Corpus {
     * down-weighting, web at 0.1) as a reproducible projection. Sources
     * absent from `rates` keep `defaultRate`. Like [[sampleByHash]],
     * membership is stable across runs, partitionings, and corpus
-    * growth, so a mixture is re-derivable instead of a one-off artifact. */
+    * growth, so a mixture is re-derivable instead of a one-off artifact.
+    * Rows with a null key have no hash position and are EXCLUDED from
+    * every mixture (explicitly — not as a comparison-with-null
+    * artifact), including sources at rate 1.0; filter them upstream if
+    * they must be kept. */
   def mixBySource(df: DataFrame, key: Column, sourceCol: Column,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
@@ -96,7 +100,7 @@ object Corpus {
       case Some(c) => c.otherwise(defaultRate)
       case None => lit(defaultRate)
     }
-    df.filter(hashUnit(key) < rate)
+    df.filter(key.isNotNull && hashUnit(key) < rate)
   }
 
   /** Exact linear-interpolated percentiles per group, as a DISTRIBUTED

@@ -307,8 +307,10 @@ object Dedup {
         .collect().head
       val hasDense = Option(routeRow.get(0)).exists(_.asInstanceOf[Long] > 0)
       val hasSparse = Option(routeRow.get(1)).exists(_.asInstanceOf[Long] > 0)
-      if (!hasSparse) denseRoute(g) // also the empty-corpus case
-      else if (!hasDense) prefixRoute(g)
+      // single-route corpora never read blockSizes again — release the
+      // cache instead of pinning dead per-block counts for the session
+      if (!hasSparse) { blockSizes.unpersist(); denseRoute(g) }
+      else if (!hasDense) { blockSizes.unpersist(); prefixRoute(g) }
       else {
         val dense = blockSizes.filter(col("nb") <= allPairsMaxDocs)
           .select(col("blk"))

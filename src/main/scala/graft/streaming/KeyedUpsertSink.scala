@@ -141,8 +141,10 @@ object KeyedUpsertSink {
     // persisting pins ONE evaluation, so a nondeterministic batch
     // lineage cannot place a row in a bucket the collect never saw
     // (whose swap would then drop that bucket's pre-existing keys)
-    val rowsB = rows.withColumn(BucketCol,
-      pmod(hash(keys.map(col): _*), org.apache.spark.sql.functions.lit(n)))
+    def withBucket(df: DataFrame): DataFrame =
+      df.withColumn(BucketCol, pmod(hash(keys.map(col): _*),
+        org.apache.spark.sql.functions.lit(n)))
+    val rowsB = withBucket(rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // root-level parquet files = a pre-bucketing (flat-layout) table:
@@ -157,27 +159,31 @@ object KeyedUpsertSink {
       else Seq.empty
 
       val buckets = bucketDirs(fs, dir)
-      def withBucket(df: DataFrame): DataFrame =
-        df.withColumn(BucketCol, pmod(hash(keys.map(col): _*),
-          org.apache.spark.sql.functions.lit(n)))
       // empty-bucket guard in the nonEmpty checks: a crash after the
       // meta write but before the first swap leaves a table with zero
       // bucket dirs — nothing to merge against (and nothing parquet
       // could infer a schema from)
       val merged =
         if (legacy.nonEmpty) {
-          // migration pass: fold flat files + every bucket into one full
-          // rewrite. dropDuplicates guards the replay where a previous
-          // migration crashed after the swap but before the legacy
-          // delete — the same key then exists in both layouts.
+          // migration pass: fold flat files + every bucket into one
+          // full rewrite. On the replay where a previous migration
+          // crashed after the swap but before the legacy delete, the
+          // same key exists in BOTH layouts and the bucketed copy is
+          // always at least as new — legacy rows whose key already has
+          // a bucketed row are discarded (an arbitrary-winner
+          // dropDuplicates could resurrect the stale legacy value).
+          val legacyDf =
+            withBucket(spark.read.parquet(legacy.map(_.toString): _*))
           val sources =
-            (if (buckets.nonEmpty)
-              Seq(withBucket(spark.read.parquet(
-                buckets.map(_.toString): _*)))
-            else Seq.empty) :+
-              withBucket(spark.read.parquet(legacy.map(_.toString): _*))
-          sources.reduce(_ unionByName _)
-            .dropDuplicates(keys)
+            if (buckets.isEmpty) legacyDf
+            else {
+              val bucketed = withBucket(
+                spark.read.parquet(buckets.map(_.toString): _*))
+              bucketed.unionByName(
+                legacyDf.join(bucketed.select(keys.map(col): _*),
+                  keys, "left_anti"))
+            }
+          sources
             .join(rowsB.select(keys.map(col): _*), keys, "left_anti")
             .unionByName(rowsB)
         } else if (buckets.nonEmpty) {

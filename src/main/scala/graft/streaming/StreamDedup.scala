@@ -29,21 +29,30 @@ object StreamDedup {
   private def contentHash(textCol: String) =
     graft.operators.Dedup.contentHash(col(textCol))
 
+  private def requireNoHashCol(docs: DataFrame): Unit =
+    require(!docs.columns.contains("_h"),
+      "StreamDedup: input already carries a '_h' column (the internal " +
+        "content-hash name) — rename it first")
+
   /** Global streaming dedup: first occurrence of each distinct content
     * passes, every later one is dropped. State ∝ distinct contents. */
-  def dedupForever(docs: DataFrame, textCol: String = "text"): DataFrame =
+  def dedupForever(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    requireNoHashCol(docs)
     docs.withColumn("_h", contentHash(textCol))
       .dropDuplicates("_h")
       .drop("_h")
+  }
 
   /** Watermark-bounded streaming dedup: duplicates are dropped while
     * their first occurrence is inside the watermark horizon; state for
     * older contents is evicted. `eventTimeCol` must be a timestamp
     * column; `delay` is the standard watermark delay string. */
   def dedupWithinWatermark(docs: DataFrame, eventTimeCol: String,
-      delay: String, textCol: String = "text"): DataFrame =
+      delay: String, textCol: String = "text"): DataFrame = {
+    requireNoHashCol(docs)
     docs.withColumn("_h", contentHash(textCol))
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("_h")
       .drop("_h")
+  }
 }

@@ -194,6 +194,17 @@ class QzMasterySpec extends SparkTestBase {
     assert(KeyedUpsertSink.read(spark, table)
       .as[(Int, Long)].collect().toMap ===
       Map(1 -> 11L, 2 -> 21L, 3 -> 30L, 4 -> 40L))
+
+    // crashed-migration replay: a leftover legacy file holding a STALE
+    // value for a key that already lives in the buckets must NOT
+    // resurrect it (bucketed rows take precedence over legacy rows)
+    Seq((1, 999L)).toDF("uid", "v")
+      .write.mode("append").parquet(table) // stale flat file reappears
+    KeyedUpsertSink.upsert(Seq((5, 50L)).toDF("uid", "v"),
+      table, Seq("uid"))
+    assert(KeyedUpsertSink.read(spark, table)
+      .as[(Int, Long)].collect().toMap ===
+      Map(1 -> 11L, 2 -> 21L, 3 -> 30L, 4 -> 40L, 5 -> 50L))
   }
 
   test("bucketed upsert leaves untouched-bucket files byte-identical " +
