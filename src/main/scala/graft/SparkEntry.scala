@@ -263,6 +263,14 @@ object SparkEntry {
             .as("start_ts"),
           date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("end_ts"))),
+    // duplicate-cluster resolution: near-dup pairs (poly-simhash, the
+    // oracle-replayable variant) → connected components → one canonical
+    // doc per cluster; singletons are their own cluster
+    "x24_dup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Graph.dupClusters(docs,
+        Dedup.simhashPairs(docs, maxHamming = 3, poly = true))
+    }),
   )
 
   /** Shared reference side of BOTH ANN recall gates (x6/x13): the exact
@@ -289,6 +297,29 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, min(cosine) AS kth_cosine, true AS recall_ok
         |FROM topk WHERE rnk <= 10 GROUP BY 1""".stripMargin
+
+  /** Shared oracle CTE chain recomputing the oracle-replayable
+    * polynomial simhash fingerprint per document (the `poly = true`
+    * variant of [[graft.operators.Dedup.simhash]]) — used by both the
+    * simhash-pairs oracle (x3) and the dup-clusters oracle (x24), one
+    * constant so the two can never silently disagree. Yields CTEs
+    * `t`/`h`/`fp`; callers prepend WITH [RECURSIVE] and append theirs. */
+  private val PolySimhashFpCtes =
+      """t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\x0b\f]+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (
+        |  SELECT doc_id, list_transform(toks, tk ->
+        |    list_reduce([0::BIGINT] || list_transform(range(1, length(tk) + 1),
+        |      i -> ord(substr(tk, i, 1))::BIGINT), (a,x) -> (a*131 + x) % 2147483647) * 1073741824
+        |    + list_reduce([0::BIGINT] || list_transform(range(1, length(tk) + 1),
+        |      i -> ord(substr(tk, i, 1))::BIGINT), (a,x) -> (a*137 + x) % 1000000007)) AS hs
+        |  FROM t),
+        |fp AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 61), j ->
+        |    CASE WHEN coalesce(list_sum(list_transform(hs, v -> ((v >> j) & 1) * 2 - 1)), 0) > 0
+        |         THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sh
+        |  FROM h)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -461,25 +492,35 @@ object SparkEntry {
     // all pairs; Spark's chunk-pigeonhole search is exactly complete for
     // hamming <= 3, so the sets must match row-for-row
     "x3_dedup_simhash" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\x0b\f]+') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |h AS (
-        |  SELECT doc_id, list_transform(toks, tk ->
-        |    list_reduce([0::BIGINT] || list_transform(range(1, length(tk) + 1),
-        |      i -> ord(substr(tk, i, 1))::BIGINT), (a,x) -> (a*131 + x) % 2147483647) * 1073741824
-        |    + list_reduce([0::BIGINT] || list_transform(range(1, length(tk) + 1),
-        |      i -> ord(substr(tk, i, 1))::BIGINT), (a,x) -> (a*137 + x) % 1000000007)) AS hs
-        |  FROM t),
-        |fp AS (
-        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 61), j ->
-        |    CASE WHEN coalesce(list_sum(list_transform(hs, v -> ((v >> j) & 1) * 2 - 1)), 0) > 0
-        |         THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sh
-        |  FROM h)
+      s"""WITH $PolySimhashFpCtes
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+    // x24: the SAME pair set as x3, closed transitively by a recursive
+    // label-propagation CTE (every node accumulates every label that can
+    // reach it; the min is the component id), then joined back onto the
+    // full corpus with singletons as their own cluster
+    "x24_dup_clusters" ->
+      s"""WITH RECURSIVE $PolySimhashFpCtes,
+        |e AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+        |es AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        |cc AS (
+        |  SELECT u AS node, u AS lbl FROM es
+        |  UNION
+        |  SELECT es.v, cc.lbl FROM cc JOIN es ON cc.node = es.u),
+        |comp AS (SELECT node, MIN(lbl) AS component FROM cc GROUP BY node),
+        |asg AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+        |    AS cluster_size,
+        |  doc_id = cluster_id AS is_canonical
+        |FROM asg""".stripMargin,
     // recall gates: the oracle recomputes the query set and the exact
     // k-th cosine from the data (engine-independent), and asserts the
     // recall floor held for every query

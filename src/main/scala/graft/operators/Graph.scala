@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph operators for duplicate-cluster resolution — the step AFTER a
+  * pair-producing dedup pass ([[Dedup.minhashLsh]], [[Dedup.simhashPairs]],
+  * [[Dedup.ngramJaccardBlocked]]): near-duplicate pairs are edges, a
+  * duplicate CLUSTER is a connected component, and the canonical document
+  * per cluster is the component minimum. Without this step a pipeline
+  * that drops "the b side of every pair" over-deletes (a-b, b-c drops
+  * both b and c even though b was kept relative to a's deletion) — the
+  * component view is what production dedup actually keys on.
+  *
+  * Algorithm: iterated min-label propagation with pointer shortcutting —
+  * each round a node's label drops to the min of (its label, its
+  * neighbors' labels, its label's label). Edge propagation alone
+  * converges in O(diameter) rounds; the shortcut (label ← label's label,
+  * i.e. path halving) brings convergence to O(log n) rounds like the
+  * hash-to-min family [Rastogi et al., "Finding Connected Components in
+  * Map-Reduce in Logarithmic Rounds", 2013; Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", 2014]. Every round is two
+  * key-equality joins + one aggregate — no step is quadratic, and the
+  * working set is the node/edge tables, never materialized components.
+  * Near-dup graphs are quasi-cliques (tiny diameter), so in practice
+  * 2–4 rounds; the shortcut is what keeps adversarial chain-shaped
+  * graphs logarithmic at corpus scale.
+  *
+  * Lineage MUST be cut every round: the next label relation references
+  * the current one three times, so without truncation the logical plan
+  * grows 3^k and Catalyst analysis dominates (or overflows) within a
+  * handful of rounds — persist() alone does not help, it caches data
+  * but leaves the plan. Each round is therefore checkpointed: reliably
+  * if `sparkContext.setCheckpointDir` was called (the cluster setting —
+  * survives executor loss), else `localCheckpoint` (fine single-node
+  * and in tests).
+  */
+object Graph {
+
+  /** Materialize `df` and cut its logical plan/lineage. */
+  private def truncated(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Connected components of an undirected edge list: one row per node
+    * that appears in `edges`, labeled with the minimum node id reachable
+    * from it (`component`). Null endpoints are dropped; parallel edges
+    * and self-loops are harmless. Deterministic (exact min ids), so the
+    * output is oracle-comparable. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
+      dstCol: String = "doc_b", maxIter: Int = 64): DataFrame = {
+    val sym = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges
+        .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+        .select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // round 0: label(u) = min(u, min neighbor) — one aggregate
+    var labels = truncated(
+      sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u").as("node"), least(col("u"), col("mv")).as("lbl")))
+    // labels only decrease and are bounded below by the component min,
+    // so the label sum strictly decreases on every non-converged round —
+    // one aggregate per round IS the convergence test (decimal(38,0):
+    // overflow-safe for any id domain, where a long sum is not)
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect().head
+      if (s.isNullAt(0)) java.math.BigDecimal.ZERO else s.getDecimal(0)
+    }
+    var prevSum = lblSum(labels)
+    var converged = prevSum.signum == 0 && labels.isEmpty
+    var iters = 0
+    while (!converged) {
+      iters += 1
+      require(iters <= maxIter,
+        s"connectedComponents: no convergence after $maxIter rounds " +
+          "(O(log n) expected — is the id column stable?)")
+      // neighbor labels: for edge (u,v), v's label flows to u
+      val viaEdges = sym.join(labels, col("v") === col("node"))
+        .select(col("u").as("node"), col("lbl"))
+      // pointer shortcut: label's label (path halving)
+      val viaParent = labels.as("l1")
+        .join(labels.as("l2"), col("l1.lbl") === col("l2.node"))
+        .select(col("l1.node").as("node"), col("l2.lbl").as("lbl"))
+      val next = truncated( // materializes AND cuts the 3^k plan growth
+        labels.unionByName(viaEdges).unionByName(viaParent)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
+      val nextSum = lblSum(next)
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("lbl").as("component"))
+  }
+
+  /** Duplicate-cluster assignment for a whole corpus: every document of
+    * `docs` gets its cluster id (the minimum doc id of its near-dup
+    * component; docs in no pair are their own singleton cluster), the
+    * cluster size, and an `is_canonical` flag marking the one document
+    * per cluster a dedup pass keeps. `pairs` is any near-dup pair
+    * relation (doc_a, doc_b) — the output of [[Dedup.minhashLsh]],
+    * [[Dedup.simhashPairs]] or [[Dedup.ngramJaccardBlocked]].
+    *
+    * Scale shape: components over the PAIR graph (∝ duplicates, not
+    * corpus), one left join to attach labels back to the corpus, and
+    * cluster sizes via a count window that rides the same exchange as
+    * the cluster-id shuffle — no second aggregate-join pass. */
+  def dupClusters(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", srcCol: String = "doc_a",
+      dstCol: String = "doc_b"): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+    val assigned = docs.select(col(idCol))
+      .join(cc, col(idCol) === col("node"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+    assigned
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+  }
+}
