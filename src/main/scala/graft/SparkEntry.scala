@@ -271,6 +271,17 @@ object SparkEntry {
       graft.operators.Graph.dupClusters(docs,
         Dedup.simhashPairs(docs, maxHamming = 3, poly = true))
     }),
+    // sequence packing into 256-token training sequences, sharded by
+    // source: greedy first-fit (no doc splitting, SFT-style) and
+    // concatenate-and-slice (docs span sequences, pretraining-style)
+    "x25_pack_greedy" -> ((s, dir) =>
+      graft.operators.Packing.packGreedy(Tables.documents(s, dir),
+        col("source"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 256L)),
+    "x26_pack_concat" -> ((s, dir) =>
+      graft.operators.Packing.packConcat(Tables.documents(s, dir),
+        col("source"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 256L)),
   )
 
   /** Shared reference side of BOTH ANN recall gates (x6/x13): the exact
@@ -766,5 +777,48 @@ object SparkEntry {
         |  greatest(CAST(floor(octet_length(encode(text)) / 256) AS BIGINT), 1)
         |    AS n_frames
         |FROM documents""".stripMargin,
+    // x25: the greedy first-fit recurrence replayed exactly — one
+    // recursive step per document in (shard, doc_id) order; a new
+    // sequence starts iff the previous fill plus this doc overflows
+    "x25_pack_greedy" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source AS shard, doc_id,
+        |    coalesce(len(regexp_extract_all(text, '\S+')), 0)::BIGINT AS n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |p AS (
+        |  SELECT shard, rn, doc_id, n_tokens,
+        |    0::BIGINT AS seq_idx, 0::BIGINT AS tok_offset
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+        |    CASE WHEN p.tok_offset + p.n_tokens + d.n_tokens > 256
+        |         THEN p.seq_idx + 1 ELSE p.seq_idx END,
+        |    CASE WHEN p.tok_offset + p.n_tokens + d.n_tokens > 256
+        |         THEN 0::BIGINT ELSE p.tok_offset + p.n_tokens END
+        |  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+        |SELECT shard, doc_id, seq_idx, tok_offset, n_tokens FROM p""".stripMargin,
+    // x26: concat-and-slice is pure window arithmetic — cumulative
+    // start offset, spanned sequence range, slice bounds per sequence
+    "x26_pack_concat" ->
+      """WITH t AS (
+        |  SELECT source AS shard, doc_id,
+        |    coalesce(len(regexp_extract_all(text, '\S+')), 0)::BIGINT AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |c AS (
+        |  SELECT shard, doc_id, toks,
+        |    coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS st
+        |  FROM t),
+        |s AS (
+        |  SELECT shard, doc_id, toks, st,
+        |    unnest(range(st // 256,
+        |                 (st + greatest(toks, 1) - 1) // 256 + 1)) AS seq_idx
+        |  FROM c)
+        |SELECT shard, doc_id, seq_idx,
+        |  greatest(st, seq_idx * 256) - seq_idx * 256 AS tok_offset,
+        |  least((seq_idx + 1) * 256, st + toks) - greatest(st, seq_idx * 256)
+        |    AS n_tokens
+        |FROM s""".stripMargin,
   )
 }

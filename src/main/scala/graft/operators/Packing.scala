@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the step between corpus preparation and
+  * tokenized training batches: documents are laid out into fixed
+  * token-budget training sequences. Two packing disciplines, matching
+  * the two ways production pipelines actually pack:
+  *
+  *  - [[packConcat]]: concatenate-and-slice (pretraining style). All
+  *    documents in a shard are conceptually concatenated in id order
+  *    and cut every `budget` tokens; a document may span sequences.
+  *    Pure window arithmetic — cumulative offsets then a generator
+  *    projection — so it is a single keyed exchange and fully
+  *    SQL-expressible.
+  *  - [[packGreedy]]: first-fit no-split (SFT style). Documents are
+  *    placed in id order; when the next document no longer fits the
+  *    current sequence a new one starts, and documents never split.
+  *    The boundary depends on every previous placement (a capped
+  *    running fill, NOT `floor(cumsum/budget)`), which no fixed-frame
+  *    window expresses — so the scan runs as a sorted-group stream
+  *    (`flatMapSortedGroups`): one shuffle on the shard key, O(1)
+  *    state per shard, the same execution contract as sessionization.
+  *
+  * Both are deterministic given (shard, id order, token counts): a
+  * re-run yields byte-identical packing, and the shard column is the
+  * parallelism knob — each shard packs independently, so scale-out is
+  * "more shards", never "a bigger sequential scan". Documents longer
+  * than the budget: [[packGreedy]] isolates them in their own
+  * (overflowing) sequence — compose with [[Corpus.chunk]] upstream
+  * when hard budget caps are required; [[packConcat]] splits them
+  * across as many sequences as they need.
+  */
+object Packing {
+
+  /** First-fit no-split packing of `df` rows into sequences of at most
+    * `budget` tokens, walking each shard's documents in ascending
+    * `idCol` order. Output: `shard` (string form of `shardCol`),
+    * `doc_id`, `seq_idx` (0-based per shard), `tok_offset` (token
+    * offset of this document inside its sequence), `n_tokens`.
+    *
+    * A new sequence starts exactly when `fill + n_tokens > budget`
+    * for a non-first document (zero-token documents stack at the
+    * current offset; an oversize document gets its own sequence and
+    * forces the next document onto a fresh one). Rows with a null id
+    * are dropped (no deterministic position); null token counts pack
+    * as 0. `idCol` must be integral — ordering happens on the numeric
+    * value, so packing order matches `ORDER BY idCol`. */
+  def packGreedy(df: DataFrame, shardCol: Column, idCol: String,
+      tokensCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"packGreedy: budget must be > 0, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(idCol).isNotNull)
+      .select(shardCol.cast("string").as("_1"), col(idCol).cast("long").as("_2"),
+        coalesce(tokensCol.cast("long"), lit(0L)).as("_3"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"_2") { (shard, docs) =>
+        // streaming scan: Iterator.map keeps O(1) state per shard
+        var seq = -1L
+        var fill = 0L
+        docs.map { case (_, id, toks) =>
+          if (seq < 0 || fill + toks > budget) { seq += 1; fill = 0L }
+          val off = fill
+          fill += toks
+          (shard, id, seq, off, toks)
+        }
+      }
+      .toDF("shard", "doc_id", "seq_idx", "tok_offset", "n_tokens")
+  }
+
+  /** Concatenate-and-slice packing: within a shard, documents are laid
+    * end-to-end in ascending `idCol` order and the token stream is cut
+    * every `budget` tokens. One output row per (document, sequence it
+    * touches): `shard`, `doc_id`, `seq_idx`, `tok_offset` (where the
+    * document's slice starts inside that sequence), `n_tokens` (slice
+    * length; slices of one document sum to its token count). Zero-token
+    * documents land in the sequence at their concat position with an
+    * empty slice.
+    *
+    * Plan: a per-shard cumulative-sum window (one keyed exchange, a
+    * shard's timeline sorts in one spilling sort) then a generator
+    * projection over the spanned sequence range — output rows ∝
+    * slices, never shard². Exact for per-shard token totals below 2⁵³
+    * (the slice arithmetic runs through double-exact longs); shards
+    * exist precisely to bound that. Same null semantics as
+    * [[packGreedy]]. */
+  def packConcat(df: DataFrame, shardCol: Column, idCol: String,
+      tokensCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"packConcat: budget must be > 0, got $budget")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = lit(budget)
+    df.filter(col(idCol).isNotNull)
+      .select(shardCol.cast("string").as("shard"),
+        col(idCol).cast("long").as("doc_id"),
+        coalesce(tokensCol.cast("long"), lit(0L)).as("toks"))
+      .withColumn("start", coalesce(sum(col("toks")).over(w), lit(0L)))
+      // spanned sequences: floor(start/B) .. floor((start+toks-1)/B);
+      // greatest(toks,1) pins empty docs to the single seq at `start`
+      .select(col("shard"), col("doc_id"), col("toks"), col("start"),
+        explode(sequence(
+          floor(col("start") / b).cast("long"),
+          floor((col("start") + greatest(col("toks"), lit(1L)) - 1) / b)
+            .cast("long"))).as("seq_idx"))
+      .select(col("shard"), col("doc_id"), col("seq_idx"),
+        (greatest(col("start"), col("seq_idx") * b) - col("seq_idx") * b)
+          .as("tok_offset"),
+        (least((col("seq_idx") + 1) * b, col("start") + col("toks"))
+          - greatest(col("start"), col("seq_idx") * b)).as("n_tokens"))
+  }
+}

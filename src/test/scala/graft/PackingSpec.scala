@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def greedy(rows: Seq[(String, Long, Long)], budget: Long) =
+    Packing.packGreedy(rows.toDF("src", "id", "toks"),
+      col("src"), "id", col("toks"), budget)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+
+  test("greedy: boundaries, oversize isolation, empty docs") {
+    // budget 10: [4,5] fit (9), 3 opens seq 1, 12 is oversize and alone,
+    // the doc after an oversize starts fresh, empties stack, and 8 then
+    // fills seq 3 to exactly the budget (2+8 = 10 fits)
+    val got = greedy(Seq(
+      ("a", 1L, 4L), ("a", 2L, 5L), ("a", 3L, 3L), ("a", 4L, 12L),
+      ("a", 5L, 2L), ("a", 6L, 0L), ("a", 7L, 0L), ("a", 8L, 8L)), 10L)
+    assert(got === Set(
+      ("a", 1L, 0L, 0L, 4L), ("a", 2L, 0L, 4L, 5L),
+      ("a", 3L, 1L, 0L, 3L),
+      ("a", 4L, 2L, 0L, 12L),
+      ("a", 5L, 3L, 0L, 2L), ("a", 6L, 3L, 2L, 0L), ("a", 7L, 3L, 2L, 0L),
+      ("a", 8L, 3L, 2L, 8L)))
+  }
+
+  test("greedy: shards pack independently; null ids drop, null toks = 0") {
+    val df = Seq[(String, Option[Long], Option[Long])](
+      ("a", Some(1L), Some(6L)), ("a", Some(2L), Some(6L)),
+      ("b", Some(1L), Some(6L)), ("b", Some(2L), None),
+      ("b", None, Some(9L))).toDF("src", "id", "toks")
+    val got = Packing.packGreedy(df, col("src"), "id", col("toks"), 10L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", 1L, 0L, 0L, 6L), ("a", 2L, 1L, 0L, 6L),
+      ("b", 1L, 0L, 0L, 6L), ("b", 2L, 0L, 6L, 0L)))
+  }
+
+  test("concat: spans, offsets, slice conservation") {
+    // budget 10, one shard: 4 | 8 spans seqs 0+1 (6+2) | 0-token at 12 |
+    // 25 spans seqs 1,2,3 (8+10+7)
+    val got = Packing.packConcat(
+      Seq(("a", 1L, 4L), ("a", 2L, 8L), ("a", 3L, 0L), ("a", 4L, 25L))
+        .toDF("src", "id", "toks"), col("src"), "id", col("toks"), 10L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", 1L, 0L, 0L, 4L),
+      ("a", 2L, 0L, 4L, 6L), ("a", 2L, 1L, 0L, 2L),
+      ("a", 3L, 1L, 2L, 0L),
+      ("a", 4L, 1L, 2L, 8L), ("a", 4L, 2L, 0L, 10L), ("a", 4L, 3L, 0L, 7L)))
+  }
+
+  test("randomized: greedy matches a driver-side reference; concat conserves") {
+    val rnd = new scala.util.Random(20260813L)
+    val budget = 50L
+    val rows = (1L to 400L).map { i =>
+      (s"s${i % 7}", i, rnd.nextInt(70).toLong) // includes oversize > 50
+    }
+    // driver-side greedy reference
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      var seq = -1L; var fill = 0L
+      ds.sortBy(_._2).map { case (_, id, toks) =>
+        if (seq < 0 || fill + toks > budget) { seq += 1; fill = 0L }
+        val off = fill; fill += toks
+        (src, id, seq, off, toks)
+      }
+    }.toSet
+    // input partitioning must not affect the result
+    val shuffled = rnd.shuffle(rows).toDF("src", "id", "toks").repartition(13)
+    val got = Packing.packGreedy(shuffled, col("src"), "id", col("toks"), budget)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+
+    val concat = Packing.packConcat(shuffled, col("src"), "id", col("toks"), budget)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // per-doc slice totals reconstruct the token counts
+    val totals = concat.groupBy(c => (c._1, c._2)).view
+      .mapValues(_.map(_._5).sum).toMap
+    assert(totals === rows.map(r => ((r._1, r._2), r._3)).toMap)
+    // every slice sits inside its sequence, and non-final slices of a
+    // doc run to the sequence boundary (slices are contiguous)
+    concat.foreach { case (src, id, seq, off, n) =>
+      assert(off >= 0 && off + n <= budget, s"($src,$id,$seq)")
+    }
+    // sequences never overflow and only the concat tail runs short
+    val bySeq = concat.groupBy(c => (c._1, c._3)).view
+      .mapValues(_.map(_._5).sum).toMap
+    bySeq.foreach { case ((src, seq), fill) =>
+      assert(fill <= budget, s"($src,$seq) overflows: $fill")
+      val lastSeq = bySeq.keys.filter(_._1 == src).map(_._2).max
+      if (seq != lastSeq) assert(fill == budget, s"($src,$seq) underfull: $fill")
+    }
+  }
+
+  test("greedy plan: one exchange on the shard key, no join") {
+    val df = Seq(("a", 1L, 4L), ("b", 2L, 5L)).toDF("src", "id", "toks")
+    val plan = Packing.packGreedy(df, col("src"), "id", col("toks"), 10L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected 1 exchange:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"unexpected join:\n$plan")
+  }
+}
