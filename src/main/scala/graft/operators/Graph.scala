@@ -21,9 +21,10 @@ import org.apache.spark.storage.StorageLevel
   * i.e. path halving) brings convergence to O(log n) rounds like the
   * hash-to-min family [Rastogi et al., "Finding Connected Components in
   * Map-Reduce in Logarithmic Rounds", 2013; Kiveris et al., "Connected
-  * Components in MapReduce and Beyond", 2014]. Every round is two
-  * key-equality joins + one aggregate — no step is quadratic, and the
-  * working set is the node/edge tables, never materialized components.
+  * Components in MapReduce and Beyond", 2014]. Label pointers ride the
+  * edge list, so every round is ONE key-equality join + one aggregate —
+  * no step is quadratic, and the working set is the node/edge tables,
+  * never materialized components.
   * Near-dup graphs are quasi-cliques (tiny diameter), so in practice
   * 2–4 rounds; the shortcut is what keeps adversarial chain-shaped
   * graphs logarithmic at corpus scale.
@@ -39,11 +40,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  /** Materialize `df` and cut its logical plan/lineage. */
+  /** Cut `df`'s logical plan/lineage. Lazy: the caller's next action
+    * materializes the checkpoint, so materialization and the caller's
+    * aggregate share one job instead of paying an eager extra pass. */
   private def truncated(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
 
   /** Connected components of an undirected edge list: one row per node
     * that appears in `edges`, labeled with the minimum node id reachable
@@ -81,17 +84,20 @@ object Graph {
       require(iters <= maxIter,
         s"connectedComponents: no convergence after $maxIter rounds " +
           "(O(log n) expected — is the id column stable?)")
-      // neighbor labels: for edge (u,v), v's label flows to u
-      val viaEdges = sym.join(labels, col("v") === col("node"))
-        .select(col("u").as("node"), col("lbl"))
-      // pointer shortcut: label's label (path halving)
-      val viaParent = labels.as("l1")
-        .join(labels.as("l2"), col("l1.lbl") === col("l2.node"))
-        .select(col("l1.node").as("node"), col("l2.lbl").as("lbl"))
-      val next = truncated( // materializes AND cuts the 3^k plan growth
-        labels.unionByName(viaEdges).unionByName(viaParent)
-          .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
-      val nextSum = lblSum(next)
+      // ONE join per round: label pointers ride the edge list (u → its
+      // label), so lbl'(u) = min over {lbl(v) : v ∈ N(u)} ∪
+      // {lbl(lbl(u))}. The pointer edge keeps every node covered and
+      // carries the path-halving shortcut; labels stay ≤ their node
+      // (lbl(l) ≤ l), so the update is monotone, and a fixpoint forces
+      // label equality across every edge — i.e. per-component constant
+      // labels at the component minimum.
+      val pointers = labels.select(col("node").as("u"), col("lbl").as("v"))
+      val next = truncated( // cuts the exponential plan growth
+        sym.unionByName(pointers)
+          .join(labels, col("v") === col("node"))
+          .groupBy(col("u")).agg(min(col("lbl")).as("lbl"))
+          .select(col("u").as("node"), col("lbl")))
+      val nextSum = lblSum(next) // one job: materializes + sums
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
