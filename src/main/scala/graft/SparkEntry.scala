@@ -282,6 +282,15 @@ object SparkEntry {
       graft.operators.Packing.packConcat(Tables.documents(s, dir),
         col("source"), "doc_id",
         TextAnalysis.tokenCount(col("text")), budget = 256L)),
+    // corpus vocabulary: exact top-k (distinct-token shuffle), and the
+    // sketch route — Misra-Gries candidates + exact-count join-back —
+    // whose output is provably the exact > phi*N set
+    "x27_vocab_topk" -> ((s, dir) =>
+      graft.operators.Vocab.topTokens(
+        Tables.documents(s, dir), col("text"), k = 100)),
+    "x28_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Vocab.heavyHitters(
+        Tables.documents(s, dir), col("text"), phi = 0.005, capacity = 256)),
   )
 
   /** Shared reference side of BOTH ANN recall gates (x6/x13): the exact
@@ -820,5 +829,22 @@ object SparkEntry {
         |  least((seq_idx + 1) * 256, st + toks) - greatest(st, seq_idx * 256)
         |    AS n_tokens
         |FROM s""".stripMargin,
+    // x27: deterministic (count desc, token asc) top-k
+    "x27_vocab_topk" ->
+      """SELECT tok AS token, count(*) AS n_occurrences
+        |FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 100""".stripMargin,
+    // x28: the sketch route's exact contract — MG candidates are a
+    // superset of the > phi*N set and the exact filter trims the rest,
+    // so the oracle is simply the exact set
+    "x28_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM t)
+        |SELECT tok AS token, count(*) AS n_occurrences
+        |FROM t CROSS JOIN tot
+        |GROUP BY tok, tot.n HAVING count(*) > 0.005 * tot.n""".stripMargin,
   )
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MisraGriesTokens, TextAnalysis}
+
+/** Corpus vocabulary statistics: exact token frequencies / top-k, and
+  * sketch-routed heavy hitters for when the distinct-token universe is
+  * itself too large to shuffle.
+  *
+  * Token definition is everywhere `\S+` (the same as
+  * [[graft.functions.TextAnalysis.tokenCount]]): [[tokens]] uses
+  * `split` + `array_remove` because Spark's `split` keeps edge empty
+  * strings, and the MG aggregate tokenizes document-locally with the
+  * same pattern — all three routes count identically.
+  */
+object Vocab {
+
+  /** One row per token occurrence — the exploded token stream. */
+  def tokens(df: DataFrame, textCol: Column): DataFrame =
+    df.select(explode(array_remove(split(textCol, "\\s+"), "")).as("token"))
+
+  /** Exact token frequencies: map-side partial aggregation, shuffle of
+    * distinct tokens only. */
+  def tokenCounts(df: DataFrame, textCol: Column): DataFrame =
+    tokens(df, textCol).groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+
+  /** Exact top-k vocabulary with a deterministic (count desc, token
+    * asc) tie-break — `TakeOrdered` pushes k into every partition, the
+    * driver sees k rows. */
+  def topTokens(df: DataFrame, textCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"topTokens: k must be > 0, got $k")
+    tokenCounts(df, textCol)
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** Tokens whose corpus frequency exceeds `phi · N` (N = total token
+    * occurrences), WITHOUT shuffling the distinct-token universe:
+    *
+    *  1. one corpus pass aggregates a capacity-bounded Misra–Gries
+    *     candidate summary and N together (a single small row — no
+    *     token-level shuffle; MG guarantees the candidate set is a
+    *     superset of every token above N/(capacity+1) regardless of
+    *     partial-aggregate merge order);
+    *  2. a second pass joins the token stream against the broadcast
+    *     candidates and exact-counts only those — shuffle bounded by
+    *     `capacity` distinct keys;
+    *  3. the exact `> phi·N` filter trims MG's extra survivors, so the
+    *     output is exactly the true heavy hitters with exact counts —
+    *     deterministic, hash-comparable to an exact-SQL oracle.
+    *
+    * `capacity` must be ≥ ⌈1/phi⌉ so the MG retention floor
+    * N/(capacity+1) sits at or below the phi·N threshold. At exact-
+    * top-k-is-fine scales use [[topTokens]]; this is the route for
+    * billions of distinct tokens. */
+  def heavyHitters(df: DataFrame, textCol: Column, phi: Double,
+      capacity: Int): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0,
+      s"heavyHitters: phi must be in (0,1], got $phi")
+    require(capacity >= math.ceil(1.0 / phi),
+      s"heavyHitters: capacity $capacity < ceil(1/phi) = ${math.ceil(1.0 / phi).toLong}" +
+        " — MG could drop a true heavy hitter")
+    val summary = df.agg(
+      MisraGriesTokens.summary(textCol, capacity).as("cands"),
+      sum(TextAnalysis.tokenCount(textCol)).cast("long").as("n"))
+    val cands = summary
+      .select(explode(col("cands")).as("c"), col("n"))
+      .select(col("c.token").as("token"), col("n"))
+    tokens(df, textCol)
+      .join(broadcast(cands), "token")
+      .groupBy(col("token"), col("n"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") > lit(phi) * col("n"))
+      .select(col("token"), col("n_occurrences"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MisraGriesTokens, TextAnalysis}
+import graft.operators.Vocab
+
+class VocabSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokenizer routes agree on whitespace edges") {
+    val docs = Seq("foo\n", "  a  b ", "", "   ", "x", null)
+      .toDF("text")
+    val exploded = Vocab.tokens(docs, col("text")).count()
+    val counted = docs.agg(
+      sum(TextAnalysis.tokenCount(col("text")))).as[Long].head()
+    assert(exploded === counted)
+    assert(exploded === 4L) // foo, a, b, x
+  }
+
+  test("MG summary retains every token above N/(capacity+1), never overcounts") {
+    val rnd = new scala.util.Random(7L)
+    // 2000 filler tokens from a 400-word tail + two heavy tokens
+    val words =
+      Seq.fill(300)("hh1") ++ Seq.fill(200)("hh2") ++
+        Seq.fill(2000)(s"w${rnd.nextInt(400)}")
+    val docs = rnd.shuffle(words).grouped(25).map(_.mkString(" ")).toSeq
+      .toDF("text").repartition(11)
+    val n = words.size.toLong
+    val capacity = 20
+    val truth = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = docs.agg(MisraGriesTokens.summary(col("text"), capacity))
+      .as[Seq[(String, Long)]].head().toMap
+    assert(got.size <= capacity)
+    val floor = n / (capacity + 1).toLong
+    truth.filter(_._2 > floor).keys.foreach { t =>
+      assert(got.contains(t), s"dropped heavy token $t (count ${truth(t)})")
+    }
+    got.foreach { case (t, est) =>
+      assert(est <= truth(t), s"$t overcounted: $est > ${truth(t)}")
+      assert(est >= truth(t) - floor, s"$t undercounted past the bound")
+    }
+  }
+
+  test("heavyHitters output is exactly the true > phi*N set, with exact counts") {
+    val rnd = new scala.util.Random(99L)
+    // Zipf-ish: token wi with weight ~ 1/(i+1)
+    val words = (1 to 5000).map { _ =>
+      val i = math.min((1.0 / (rnd.nextDouble() + 1e-9)).toInt, 200)
+      s"w$i"
+    }
+    val docs = words.grouped(40).map(_.mkString(" ")).toSeq
+      .toDF("text").repartition(7)
+    val n = words.size.toLong
+    val phi = 0.02
+    val truth = words.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 > phi * n).toMap
+    val got = Vocab.heavyHitters(docs, col("text"), phi, capacity = 64)
+      .as[(String, Long)].collect().toMap
+    assert(got === truth)
+  }
+
+  test("heavyHitters rejects a capacity below the MG retention floor") {
+    intercept[IllegalArgumentException] {
+      Vocab.heavyHitters(Seq("a").toDF("text"), col("text"),
+        phi = 0.01, capacity = 50)
+    }
+  }
+
+  test("topTokens: exact counts, deterministic tie-break") {
+    val docs = Seq("b a a", "c b", "d").toDF("text")
+    val got = Vocab.topTokens(docs, col("text"), 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("empty and null-only corpora yield empty heavy hitters") {
+    val docs = Seq[Option[String]](None, Some(""), Some("   "))
+      .toDF("text")
+    assert(Vocab.heavyHitters(docs, col("text"), 0.5, 2).isEmpty)
+    assert(Vocab.heavyHitters(spark.emptyDataset[String].toDF("text"),
+      col("text"), 0.5, 2).isEmpty)
+  }
+}
