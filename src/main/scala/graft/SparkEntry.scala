@@ -291,6 +291,17 @@ object SparkEntry {
     "x28_heavy_hitters" -> ((s, dir) =>
       graft.operators.Vocab.heavyHitters(
         Tables.documents(s, dir), col("text"), phi = 0.005, capacity = 256)),
+    // balanced per-source sampling: at most k docs per source / a token
+    // budget per source, membership a pure function of the key hash
+    "x29_cap_per_source" -> ((s, dir) =>
+      graft.operators.Corpus.capPerGroup(
+        Tables.documents(s, dir), col("source"), col("doc_id"), k = 10)
+        .select(col("doc_id"), col("source"))),
+    "x30_token_budget_mix" -> ((s, dir) =>
+      graft.operators.Corpus.capTokensPerGroup(
+        Tables.documents(s, dir), col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), budget = 600L)
+        .select(col("doc_id"), col("source"))),
   )
 
   /** Shared reference side of BOTH ANN recall gates (x6/x13): the exact
@@ -340,6 +351,17 @@ object SparkEntry {
         |    CASE WHEN coalesce(list_sum(list_transform(hs, v -> ((v >> j) & 1) * 2 - 1)), 0) > 0
         |         THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sh
         |  FROM h)""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Corpus.hashUnit]] over doc_id —
+    * the shared deterministic-sampling hash (x16/x22 inline the same
+    * arithmetic; x29/x30 reference this constant). */
+  private val HashUnitSqlOfDocId =
+    """((list_reduce([0::BIGINT] || list_transform(
+      |      range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+      |      i -> ord(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+      |      (a,x) -> (a*131 + x) % 1000000007)
+      |    * 1103515245 + 12345) % 1000000007
+      |    * 69069 + 1) % 1000000007 / 1000000007.0""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -846,5 +868,28 @@ object SparkEntry {
         |SELECT tok AS token, count(*) AS n_occurrences
         |FROM t CROSS JOIN tot
         |GROUP BY tok, tot.n HAVING count(*) > 0.005 * tot.n""".stripMargin,
+    // x29/x30: the deterministic (hashUnit, doc_id) order replayed —
+    // the same two-round LCG mix as the x16/x22 oracles
+    "x29_cap_per_source" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, source, $HashUnitSqlOfDocId AS u
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+        |  FROM u)
+        |WHERE rn <= 10""".stripMargin,
+    "x30_token_budget_mix" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, source,
+        |    coalesce(len(regexp_extract_all(text, '\\S+')), 0)::BIGINT AS toks,
+        |    $HashUnitSqlOfDocId AS u
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    sum(toks) OVER (PARTITION BY source ORDER BY u, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM u)
+        |WHERE cum <= 600""".stripMargin,
   )
 }

@@ -103,6 +103,49 @@ object Corpus {
     df.filter(key.isNotNull && hashUnit(key) < rate)
   }
 
+  /** Keep at most `k` rows per group, chosen in deterministic
+    * ([[hashUnit]](key), key) order — balanced per-group sampling
+    * ("at most 10k documents per source") where WHICH rows survive is
+    * a pure function of their keys: stable across runs, partitionings,
+    * and corpus growth (a group's survivors only change when lower-
+    * hashed rows arrive, never by reshuffling). One keyed exchange
+    * (rank window); rows with a null key have no hash position and are
+    * excluded, as in [[mixBySource]]. */
+  def capPerGroup(df: DataFrame, groupCol: Column, key: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"capPerGroup: k must be > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    df.filter(key.isNotNull)
+      .withColumn("_u", hashUnit(key))
+      .withColumn("_rn", row_number()
+        .over(Window.partitionBy(groupCol).orderBy(col("_u"), key)))
+      .filter(col("_rn") <= k)
+      .drop("_u", "_rn")
+  }
+
+  /** Keep each group's prefix — in ([[hashUnit]](key), key) order —
+    * while the running token total stays within `budget`: the
+    * token-budget analog of [[capPerGroup]] ("500M tokens per
+    * source"). Prefix-truncation, not bin packing: once the cumulative
+    * count passes the budget every later row of the group drops, so
+    * membership stays a pure prefix property (stable under corpus
+    * growth the same way hash splits are). A single row larger than
+    * the whole budget is dropped with everything after it. One keyed
+    * exchange (cumsum window); null keys are excluded, null token
+    * counts weigh 0. */
+  def capTokensPerGroup(df: DataFrame, groupCol: Column, key: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"capTokensPerGroup: budget must be > 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    df.filter(key.isNotNull)
+      .withColumn("_toks", coalesce(tokens.cast("long"), lit(0L)))
+      .withColumn("_cum", sum(col("_toks"))
+        .over(Window.partitionBy(groupCol).orderBy(hashUnit(key), key)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("_cum") <= budget)
+      .drop("_toks", "_cum")
+  }
+
   /** Exact linear-interpolated percentiles per group, as a DISTRIBUTED
     * plan: rank values with a per-group sort window, pick the two
     * bracketing ranks per percentile (pos = p·(n−1), 0-based), and

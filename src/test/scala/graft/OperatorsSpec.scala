@@ -247,6 +247,56 @@ class OperatorsSpec extends SparkTestBase {
     assert(lo.subsetOf(hi))
   }
 
+  test("per-group caps: row cap and token-budget prefix, deterministic " +
+    "under repartitioning") {
+    import graft.operators.Corpus
+    val df = (0 until 600).map(i => (i.toLong, s"g${i % 3}", 10L + i % 7))
+      .toDF("id", "grp", "toks")
+    val capped = Corpus.capPerGroup(df.repartition(9), col("grp"),
+      col("id"), k = 25)
+    val byGrp = capped.groupBy("grp").count().as[(String, Long)]
+      .collect().toMap
+    assert(byGrp === Map("g0" -> 25L, "g1" -> 25L, "g2" -> 25L))
+    // survivors are the k lowest hash positions — recompute on driver
+    val hashes = df.select(col("id"),
+      Corpus.hashUnit(col("id")).as("u"), col("grp"))
+      .as[(Long, Double, String)].collect()
+    val want = hashes.groupBy(_._3).values.flatMap(
+      _.sortBy(h => (h._2, h._1)).take(25).map(_._1)).toSet
+    assert(capped.select("id").as[Long].collect().toSet === want)
+    // repartitioning must not change membership
+    val again = Corpus.capPerGroup(df.repartition(2), col("grp"),
+      col("id"), k = 25).select("id").as[Long].collect().toSet
+    assert(again === want)
+
+    // token budget: per-group prefix in hash order, cum <= budget
+    val budget = 300L
+    val kept = Corpus.capTokensPerGroup(df, col("grp"), col("id"),
+      col("toks"), budget)
+    val keptIds = kept.select("id").as[Long].collect().toSet
+    val tokOf = df.as[(Long, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val wantTok = hashes.groupBy(_._3).values.flatMap { g =>
+      val ordered = g.sortBy(h => (h._2, h._1)).map(_._1)
+      val cums = ordered.scanLeft(0L)((acc, id) => acc + tokOf(id)).tail
+      ordered.zip(cums).takeWhile(_._2 <= budget).map(_._1)
+    }.toSet
+    assert(keptIds === wantTok)
+    kept.groupBy("grp").agg(sum("toks").as("t")).as[(String, Long)]
+      .collect().foreach { case (g, t) => assert(t <= budget, s"$g: $t") }
+    // null keys drop; bad args rejected
+    val withNull = Seq((Some(1L), "g", 5L), (None, "g", 5L))
+      .toDF("id", "grp", "toks")
+    assert(Corpus.capPerGroup(withNull, col("grp"), col("id"), 10)
+      .count() === 1L)
+    intercept[IllegalArgumentException] {
+      Corpus.capPerGroup(df, col("grp"), col("id"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.capTokensPerGroup(df, col("grp"), col("id"), col("toks"), 0L)
+    }
+  }
+
   test("corpus chunking: coverage, overlap, short tail, degenerate texts") {
     import graft.operators.Corpus
     val docs = Seq(
