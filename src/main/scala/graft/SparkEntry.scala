@@ -302,6 +302,12 @@ object SparkEntry {
         Tables.documents(s, dir), col("source"), col("doc_id"),
         TextAnalysis.tokenCount(col("text")), budget = 600L)
         .select(col("doc_id"), col("source"))),
+    // paragraph-level exact dedup: the testdata corpus is single-line,
+    // so " the " (a literal, also a valid regex) stands in for the real
+    // paragraph delimiter — the operator semantics are delimiter-blind
+    "x31_dedup_paragraph" -> ((s, dir) =>
+      Dedup.dedupParagraphs(Tables.documents(s, dir),
+        delimiter = " the ", rejoin = " the ")),
   )
 
   /** Shared reference side of BOTH ANN recall gates (x6/x13): the exact
@@ -891,5 +897,30 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM u)
         |WHERE cum <= 600""".stripMargin,
+    // x31: first-occurrence (doc_id, idx) wins via row_number; exempt
+    // (whitespace-only) paragraphs are pinned to rn = 1 — they can never
+    // share a normalized key with a content paragraph, so the CASE
+    // cannot steal a content group's rank
+    "x31_dedup_paragraph" ->
+      """WITH parts AS (
+        |  SELECT doc_id, string_split(text, ' the ') AS ps FROM documents
+        |), p AS (
+        |  SELECT doc_id, generate_subscripts(ps, 1) - 1 AS idx,
+        |         unnest(ps) AS para
+        |  FROM parts
+        |), marked AS (
+        |  SELECT doc_id, idx, para,
+        |         CASE WHEN length(trim(para)) >= 1
+        |              THEN row_number() OVER (PARTITION BY lower(trim(para))
+        |                                      ORDER BY doc_id, idx)
+        |              ELSE 1 END AS rn
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |       coalesce(string_agg(para, ' the ' ORDER BY idx)
+        |                FILTER (WHERE rn = 1), '') AS text,
+        |       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+        |FROM marked
+        |GROUP BY doc_id""".stripMargin,
   )
 }

@@ -40,6 +40,57 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
+  /** Cross-document paragraph-level exact dedup (the C4/RefinedWeb-style
+    * repeated-boilerplate pass): split every document into paragraphs on
+    * `delimiter` (a Java regex; `rejoin` glues kept paragraphs back), and
+    * keep each distinct (normalized) paragraph ONLY at its first
+    * occurrence corpus-wide — first = smallest (doc id, paragraph index),
+    * so reruns are deterministic. Every later occurrence, including
+    * repeats inside the same document, is removed and the document text
+    * rebuilt from what remains. Paragraphs whose trimmed length is below
+    * `minChars` (default 1 = whitespace-only) are structural, not
+    * content: always kept, never canonical.
+    *
+    * Scale shape: paragraph TEXT never shuffles. Occurrences reduce to
+    * (16-byte content hash, doc id, index) rows; the canonical pick is a
+    * map-side-combinable `min(struct(id, idx))` hash aggregate on the
+    * hash (skew-safe for a boilerplate paragraph repeated 10⁹ times,
+    * unlike a row_number window, which would sort the hot hash's whole
+    * partition in one task); the drop decision joins occurrences back on
+    * the hash (AQE skew-join splits hot hashes). Only doc ids and
+    * DROPPED index lists — ∝ duplicates, not corpus — flow to the final
+    * left join, and documents with nothing dropped pass through with
+    * their original text untouched (no re-split, no re-concat). The
+    * rebuild for affected docs is one doc-local index-filtered re-split.
+    *
+    * Output: idCol, rebuilt `text`, `n_dropped`. */
+  def dedupParagraphs(docs: DataFrame, delimiter: String = "\n",
+      rejoin: String = "\n", minChars: Int = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minChars >= 0,
+      s"dedupParagraphs: minChars must be >= 0, got $minChars")
+    val parts = docs.select(col(idCol).as("_id"),
+      posexplode(split(col(textCol), delimiter)).as(Seq("_idx", "_para")))
+    val occ = parts
+      .filter(length(trim(col("_para"))) >= minChars)
+      .select(col("_id"), col("_idx"), contentHash(col("_para")).as("_h"))
+    val canon = occ.groupBy(col("_h"))
+      .agg(min(struct(col("_id").as("_cid"), col("_idx").as("_cidx")))
+        .as("_c"))
+    val dropped = occ.join(canon, Seq("_h"))
+      .filter(col("_id") =!= col("_c._cid") || col("_idx") =!= col("_c._cidx"))
+      .groupBy(col("_id")).agg(collect_set(col("_idx")).as("_drop"))
+    docs.join(dropped, col(idCol) === dropped("_id"), "left")
+      .select(col(idCol),
+        when(col("_drop").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(split(col(textCol), delimiter),
+              (p, i) => !array_contains(col("_drop"), i)),
+            rejoin))
+          .as("text"),
+        coalesce(size(col("_drop")), lit(0)).cast("long").as("n_dropped"))
+  }
+
   // ---- MinHash + LSH --------------------------------------------------
 
   /** Number of minhash permutations / LSH layout (16 bands × 4 rows

@@ -16,6 +16,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(got === Set((1L, 2L), (3L, 1L)))
   }
 
+  test("paragraph dedup keeps first occurrence, rebuilds text, exempts blanks") {
+    val docs = Seq(
+      (1L, "alpha\nshared body\nbeta"),
+      (2L, "gamma\nshared body\ndelta"),      // loses the repeated paragraph
+      (3L, "only here"),                       // untouched → byte-identical
+      (4L, "shared body\nshared body"),        // both occurrences lose (doc 1 owns it)
+      (5L, "x\n\ny\n\nz"),                     // blank paragraphs exempt, kept
+      (6L, "a\n\nb")                           // blanks repeat across docs, still kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(docs)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === (("alpha\nshared body\nbeta", 0L)))
+    assert(got(2L) === (("gamma\ndelta", 1L)))
+    assert(got(3L) === (("only here", 0L)))
+    assert(got(4L) === (("", 2L)))
+    assert(got(5L) === (("x\n\ny\n\nz", 0L)))
+    assert(got(6L) === (("a\n\nb", 0L)))
+  }
+
+  test("paragraph dedup removes intra-doc repeats after the first") {
+    val docs = Seq((7L, "p\nq\np\nr\np")).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(docs)
+      .as[(Long, String, Long)].collect().head
+    assert(got === ((7L, "p\nq\nr", 2L)))
+  }
+
+  test("paragraph dedup normalizes case/whitespace for identity") {
+    val docs = Seq(
+      (1L, "Shared Para\nmine"),
+      (2L, "  shared para  \nyours")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(docs)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got(1L) === "Shared Para\nmine")
+    assert(got(2L) === "yours")
+  }
+
   test("minhash LSH finds a near-duplicate pair") {
     val base = "the quick brown fox jumps over the lazy dog " * 8
     val docs = Seq(
