@@ -308,6 +308,16 @@ object SparkEntry {
     "x31_dedup_paragraph" -> ((s, dir) =>
       Dedup.dedupParagraphs(Tables.documents(s, dir),
         delimiter = " the ", rejoin = " the ")),
+    // incremental near-dedup: docs with doc_id % 7 == 0 arrive as the new
+    // batch, the rest are the existing corpus (its signature table stands
+    // in for the persisted parquet index) — pairs touching the delta only
+    "x32_dedup_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashLshDelta(
+        docs.filter(col("doc_id") % 7 === 0),
+        Dedup.signatureTable(docs.filter(col("doc_id") % 7 =!= 0)),
+        threshold = 0.5)
+    }),
   )
 
   /** Shared reference side of BOTH ANN recall gates (x6/x13): the exact
@@ -922,5 +932,23 @@ object SparkEntry {
         |       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
         |FROM marked
         |GROUP BY doc_id""".stripMargin,
+    // x32: same brute-force ground truth as x2 (LSH candidates are
+    // exact-verified; recall is deterministically 1 on this corpus at
+    // t = 0.5), restricted to pairs with at least one delta-side doc
+    "x32_dedup_delta" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 4, 0)),
+        |    i -> substr(text, i, 5))) AS ng
+        |  FROM documents
+        |  WHERE length(text) >= 5)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+        |         CAST(len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+        |           AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5
+        |  AND (doc_a % 7 = 0 OR doc_b % 7 = 0)""".stripMargin,
   )
 }

@@ -119,6 +119,19 @@ object Dedup {
       ShingleExprs.minhashSignature(col(textCol), shingleLen).as("sig"))
       .filter(col("sig").isNotNull)
 
+  /** The full per-document dedup index relation — (id, sig, ng): minhash
+    * signature for LSH banding plus the sorted distinct hashed-shingle set
+    * for exact Jaccard verification. This is the relation to PERSIST
+    * (parquet/table) on a growing corpus: [[minhashLshDelta]] dedups a new
+    * batch against it without ever re-reading or re-shingling corpus
+    * text. One doc-local projection pass, no shuffle. */
+  def signatureTable(docs: DataFrame, shingleLen: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      ShingleExprs.minhashSignature(col(textCol), shingleLen).as("sig"),
+      ShingleExprs.shingleSet(col(textCol), shingleLen).as("ng"))
+      .filter(col("sig").isNotNull)
+
   /** Near-duplicate pairs via MinHash LSH, verified with shingle-set
     * Jaccard over hashed shingles. Flow: ONE shuffle-free projection
     * computes the signature (64 permutation mins) and the sorted distinct
@@ -139,10 +152,7 @@ object Dedup {
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
       shingleLen: Int = 5, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val base = docs.select(col(idCol).as("id"),
-      ShingleExprs.minhashSignature(col(textCol), shingleLen).as("sig"),
-      ShingleExprs.shingleSet(col(textCol), shingleLen).as("ng"))
-      .filter(col("sig").isNotNull)
+    val base = signatureTable(docs, shingleLen, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val bands = base.select(col("id"), explode(bandKeys(col("sig"))).as("k"))
@@ -161,6 +171,53 @@ object Dedup {
       .join(base.select(col("id"), col("ng").as("ng_b")),
         col("doc_b") === col("id")).drop("id")
 
+    jaccardVerify(withSets, threshold)
+  }
+
+  /** Incremental (delta) near-dedup: near-duplicate pairs TOUCHING a new
+    * batch — delta×corpus and delta×delta, never corpus×corpus — against a
+    * pre-built corpus index ([[signatureTable]], typically persisted as
+    * parquet and read back). Output contract is [[minhashLsh]] on
+    * (corpus ∪ delta) restricted to pairs with at least one delta doc;
+    * doc ids must be disjoint between the two inputs.
+    *
+    * Scale shape — this is the "growing 100 TB corpus" path: the
+    * shingle/minhash kernel runs over the DELTA only; the corpus side is
+    * a column-pruned scan of its (id, sig) for banding plus (id, ng) for
+    * the candidates' verify join — its text is never re-read and nothing
+    * per-corpus-row is recomputed except 16 xxhash64 band keys from the
+    * already-materialized signature (a fixed-width projection). The band
+    * join is delta-driven: only corpus rows whose band key collides with
+    * a delta band key survive the join, so candidate volume scales with
+    * the delta and its match rate, not the corpus. */
+  def minhashLshDelta(delta: DataFrame, corpusSigs: DataFrame,
+      threshold: Double = 0.5, shingleLen: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val d = signatureTable(delta, shingleLen, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val all = d.unionByName(
+      corpusSigs.select(col("id"), col("sig"), col("ng")))
+
+    def toBands(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"), explode(bandKeys(col("sig"))).as("k"))
+        .select(col("id"), col("k.band").as("band"), col("k.bh").as("bh"))
+
+    // delta on the probe side only: corpus-internal pairs can never form.
+    // Delta-delta pairs arrive in both orders; least/greatest + distinct
+    // canonicalizes them.
+    val candidates = toBands(d).as("x")
+      .join(toBands(all).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("doc_a"),
+        greatest(col("x.id"), col("y.id")).as("doc_b"))
+      .distinct()
+
+    val withSets = candidates
+      .join(all.select(col("id"), col("ng").as("ng_a")),
+        col("doc_a") === col("id")).drop("id")
+      .join(all.select(col("id"), col("ng").as("ng_b")),
+        col("doc_b") === col("id")).drop("id")
     jaccardVerify(withSets, threshold)
   }
 

@@ -105,6 +105,68 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("delta near-dedup equals full recompute restricted to delta-touching pairs") {
+    val rnd = new scala.util.Random(11)
+    def randText(len: Int) =
+      Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+    val bodies = Vector.fill(8)(randText(400))
+    val docs = (bodies.zipWithIndex.flatMap { case (b, i) =>
+      Seq((2L * i, b), (2L * i + 1, b + randText(20)))
+    } ++ (100 until 120).map(i => (i.toLong, randText(200))))
+      .toDF("doc_id", "text")
+    // delta = odd ids (one side of each planted pair + half the noise)
+    val delta = docs.filter($"doc_id" % 2 === 1)
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+
+    val got = Dedup.minhashLshDelta(delta,
+      Dedup.signatureTable(corpus), threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minhashLsh(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter(p => p._1 % 2 == 1 || p._2 % 2 == 1).toSet
+    assert(got === full)
+    assert(got.nonEmpty) // the planted pairs all touch the delta
+  }
+
+  test("delta near-dedup never re-shingles corpus text (plan reads the index)") {
+    val docs = Seq((1L, "alpha beta gamma delta " * 20),
+      (2L, "alpha beta gamma delta " * 20 + "tail"),
+      (3L, "totally different content here " * 15)).toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sigs_").toString
+    Dedup.signatureTable(docs.filter($"doc_id" =!= 2))
+      .write.parquet(s"$base/sigs")
+    // parquet-backed delta too: a local Seq relation gets its projection
+    // constant-folded by ConvertToLocalRelation, hiding the kernel from
+    // the plan this test counts
+    docs.filter($"doc_id" === 2).write.parquet(s"$base/delta")
+    val persisted = spark.read.parquet(s"$base/sigs")
+
+    val out = Dedup.minhashLshDelta(
+      spark.read.parquet(s"$base/delta"), persisted)
+    // nothing in the outer plan recomputes signatures: the only
+    // shingle/minhash kernels live in the delta's one cached projection
+    // (an InMemoryRelation leaf), and the corpus contributes a parquet
+    // relation of (id, sig, ng) — it has no text to re-shingle at all
+    val lp = out.queryExecution.optimizedPlan
+    val kernels = lp.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case e if e.prettyName.startsWith("graft_minhash") ||
+          e.prettyName.startsWith("graft_shingle") => e
+      })
+    }.flatten
+    assert(kernels.isEmpty, s"kernel recompute outside the delta cache:\n$lp")
+    val corpusRels = lp.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if r.schema.fieldNames.sameElements(Array("id", "sig", "ng")) => r
+    }
+    assert(corpusRels.nonEmpty, s"persisted index not read as parquet:\n$lp")
+    // and the delta side IS computed (once, inside its cached projection)
+    assert(lp.toString.contains("graft_minhash_sig_of"))
+    assert(out.as[(Long, Long, Double)].collect().map(p => (p._1, p._2))
+      .toSet === Set((1L, 2L)))
+  }
+
   test("lloyds k-means separates well-separated clusters") {
     val rnd = new scala.util.Random(3)
     val centersTrue = Array(Array.fill(8)(0f), Array.fill(8)(10f),
