@@ -318,12 +318,45 @@ object SparkEntry {
         Dedup.signatureTable(docs.filter(col("doc_id") % 7 =!= 0)),
         threshold = 0.5)
     }),
+    // x20 again with the broadcast cap forced below the benchmark gram
+    // count: exercises the oversized-benchmark semi-join route against
+    // the identical oracle
+    "x33_decontaminate_joined" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Dedup.decontaminate(
+        docs, docs.filter(col("doc_id") < 10),
+        minSharedGrams = 50, n = 8, maxBroadcastGrams = 1L)
+    }),
   )
 
   /** Shared reference side of BOTH ANN recall gates (x6/x13): the exact
     * brute-force top-k definition (k = 10, cosine-desc/vec_id tie-break,
     * vec_id < 5 queries). One constant so the two gates can never
     * silently disagree about the same reference computation. */
+  /** Shared ground truth for BOTH decontamination routes (x20 broadcast,
+    * x33 forced semi-join): gram overlap against the benchmark slice.
+    * One constant so the two routes can never drift apart. */
+  private val DecontaminateOracle =
+    """WITH bg AS (
+      |  SELECT list_sort(list_distinct(flatten(list(ng)))) AS g FROM (
+      |    SELECT list_distinct(list_transform(
+      |      generate_series(1, greatest(length(text) - 7, 0)),
+      |      i -> substr(text, i, 8))) AS ng
+      |    FROM documents WHERE doc_id < 10 AND length(text) >= 8)),
+      |d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) >= 8 THEN
+      |      len(list_intersect(
+      |        list_distinct(list_transform(
+      |          generate_series(1, greatest(length(text) - 7, 0)),
+      |          i -> substr(text, i, 8))),
+      |        bg.g))
+      |    ELSE 0 END AS n_shared
+      |  FROM documents CROSS JOIN bg)
+      |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+      |       n_shared >= 50 AS contaminated
+      |FROM d""".stripMargin
+
   private val AnnExactTopkOracle =
       """WITH n0 AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -743,27 +776,11 @@ object SparkEntry {
         |FROM s""".stripMargin,
     // gram overlap against the benchmark slice; hashed-gram intersection
     // counts equal string-gram counts up to ~|union|²/2⁶⁴ collisions
-    // (the same argument the x4 oracle rests on)
-    "x20_decontaminate" ->
-      """WITH bg AS (
-        |  SELECT list_sort(list_distinct(flatten(list(ng)))) AS g FROM (
-        |    SELECT list_distinct(list_transform(
-        |      generate_series(1, greatest(length(text) - 7, 0)),
-        |      i -> substr(text, i, 8))) AS ng
-        |    FROM documents WHERE doc_id < 10 AND length(text) >= 8)),
-        |d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(text) >= 8 THEN
-        |      len(list_intersect(
-        |        list_distinct(list_transform(
-        |          generate_series(1, greatest(length(text) - 7, 0)),
-        |          i -> substr(text, i, 8))),
-        |        bg.g))
-        |    ELSE 0 END AS n_shared
-        |  FROM documents CROSS JOIN bg)
-        |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
-        |       n_shared >= 50 AS contaminated
-        |FROM d""".stripMargin,
+    // (the same argument the x4 oracle rests on). x33 is the same
+    // operator forced through the oversized-benchmark semi-join route —
+    // same ground truth, shared verbatim.
+    "x20_decontaminate" -> DecontaminateOracle,
+    "x33_decontaminate_joined" -> DecontaminateOracle,
     "x21_repetition" ->
       """SELECT doc_id,
         |  round(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0

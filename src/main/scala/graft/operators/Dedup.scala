@@ -461,24 +461,56 @@ object Dedup {
     * `contaminated`. */
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
       minSharedGrams: Int = 8, n: Int = 5, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxBroadcastGrams: Long = 4L * 1000 * 1000): DataFrame = {
     require(minSharedGrams > 0,
       s"decontaminate: minSharedGrams must be > 0, got $minSharedGrams")
-    val benchGrams = benchmark
+    require(maxBroadcastGrams > 0,
+      s"decontaminate: maxBroadcastGrams must be > 0, got $maxBroadcastGrams" +
+        " — the cap bounds the single-row broadcast of benchmark grams" +
+        " (~8 bytes per gram per executor); raise it, don't disable it")
+    val bg = benchmark
       .select(explode(ShingleExprs.shingleSetChars(col(textCol), n))
-        .as("g"))
+        .as("_g"))
       .distinct()
-      .agg(sort_array(collect_list(col("g"))).as("_bg"))
-      .withColumn("_j", lit(1))
-    val d = docs.select(col(idCol),
-      ShingleExprs.shingleSetChars(col(textCol), n).as("_ng"))
-      .withColumn("_j", lit(1))
-    d.join(broadcast(benchGrams), Seq("_j"), "left")
-      .withColumn("n_shared",
-        coalesce(SetExprs.sortedIntersectSize(col("_ng"), col("_bg")),
-          lit(0)).cast("long"))
-      .withColumn("contaminated", col("n_shared") >= minSharedGrams)
-      .select(col(idCol), col("n_shared"), col("contaminated"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one benchmark-sized job decides the route; both routes reuse the
+    // persisted distinct gram relation instead of re-shingling
+    val nBench = bg.count()
+    if (nBench <= maxBroadcastGrams) {
+      // broadcast route: all benchmark grams collapse into ONE sorted
+      // array on a single-row broadcast (bounded above by the cap —
+      // ~32 MB of longs at the default), and the overlap test is the
+      // doc-local sorted-merge kernel; the corpus never shuffles
+      val benchGrams = bg
+        .agg(sort_array(collect_list(col("_g"))).as("_bg"))
+        .withColumn("_j", lit(1))
+      val d = docs.select(col(idCol),
+        ShingleExprs.shingleSetChars(col(textCol), n).as("_ng"))
+        .withColumn("_j", lit(1))
+      d.join(broadcast(benchGrams), Seq("_j"), "left")
+        .withColumn("n_shared",
+          coalesce(SetExprs.sortedIntersectSize(col("_ng"), col("_bg")),
+            lit(0)).cast("long"))
+        .withColumn("contaminated", col("n_shared") >= minSharedGrams)
+        .select(col(idCol), col("n_shared"), col("contaminated"))
+    } else {
+      // oversized-benchmark route: hash-partitioned semi-join on the
+      // gram — the corpus gram stream shuffles by gram key (the price
+      // of a benchmark too big to broadcast), each (doc, gram) matches
+      // at most once (both sides distinct), and docs with no hit
+      // zero-fill through the left join
+      val hits = docs
+        .select(col(idCol),
+          explode(ShingleExprs.shingleSetChars(col(textCol), n)).as("_g"))
+        .join(bg, Seq("_g"))
+        .groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+      docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("_n"), lit(0L)).cast("long").as("n_shared"),
+          (coalesce(col("_n"), lit(0L)) >= minSharedGrams)
+            .as("contaminated"))
+    }
   }
 
   // ---- SimHash ---------------------------------------------------------

@@ -496,6 +496,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("decontaminate: semi-join route equals broadcast route; cap error path") {
+    val rnd = new scala.util.Random(23)
+    def randText(n: Int) =
+      (0 until n).map(_ => "abcd"(rnd.nextInt(4))).mkString
+    val docs = (0 until 40).map(i => (i.toLong, randText(20 + rnd.nextInt(60))))
+      .toDF("doc_id", "text")
+    val bench = (0 until 5).map(i => (100L + i, randText(30)))
+      .toDF("doc_id", "text")
+    val viaBroadcast = Dedup.decontaminate(docs, bench,
+      minSharedGrams = 5, n = 4)
+      .as[(Long, Long, Boolean)].collect().toSet
+    // cap of 1 gram forces every real benchmark through the join route
+    val viaJoin = Dedup.decontaminate(docs, bench,
+      minSharedGrams = 5, n = 4, maxBroadcastGrams = 1L)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(viaJoin === viaBroadcast)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.decontaminate(docs, bench, maxBroadcastGrams = 0L)
+    }
+    assert(e.getMessage.contains("maxBroadcastGrams"))
+  }
+
   test("pii scrub + normalization: masking, stopword removal, " +
     "whitespace collapse") {
     import graft.functions.TextAnalysis
