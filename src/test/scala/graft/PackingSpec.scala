@@ -95,6 +95,69 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("subShards: greedy matches per-sub-shard reference, dense seq_idx") {
+    val rnd = new scala.util.Random(42L)
+    val budget = 50L
+    val n = 4
+    val rows = (1L to 300L).map(i => (s"s${i % 3}", i, rnd.nextInt(70).toLong))
+    val df = rnd.shuffle(rows).toDF("src", "id", "toks").repartition(11)
+    // sub assignment replayed through the same public hash the operator uses
+    val sub = df.select(col("id"),
+        floor(graft.operators.Corpus.hashUnit(col("id")) * n).cast("int").as("s"))
+      .as[(Long, Int)].collect().toMap
+    assert(sub.values.toSet.size > 1, "hash should spread over sub-shards")
+    // driver-side reference: pack each (shard, sub) in id order, then
+    // offset seq_idx by the sequence counts of earlier sub-shards
+    val bySub = rows.groupBy(r => (r._1, sub(r._2))).view.mapValues { ds =>
+      var seq = -1L; var fill = 0L
+      ds.sortBy(_._2).map { case (src, id, toks) =>
+        if (seq < 0 || fill + toks > budget) { seq += 1; fill = 0L }
+        val off = fill; fill += toks
+        (src, id, seq, off, toks)
+      }
+    }.toMap
+    val want = bySub.flatMap { case ((src, s), packed) =>
+      val offset = bySub.collect {
+        case ((src2, s2), p) if src2 == src && s2 < s => p.map(_._3).max + 1
+      }.sum
+      packed.map(p => p.copy(_3 = p._3 + offset))
+    }.toSet
+    val got = Packing.packGreedy(df, col("src"), "id", col("toks"), budget, n)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // dense per-shard indices: 0..max all present
+    got.groupBy(_._1).foreach { case (src, ps) =>
+      val seqs = ps.map(_._3)
+      assert(seqs === (0L to seqs.max).toSet, s"$src seq_idx not dense")
+    }
+    // every doc placed exactly once
+    assert(got.map(r => (r._1, r._2)).size === rows.size)
+  }
+
+  test("subShards: concat conserves tokens, respects budget, dense seq_idx") {
+    val rnd = new scala.util.Random(7L)
+    val budget = 40L
+    val rows = (1L to 250L).map(i => (s"s${i % 2}", i, rnd.nextInt(60).toLong))
+    val got = Packing.packConcat(
+      rnd.shuffle(rows).toDF("src", "id", "toks").repartition(9),
+      col("src"), "id", col("toks"), budget, 4)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // per-doc slice totals reconstruct the token counts (placed exactly once)
+    val totals = got.groupBy(c => (c._1, c._2)).view
+      .mapValues(_.map(_._5).sum).toMap
+    assert(totals === rows.map(r => ((r._1, r._2), r._3)).toMap)
+    // no sequence overflows; indices dense per shard
+    val bySeq = got.groupBy(c => (c._1, c._3)).view
+      .mapValues(_.map(_._5).sum).toMap
+    bySeq.foreach { case ((src, seq), fill) =>
+      assert(fill <= budget, s"($src,$seq) overflows: $fill")
+    }
+    got.groupBy(_._1).foreach { case (src, ps) =>
+      val seqs = ps.map(_._3).toSet
+      assert(seqs === (0L to seqs.max).toSet, s"$src seq_idx not dense")
+    }
+  }
+
   test("greedy plan: one exchange on the shard key, no join") {
     val df = Seq(("a", 1L, 4L), ("b", 2L, 5L)).toDF("src", "id", "toks")
     val plan = Packing.packGreedy(df, col("src"), "id", col("toks"), 10L)
