@@ -532,17 +532,38 @@ object Dedup {
   }
 
   /** Near-duplicate pairs with Hamming distance ≤ maxHamming, found by
-    * chunk banding (pigeonhole: distance ≤ 3 ⇒ one of the four 16-bit
-    * chunks is equal), then verified with bit_count(xor). */
+    * chunk banding, then verified with bit_count(xor). Exact: the 64
+    * fingerprint bits split into `nChunks` contiguous chunks, and by
+    * pigeonhole `maxHamming < nChunks` differing bits cannot touch every
+    * chunk — at least one chunk is equal, so the chunk-equality self-join
+    * generates every qualifying pair (enforced by `require`).
+    *
+    * `nChunks` tunes bucket size vs candidate fan-out: expected bucket
+    * population is I/2^(64/n) per chunk value, so larger corpora want
+    * MORE chunks (SCALE.md prescribes 6–8 at ≥10⁹ docs — 10-bit chunks
+    * put ~n·I²/2¹⁰ candidate pairs through the cheap xor verify, still
+    * tiny relative to I²) while each document emits only n band rows. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
-      poly: Boolean = false): DataFrame = {
+      poly: Boolean = false, nChunks: Int = 4): DataFrame = {
+    require(nChunks >= 2 && nChunks <= 64,
+      s"simhashPairs: nChunks must be in [2,64], got $nChunks")
+    require(maxHamming >= 0 && maxHamming < nChunks,
+      s"simhashPairs: the pigeonhole guarantee needs maxHamming < nChunks" +
+        s" (got maxHamming=$maxHamming, nChunks=$nChunks) — raise nChunks")
+    // widths differ by at most 1 when 64 % nChunks != 0; offsets are the
+    // running sum, so the chunks exactly partition bits 0..63
+    val widths = Array.tabulate(nChunks)(c =>
+      64 / nChunks + (if (c < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val sh = simhash(docs, idCol, textCol, poly)
     val chunks = sh.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
+      explode(array((0 until nChunks).map { c =>
+        val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))
-            .as("ck"))): _*)).as("k"))
+          shiftright(col("simhash"), offsets(c)).bitwiseAND(lit(mask))
+            .as("ck"))
+      }: _*)).as("k"))
       .select(col("id"), col("simhash"), col("k.chunk").as("chunk"),
         col("k.ck").as("ck"))
       .persist(StorageLevel.MEMORY_AND_DISK)

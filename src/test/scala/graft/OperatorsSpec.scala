@@ -71,6 +71,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("simhash nChunks: banding equals brute force for 4, 6, and 7 chunks") {
+    val rnd = new scala.util.Random(11)
+    def randWords(n: Int) =
+      Seq.fill(n)("w" + rnd.nextInt(500)).mkString(" ")
+    // planted near-pairs (shared long bodies, small edits) + background
+    val bodies = Vector.fill(15)(randWords(60))
+    val docs = (bodies.zipWithIndex.flatMap { case (b, i) =>
+      Seq((2L * i, b), (2L * i + 1, b + " " + randWords(2)))
+    } ++ (100 until 140).map(i => (i.toLong, randWords(50))))
+      .toDF("doc_id", "text")
+    val fps = Dedup.simhash(docs).as[(Long, Long)].collect()
+    def brute(maxH: Int): Set[(Long, Long, Long)] = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= maxH
+    } yield (a, b, h.toLong)).toSet
+    for (n <- Seq(4, 6, 7); maxH <- Seq(3, n - 1)) {
+      val got = Dedup.simhashPairs(docs, maxHamming = maxH, nChunks = n)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === brute(maxH), s"nChunks=$n maxHamming=$maxH")
+    }
+    // pigeonhole guard: maxHamming >= nChunks is rejected, not silent recall loss
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, maxHamming = 4, nChunks = 4)
+    }
+  }
+
   test("minhash LSH: exact precision, and recall on planted near-dupes") {
     // planted pairs share long common bodies (shingle Jaccard >= ~0.8,
     // where 16x4 banding detects with prob ~1-(1-J^4)^16 > 0.999);
