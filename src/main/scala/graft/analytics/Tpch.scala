@@ -101,21 +101,25 @@ object Tpch {
   /** Top-3 parts per supplier by revenue — ranking window function over
     * pre-aggregated (supplier, part) partials.
     *
-    * Default plan: one shuffle, not two. Hash-partitioning on suppkey
-    * alone satisfies both the (suppkey, partkey) aggregation (subset
-    * clustering) and the window's suppkey clustering, so the explicit
-    * repartition makes the agg→window pipeline exchange-free after a
-    * single raw-row shuffle. This trades away map-side partial
-    * aggregation AND concentrates each supplier's raw rows on one task
-    * — the right trade when (supp, part) pairs scatter randomly across
-    * splits (combining shrinks nothing) and no supplier dominates the
-    * table. For a skewed or highly-duplicated corpus, set
-    * `preAggregate = true` to restore the two-exchange plan whose
-    * map-side combine bounds any one task's input by the supplier's
-    * DISTINCT parts (AQE cannot split window partitions, so skew must
-    * be handled before the window either way). */
+    * Default plan (`preAggregate = true`): the skew-safe two-exchange
+    * shape — map-side partial aggregation combines each split's
+    * (supp, part) rows before any shuffle, so no task's input exceeds
+    * the supplier's DISTINCT parts even when one supplier dominates the
+    * raw table (AQE cannot split window partitions, so skew must be
+    * handled before the window either way). At 100 TB a hot key is the
+    * failure mode that kills the job; paying one extra exchange over
+    * already-tiny partials is the cheap insurance.
+    *
+    * `preAggregate = false` opts into the single-shuffle plan:
+    * hash-partitioning raw rows on suppkey alone satisfies both the
+    * (suppkey, partkey) aggregation (subset clustering) and the
+    * window's suppkey clustering, making the agg→window pipeline
+    * exchange-free after one raw-row shuffle — but it trades away
+    * map-side combine and concentrates each supplier's raw rows on one
+    * task. Right only when keys are known-uniform and raw rows barely
+    * outnumber (supp, part) pairs. */
   def supplierPartRank(s: SparkSession, dir: String, topN: Int = 3,
-      preAggregate: Boolean = false): DataFrame = {
+      preAggregate: Boolean = true): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val partitioned = if (preAggregate) li else li.repartition(col("l_suppkey"))
     val rev = partitioned

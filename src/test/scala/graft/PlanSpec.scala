@@ -15,8 +15,18 @@ class PlanSpec extends SparkTestBase {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
-  test("q12: aggregation and ranking window share a single exchange") {
+  test("q12 default: skew-safe two-exchange plan with map-side combine") {
     val p = plan("q12_supplier_part_rank")
+    assert(p.linesIterator.count(_.contains("Exchange")) === 2, p)
+    // partial aggregation before the shuffle bounds any task's input by
+    // the supplier's DISTINCT parts — the skew insurance the default buys
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q12 preAggregate=false: agg and window share a single exchange") {
+    val p = analytics.Tpch.supplierPartRank(spark, dir,
+        preAggregate = false)
+      .queryExecution.executedPlan.toString
     assert(p.linesIterator.count(_.contains("Exchange")) === 1, p)
   }
 
