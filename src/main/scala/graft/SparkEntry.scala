@@ -754,8 +754,14 @@ object SparkEntry {
     "x17_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(
-        |    regexp_replace(regexp_replace(text,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(text,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b|\b(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}\b', '<IP>', 'g'),
+        |      '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b', '<IP>', 'g'),
+        |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |      '\b[A-CEGHJ-PR-TW-Z]{2}[0-9]{6}[A-D]\b', '<NID>', 'g'),
+        |      '\b(?:4[0-9]{3}|5[1-5][0-9]{2}|3[47][0-9]{2}|6(?:011|5[0-9]{2}))(?:[ -]?[0-9]{4}){2}(?:[ -]?[0-9]{1,4})?\b', '<CC>', 'g'),
         |      '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
         |    '\b(a|an|the|and|of|to|in|is)\b', '', 'g'),
         |    '\s+', ' ', 'g')) AS clean_text,

@@ -80,16 +80,58 @@ object TextAnalysis {
   def rollingFingerprint(text: Column, k: Int = 8): Column =
     ShingleExprs.rollingMinHash(text, k)
 
-  /** Mask obvious PII spans: emails → `<EMAIL>`, NANP-style phone
-    * numbers → `<PHONE>`. Patterns stay inside the regex subset whose
-    * semantics agree between engines (char classes, bounded repeats,
-    * `\b`), so the DuckDB oracle replays them verbatim. */
+  /** PII masking patterns, applied in order (most-specific first so a
+    * span is claimed by its own class before a looser pattern can eat
+    * part of it: IPv6 before IPv4, SSN/card before phone). All patterns
+    * stay inside the regex subset whose semantics agree between engines
+    * (char classes, bounded repeats, non-capturing groups, `\b` — no
+    * lookaround or backreferences, which RE2 lacks), so the DuckDB
+    * oracle replays them verbatim.
+    *
+    * Known shape limits, chosen over lookaround tricks: IPv6 covers the
+    * full 8-group and `a::b`-compressed forms but not leading/trailing
+    * `::`; cards cover the major IIN prefixes (Visa/MC/Amex/Discover) in
+    * ungrouped or 4-4-4-4 layouts (grouped Amex 4-6-5 is missed); the
+    * card pattern is shape-only — compose with [[luhnValid]] when digit
+    * runs must verify before masking. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    ("\\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\\b" +
+      "|\\b(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}\\b") -> "<IP>",
+    ("\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}" +
+      "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b") -> "<IP>",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<SSN>",
+    "\\b[A-CEGHJ-PR-TW-Z]{2}[0-9]{6}[A-D]\\b" -> "<NID>",
+    ("\\b(?:4[0-9]{3}|5[1-5][0-9]{2}|3[47][0-9]{2}|6(?:011|5[0-9]{2}))" +
+      "(?:[ -]?[0-9]{4}){2}(?:[ -]?[0-9]{1,4})?\\b") -> "<CC>",
+    "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b" -> "<PHONE>")
+
+  /** Mask obvious PII spans: emails → `<EMAIL>`, IPv4/IPv6 → `<IP>`,
+    * US SSNs → `<SSN>`, UK national-insurance numbers → `<NID>`,
+    * major-brand card numbers → `<CC>`, NANP-style phone numbers →
+    * `<PHONE>`. See [[piiPatterns]] for ordering and shape contracts. */
   def scrubPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(text,
-        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
-        lit("<EMAIL>")),
-      lit("\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"), lit("<PHONE>"))
+    piiPatterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, lit(re), lit(tag))
+    }
+
+  /** Luhn checksum validity of the digits in `number` (non-digits are
+    * ignored, so grouped card layouts check directly). Null for null
+    * input; false when fewer than 2 digits. Pure `transform`/`aggregate`
+    * arithmetic — engine-portable and codegen-friendly, no UDF. */
+  def luhnValid(number: Column): Column = {
+    val ds = reverse(filter(split(regexp_replace(number,
+      lit("[^0-9]"), lit("")), ""), d => d =!= ""))
+    val total = aggregate(
+      transform(ds, (d, i) => {
+        val v = d.cast("int")
+        when(i % 2 === 1,
+          when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)).otherwise(v)
+      }),
+      lit(0), (a, x) => a + x)
+    when(size(ds) >= 2, total % 10 === 0)
+      .otherwise(when(number.isNotNull, false))
+  }
 
   private val StopwordRe = "\\b(a|an|the|and|of|to|in|is)\\b"
 

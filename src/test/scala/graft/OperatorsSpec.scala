@@ -562,6 +562,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(df(3) === (("clean text", 0)))
   }
 
+  test("pii scrub: IPs, SSN, national-ID, and card numbers mask; " +
+    "non-PII text is preserved verbatim") {
+    import graft.functions.TextAnalysis
+    def scrub(s: String): String =
+      Seq(s).toDF("text").select(TextAnalysis.scrubPii($"text"))
+        .as[String].head()
+    assert(scrub("host 192.168.1.254 up") === "host <IP> up")
+    assert(scrub("at 2001:0db8:85a3:0000:0000:8a2e:0370:7334 end")
+      === "at <IP> end")
+    assert(scrub("fe80::8a2e:370:7334 compressed") === "<IP> compressed")
+    assert(scrub("ssn 123-45-6789.") === "ssn <SSN>.")
+    assert(scrub("nino AB123456C filed") === "nino <NID> filed")
+    assert(scrub("visa 4111111111111111 ok") === "visa <CC> ok")
+    assert(scrub("card 5500-0000-0000-0004 ok") === "card <CC> ok")
+    assert(scrub("amex 371449635398431 ok") === "amex <CC> ok")
+    // masked classes compose in one pass without eating each other
+    assert(scrub("192.168.0.1 called 415-555-1234 re 4111 1111 1111 1111")
+      === "<IP> called <PHONE> re <CC>")
+    // non-PII stays byte-identical: versions, times, short numbers,
+    // 9-digit runs without SSN dashes, MAC-ish colon groups
+    for (s <- Seq("spark 3.5.1 released", "meet at 12:30:45 tomorrow",
+        "order #12345678 of 987654321 units", "aa:bb:cc:dd:ee:ff link",
+        "chapter 4 page 1111", "plain prose with no numbers at all"))
+      assert(scrub(s) === s, s)
+  }
+
+  test("luhnValid: checksum over digits, separators ignored") {
+    import graft.functions.TextAnalysis
+    val got = Seq("4111111111111111", "4111111111111112",
+      "5500-0000-0000-0004", "371449635398431", "79927398713",
+      "79927398710", "7", "no digits", null.asInstanceOf[String])
+      .toDF("n").select(TextAnalysis.luhnValid($"n")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+    assert(got.toSeq === Seq(Some(true), Some(false), Some(true),
+      Some(true), Some(true), Some(false), Some(false), Some(false), None))
+  }
+
   test("decontaminate: shared-gram counting vs any benchmark doc, " +
     "threshold flag, short/degenerate texts") {
     val docs = Seq(
