@@ -195,6 +195,18 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val d = signatureTable(delta, shingleLen, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    minhashLshDeltaSigs(d, corpusSigs, threshold)
+  }
+
+  /** [[minhashLshDelta]] over an ALREADY-computed delta signature table
+    * (the [[signatureTable]] relation) — the entry point for callers that
+    * materialize delta signatures anyway, e.g. the streaming sink
+    * ([[graft.streaming.StreamNearDedup]]) which both probes with and
+    * then persists the same per-batch relation. Persist `deltaSigs`
+    * before calling: three join branches reference it. */
+  def minhashLshDeltaSigs(deltaSigs: DataFrame, corpusSigs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val d = deltaSigs.select(col("id"), col("sig"), col("ng"))
     val all = d.unionByName(
       corpusSigs.select(col("id"), col("sig"), col("ng")))
 

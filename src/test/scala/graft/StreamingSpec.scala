@@ -297,6 +297,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("streaming near-dedup: pairs across micro-batches equal batch " +
+    "minhashLsh on the union; kept view drops the larger-id twin") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamNearDedup
+    import graft.operators.Dedup
+
+    val baseA = "the quick brown fox jumps over the lazy dog " * 8
+    val baseB = "pack my box with five dozen liquor jugs now " * 8
+    val other = "совершенно другой текст не похожий ни на что " * 8
+    val batches = Seq(
+      Seq((1L, baseA), (2L, baseA + "tail edit")),            // within-batch
+      Seq((3L, baseA + "other tail"), (4L, baseB)),           // cross-batch
+      Seq((5L, baseB + "tail edit"), (6L, other)))            // cross-batch
+    val out = Files.createTempDirectory("near_dedup_out").toString
+    val ckpt = Files.createTempDirectory("near_dedup_ckpt").toString
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamNearDedup.sink(input.toDF().toDF("doc_id", "text"),
+      out, ckpt, threshold = 0.5)
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    def key(r: (Long, Long, Double)) = (r._1, r._2, math.round(r._3 * 1e9))
+    val streamed = StreamNearDedup.pairsView(spark, out)
+      .as[(Long, Long, Double)].collect().map(key).toSet
+    val batch = Dedup.minhashLsh(batches.flatten.toDF("doc_id", "text"),
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // pairs within AND across batches were found
+    assert(streamed.exists { case (a, b, _) => a == 1L && b == 2L })
+    assert(streamed.exists { case (a, b, _) => a == 4L && b == 5L })
+
+    val kept = StreamNearDedup.keptIdsView(spark, out)
+      .as[Long].collect().toSet
+    val dupIds = streamed.map(_._2)
+    assert(kept === (1L to 6L).toSet -- dupIds)
+  }
+
   test("fixture producers: generated logs parse cleanly end-to-end") {
     import graft.sources.{FixtureProducers, LogParsers}
     val dir = Files.createTempDirectory("graft_prod_").toString
