@@ -327,6 +327,11 @@ object SparkEntry {
         docs, docs.filter(col("doc_id") < 10),
         minSharedGrams = 50, n = 8, maxBroadcastGrams = 1L)
     }),
+    // model-scoring seam: the deterministic stub classifier runs through
+    // the real mapPartitions batch plumbing; its hashed-bag-of-words
+    // arithmetic is replayed exactly by the oracle
+    "x34_quality_score" -> ((s, dir) =>
+      graft.operators.ModelScoring.scoreDocuments(Tables.documents(s, dir))),
   )
 
   /** Shared reference side of BOTH ANN recall gates (x6/x13): the exact
@@ -787,6 +792,30 @@ object SparkEntry {
     // same ground truth, shared verbatim.
     "x20_decontaminate" -> DecontaminateOracle,
     "x33_decontaminate_joined" -> DecontaminateOracle,
+    // replays the stub classifier exactly: per-token code-point poly fold
+    // + LCG double mix (the x16 hash pattern), in-order mean via
+    // list_reduce so double summation order matches the Scala fold
+    "x34_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    round(CASE WHEN text IS NULL OR len(toks) = 0 THEN 0.0
+        |      ELSE list_reduce([0.0] || list_transform(toks, tok ->
+        |        ((list_reduce([0::BIGINT] || list_transform(
+        |            range(1, length(tok) + 1),
+        |            i -> ord(substr(tok, i, 1))::BIGINT),
+        |          (a,x) -> (a*131 + x) % 1000000007)
+        |          * 1103515245 + 12345) % 1000000007
+        |          * 69069 + 1) % 1000000007 / 1000000007.0),
+        |        (a,x) -> a + x) / len(toks) END, 6) AS score
+        |  FROM t)
+        |SELECT doc_id, score,
+        |  CASE WHEN score >= 0.5 THEN 'keep' ELSE 'drop' END AS label
+        |FROM s""".stripMargin,
     "x21_repetition" ->
       """SELECT doc_id,
         |  round(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
