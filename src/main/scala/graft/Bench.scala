@@ -36,18 +36,59 @@ object Bench {
       }
     }
 
+    // per-query shuffle volume from stage metrics: wall time on a noisy
+    // shared box misses plan regressions (a doubled shuffle can hide in
+    // run-to-run spread); shuffle bytes are deterministic per plan, so a
+    // delta between rounds is a plan change, not load. Listener events
+    // are async — [[settle]] waits for the stage counter to go quiet
+    // before each snapshot (outside the timed section).
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val stagesSeen = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+          stagesSeen.incrementAndGet()
+          ()
+        }
+      })
+    def settle(): Unit = {
+      var prev = -1L
+      var same = 0
+      var waited = 0
+      while (same < 2 && waited < 1000) {
+        val cur = stagesSeen.get()
+        if (cur == prev) same += 1 else { same = 0; prev = cur }
+        Thread.sleep(30)
+        waited += 30
+      }
+    }
+
     def timeOnce(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Long, Long) = {
       // operators persist reused intermediates; clear between queries so
       // one query's cache residue cannot distort the next one's timing
       spark.catalog.clearCache()
+      settle()
+      val r0 = shuffleRead.get()
+      val w0 = shuffleWrite.get()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        return -1.0
+        return (-1.0, -1L, -1L)
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      settle()
+      (t, shuffleRead.get() - r0, shuffleWrite.get() - w0)
     }
 
     // best of 3 (JMH-style steady state): this box runs shared load, and
@@ -58,24 +99,35 @@ object Bench {
     // noisy reading is visible as noise instead of masquerading as a
     // regression. Every run executes the full plan.
     val Runs = 3
+    case class QResult(best: Double, spread: Double, shufRead: Long,
+        shufWrite: Long)
     def time(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Double) = {
+        : QResult = {
       var best = Double.MaxValue
       var worst = 0.0
+      var sr = -1L
+      var sw = -1L
       var i = 0
       while (i < Runs && best >= 0) { // a failed run decides; no re-run
-        val t = timeOnce(name, fn)
+        val (t, r, w) = timeOnce(name, fn)
         if (t < 0) best = -1.0
-        else { best = math.min(best, t); worst = math.max(worst, t) }
+        else {
+          best = math.min(best, t)
+          worst = math.max(worst, t)
+          // bytes are a plan property, not a load artifact — any
+          // successful run's reading is the number (AQE can wiggle it
+          // slightly; keep the last run's)
+          sr = r
+          sw = w
+        }
         i += 1
       }
-      (best, if (best < 0) -1.0 else worst - best)
+      if (best < 0) QResult(-1.0, -1.0, -1L, -1L)
+      else QResult(best, worst - best, sr, sw)
     }
 
-    val results = selected.map {
-      case (name, fn) => (name, time(name, fn))
-    }.map { case (name, (best, spread)) => (name, best, spread) }
+    val results = selected.map { case (name, fn) => (name, time(name, fn)) }
 
     // streaming throughput vs BASELINE.md's 1,000 rec/s ingest ceiling:
     // push 60k register lines (20 reference batches) through the J1
@@ -102,15 +154,17 @@ object Bench {
       System.err.println(s"[bench] streaming throughput FAILED: ${e.getMessage}")
       -1.0
     }
-    val qs = results
-      .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val spreads = results
-      .map { case (k, _, s) => "\"" + k + "\":" + s }.mkString("{", ",", "}")
-    val failures = results.count(_._2 < 0)
+    def jmap[A](f: QResult => A): String = results
+      .map { case (k, r) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
+    val qs = jmap(_.best)
+    val spreads = jmap(_.spread)
+    val shufReads = jmap(_.shufRead)
+    val shufWrites = jmap(_.shufWrite)
+    val failures = results.count(_._2.best < 0)
     // a failed query must not shrink the headline number: each failure
     // contributes a visible penalty instead of silently dropping out
-    val total = results.map(_._2).filter(_ >= 0).sum + failures * 600.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"failures":$failures,"runs_per_query":$Runs,"agg":"min","stream_rec_per_sec":${streamRecPerSec.round},"sf":"$sfDir"}""")
+    val total = results.map(_._2.best).filter(_ >= 0).sum + failures * 600.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"shuffle_read_bytes":$shufReads,"shuffle_write_bytes":$shufWrites,"failures":$failures,"runs_per_query":$Runs,"agg":"min","stream_rec_per_sec":${streamRecPerSec.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
