@@ -332,7 +332,52 @@ object SparkEntry {
     // arithmetic is replayed exactly by the oracle
     "x34_quality_score" -> ((s, dir) =>
       graft.operators.ModelScoring.scoreDocuments(Tables.documents(s, dir))),
+    // lexical retrieval: BM25 against a fixed query (one corpus-stat
+    // pass + one scoring projection with all constants as literals),
+    // and the rare-token inverted index as relational posting rows
+    "x35_bm25" -> ((s, dir) =>
+      graft.operators.Relevance.bm25(Tables.documents(s, dir), Bm25Query)),
+    "x36_inverted_index" -> ((s, dir) =>
+      graft.operators.Relevance.invertedIndex(Tables.documents(s, dir),
+        maxDfFraction = 0.8)),
   )
+
+  /** x35's query string — shared between the Spark query and the
+    * generated oracle so the two can never disagree about tokens. */
+  private val Bm25Query = "dup spark vector nomatch"
+
+  /** The BM25 oracle is GENERATED from the same query string and the
+    * same decimal literals as the Spark side: DuckDB recomputes N,
+    * avgdl, and per-token df itself, and the per-document score folds
+    * terms in the same sorted token order with the same operator
+    * associativity, so doubles match bit-for-bit (ln() is the one
+    * library call, identical within 1 ulp — far inside the 6-decimal
+    * round). */
+  private def bm25OracleSql: String = {
+    val toks = Bm25Query.split("\\s+").filter(_.nonEmpty).distinct.sorted
+    def term(t: String): String = {
+      val tf = s"len(list_filter(tk, x -> x = '$t'))::DOUBLE"
+      val df = s"coalesce((SELECT df FROM dfs WHERE t = '$t'), 0)"
+      s"ln((stats.n - $df + 0.5) / ($df + 0.5) + 1)" +
+        s" * ($tf * (1.2 + 1))" +
+        s" / ($tf + 1.2 * ((1 - 0.75) + 0.75 * len(tk)::DOUBLE / stats.avgdl))"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(coalesce(text, ''), '\\s+'),
+       |    x -> x <> '') AS tk
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*)::DOUBLE AS n,
+       |         sum(len(tk))::DOUBLE / count(*) AS avgdl FROM toks),
+       |dfs AS (
+       |  SELECT t, count(*)::DOUBLE AS df FROM (
+       |    SELECT doc_id, unnest(list_distinct(tk)) AS t FROM toks)
+       |  WHERE t IN (${toks.map(t => s"'$t'").mkString(", ")}) GROUP BY t)
+       |SELECT doc_id,
+       |  round(${toks.map(term).mkString("\n    + ")}, 6) AS bm25
+       |FROM toks, stats""".stripMargin
+  }
 
   /** Shared reference side of BOTH ANN recall gates (x6/x13): the exact
     * brute-force top-k definition (k = 10, cosine-desc/vec_id tie-break,
@@ -792,6 +837,19 @@ object SparkEntry {
     // same ground truth, shared verbatim.
     "x20_decontaminate" -> DecontaminateOracle,
     "x33_decontaminate_joined" -> DecontaminateOracle,
+    "x35_bm25" -> bm25OracleSql,
+    "x36_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(coalesce(text, ''), '\s+'),
+        |    x -> x <> '') AS tk
+        |  FROM documents),
+        |occ AS (SELECT doc_id, unnest(list_distinct(tk)) AS token FROM toks),
+        |dfs AS (SELECT token, count(*) AS df FROM occ GROUP BY token),
+        |cap AS (SELECT count(*) * 0.8 AS c FROM documents)
+        |SELECT occ.token, CAST(dfs.df AS BIGINT) AS df, occ.doc_id
+        |FROM occ JOIN dfs USING (token), cap
+        |WHERE dfs.df <= cap.c""".stripMargin,
     // replays the stub classifier exactly: per-token code-point poly fold
     // + LCG double mix (the x16 hash pattern), in-order mean via
     // list_reduce so double summation order matches the Scala fold

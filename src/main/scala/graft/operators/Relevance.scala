@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Retrieval-side relevance primitives over a document corpus: BM25
+  * scoring against a query and a df-capped inverted index. These are
+  * the lookup/ranking counterparts of the similarity operators — the
+  * lexical path of a retrieval stack (the embedding path is
+  * [[Similarity]]).
+  *
+  * Tokenization here is the whitespace convention shared with
+  * [[Vocab]] and the oracle queries; swap in a smarter analyzer
+  * upstream by materializing a token-array column.
+  */
+object Relevance {
+
+  private def tokens(textCol: String): Column =
+    filter(split(coalesce(col(textCol), lit("")), "\\s+"), t => t =!= "")
+
+  /** BM25 score of every document against `query` (Robertson k1/b
+    * formulation, idf = ln((N − df + ½)/(df + ½) + 1) — always
+    * positive). Output: idCol, `bm25` rounded to 6 decimals.
+    *
+    * Scale shape: scoring is ONE corpus projection with every
+    * query-dependent constant folded in as a literal. The driver
+    * collects only bounded routing scalars — (N, Σdl) one row, and one
+    * df row per DISTINCT QUERY token (the corpus-side df aggregate is
+    * filtered to the query's tokens map-side, so its shuffle carries at
+    * most |query| keys of partial counts, combiner-compressed). The
+    * corpus is never shuffled: two scans (stats+df, then scoring), zero
+    * exchanges of document data — the same "centroids ride the plan as
+    * literals" discipline as [[Similarity.ivfTopK]].
+    *
+    * Determinism: per-document term summation folds in sorted
+    * query-token order (a fixed left-associated expression, not a
+    * SQL SUM), so scores are bit-stable across partitionings and
+    * replayable by the oracle. */
+  def bm25(docs: DataFrame, query: String, k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"bm25: need k1 >= 0 and b in [0,1], got k1=$k1 b=$b")
+    val qTokens = query.split("\\s+").filter(_.nonEmpty).distinct.sorted
+    require(qTokens.nonEmpty, "bm25: query has no tokens")
+    val toks = docs.select(col(idCol), tokens(textCol).as("tk"))
+
+    val stats = toks
+      .agg(count(lit(1)).as("n"), sum(size(col("tk"))).as("dlsum")).head()
+    val nDocs = stats.getLong(0)
+    require(nDocs > 0, "bm25: empty corpus")
+    val avgdl = stats.getLong(1).toDouble / nDocs
+
+    val dfByToken = toks
+      .select(explode(array_distinct(col("tk"))).as("t"))
+      .filter(col("t").isin(qTokens: _*))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val dl = size(col("tk")).cast("double")
+    val score = qTokens.map { t =>
+      val df = dfByToken.getOrElse(t, 0L).toDouble
+      val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+      val tf = size(filter(col("tk"), x => x === lit(t))).cast("double")
+      lit(idf) * (tf * (k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / lit(avgdl)))
+    }.reduceLeft(_ + _)
+    toks.select(col(idCol), round(score, 6).as("bm25"))
+  }
+
+  /** Inverted index restricted to tokens whose document frequency is at
+    * most `maxDfFraction` of the corpus — the classic rare-token index
+    * (stop-frequency tokens carry no lookup value and their posting
+    * lists are corpus-sized). One row per posting: `token`, `df`,
+    * idCol — a relational posting list that joins/aggregates without
+    * ever materializing a hot token's postings as one array.
+    *
+    * Scale shape: the (token, doc) occurrence relation shuffles by
+    * token for a map-side-combinable df aggregate (same distinct-token
+    * contract as [[Vocab.topTokens]]); the df attach is a key-equality
+    * join AQE can skew-split, and the fraction filter prunes hot
+    * tokens' postings from the output. */
+  def invertedIndex(docs: DataFrame, maxDfFraction: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxDfFraction > 0 && maxDfFraction <= 1,
+      s"invertedIndex: maxDfFraction must be in (0,1], got $maxDfFraction")
+    val occ = docs
+      .select(col(idCol), explode(array_distinct(tokens(textCol))).as("token"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfs = occ.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // the cap is one routing scalar — collected, not joined (a
+    // constant-key scalar join constant-folds into a nested-loop join)
+    val cap = docs.count() * maxDfFraction
+    occ.join(dfs, Seq("token"))
+      .filter(col("df") <= lit(cap))
+      .select(col("token"), col("df"), col(idCol))
+  }
+}
