@@ -340,6 +340,11 @@ object SparkEntry {
     "x36_inverted_index" -> ((s, dir) =>
       graft.operators.Relevance.invertedIndex(Tables.documents(s, dir),
         maxDfFraction = 0.8)),
+    // tokenizer-training pair statistics: doc-local adjacency zip, pair
+    // shuffle carries distinct bigrams; deterministic top-k total order
+    "x37_bigram_topk" -> ((s, dir) =>
+      graft.operators.Vocab.topBigrams(Tables.documents(s, dir),
+        col("text"), k = 50)),
   )
 
   /** x35's query string — shared between the Spark query and the
@@ -838,6 +843,17 @@ object SparkEntry {
     "x20_decontaminate" -> DecontaminateOracle,
     "x33_decontaminate_joined" -> DecontaminateOracle,
     "x35_bm25" -> bm25OracleSql,
+    "x37_bigram_topk" ->
+      """WITH toks AS (
+        |  SELECT list_filter(
+        |    regexp_split_to_array(coalesce(text, ''), '\s+'),
+        |    x -> x <> '') AS tk
+        |  FROM documents),
+        |idx AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks),
+        |pairs AS (SELECT tk[i] AS t1, tk[i + 1] AS t2 FROM idx)
+        |SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM pairs GROUP BY t1, t2
+        |ORDER BY n_occurrences DESC, t1, t2 LIMIT 50""".stripMargin,
     "x36_inverted_index" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(

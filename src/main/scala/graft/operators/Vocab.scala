@@ -56,6 +56,35 @@ object Vocab {
     * N/(capacity+1) sits at or below the phi·N threshold. At exact-
     * top-k-is-fine scales use [[topTokens]]; this is the route for
     * billions of distinct tokens. */
+  /** Adjacent-token-pair (bigram) frequencies — the corpus pair
+    * statistics a BPE/WordPiece tokenizer trainer consumes. Each
+    * document emits its own len−1 adjacent pairs via a doc-local
+    * zip (never a self-join of the exploded token stream, which would
+    * shuffle the corpus twice to reassemble adjacency); the count is
+    * a map-side-combinable aggregate shuffling distinct PAIRS only. */
+  def bigramCounts(df: DataFrame, textCol: Column): DataFrame = {
+    val tk = array_remove(split(textCol, "\\s+"), "")
+    df.select(explode(when(size(tk) >= 2,
+        zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (a, b) => struct(a.as("t1"), b.as("t2"))))
+      .otherwise(array().cast("array<struct<t1:string,t2:string>>")))
+      .as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Top-k bigrams under the deterministic total order (count desc,
+    * t1 asc, t2 asc) — unique per pair, so the k-prefix is stable and
+    * engine-portable even through count ties at the boundary. */
+  def topBigrams(df: DataFrame, textCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"topBigrams: k must be > 0, got $k")
+    bigramCounts(df, textCol)
+      .orderBy(col("n_occurrences").desc, col("t1").asc, col("t2").asc)
+      .limit(k)
+  }
+
   def heavyHitters(df: DataFrame, textCol: Column, phi: Double,
       capacity: Int): DataFrame = {
     require(phi > 0.0 && phi <= 1.0,

@@ -18,6 +18,26 @@ class VocabSpec extends SparkTestBase {
     assert(exploded === 4L) // foo, a, b, x
   }
 
+  test("bigrams: doc-local adjacency, short docs emit nothing, " +
+    "counts match a driver-side reference") {
+    val docs = Seq("a b c a b", "b c", "solo", "", "  ", null)
+      .toDF("text").repartition(3)
+    val got = Vocab.bigramCounts(docs, col("text"))
+      .as[(String, String, Long)].collect().toSet
+    // reference: per-doc sliding pairs
+    val want = Seq("a b c a b", "b c").flatMap { t =>
+      t.split("\\s+").filter(_.nonEmpty).sliding(2).map(p => (p(0), p(1)))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .map { case ((a, b), n) => (a, b, n) }.toSet
+    assert(got === want)
+    // cross-document adjacency never forms: ("b","solo") etc. absent
+    assert(!got.exists(_._2 == "solo"))
+    // top-k prefix is the deterministic (n desc, t1, t2) order
+    val top = Vocab.topBigrams(docs, col("text"), 2)
+      .as[(String, String, Long)].collect().toSeq
+    assert(top === Seq(("a", "b", 2L), ("b", "c", 2L)))
+  }
+
   test("MG summary retains every token above N/(capacity+1), never overcounts") {
     val rnd = new scala.util.Random(7L)
     // 2000 filler tokens from a 400-word tail + two heavy tokens
