@@ -345,6 +345,11 @@ object SparkEntry {
     "x37_bigram_topk" -> ((s, dir) =>
       graft.operators.Vocab.topBigrams(Tables.documents(s, dir),
         col("text"), k = 50)),
+    // per-label mean-pooled centroids as relational (grp, pos) rows —
+    // shuffle carries labels × dim partials, never N × dim
+    "x38_label_centroids" -> ((s, dir) =>
+      graft.operators.Similarity.groupCentroids(
+        Tables.embeddings(s, dir), "label")),
   )
 
   /** x35's query string — shared between the Spark query and the
@@ -843,6 +848,19 @@ object SparkEntry {
     "x20_decontaminate" -> DecontaminateOracle,
     "x33_decontaminate_joined" -> DecontaminateOracle,
     "x35_bm25" -> bm25OracleSql,
+    // avg sums per-(label,pos) floats as doubles in both engines; the
+    // 6-dp round absorbs summation-order ulps (the x21 precedent)
+    "x38_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label AS grp, embedding,
+        |         unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+        |SELECT grp, CAST(i - 1 AS INT) AS pos,
+        |       round(avg(embedding[i]), 6) AS mean_val,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY grp, i""".stripMargin,
     "x37_bigram_topk" ->
       """WITH toks AS (
         |  SELECT list_filter(

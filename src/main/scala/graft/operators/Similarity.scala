@@ -54,6 +54,30 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Per-group embedding centroids (mean pooling) — cluster/source
+    * summaries, the reduce step of diversity analysis and of rebuilding
+    * an IVF-style coarse quantizer from labeled data. Output is
+    * RELATIONAL — one row per (group, dimension): `grp`, `pos`,
+    * `mean_val` (rounded to 6 dp), `n` — so a centroid is never one
+    * array row and the result joins/pivots without array-equality
+    * plumbing.
+    *
+    * Scale shape: posexplode fans each vector into dim rows map-side,
+    * but the partial aggregate combines them to (groups × dim) partial
+    * rows per partition BEFORE the exchange — the shuffle carries group
+    * cardinality × dim, never N × dim. Vectors that are null or contain
+    * null elements are excluded (the [[ivfTopK]] convention: nulls are
+    * non-members, not zeros). */
+  def groupCentroids(embeddings: DataFrame, groupCol: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    embeddings
+      .filter(col(embCol).isNotNull && !exists(col(embCol), _.isNull))
+      .select(col(groupCol).as("grp"),
+        posexplode(col(embCol)).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("mean_val"),
+        count(lit(1)).as("n"))
+
   /** Embedding near-duplicate pairs within a blocking key (exact within
     * block; SQL-expressible for the oracle). */
   def cosineDedupBlocked(embeddings: DataFrame, blockCol: String,

@@ -53,6 +53,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(got(2L) === "yours")
   }
 
+  test("group centroids: per-dimension means, null-element vectors excluded") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, "a", Some(Seq(Some(1.0f), Some(3.0f)))),
+      (2L, "a", Some(Seq(Some(3.0f), Some(5.0f)))),
+      (3L, "b", Some(Seq(Some(10.0f), Some(20.0f)))),
+      (4L, "a", Some(Seq(Some(7.0f), None))), // null element -> excluded
+      (5L, "b", None)                         // null vector  -> excluded
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.groupCentroids(vecs, "label")
+      .as[(String, Int, Double, Long)].collect().toSet
+    assert(got === Set(
+      ("a", 0, 2.0, 2L), ("a", 1, 4.0, 2L),
+      ("b", 0, 10.0, 1L), ("b", 1, 20.0, 1L)))
+  }
+
   test("minhash LSH finds a near-duplicate pair") {
     val base = "the quick brown fox jumps over the lazy dog " * 8
     val docs = Seq(
