@@ -350,6 +350,11 @@ object SparkEntry {
     "x38_label_centroids" -> ((s, dir) =>
       graft.operators.Similarity.groupCentroids(
         Tables.embeddings(s, dir), "label")),
+    // embedding-space outlier screen: distance-to-centroid z-scores;
+    // corpus never shuffles (broadcast centroid + stats joins)
+    "x39_embedding_outliers" -> ((s, dir) =>
+      graft.operators.Similarity.centroidOutliers(
+        Tables.embeddings(s, dir), "label")),
   )
 
   /** x35's query string — shared between the Spark query and the
@@ -848,6 +853,36 @@ object SparkEntry {
     "x20_decontaminate" -> DecontaminateOracle,
     "x33_decontaminate_joined" -> DecontaminateOracle,
     "x35_bm25" -> bm25OracleSql,
+    // unrounded centroids rebuilt relationally, distance as the same
+    // in-order zip fold (0.0-seeded fold ≡ fold from first element in
+    // IEEE), z from raw dist with rounding only at the output
+    "x39_embedding_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label AS grp, embedding AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        |c AS (
+        |  SELECT grp, i, avg(v[i]) AS m
+        |  FROM (SELECT grp, v, unnest(range(1, len(v) + 1)) AS i FROM e)
+        |  GROUP BY grp, i),
+        |carr AS (SELECT grp, list(m ORDER BY i) AS cent FROM c GROUP BY grp),
+        |d AS (
+        |  SELECT vec_id, e.grp,
+        |    sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+        |      i -> (v[i] - cent[i]) * (v[i] - cent[i])),
+        |      (a, x) -> a + x)) AS dist
+        |  FROM e JOIN carr ON e.grp = carr.grp),
+        |s AS (SELECT grp, avg(dist) AS mu, stddev_samp(dist) AS sigma
+        |      FROM d GROUP BY grp),
+        |z AS (
+        |  SELECT vec_id, d.grp, round(dist, 6) AS dist,
+        |    CASE WHEN sigma > 0
+        |         THEN round((dist - mu) / sigma, 6) END AS z
+        |  FROM d JOIN s ON d.grp = s.grp)
+        |SELECT vec_id, grp, dist, z,
+        |       coalesce(z > 3.0, false) AS is_outlier
+        |FROM z""".stripMargin,
     // avg sums per-(label,pos) floats as doubles in both engines; the
     // 6-dp round absorbs summation-order ulps (the x21 precedent)
     "x38_label_centroids" ->

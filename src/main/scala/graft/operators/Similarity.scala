@@ -78,6 +78,50 @@ object Similarity {
       .agg(round(avg(col("x")), 6).as("mean_val"),
         count(lit(1)).as("n"))
 
+  /** Distance-to-centroid outlier flagging per group: for every vector,
+    * its Euclidean distance to the group's (unrounded) mean-pool
+    * centroid and the z-score of that distance within the group —
+    * the standard embedding-space screen for mislabeled/junk documents
+    * before training. Output: idCol, `grp`, `dist`, `z` (both rounded
+    * to 6 dp; `z` null when the group's distance spread is zero or the
+    * group is a singleton), `is_outlier` (= z > zThreshold, false when
+    * z is null).
+    *
+    * Scale shape: centroids reduce to (groups × dim) rows (the
+    * [[groupCentroids]] exchange), collapse to one ARRAY per group
+    * (group-count rows — broadcastable by definition), and ride a
+    * broadcast hash join back onto the corpus; the distance is then a
+    * doc-local zip fold, and the z-statistics are one more
+    * group-cardinality aggregate joined back the same way. The corpus
+    * itself is never shuffled — scans, broadcasts, and
+    * group-cardinality exchanges only. */
+  def centroidOutliers(embeddings: DataFrame, groupCol: String,
+      zThreshold: Double = 3.0, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val e = embeddings
+      .filter(col(embCol).isNotNull && !exists(col(embCol), _.isNull))
+      .select(col(idCol), col(groupCol).as("grp"), col(embCol).as("v"))
+    val cents = e
+      .select(col("grp"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        p => p.getField("m")).as("cent"))
+    val dists = e.join(broadcast(cents), Seq("grp"))
+      .select(col(idCol), col("grp"),
+        sqrt(aggregate(
+          zip_with(col("v"), col("cent"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, t) => acc + t)).as("dist"))
+    val stats = dists.groupBy(col("grp"))
+      .agg(avg(col("dist")).as("mu"), stddev_samp(col("dist")).as("sigma"))
+    dists.join(broadcast(stats), Seq("grp"))
+      .select(col(idCol), col("grp"), round(col("dist"), 6).as("dist"),
+        when(col("sigma") > 0,
+          round((col("dist") - col("mu")) / col("sigma"), 6)).as("z"))
+      .withColumn("is_outlier",
+        coalesce(col("z") > zThreshold, lit(false)))
+  }
+
   /** Embedding near-duplicate pairs within a blocking key (exact within
     * block; SQL-expressible for the oracle). */
   def cosineDedupBlocked(embeddings: DataFrame, blockCol: String,

@@ -69,6 +69,27 @@ class OperatorsSpec extends SparkTestBase {
       ("b", 0, 10.0, 1L), ("b", 1, 20.0, 1L)))
   }
 
+  test("centroid outliers: planted far vector flags, singleton group " +
+    "gets null z and is never an outlier") {
+    import graft.operators.Similarity
+    // group a: 9 vectors near (1,1) + one planted far at (9,9)
+    val near = (1L to 9L).map(i =>
+      (i, "a", Seq(1.0f + i * 0.01f, 1.0f - i * 0.01f)))
+    val vecs = (near ++ Seq(
+      (10L, "a", Seq(9.0f, 9.0f)),
+      (11L, "b", Seq(5.0f, 5.0f)))) // singleton group
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidOutliers(vecs, "label", zThreshold = 2.0)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4))).toList.sortBy(_._1)
+    val flagged = got.filter(_._3).map(_._1)
+    assert(flagged === List(10L), s"only the planted vector flags: $got")
+    val singleton = got.find(_._1 == 11L).get
+    assert(singleton._2.isEmpty && !singleton._3,
+      "singleton group: null z, not an outlier")
+  }
+
   test("minhash LSH finds a near-duplicate pair") {
     val base = "the quick brown fox jumps over the lazy dog " * 8
     val docs = Seq(
