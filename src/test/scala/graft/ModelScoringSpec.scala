@@ -77,6 +77,25 @@ class ModelScoringSpec extends SparkTestBase {
     assert(e.getMessage.contains("aligned") ||
       Option(e.getCause).exists(_.getMessage.contains("aligned")))
   }
+
+  test("the seam runs unchanged on a stream: scores equal batch scores") {
+    implicit val sql = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = ModelScoring.scoreDocuments(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_scores")
+      .outputMode("append").start()
+    val rows = (1 to 40).map(i => (i.toLong, s"streamed doc $i w${i % 3}"))
+    try {
+      input.addData(rows.take(20)); q.processAllAvailable()
+      input.addData(rows.drop(20)); q.processAllAvailable()
+      val streamed = spark.table("stream_scores")
+        .as[(Long, Double, String)].collect().toSet
+      val batch = ModelScoring.scoreDocuments(rows.toDF("doc_id", "text"))
+        .as[(Long, Double, String)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
 
 /** Accumulator collecting per-call batch sizes across tasks. */
