@@ -355,6 +355,82 @@ object SparkEntry {
     "x39_embedding_outliers" -> ((s, dir) =>
       graft.operators.Similarity.centroidOutliers(
         Tables.embeddings(s, dir), "label")),
+    // deterministic training-order shuffle: the emitted key is the
+    // order (range-sort plan); the oracle replays the key values
+    "x40_shuffle_order" -> ((s, dir) =>
+      graft.operators.Corpus.shuffleDeterministic(
+        Tables.documents(s, dir), col("doc_id"))
+        .select(col("doc_id"), col("shuffle_key"))),
+    // temperature-scaled mixture (α=0.5, 30% target): per-source rates
+    // come from a tiny collected count agg, folded in sorted-source
+    // order so the oracle replays the exact double arithmetic
+    "x41_temperature_mix" -> ((s, dir) =>
+      graft.operators.Corpus.temperatureMix(
+        Tables.documents(s, dir), col("doc_id"), col("source"),
+        alpha = 0.5, targetFraction = 0.3)
+        .select(col("doc_id"), col("source"))),
+    // intra-document duplicate-paragraph removal (same synthetic
+    // delimiter as x31 so the corpus actually has repeats to drop);
+    // pure doc-local projection — no shuffle at any corpus size
+    "x42_dedup_within_doc" -> ((s, dir) =>
+      Dedup.dedupParagraphsWithinDoc(Tables.documents(s, dir),
+        delimiter = " the ", rejoin = " the ")),
+    // snapshot diff: two corpus versions derived deterministically from
+    // the one table (drop the top hash decile, add the bottom one,
+    // modify a 10% band) so every status arises and the oracle replays
+    // the derivation; text reduces to md5 before the one keyed join
+    "x43_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val u = graft.operators.Corpus.hashUnit(col("doc_id"))
+      graft.operators.Corpus.snapshotDiff(
+        docs.filter(u < 0.9),
+        docs.filter(u >= 0.1).withColumn("text",
+          when(u >= 0.45 && u < 0.55, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))))
+    }),
+    // int8 quantization, exploded to relational (vec_id, scale, pos,
+    // code) rows for the engine-to-engine compare; the operator itself
+    // keeps codes as a compact array column
+    "x44_quantize_int8" -> ((s, dir) =>
+      graft.operators.Similarity.quantizeInt8(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("codes")).as(Seq("pos", "code")))
+        .select(col("vec_id"), col("scale"),
+          col("pos").cast("int").as("pos"), col("code"))),
+    // quantized-scan top-k: integer-exact scoring over the x44 codes
+    // (scales cancel in cosine), same query set as x5
+    "x45_quantized_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.quantizedCosineTopK(
+        emb, emb.filter(col("vec_id") < 5), k = 10)
+    }),
+    // quartile binning by text length: exact interpolated boundaries
+    // (the x19 kernel) broadcast onto a one-pass bin projection
+    "x46_quantile_bins" -> ((s, dir) =>
+      graft.operators.Corpus.binByQuantiles(
+        Tables.documents(s, dir), length(col("text")), nBins = 4)),
+    // fractional-epoch mixing: 2.3 epochs of src0, 0.4 of src1, 1.0
+    // elsewhere; the salted-hash extra-copy pick is oracle-replayable
+    "x47_epoch_upsample" -> ((s, dir) =>
+      graft.operators.Corpus.upsampleBySource(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"),
+        Map("src0" -> 2.3, "src1" -> 0.4))),
+    // incremental EXACT dedup (the x32 delta contract for exact
+    // identity): same batch split, hash index stands in for the
+    // persisted relation
+    "x48_exact_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exactDelta(
+        docs.filter(col("doc_id") % 7 === 0),
+        Dedup.hashIndex(docs.filter(col("doc_id") % 7 =!= 0)))
+    }),
+    // substring-overlap pairs via winnowing (MOSS): any shared 31-char
+    // run guarantees a shared fingerprint; ≥3 shared fingerprints with
+    // boilerplate (df > 16) dropped pre-join
+    "x49_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlap(Tables.documents(s, dir),
+        k = 16, w = 16, minShared = 3, maxDf = 16)),
   )
 
   /** x35's query string — shared between the Spark query and the
@@ -853,6 +929,237 @@ object SparkEntry {
     "x20_decontaminate" -> DecontaminateOracle,
     "x33_decontaminate_joined" -> DecontaminateOracle,
     "x35_bm25" -> bm25OracleSql,
+    // the x16 hash replay, emitted as the order key itself (row order
+    // is not hash-compared — the key VALUES are, which pin the order)
+    "x40_shuffle_order" ->
+      """SELECT doc_id,
+        |  ((list_reduce([0::BIGINT] || list_transform(
+        |      range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |      i -> ord(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |      (a,x) -> (a*131 + x) % 1000000007)
+        |    * 1103515245 + 12345) % 1000000007
+        |    * 69069 + 1) % 1000000007 / 1000000007.0 AS shuffle_key
+        |FROM documents""".stripMargin,
+    // replays temperatureMix end-to-end: per-source counts, the
+    // sorted-source ordered fold for Σ N^α (0.0-seeded list_reduce ≡
+    // the Scala foldLeft), the same left-to-right rate arithmetic,
+    // then the x16 hash replay against the rate
+    "x41_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT CAST(source AS VARCHAR) AS src, count(*)::BIGINT AS n
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1
+        |), d AS (
+        |  SELECT list_reduce([0.0::DOUBLE] || list(pow(n, 0.5) ORDER BY src),
+        |           (a,x) -> a + x) AS denom,
+        |         sum(n)::DOUBLE AS total
+        |  FROM c
+        |), r AS (
+        |  SELECT src,
+        |    least(1.0, 0.3 * total * pow(n, 0.5) / denom / n) AS rate
+        |  FROM c, d
+        |)
+        |SELECT doc_id, source
+        |FROM documents, r
+        |WHERE CAST(source AS VARCHAR) = r.src
+        |  AND doc_id IS NOT NULL
+        |  AND ((list_reduce([0::BIGINT] || list_transform(
+        |      range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |      i -> ord(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |      (a,x) -> (a*131 + x) % 1000000007)
+        |    * 1103515245 + 12345) % 1000000007
+        |    * 69069 + 1) % 1000000007 / 1000000007.0 < r.rate""".stripMargin,
+    // first-occurrence-within-doc replay: the list_filter index lambda
+    // mirrors the Spark array_position probe; sentinel numbering is
+    // 0-based on both sides ('s' || i-1 here vs the 0-based Spark i)
+    "x42_dedup_within_doc" ->
+      """WITH parts AS (
+        |  SELECT doc_id, text, string_split(text, ' the ') AS ps
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, text, ps,
+        |    list_transform(range(1, len(ps) + 1), i ->
+        |      CASE WHEN length(trim(ps[i])) >= 1 THEN 'l' || lower(trim(ps[i]))
+        |           ELSE 's' || CAST(i - 1 AS VARCHAR) END) AS ks
+        |  FROM parts
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE array_to_string(list_filter(ps,
+        |              (p, i) -> list_position(ks, ks[i]) = i), ' the ') END
+        |    AS text,
+        |  (CASE WHEN text IS NULL THEN 0
+        |        ELSE len(ps) - len(list_filter(ps,
+        |               (p, i) -> list_position(ks, ks[i]) = i)) END)::BIGINT
+        |    AS n_dropped
+        |FROM k""".stripMargin,
+    // replays the snapshot derivation (x16 hash fragment) and the
+    // full-outer diff; presence is keyed on the id, not the hash, so
+    // null-text rows classify by null-safe hash equality
+    "x43_snapshot_diff" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    ((list_reduce([0::BIGINT] || list_transform(
+        |        range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |        i -> ord(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |        (a,x) -> (a*131 + x) % 1000000007)
+        |      * 1103515245 + 12345) % 1000000007
+        |      * 69069 + 1) % 1000000007 / 1000000007.0 AS u
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), o AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS old_hash
+        |  FROM h WHERE u < 0.9
+        |), n AS (
+        |  SELECT doc_id, md5(lower(trim(
+        |    CASE WHEN u >= 0.45 AND u < 0.55 THEN text || ' v2'
+        |         ELSE text END))) AS new_hash
+        |  FROM h WHERE u >= 0.1
+        |)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN old_hash IS NOT DISTINCT FROM new_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_hash, new_hash
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    // same double-domain arithmetic (float elements widened before the
+    // divide) and same away-from-zero integer rounding on both engines
+    "x44_quantize_int8" ->
+      """WITH clean AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS amax
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        |), q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN amax > 0 THEN amax::DOUBLE / 127 ELSE 0.0 END AS scale,
+        |    CASE WHEN amax > 0
+        |         THEN list_transform(embedding,
+        |           x -> CAST(round(x::DOUBLE / amax::DOUBLE * 127) AS TINYINT))
+        |         ELSE list_transform(embedding, x -> 0::TINYINT) END AS codes
+        |  FROM clean
+        |)
+        |SELECT vec_id, scale,
+        |  CAST(generate_subscripts(codes, 1) - 1 AS INT) AS pos,
+        |  unnest(codes) AS code
+        |FROM q""".stripMargin,
+    // integer-exact replay: codes from the x44 arithmetic, BIGINT dot
+    // products (no fp summation order anywhere), one IEEE division at
+    // the end — the ranking is bit-deterministic on both engines
+    "x45_quantized_topk" ->
+      """WITH clean AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS amax
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        |), c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN amax > 0
+        |         THEN list_transform(embedding,
+        |           x -> CAST(round(x::DOUBLE / amax::DOUBLE * 127) AS BIGINT))
+        |         ELSE list_transform(embedding, x -> 0::BIGINT) END AS cv
+        |  FROM clean
+        |), n AS (
+        |  SELECT vec_id, cv, list_sum(list_transform(cv, x -> x * x)) AS nc
+        |  FROM c
+        |), nn AS (SELECT * FROM n WHERE nc > 0),
+        |q AS (SELECT vec_id AS query_id, cv AS qcv, nc AS nq
+        |      FROM nn WHERE vec_id < 5),
+        |s AS (
+        |  SELECT query_id, vec_id,
+        |    round(list_sum(list_transform(generate_series(1, len(cv)),
+        |            i -> qcv[i] * cv[i]))::DOUBLE
+        |      / (sqrt(nq::DOUBLE) * sqrt(nc::DOUBLE)), 6) AS qcosine
+        |  FROM nn, q WHERE vec_id <> query_id)
+        |SELECT query_id, vec_id, qcosine, rnk FROM (
+        |  SELECT query_id, vec_id, qcosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY qcosine DESC, vec_id) AS INT) AS rnk
+        |  FROM s)
+        |WHERE rnk <= 10""".stripMargin,
+    // same quantile_cont boundaries (proven parity in x19), same
+    // boundary-goes-up counting rule
+    "x46_quantile_bins" ->
+      """WITH b AS (
+        |  SELECT [round(quantile_cont(length(text)::DOUBLE, 0.25), 6),
+        |          round(quantile_cont(length(text)::DOUBLE, 0.5), 6),
+        |          round(quantile_cont(length(text)::DOUBLE, 0.75), 6)]
+        |    AS bounds
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT doc_id, length(text)::DOUBLE AS value,
+        |  (1 + len(list_filter(bounds,
+        |     bd -> bd <= length(text)::DOUBLE)))::INT AS bin
+        |FROM documents, b
+        |WHERE text IS NOT NULL""".stripMargin,
+    // the x16 hash replay over the SALTED key (doc_id || '#ep'); the
+    // fractional threshold is computed as ep - floor(ep) on both
+    // engines (identical IEEE subtraction on identically-parsed
+    // literals), copies via generate_series
+    "x47_epoch_upsample" ->
+      """WITH e AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.3 WHEN 'src1' THEN 0.4
+        |         ELSE 1.0 END AS ep,
+        |    ((list_reduce([0::BIGINT] || list_transform(
+        |        range(1, length(CAST(doc_id AS VARCHAR) || '#ep') + 1),
+        |        i -> ord(substr(CAST(doc_id AS VARCHAR) || '#ep', i, 1))::BIGINT),
+        |        (a,x) -> (a*131 + x) % 1000000007)
+        |      * 1103515245 + 12345) % 1000000007
+        |      * 69069 + 1) % 1000000007 / 1000000007.0 AS u
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), n AS (
+        |  SELECT doc_id, source,
+        |    floor(ep)::BIGINT +
+        |      (CASE WHEN u < ep - floor(ep) THEN 1 ELSE 0 END) AS n
+        |  FROM e
+        |)
+        |SELECT doc_id, source,
+        |  unnest(generate_series(0, n - 1)) AS epoch_idx
+        |FROM n WHERE n > 0""".stripMargin,
+    // same normalized-md5 identity as x1; batch-first-occurrence then
+    // anti join against the out-of-batch hash set
+    "x48_exact_delta" ->
+      """WITH b AS (
+        |  SELECT md5(lower(trim(text))) AS h, min(doc_id) AS doc_id
+        |  FROM documents WHERE doc_id % 7 = 0 GROUP BY 1
+        |), idx AS (
+        |  SELECT DISTINCT md5(lower(trim(text))) AS h
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |)
+        |SELECT doc_id FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.h = b.h)""".stripMargin,
+    // full winnowing replay: per-position 16-gram poly-hash folds,
+    // 16-window minima (min-by-value — tie rule engine-portable by
+    // construction), distinct, df cap, fingerprint-equality pair join
+    "x49_winnow_overlap" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) - 16 + 2),
+        |      p -> list_reduce([0::BIGINT] || list_transform(range(0, 16),
+        |             j -> ord(substr(text, p + j, 1))::BIGINT),
+        |           (a,x) -> (a*131 + x) % 1000000007)) AS hs
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 16
+        |), m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) < 16 THEN [list_min(hs)]
+        |         ELSE list_distinct(list_transform(range(1, len(hs) - 16 + 2),
+        |                p -> list_min(hs[p : p + 15]))) END AS fps
+        |  FROM g
+        |), f AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+        |capped AS (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM f)
+        |  WHERE df <= 16
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 3""".stripMargin,
     // unrounded centroids rebuilt relationally, distance as the same
     // in-order zip fold (0.0-seeded fold ≡ fold from first element in
     // IEEE), z from raw dist with rounding only at the output

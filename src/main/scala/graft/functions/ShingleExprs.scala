@@ -216,6 +216,57 @@ object ShingleOps {
     min
   }
 
+  /** Winnowing fingerprint set (the MOSS selection rule — Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03) on the oracle-replayable poly hash:
+    * hash every k-code-point gram with the (B₁ mod P₂) fold, slide a
+    * w-gram window, keep each window's MINIMUM, return the sorted
+    * distinct minima. Guarantee: two texts sharing any substring of at
+    * least w + k − 1 code points share at least one fingerprint —
+    * min-by-value makes tie handling engine-portable by construction.
+    * Texts with 1 ≤ g < w grams degrade to their single global min
+    * (short docs still fingerprint); null when no full gram fits.
+    * O(g·w) scan: w is small (≤ a few dozen) and doc-local. */
+  def winnowSet(s: UTF8String, k: Int, w: Int): Array[Long] = {
+    val n = s.numBytes
+    val cps = new Array[Int](n) // upper bound: one cp per byte
+    var i = 0
+    var c = 0
+    while (i < n) {
+      val wd = UTF8String.numBytesForFirstByte(s.getByte(i))
+      cps(c) = codePointAt(s, i, wd)
+      c += 1
+      i += wd
+    }
+    val g = c - k + 1
+    if (g <= 0) return null
+    val hs = new Array[Long](g)
+    var p = 0
+    while (p < g) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        h = (h * PolyB1 + cps(p + j)) % PolyP2
+        j += 1
+      }
+      hs(p) = h
+      p += 1
+    }
+    val ww = if (g < w) g else w
+    val mins = new Array[Long](g - ww + 1)
+    var q = 0
+    while (q <= g - ww) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < ww) {
+        if (hs(q + j) < m) m = hs(q + j)
+        j += 1
+      }
+      mins(q) = m
+      q += 1
+    }
+    sortedDistinct(mins)
+  }
+
   /** 61-bit SimHash over whitespace-delimited tokens with the
     * oracle-replayable token hash h = fold(B₁ mod P₁)·2³⁰ + fold(B₂ mod
     * P₂) (bits 30..60 and 0..29 respectively). Same bit-majority rule as
@@ -472,6 +523,37 @@ case class RollingPolyMin(child: Expression, k: Int) extends ShingleKernel {
     copy(child = c)
 }
 
+/** Winnowing fingerprint set column (sorted distinct w-window minima of
+  * k-gram poly hashes; see [[ShingleOps.winnowSet]]). Null when no full
+  * k-code-point gram fits. */
+case class WinnowSetExpr(child: Expression, k: Int, w: Int)
+    extends ShingleKernel {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_winnow_set"
+  override protected def minBytes: Int = k
+  override protected def opsCall(input: String): String =
+    s"graft.functions.ShingleOps.winnowSet($input, $k, $w)"
+
+  override def nullSafeEval(v: Any): Any = {
+    val out = ShingleOps.winnowSet(v.asInstanceOf[UTF8String], k, w)
+    if (out == null) null else new GenericArrayData(out)
+  }
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { c =>
+      val tmp = ctx.freshName("wns")
+      s"""
+      |long[] $tmp = ${opsCall(c)};
+      |if ($tmp == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} =
+      |  new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp); }
+      """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): WinnowSetExpr =
+    copy(child = c)
+}
+
 /** 61-bit SimHash on the oracle-replayable token hash (see
   * [[ShingleOps.polySimhash]]). */
 case class PolySimHash(child: Expression) extends ShingleKernel {
@@ -513,4 +595,6 @@ object ShingleExprs {
   def rollingPolyMin(text: Column, k: Int): Column =
     col(RollingPolyMin(expr(text), k))
   def polySimhash(text: Column): Column = col(PolySimHash(expr(text)))
+  def winnowSet(text: Column, k: Int, w: Int): Column =
+    col(WinnowSetExpr(expr(text), k, w))
 }

@@ -103,6 +103,104 @@ object Corpus {
     df.filter(key.isNotNull && hashUnit(key) < rate)
   }
 
+  /** Fractional-epoch per-source upsampling — the other half of data
+    * mixing that sampling cannot express: "2.5 epochs of books, 0.4
+    * epochs of web". Every row of source `s` with `epochs(s) = e` emits
+    * `floor(e)` copies, plus one more for the [[hashUnit]]-chosen
+    * `e − floor(e)` fraction of keys, tagged `epoch_idx` (0-based). The
+    * hash input is salted (`key || "#ep"`) so the fractional-epoch pick
+    * is independent of any [[mixBySource]]/[[assignSplit]] decision on
+    * the same key; like those, WHICH keys get the extra copy is a pure
+    * key function — stable across runs, partitionings, and corpus
+    * growth. `e < 1` degenerates to plain sampling; `e = 0` drops the
+    * source. Null keys have no hash position and are excluded.
+    *
+    * Scale shape: one generator projection (rows ∝ output, ≤ ⌈e⌉ per
+    * input row) — no shuffle, no driver participation; the epochs map
+    * rides the plan as a literal when-chain. */
+  def upsampleBySource(df: DataFrame, key: Column, sourceCol: Column,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 0),
+      s"upsampleBySource: epochs must be >= 0, got $epochs / $defaultEpochs")
+    val ep = epochs.foldLeft(Option.empty[Column]) {
+      case (acc, (src, e)) => Some(acc match {
+        case None => when(sourceCol === src, e)
+        case Some(c) => c.when(sourceCol === src, e)
+      })
+    } match {
+      case Some(c) => c.otherwise(defaultEpochs)
+      case None => lit(defaultEpochs)
+    }
+    val u = hashUnit(concat(key.cast("string"), lit("#ep")))
+    val n = floor(ep).cast("long") +
+      when(u < ep - floor(ep), 1L).otherwise(0L)
+    val cols = df.columns.map(col)
+    df.filter(key.isNotNull)
+      .withColumn("_n", n)
+      .filter(col("_n") > 0)
+      .select(cols :+
+        explode(sequence(lit(0L), col("_n") - 1)).as("epoch_idx"): _*)
+  }
+
+  /** Temperature-scaled source mixing (the multilingual-training
+    * recipe): source `s` with `N_s` rows is kept at rate
+    * `min(1, targetFraction · N_total · N_s^(α−1) / Σ_t N_t^α)` — i.e.
+    * sampling probability ∝ `N_s^α`, so `α = 1` reproduces uniform
+    * sampling at `targetFraction` and `α < 1` up-weights small sources
+    * (the τ-temperature mixture of mT5/XLM-R). WHICH rows survive is
+    * [[hashUnit]]-deterministic, so the mixture is re-derivable and
+    * join-stable like [[mixBySource]] (which this composes).
+    *
+    * Scale shape: one tiny per-source count aggregate (map-side
+    * combined; rows = source cardinality) is collected to the driver —
+    * bounded by the number of sources, the same sanctioned-collect
+    * contract as IVF centroid training — and the rates ride back into
+    * the plan as a literal when-chain; the corpus itself sees a single
+    * filter projection, no shuffle. The Σ is folded in sorted-source
+    * order so the double sum is deterministic and oracle-replayable. */
+  def temperatureMix(df: DataFrame, key: Column, sourceCol: Column,
+      alpha: Double, targetFraction: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperatureMix: alpha must be in (0,1], got $alpha")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"temperatureMix: targetFraction must be in (0,1], got $targetFraction")
+    val counts = df.filter(key.isNotNull && sourceCol.isNotNull)
+      .groupBy(sourceCol.cast("string").as("_src")).count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val denom = counts.foldLeft(0.0) { case (a, (_, n)) =>
+      a + math.pow(n.toDouble, alpha)
+    }
+    val total = counts.map(_._2).sum
+    val rates = counts.map { case (s, n) =>
+      // evaluation order matters for bit-exact oracle replay: keep this
+      // left-to-right chain in sync with the SQL in SparkEntry.oracleSql
+      s -> math.min(1.0,
+        targetFraction * total * math.pow(n.toDouble, alpha) / denom / n)
+    }.toMap
+    mixBySource(df, key, sourceCol, rates, defaultRate = 0.0)
+  }
+
+  /** Deterministic global "shuffle" for training order: sort the corpus
+    * by ([[hashUnit]](key), key) — a pseudo-random but fully
+    * reproducible permutation (same key set ⇒ byte-identical order,
+    * regardless of partitioning or cluster size), which is what a
+    * training run needs where `ORDER BY rand()` is neither stable nor
+    * resumable. The emitted `shuffle_key` column IS the order: writers
+    * preserve it per file and the range boundaries make files
+    * lexicographically ordered, so a reader consuming files in name
+    * order replays the permutation.
+    *
+    * Plan: one range exchange (sampled boundaries) + per-partition
+    * spilling sort — the standard distributed total sort; no window, no
+    * single-task order assignment. Null keys have no position and are
+    * excluded (the [[mixBySource]] convention). */
+  def shuffleDeterministic(df: DataFrame, key: Column): DataFrame =
+    df.filter(key.isNotNull)
+      .withColumn("shuffle_key", hashUnit(key))
+      .orderBy(col("shuffle_key"), key)
+
   /** Keep at most `k` rows per group, chosen in deterministic
     * ([[hashUnit]](key), key) order — balanced per-group sampling
     * ("at most 10k documents per source") where WHICH rows survive is
@@ -190,6 +288,39 @@ object Corpus {
       .select(col(groupCol) +: out: _*)
   }
 
+  /** Global quantile binning: assign every row its `nBins`-quantile bin
+    * of `value` (1-based; bin k covers [b_{k-1}, b_k) with a
+    * boundary-valued row going UP) — the stratification primitive
+    * behind "train on the top quartile by classifier score" and
+    * quality-vs-quantity mixing experiments. Boundaries are the EXACT
+    * interpolated percentiles of [[exactPercentiles]], rounded to 6 dp,
+    * so bin membership is engine-portable; compose with
+    * [[sampleByHash]]/[[mixBySource]] on the bin for per-stratum rates.
+    *
+    * Scale shape: one distributed-sort percentile pass (the x19 kernel,
+    * spilling sort, no per-group buffering) reduces to a single
+    * (nBins−1)-element boundary row that broadcasts onto a one-pass bin
+    * projection — the corpus itself is scanned twice and shuffled never.
+    * Rows with a null value have no bin and are excluded (they are
+    * excluded from the boundaries too).
+    *
+    * Output: idCol, `value` (double), `bin` (1..nBins). */
+  def binByQuantiles(df: DataFrame, value: Column, nBins: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nBins >= 2, s"binByQuantiles: nBins must be >= 2, got $nBins")
+    val ps = (1 until nBins).map(i => (s"_p$i", i.toDouble / nBins))
+    val bounds = exactPercentiles(
+      df.select(col(idCol), value.as("_v")).withColumn("_g", lit("all")),
+      "_g", col("_v"), ps)
+      .select(array(ps.map(p => col(p._1)): _*).as("_bounds"))
+    df.select(col(idCol), value.cast("double").as("value"))
+      .filter(col("value").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(col(idCol), col("value"),
+        (size(filter(col("_bounds"), b => b <= col("value"))) + 1)
+          .cast("int").as("bin"))
+  }
+
   /** Sketch-based percentiles for corpus-scale stats: bounded state per
     * group (`approx_percentile`), accuracy controlled by the standard
     * accuracy knob. The scale default where ±ε is acceptable. */
@@ -199,6 +330,40 @@ object Corpus {
       percentile_approx(value.cast("double"), lit(p), lit(accuracy)).as(name)
     }
     df.groupBy(col(groupCol)).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Corpus snapshot diff: classify every document id across two corpus
+    * versions as `added` / `removed` / `changed` / `unchanged` by
+    * comparing normalized content hashes — the audit primitive for
+    * incremental pipelines ("what did this refresh actually touch?").
+    *
+    * Scale shape: document TEXT never shuffles — each side reduces to
+    * (id, 32-char md5) in a map-side projection before the single
+    * id-keyed full-outer join. With `includeUnchanged = false` (the
+    * 100 TB audit mode) the output is ∝ churn, not corpus. Rows with a
+    * null id have no identity to diff and are excluded on both sides;
+    * ids are assumed unique per snapshot (a snapshot is a keyed
+    * relation — run [[graft.operators.Dedup.exact]] first if not).
+    * A present document with null text carries a null hash: null↔null
+    * compares `unchanged` (null-safe equality), null↔text `changed`.
+    *
+    * Output: idCol, `status`, `old_hash`, `new_hash`. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      includeUnchanged: Boolean = true): DataFrame = {
+    def side(df: DataFrame, hash: String, present: String) =
+      df.filter(col(idCol).isNotNull)
+        .select(col(idCol), md5(lower(trim(col(textCol)))).as(hash),
+          lit(true).as(present))
+    val joined = side(oldDf, "old_hash", "_o")
+      .join(side(newDf, "new_hash", "_n"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_o").isNull, "added")
+          .when(col("_n").isNull, "removed")
+          .when(col("old_hash") <=> col("new_hash"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_hash"), col("new_hash"))
+    if (includeUnchanged) joined else joined.filter(col("status") =!= "unchanged")
   }
 
   /** Fixed-width character chunks with overlap — the pre-embedding

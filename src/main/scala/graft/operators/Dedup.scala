@@ -91,6 +91,128 @@ object Dedup {
         coalesce(size(col("_drop")), lit(0)).cast("long").as("n_dropped"))
   }
 
+  /** The persistable content-hash index for incremental exact dedup:
+    * one 16-byte hash row per distinct (normalized) content ever
+    * accepted. Write it out once, append each accepted batch's hashes,
+    * and feed it to [[exactDelta]] — the growing corpus is never
+    * re-hashed. */
+  def hashIndex(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(contentHash(col(textCol)).as("h")).distinct()
+
+  /** Incremental exact dedup: which documents of a NEW batch are
+    * genuinely new content — first dedup within the batch (keep the
+    * smallest id per distinct content, as [[exact]]), then drop
+    * anything whose hash is already in the persisted [[hashIndex]].
+    * The batch-vs-corpus complement of [[minhashLshDelta]]: a growing
+    * 100 TB corpus admits a new slice with work ∝ batch, not corpus.
+    *
+    * Scale shape: the batch reduces to (hash, min id) in one map-side-
+    * combinable aggregate; the index side is already distinct 16-byte
+    * rows and is NEVER recomputed from text (the plan reads the index
+    * relation as-is); the anti join shuffles fixed-width hashes only —
+    * and AQE broadcasts the batch side when it is small, the common
+    * delta case. Output: `doc_id` (surviving batch ids). */
+  def exactDelta(newDocs: DataFrame, index: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    newDocs
+      .groupBy(contentHash(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as(idCol))
+      .join(index, Seq("h"), "left_anti")
+      .select(col(idCol))
+
+  /** WITHIN-document duplicate-paragraph removal: keep only the first
+    * occurrence of each (normalized: lower + trim) paragraph inside a
+    * single document — the intra-doc companion to [[dedupParagraphs]]
+    * for template spam and copy-paste loops, where removal must not
+    * depend on any other document. Paragraphs whose trimmed length is
+    * below `minChars` are structural (blank separators): always kept,
+    * never an occurrence.
+    *
+    * Scale shape: a pure doc-local projection — split, first-occurrence
+    * filter, rejoin all happen inside one row, so there is NO shuffle
+    * and NO join at any corpus size; cost is O(paragraphs²) per doc in
+    * the array-position probe, fine at real paragraph counts. The
+    * first-occurrence test keys on prefix-tagged strings ('l' + text
+    * for participating paragraphs, 's' + index for sub-minChars ones) —
+    * the tags make the two namespaces disjoint, so a short paragraph is
+    * always its own first occurrence and can never drop, or be dropped
+    * by, a content paragraph.
+    *
+    * Output: idCol, rebuilt `text` (null in → null out), `n_dropped`. */
+  def dedupParagraphsWithinDoc(docs: DataFrame, delimiter: String = "\n",
+      rejoin: String = "\n", minChars: Int = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minChars >= 0,
+      s"dedupParagraphsWithinDoc: minChars must be >= 0, got $minChars")
+    // each lambda body references only attributes and its own variables:
+    // embedding a lambda-bearing expression INSIDE another lambda (e.g.
+    // the keys transform inside the filter) trips Catalyst's lambda
+    // variable binding, so every intermediate array is its own column
+    docs
+      .withColumn("_parts", split(col(textCol), delimiter))
+      .withColumn("_keys", transform(col("_parts"), (p, i) =>
+        when(length(trim(p)) >= minChars, concat(lit("l"), lower(trim(p))))
+          .otherwise(concat(lit("s"), i.cast("string")))))
+      .withColumn("_flags", transform(col("_keys"), (kk, i) =>
+        array_position(col("_keys"), kk) === (i + 1)))
+      .withColumn("_kept", filter(
+        zip_with(col("_parts"), col("_flags"), (p, f) => when(f, p)),
+        x => x.isNotNull))
+      .select(col(idCol),
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(array_join(col("_kept"), rejoin)).as("text"),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise((size(col("_parts")) - size(col("_kept"))).cast("long"))
+          .as("n_dropped"))
+  }
+
+  /** Cross-document SUBSTRING-overlap pairs via winnowing fingerprints
+    * (MOSS): each document reduces to the sorted distinct w-window
+    * minima of its k-gram rolling hashes
+    * ([[graft.functions.WinnowSetExpr]], a doc-local codegen kernel),
+    * which guarantees that any two documents sharing a contiguous run
+    * of ≥ `w + k − 1` code points share at least one fingerprint — the
+    * overlap class that paragraph dedup (alignment-dependent) and
+    * whole-doc near-dedup (global similarity) both miss, e.g. a quoted
+    * passage inside otherwise-different pages. Pairs sharing ≥
+    * `minShared` fingerprints are reported with their shared count.
+    *
+    * Scale shape: fingerprinting is one projection (≈ 2/(w+1) density —
+    * fingerprints ∝ text/w, not text); candidates come from a
+    * fingerprint-equality self-join, never all-pairs. Fingerprints
+    * present in more than `maxDf` documents are boilerplate and are
+    * dropped BEFORE the join (the inverted-index df-cap discipline) —
+    * simultaneously a precision guard and the skew bound: one hot
+    * fingerprint contributes at most maxDf²/2 join rows. The df cap is
+    * computed with a map-side-combinable aggregate and joined back on
+    * the fingerprint key (AQE-skew-splittable), not a window.
+    *
+    * Output: `doc_a` < `doc_b`, `n_shared`. */
+  def winnowOverlap(docs: DataFrame, k: Int = 8, w: Int = 8,
+      minShared: Int = 2, maxDf: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"winnowOverlap: k must be >= 1, got $k")
+    require(w >= 1, s"winnowOverlap: w must be >= 1, got $w")
+    require(minShared >= 1,
+      s"winnowOverlap: minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"winnowOverlap: maxDf must be >= 2, got $maxDf")
+    val fps = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        explode(ShingleExprs.winnowSet(col(textCol), k, w)).as("_fp"))
+    val dfCounts = fps.groupBy(col("_fp"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf)
+      .select(col("_fp"))
+    val capped = fps.join(dfCounts, Seq("_fp"))
+    capped.toDF("_fp", "doc_a")
+      .join(capped.toDF("_fp", "doc_b"), Seq("_fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ---- MinHash + LSH --------------------------------------------------
 
   /** Number of minhash permutations / LSH layout (16 bands × 4 rows

@@ -122,6 +122,77 @@ object Similarity {
         coalesce(col("z") > zThreshold, lit(false)))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * path for corpus-scale vector stores (4× smaller than float32,
+    * 8× smaller than float64; ADC-style scoring reads codes, not
+    * floats). Per vector: `amax = max |x_i|`, `scale = amax / 127`,
+    * `codes_i = round(x_i / amax · 127)` — so dequantization is
+    * `code · scale` with per-element error ≤ scale/2. A zero vector
+    * (amax = 0) quantizes to all-zero codes with scale 0. All
+    * arithmetic is in double on both engines (float/float division
+    * would diverge between Spark, which widens, and engines that
+    * don't), making codes bit-replayable by the oracle.
+    *
+    * Scale shape: a pure doc-local projection — zero shuffle at any
+    * corpus size. Vectors that are null, empty, or contain null
+    * elements are excluded (the [[ivfTopK]] convention). NaN elements
+    * are out of contract (engines disagree on NaN > 0).
+    *
+    * Output: idCol, `scale` (double), `codes` (array<tinyint>). */
+  def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val v = col(embCol)
+    embeddings
+      .filter(v.isNotNull && size(v) > 0 && !exists(v, _.isNull))
+      .withColumn("_amax", array_max(transform(v, x => abs(x))))
+      .select(col(idCol),
+        when(col("_amax") > 0, col("_amax").cast("double") / 127)
+          .otherwise(0.0).as("scale"),
+        when(col("_amax") > 0,
+          transform(v, x =>
+            round(x.cast("double") / col("_amax").cast("double") * 127)
+              .cast("tinyint")))
+          .otherwise(transform(v, _ => lit(0).cast("tinyint")))
+          .as("codes"))
+  }
+
+  /** Brute-force top-k over the int8 CODES from [[quantizeInt8]] — the
+    * scan path of a quantized vector store: scoring reads 1/4 the bytes
+    * of the float corpus. Because the quantization is symmetric, the
+    * per-vector scales cancel in cosine — `cos(s_q·q, s_c·c) =
+    * Σq_i·c_i / (√Σq_i² · √Σc_i²)` — so scoring is EXACT integer
+    * arithmetic (64-dim int8 dots stay far below 2⁵³) up to one final
+    * IEEE division + sqrt, making results bit-replayable across engines
+    * and partitionings (no fp summation order anywhere). Approximation
+    * error comes only from the quantization itself.
+    *
+    * Scale shape: identical to [[cosineTopK]] — query codes broadcast,
+    * one pass over the corpus codes, per-query row_number top-k.
+    * All-zero-code vectors (zero norm) are not neighbors, mirroring the
+    * null-cosine convention. */
+  def quantizedCosineTopK(embeddings: DataFrame, queries: DataFrame,
+      k: Int = 10, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, t) => acc + t)
+    def side(df: DataFrame, id: String, cv: String, nc: String) =
+      quantizeInt8(df, idCol, embCol)
+        .select(col(idCol).as(id), col("codes").as(cv))
+        .withColumn(nc, idot(col(cv), col(cv)))
+        .filter(col(nc) > 0)
+    val corpus = side(embeddings, "vec_id", "cv", "_nc")
+    val qs = side(queries, "query_id", "qcv", "_nq")
+    val scored = corpus.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(idot(col("qcv"), col("cv")).cast("double") /
+          (sqrt(col("_nq").cast("double")) * sqrt(col("_nc").cast("double"))),
+          6).as("qcosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Embedding near-duplicate pairs within a blocking key (exact within
     * block; SQL-expressible for the oracle). */
   def cosineDedupBlocked(embeddings: DataFrame, blockCol: String,

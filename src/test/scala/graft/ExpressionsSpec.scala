@@ -330,6 +330,44 @@ class ExpressionsSpec extends SparkTestBase {
         new Array[Int](61)))))
   }
 
+  test("winnowSet: reference window minima, short-text degeneration, " +
+    "guarantee holds, codegen path agrees") {
+    def refWinnow(s: String, k: Int, w: Int): Option[Seq[Long]] = {
+      val cps = s.codePoints().toArray
+      if (cps.length < k) return None
+      val hs = (0 to cps.length - k).map(i =>
+        cps.slice(i, i + k).foldLeft(0L)((h, cp) =>
+          (h * 131L + cp) % 1000000007L))
+      val ww = math.min(w, hs.length)
+      Some((0 to hs.length - ww).map(p =>
+        hs.slice(p, p + ww).min).distinct.sorted)
+    }
+    for (s <- Seq("abcdefghijklmnop", "sharing a phrase here", "héllo wörld",
+        "short", "abc")) {
+      val got = Option(ShingleOps.winnowSet(UTF8String.fromString(s), 4, 5))
+        .map(_.toSeq)
+      assert(got === refWinnow(s, 4, 5), s)
+    }
+    assert(ShingleOps.winnowSet(UTF8String.fromString("abc"), 4, 5) === null)
+    // the MOSS guarantee: docs sharing a >= w+k-1 cp substring share a
+    // fingerprint
+    val shared = "THISRUNISSHAREDACROSS" // 21 >= 4+5-1
+    val a = ShingleOps.winnowSet(
+      UTF8String.fromString("prefix one " + shared + " tail A"), 4, 5).toSet
+    val b = ShingleOps.winnowSet(
+      UTF8String.fromString("другой текст " + shared + " hvost B"), 4, 5).toSet
+    assert(a.intersect(b).nonEmpty)
+    // codegen path agrees with the kernel
+    import spark.implicits._
+    val viaDf = Seq("abcdefghijklmnop", "abc")
+      .toDF("text")
+      .select(graft.functions.ShingleExprs.winnowSet(col("text"), 4, 5)
+        .as("fps"))
+      .as[Option[Seq[Long]]].collect()
+    assert(viaDf(0) === refWinnow("abcdefghijklmnop", 4, 5))
+    assert(viaDf(1) === None)
+  }
+
   test("ShingleOps kernels agree between eval and direct call") {
     val s = UTF8String.fromString("abcdefghij")
     assert(ShingleOps.shingleSet(s, 3).toSeq ===

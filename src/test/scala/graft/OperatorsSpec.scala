@@ -35,6 +35,82 @@ class OperatorsSpec extends SparkTestBase {
     assert(got(6L) === (("a\n\nb", 0L)))
   }
 
+  test("winnow overlap: detects a shared passage inside otherwise-" +
+    "different docs; boilerplate df cap suppresses common runs") {
+    val passage = "the quick brown fox jumps over the lazy dog repeatedly"
+    val docs = Seq(
+      (1L, s"completely unrelated opening. $passage. one ending"),
+      (2L, s"статья на другом языке. $passage. другое окончание"),
+      (3L, "nothing in common with anyone here at all, truly nothing"),
+      (4L, "another fully distinct document body with its own words"))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowOverlap(docs, k = 8, w = 4, minShared = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(got.head._3 >= 2L)
+    // the df cap: four IDENTICAL docs produce identical fingerprint
+    // sets (identical window context everywhere), so every fingerprint
+    // has df = 4 — a cap of 3 suppresses all pairs, a cap of 4 yields
+    // all 6
+    val all = (1L to 4L)
+      .map(i => (i, "this exact boilerplate body is repeated verbatim"))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowOverlap(all, k = 8, w = 4, minShared = 1,
+      maxDf = 3).count() === 0)
+    assert(Dedup.winnowOverlap(all, k = 8, w = 4, minShared = 1,
+      maxDf = 4).count() === 6)
+    // no cartesian anywhere: candidates come from the fp-equality join
+    val plan = Dedup.winnowOverlap(docs, k = 8, w = 4, minShared = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("exact delta: in-batch dedup then anti join vs the index; " +
+    "index text is never re-hashed") {
+    val corpus = Seq((1L, "seen before"), (2L, "also seen"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Seen Before  "),  // normalized-dup of corpus → dropped
+      (11L, "brand new"),
+      (12L, "brand new"),      // in-batch dup → only 11 survives
+      (13L, "another new")).toDF("doc_id", "text")
+    val idx = Dedup.hashIndex(corpus)
+    val got = Dedup.exactDelta(batch, idx).as[Long].collect().toSet
+    assert(got === Set(11L, 13L))
+    // the index side enters the join as-is: the joined plan hashes the
+    // BATCH text but never the corpus text (the index is persisted)
+    val persisted = idx.cache()
+    persisted.count()
+    val plan = Dedup.exactDelta(batch, persisted)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("Scan"),
+      plan)
+    persisted.unpersist()
+  }
+
+  test("within-doc paragraph dedup: doc-local only, blanks exempt, " +
+    "case/whitespace-normalized identity, null text passes through") {
+    val docs = Seq(
+      (1L, "a\nb\na\n\nc"),         // drops the repeated a, keeps the blank
+      (2L, "a\nb"),                  // repeats ACROSS docs never drop here
+      (3L, "P\n p \np"),             // normalized identity: keeps only P
+      (4L, "\n\n"),                  // all-blank: untouched
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphsWithinDoc(docs)
+      .as[(Long, Option[String], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((Some("a\nb\n\nc"), 1L)))
+    assert(got(2L) === ((Some("a\nb"), 0L)))
+    assert(got(3L) === ((Some("P"), 2L)))
+    assert(got(4L) === ((Some("\n\n"), 0L)))
+    assert(got(5L) === ((None, 0L)))
+    // no shuffle: the whole operator is one projection
+    val plan = Dedup.dedupParagraphsWithinDoc(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange"), plan)
+  }
+
   test("paragraph dedup removes intra-doc repeats after the first") {
     val docs = Seq((7L, "p\nq\np\nr\np")).toDF("doc_id", "text")
     val got = Dedup.dedupParagraphs(docs)
@@ -51,6 +127,197 @@ class OperatorsSpec extends SparkTestBase {
       .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
     assert(got(1L) === "Shared Para\nmine")
     assert(got(2L) === "yours")
+  }
+
+  test("deterministic shuffle: partitioning-independent pseudo-random " +
+    "global order via a range-sort plan") {
+    import graft.operators.Corpus
+    val df = (1L to 300L).toDF("doc_id")
+    val a = Corpus.shuffleDeterministic(df.repartition(7), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    val b = Corpus.shuffleDeterministic(df.repartition(3), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a === b, "order must not depend on input partitioning")
+    assert(a.toSet === (1L to 300L).toSet)
+    assert(a !== (1L to 300L).toSeq, "order is actually permuted")
+    val plan = Corpus.shuffleDeterministic(df, col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.toLowerCase.contains("window"), plan)
+  }
+
+  test("epoch upsampling: integer epochs copy exactly, fractional " +
+    "epochs add a deterministic extra copy, zero drops the source") {
+    import graft.operators.Corpus
+    val df = ((1L to 100L).map(i => (i, "a")) ++
+      (101L to 200L).map(i => (i, "b")) ++
+      (201L to 220L).map(i => (i, "c"))).toDF("doc_id", "source")
+    val got = Corpus.upsampleBySource(df, col("doc_id"), col("source"),
+      Map("a" -> 2.0, "b" -> 1.5, "c" -> 0.0))
+      .as[(Long, String, Long)].collect()
+    val byId = got.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq)
+    // integer epochs: exactly 2 dense-indexed copies per key
+    (1L to 100L).foreach(i => assert(byId(i) === Seq(0L, 1L)))
+    // fractional: 1 or 2 copies per key; roughly half get the extra
+    val bCopies = (101L to 200L).map(i => byId(i).size)
+    assert(bCopies.forall(n => n == 1 || n == 2))
+    assert(bCopies.count(_ == 2) > 20 && bCopies.count(_ == 2) < 80)
+    // zero epochs: source c absent entirely
+    assert(!got.exists(_._2 == "c"))
+    // determinism under repartitioning
+    val again = Corpus.upsampleBySource(df.repartition(7), col("doc_id"),
+      col("source"), Map("a" -> 2.0, "b" -> 1.5, "c" -> 0.0))
+      .as[(Long, String, Long)].collect()
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Corpus.upsampleBySource(df, col("doc_id"), col("source"),
+        Map("a" -> -1.0))
+    }
+  }
+
+  test("quantile binning: exact boundaries, boundary values go up, " +
+    "nulls excluded") {
+    import graft.operators.Corpus
+    val df = (1 to 8).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "v")
+    val got = Corpus.binByQuantiles(df, col("v"), nBins = 4)
+      .select("doc_id", "bin").as[(Long, Int)].collect().toMap
+    // boundaries: p25=2.75, p50=4.5, p75=6.25
+    assert(got === Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2,
+      5L -> 3, 6L -> 3, 7L -> 4, 8L -> 4))
+    // a row AT a boundary lands in the upper bin (b <= v counting)
+    val tie = Seq((1L, 1.0), (2L, 2.0), (3L, 2.0), (4L, 3.0))
+      .toDF("doc_id", "v")
+    val tieBins = Corpus.binByQuantiles(tie, col("v"), nBins = 2)
+      .select("doc_id", "bin").as[(Long, Int)].collect().toMap
+    assert(tieBins === Map(1L -> 1, 2L -> 2, 3L -> 2, 4L -> 2))
+    val withNull = df.union(Seq((9L, null.asInstanceOf[java.lang.Double]))
+      .toDF("doc_id", "v"))
+    assert(Corpus.binByQuantiles(withNull, col("v"), 4).count() === 8)
+  }
+
+  test("snapshot diff: added/removed/changed/unchanged classification, " +
+    "null text and null ids, churn-only mode") {
+    import graft.operators.Corpus
+    val oldSnap = Seq(
+      (1L, "same"), (2L, "before"), (3L, "gone"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .union(Seq((null.asInstanceOf[java.lang.Long], "no id"))
+        .toDF("doc_id", "text"))
+    val newSnap = Seq(
+      (1L, "  SAME "),   // normalized-identical → unchanged
+      (2L, "after"),     // changed
+      (5L, "fresh"),     // added
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text") // null≡null
+    val got = Corpus.snapshotDiff(oldSnap, newSnap)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "unchanged", 5L -> "added"))
+    val churn = Corpus.snapshotDiff(oldSnap, newSnap,
+      includeUnchanged = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(churn === Set(2L, 3L, 5L))
+    // text reduces to md5 BEFORE the one full-outer join: neither join
+    // input carries the raw text column
+    val lp = Corpus.snapshotDiff(oldSnap, newSnap).queryExecution.optimizedPlan
+    val joins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(!j.children.exists(_.output.exists(_.name == "text")),
+        s"raw text reaches the join: $j")
+    }
+  }
+
+  test("temperature mix: alpha=1 is uniform sampling; alpha<1 up-weights " +
+    "small sources; invalid params rejected") {
+    import graft.operators.Corpus
+    val df = ((1L to 400L).map(i => (i, "big")) ++
+      (401L to 450L).map(i => (i, "small"))).toDF("doc_id", "source")
+    // alpha = 1 ⇒ every source's rate is exactly targetFraction, so the
+    // mixture must equal a plain hash sample at that fraction
+    val uniform = Corpus.temperatureMix(df, col("doc_id"), col("source"),
+      alpha = 1.0, targetFraction = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    val plain = Corpus.sampleByHash(df, col("doc_id"), 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(uniform === plain)
+    // alpha < 1 ⇒ the small source keeps a larger FRACTION of its rows
+    // than the big one (rate ∝ N^(α−1) is decreasing in N)
+    val mixed = Corpus.temperatureMix(df, col("doc_id"), col("source"),
+      alpha = 0.5, targetFraction = 0.4)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val fracBig = mixed.getOrElse("big", 0L).toDouble / 400
+    val fracSmall = mixed.getOrElse("small", 0L).toDouble / 50
+    assert(fracSmall > fracBig,
+      s"small=$fracSmall should exceed big=$fracBig at alpha=0.5")
+    // membership is a pure key property: survivors of the mixture are
+    // survivors regardless of input partitioning
+    val repart = Corpus.temperatureMix(df.repartition(7), col("doc_id"),
+      col("source"), alpha = 0.5, targetFraction = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    val once = Corpus.temperatureMix(df, col("doc_id"), col("source"),
+      alpha = 0.5, targetFraction = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(repart === once)
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureMix(df, col("doc_id"), col("source"), 0.0, 0.4)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureMix(df, col("doc_id"), col("source"), 0.5, 1.5)
+    }
+  }
+
+  test("int8 quantization: dequantization error bounded by scale/2, " +
+    "zero vectors and null elements handled, zero shuffle") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)),                    // zero vector
+      (3L, Array(3.0f))).toDF("vec_id", "embedding")
+      .union(Seq((4L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    val got = Similarity.quantizeInt8(vecs)
+      .as[(Long, Double, Seq[Byte])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!got.contains(4L))
+    assert(got(2L) === ((0.0, Seq[Byte](0, 0))))
+    assert(got(3L)._2 === Seq[Byte](127))
+    val (scale1, codes1) = got(1L)
+    assert(codes1 === Seq[Byte](64, -127, 32, 0))
+    // round-trip: |x − code·scale| ≤ scale/2 for every element
+    Array(0.5f, -1.0f, 0.25f, 0.0f).zip(codes1).foreach { case (x, c) =>
+      assert(math.abs(x - c * scale1) <= scale1 / 2 + 1e-9,
+        s"x=$x code=$c scale=$scale1")
+    }
+    val plan = Similarity.quantizeInt8(vecs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange"), plan)
+  }
+
+  test("quantized top-k: identical vectors score exactly 1.0, ranks " +
+    "track exact cosine on separated data, zero-norm rows excluded") {
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(7)
+    def vec() = Array.fill(16)(rng.nextFloat() * 2 - 1)
+    val planted = vec()
+    val corpus = ((1L to 40L).map(i => (i, vec())) :+
+      (99L, planted.clone()) :+ (98L, Array.fill(16)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, planted.clone())).toDF("vec_id", "embedding")
+    val got = Similarity.quantizedCosineTopK(corpus, queries, k = 5)
+      .orderBy("rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    // the planted duplicate quantizes to the SAME codes → cosine is
+    // exactly 1.0 (integer arithmetic, no fp noise), rank 1
+    assert(got.head._2 === 99L)
+    assert(got.head._3 === 1.0)
+    // the zero vector has zero-norm codes and must not appear
+    assert(!got.exists(_._2 == 98L))
+    // int8 quantization preserves the exact ranking on this data
+    val exact = Similarity.cosineTopK(corpus, queries, k = 5)
+      .orderBy("rnk").select("vec_id").as[Long].collect().toSeq
+    assert(got.map(_._2).toSeq === exact)
   }
 
   test("group centroids: per-dimension means, null-element vectors excluded") {

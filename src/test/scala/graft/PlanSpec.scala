@@ -104,9 +104,13 @@ class PlanSpec extends SparkTestBase {
     // reference side of the recall comparison; x20 attaches the
     // benchmark-gram array (ONE broadcast row) to every corpus row —
     // a 1×N dimension attach, not a quadratic pair scan
+    // x45 is the quantized variant of the same deliberate brute-force
+    // scan (query codes broadcast against the corpus codes); x46
+    // attaches the single boundary row to every corpus row — a 1×N
+    // dimension attach like x20
     val nestedLoopByDesign =
       Set("x5_cosine_topk", "x6_ann_lsh", "x13_ann_ivf",
-        "x20_decontaminate")
+        "x20_decontaminate", "x45_quantized_topk", "x46_quantile_bins")
     for ((name, q) <- SparkEntry.queries) {
       val p = q(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")

@@ -419,4 +419,77 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(out).filter($"dt" === "unknown")
       .select($"value").as[String].collect().toSeq === Seq("d"))
   }
+
+  test("hash-based mix/split projections run unchanged on a stream " +
+    "and agree with the batch pass row-for-row") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Corpus
+
+    val rows = (1L to 200L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+    def mixed(df: org.apache.spark.sql.DataFrame) =
+      Corpus.mixBySource(df, col("doc_id"), col("source"),
+          Map("a" -> 0.5, "b" -> 0.2))
+        .withColumn("split", Corpus.assignSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.2)))
+
+    val input = MemoryStream[(Long, String)]
+    val q = mixed(input.toDF().toDF("doc_id", "source"))
+      .writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(100)); q.processAllAvailable()
+      input.addData(rows.drop(100)); q.processAllAvailable()
+      val streamed = spark.table("mix_stream")
+        .as[(Long, String, String)].collect().toSet
+      val batch = mixed(rows.toDF("doc_id", "source"))
+        .as[(Long, String, String)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization: sealed sessions equal the batch " +
+    "rollup, including the exact-gap boundary") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.SessionizeStream
+    import graft.analytics.Sessionize
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user A: one session of 3 (the 10:00:30 event is EXACTLY gapSec
+    // after 10:00:00 — same session under the batch > rule), then a
+    // clear break; user B: singleton sessions
+    val rows = Seq(
+      ("a", t("2024-01-01 10:00:00")), ("a", t("2024-01-01 10:00:30")),
+      ("a", t("2024-01-01 10:00:45")), ("b", t("2024-01-01 10:00:10")),
+      ("b", t("2024-01-01 10:02:00")), ("a", t("2024-01-01 10:05:00")))
+    // late watermark flush event: pushes the watermark far past every
+    // session so all of them seal and emit in append mode
+    val flush = ("zz", t("2024-01-02 00:00:00"))
+
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val q = SessionizeStream.sessions(input.toDF().toDF("u", "ts"),
+        col("u"), col("ts"), gapSec = 30L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // batches split on event time: with a zero watermark delay an
+      // event older than a previous batch's max would be dropped late
+      input.addData(rows.take(4)); q.processAllAvailable()
+      input.addData(rows.drop(4)); q.processAllAvailable()
+      input.addData(flush); q.processAllAvailable()
+      val streamed = spark.table("sess_stream")
+        .filter($"user_id" =!= "zz")
+        .select("user_id", "n_events", "start_ts", "end_ts")
+        .as[(String, Long, java.sql.Timestamp, java.sql.Timestamp)]
+        .collect().toSet
+      val batch = Sessionize.sessions(
+        rows.toDF("u", "ts"), col("u"), col("ts"), gapSec = 30L)
+        .select("user_id", "n_events", "start_ts", "end_ts")
+        .as[(String, Long, java.sql.Timestamp, java.sql.Timestamp)]
+        .collect().toSet
+      assert(streamed === batch)
+      assert(batch.exists { case (u, n, _, _) => u == "a" && n == 3L },
+        "the exact-gap event must stay in user a's first session")
+    } finally q.stop()
+  }
 }
