@@ -431,6 +431,11 @@ object SparkEntry {
     "x49_winnow_overlap" -> ((s, dir) =>
       Dedup.winnowOverlap(Tables.documents(s, dir),
         k = 16, w = 16, minShared = 3, maxDf = 16)),
+    // sparse tf-idf document vectors (log-free ratio idf for bit-exact
+    // engine parity; same stopword df cap as x36)
+    "x50_tfidf" -> ((s, dir) =>
+      graft.operators.Relevance.tfidf(Tables.documents(s, dir),
+        maxDfFraction = 0.5)),
   )
 
   /** x35's query string — shared between the Spark query and the
@@ -1226,6 +1231,26 @@ object SparkEntry {
         |SELECT occ.token, CAST(dfs.df AS BIGINT) AS df, occ.doc_id
         |FROM occ JOIN dfs USING (token), cap
         |WHERE dfs.df <= cap.c""".stripMargin,
+    // x36's tokenization, with occurrence counts; the idf ratio is one
+    // double division on both engines (no log), tfidf rounded at 6
+    "x50_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(coalesce(text, ''), '\s+'),
+        |    x -> x <> '') AS tk
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS token FROM toks)
+        |  GROUP BY doc_id, token),
+        |dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY token),
+        |n AS (SELECT count(*)::DOUBLE AS n,
+        |             count(*) * 0.5 AS cap FROM documents)
+        |SELECT tf.token, tf.doc_id, tf.tf, dfs.df,
+        |  round(tf.tf * (n.n / dfs.df), 6) AS tfidf
+        |FROM tf JOIN dfs USING (token), n
+        |WHERE dfs.df <= n.cap""".stripMargin,
     // replays the stub classifier exactly: per-token code-point poly fold
     // + LCG double mix (the x16 hash pattern), in-order mean via
     // list_reduce so double summation order matches the Scala fold

@@ -96,4 +96,40 @@ object Relevance {
       .filter(col("df") <= lit(cap))
       .select(col("token"), col("df"), col(idCol))
   }
+
+  /** TF-IDF posting weights — the sparse document-vector counterpart
+    * of [[invertedIndex]]: one row per (document, token) with term
+    * frequency, document frequency, and `tfidf = tf · (N / df)`. The
+    * idf is the RAW ratio, not its log: a single IEEE division is
+    * engine-portable bit-for-bit, where `log` differs in the last ulp
+    * across libm implementations — rank order within a token is
+    * identical either way (log is monotone), and a downstream consumer
+    * can take the log of the ratio when it wants the classic weight.
+    * Tokens above `maxDfFraction` (stopwords) are dropped, the
+    * [[invertedIndex]] cap contract.
+    *
+    * Scale shape: one (doc, token)-keyed count aggregate
+    * (map-side-combinable — the shuffle carries distinct pairs, not
+    * occurrences), one token-keyed df aggregate over those distinct
+    * pairs, one key-equality join back (AQE-skew-splittable); N is a
+    * collected routing scalar like the cap. Postings stay relational
+    * rows — a hot token is never one array in one task.
+    *
+    * Output: `token`, idCol, `tf`, `df`, `tfidf` (round 6). */
+  def tfidf(docs: DataFrame, maxDfFraction: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxDfFraction > 0 && maxDfFraction <= 1,
+      s"tfidf: maxDfFraction must be in (0,1], got $maxDfFraction")
+    val tf = docs
+      .select(col(idCol), explode(tokens(textCol)).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val cap = n * maxDfFraction
+    tf.join(dfs, Seq("token"))
+      .filter(col("df") <= lit(cap))
+      .select(col("token"), col(idCol), col("tf"), col("df"),
+        round(col("tf") * (lit(n.toDouble) / col("df")), 6).as("tfidf"))
+  }
 }

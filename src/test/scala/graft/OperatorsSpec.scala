@@ -35,6 +35,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(got(6L) === (("a\n\nb", 0L)))
   }
 
+  test("tfidf: term/document frequencies and ratio-idf weights; " +
+    "stopword cap drops ubiquitous tokens") {
+    import graft.operators.Relevance
+    val docs = Seq(
+      (1L, "apple apple banana the"),
+      (2L, "banana cherry the"),
+      (3L, "cherry cherry cherry the"),
+      (4L, "date the")).toDF("doc_id", "text")
+    val got = Relevance.tfidf(docs, maxDfFraction = 0.75)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // "the" appears in 4/4 docs > 0.75 cap → dropped everywhere
+    assert(!got.keys.exists(_._1 == "the"))
+    // apple: tf 2 in doc 1, df 1 → 2 * (4/1) = 8
+    assert(got(("apple", 1L)) === ((2L, 1L, 8.0)))
+    // banana: df 2 → doc 1 weight 1 * (4/2) = 2
+    assert(got(("banana", 1L)) === ((1L, 2L, 2.0)))
+    assert(got(("cherry", 3L)) === ((3L, 2L, 6.0)))
+    assert(got(("date", 4L)) === ((1L, 1L, 4.0)))
+  }
+
   test("winnow overlap: detects a shared passage inside otherwise-" +
     "different docs; boilerplate df cap suppresses common runs") {
     val passage = "the quick brown fox jumps over the lazy dog repeatedly"
