@@ -436,6 +436,13 @@ object SparkEntry {
     "x50_tfidf" -> ((s, dir) =>
       graft.operators.Relevance.tfidf(Tables.documents(s, dir),
         maxDfFraction = 0.5)),
+    // weighted training order: src0 3x priority; the key VALUES (not
+    // row order) are the compared output, as in x40
+    "x51_weighted_order" -> ((s, dir) =>
+      graft.operators.Corpus.weightedOrder(
+        Tables.documents(s, dir), col("doc_id"), col("source"),
+        Map("src0" -> 3.0))
+        .select(col("doc_id"), col("source"), col("order_key"))),
   )
 
   /** x35's query string — shared between the Spark query and the
@@ -1231,6 +1238,21 @@ object SparkEntry {
         |SELECT occ.token, CAST(dfs.df AS BIGINT) AS df, occ.doc_id
         |FROM occ JOIN dfs USING (token), cap
         |WHERE dfs.df <= cap.c""".stripMargin,
+    // the x16 hash replay pushed through the Efraimidis–Spirakis
+    // transform u^(1/w); round 9 absorbs pow's last-ulp spread
+    "x51_weighted_order" ->
+      """SELECT doc_id, source,
+        |  round(pow(
+        |    ((list_reduce([0::BIGINT] || list_transform(
+        |        range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |        i -> ord(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |        (a,x) -> (a*131 + x) % 1000000007)
+        |      * 1103515245 + 12345) % 1000000007
+        |      * 69069 + 1) % 1000000007 / 1000000007.0,
+        |    1.0 / (CASE source WHEN 'src0' THEN 3.0 ELSE 1.0 END)), 9)
+        |    AS order_key
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND source IS NOT NULL""".stripMargin,
     // x36's tokenization, with occurrence counts; the idf ratio is one
     // double division on both engines (no log), tfidf rounded at 6
     "x50_tfidf" ->

@@ -201,6 +201,42 @@ object Corpus {
       .withColumn("shuffle_key", hashUnit(key))
       .orderBy(col("shuffle_key"), key)
 
+  /** Deterministic WEIGHTED training order — [[shuffleDeterministic]]
+    * with per-source priorities: each row gets the Efraimidis–Spirakis
+    * key `u^(1/w_source)` (u = [[hashUnit]]) and the corpus sorts on it
+    * DESCENDING, so a source at weight w surfaces ∝ w-proportionally
+    * often in any prefix of the order — "books early and often, web
+    * late and thin" as one reproducible sort, the data-loader analog of
+    * weighted sampling without replacement. Like the unweighted
+    * shuffle, the order is a pure function of (key set, weights):
+    * stable across runs, partitionings, and cluster sizes. The key is
+    * rounded to 9 dp for engine portability (`pow` may differ in the
+    * last ulp across libm implementations); order among the rare
+    * resulting ties falls back to the row key. Weights must be > 0
+    * (drop rows upstream with [[mixBySource]] rate 0 instead of
+    * weight 0). Null keys/sources have no position and are excluded.
+    *
+    * Scale shape: one projection + the same single range exchange and
+    * spilling per-partition sort as [[shuffleDeterministic]]. */
+  def weightedOrder(df: DataFrame, key: Column, sourceCol: Column,
+      weights: Map[String, Double], defaultWeight: Double = 1.0)
+      : DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ > 0),
+      s"weightedOrder: weights must be > 0, got $weights / $defaultWeight")
+    val w = weights.foldLeft(Option.empty[Column]) {
+      case (acc, (src, x)) => Some(acc match {
+        case None => when(sourceCol === src, x)
+        case Some(c) => c.when(sourceCol === src, x)
+      })
+    } match {
+      case Some(c) => c.otherwise(defaultWeight)
+      case None => lit(defaultWeight)
+    }
+    df.filter(key.isNotNull && sourceCol.isNotNull)
+      .withColumn("order_key", round(pow(hashUnit(key), lit(1.0) / w), 9))
+      .orderBy(col("order_key").desc, key)
+  }
+
   /** Keep at most `k` rows per group, chosen in deterministic
     * ([[hashUnit]](key), key) order — balanced per-group sampling
     * ("at most 10k documents per source") where WHICH rows survive is

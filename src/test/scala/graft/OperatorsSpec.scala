@@ -150,6 +150,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(got(2L) === "yours")
   }
 
+  test("weighted order: higher-weight source dominates every prefix " +
+    "proportionally; order is partitioning-independent") {
+    import graft.operators.Corpus
+    val df = ((1L to 150L).map(i => (i, "heavy")) ++
+      (151L to 300L).map(i => (i, "light"))).toDF("doc_id", "source")
+    val ordered = Corpus.weightedOrder(df, col("doc_id"), col("source"),
+      Map("heavy" -> 3.0)).select("doc_id", "source")
+      .as[(Long, String)].collect()
+    assert(ordered.length === 300)
+    // weight 3 vs 1 on equal-size sources: the first third of the order
+    // should be mostly heavy (expected ~75%), the last third mostly
+    // light
+    val firstHeavy = ordered.take(100).count(_._2 == "heavy")
+    val lastHeavy = ordered.takeRight(100).count(_._2 == "heavy")
+    assert(firstHeavy > 60, s"first 100: $firstHeavy heavy")
+    assert(lastHeavy < 40, s"last 100: $lastHeavy heavy")
+    val again = Corpus.weightedOrder(df.repartition(7), col("doc_id"),
+      col("source"), Map("heavy" -> 3.0)).select("doc_id", "source")
+      .as[(Long, String)].collect()
+    assert(ordered.toSeq === again.toSeq)
+    intercept[IllegalArgumentException] {
+      Corpus.weightedOrder(df, col("doc_id"), col("source"),
+        Map("heavy" -> 0.0))
+    }
+  }
+
   test("deterministic shuffle: partitioning-independent pseudo-random " +
     "global order via a range-sort plan") {
     import graft.operators.Corpus
