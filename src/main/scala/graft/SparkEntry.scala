@@ -443,6 +443,14 @@ object SparkEntry {
         Tables.documents(s, dir), col("doc_id"), col("source"),
         Map("src0" -> 3.0))
         .select(col("doc_id"), col("source"), col("order_key"))),
+    // global token-budget prefix (distributed global prefix sum —
+    // range sums collected, offsets broadcast, per-range windows);
+    // ~half the sf0.01 corpus by chars
+    "x52_token_budget_global" -> ((s, dir) =>
+      graft.operators.Corpus.capTokensGlobal(
+        Tables.documents(s, dir), col("doc_id"), col("n_chars"),
+        budget = 75000L)
+        .select(col("doc_id"), col("n_chars"))),
   )
 
   /** x35's query string — shared between the Spark query and the
@@ -1238,6 +1246,26 @@ object SparkEntry {
         |SELECT occ.token, CAST(dfs.df AS BIGINT) AS df, occ.doc_id
         |FROM occ JOIN dfs USING (token), cap
         |WHERE dfs.df <= cap.c""".stripMargin,
+    // ONE global cumsum window in the oracle replays what the engine
+    // computes as range offsets + per-range windows; same (u, key)
+    // total order as x16/x40
+    "x52_token_budget_global" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    ((list_reduce([0::BIGINT] || list_transform(
+        |        range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |        i -> ord(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |        (a,x) -> (a*131 + x) % 1000000007)
+        |      * 1103515245 + 12345) % 1000000007
+        |      * 69069 + 1) % 1000000007 / 1000000007.0 AS u
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id, n_chars,
+        |    sum(coalesce(n_chars, 0)) OVER (ORDER BY u, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, n_chars FROM c WHERE cum <= 75000""".stripMargin,
     // the x16 hash replay pushed through the Efraimidis–Spirakis
     // transform u^(1/w); round 9 absorbs pow's last-ulp spread
     "x51_weighted_order" ->

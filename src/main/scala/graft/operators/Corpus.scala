@@ -280,6 +280,67 @@ object Corpus {
       .drop("_toks", "_cum")
   }
 
+  /** GLOBAL token-budget prefix: keep documents in deterministic
+    * ([[hashUnit]](key), key) order while the corpus-wide running token
+    * total stays within `budget` — "an unbiased 1B-token slice of the
+    * whole corpus", the global form of [[capTokensPerGroup]].
+    * Membership is a pure function of the key set (the global order is
+    * partitioning-independent), so the slice is re-derivable and grows
+    * by appending: raising the budget only ever ADDS documents.
+    *
+    * Scale shape — the distributed global-prefix-sum, NOT one giant
+    * window: a naive global cumsum window (`orderBy` with no
+    * `partitionBy`) would drag the whole corpus through a single task.
+    * Instead: (1) range-repartition on the order key; (2) one bounded
+    * aggregate of per-range sums — #partitions rows — collected and
+    * prefix-summed on the driver; (3) per-range cumsum windows (each
+    * sorts only its own range, in parallel) plus the broadcast range
+    * offset. Ranges whose offset already exceeds the budget are
+    * filtered wholesale before their window runs. Null keys are
+    * excluded; null token counts weigh 0. */
+  def capTokensGlobal(df: DataFrame, key: Column, tokens: Column,
+      budget: Long, numRanges: Int = 32): DataFrame = {
+    require(budget > 0, s"capTokensGlobal: budget must be > 0, got $budget")
+    require(numRanges > 0,
+      s"capTokensGlobal: numRanges must be > 0, got $numRanges")
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.filter(key.isNotNull)
+      .withColumn("_u", hashUnit(key))
+      .withColumn("_k", key)
+      .withColumn("_toks", coalesce(tokens.cast("long"), lit(0L)))
+      .repartitionByRange(numRanges, col("_u"), col("_k"))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    // bounded: one row per range — the sanctioned-collect contract
+    val partials = ranged.groupBy(col("_pid"))
+      .agg(sum(col("_toks")).as("_psum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = partials.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, s)) => (pid, acc + s)
+    }.init.zip(partials).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offCol = offsets.foldLeft(Option.empty[Column]) {
+      case (acc, (pid, off)) => Some(acc match {
+        case None => when(col("_pid") === pid, off)
+        case Some(c) => c.when(col("_pid") === pid, off)
+      })
+    } match {
+      case Some(c) => c.otherwise(0L)
+      case None => lit(0L)
+    }
+    val out = ranged
+      .withColumn("_off", offCol)
+      // a range that starts past the budget cannot contribute — skip
+      // its sort entirely
+      .filter(col("_off") < budget)
+      .withColumn("_cum", col("_off") + sum(col("_toks"))
+        .over(Window.partitionBy(col("_pid"))
+          .orderBy(col("_u"), col("_k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("_cum") <= budget)
+      .drop("_u", "_k", "_toks", "_pid", "_off", "_cum")
+    out
+  }
+
   /** Exact linear-interpolated percentiles per group, as a DISTRIBUTED
     * plan: rank values with a per-group sort window, pick the two
     * bracketing ranks per percentile (pos = p·(n−1), 0-based), and

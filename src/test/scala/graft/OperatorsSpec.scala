@@ -150,6 +150,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(got(2L) === "yours")
   }
 
+  test("global token budget: distributed prefix sum equals the single-" +
+    "window reference; partitioning-independent; monotone in budget") {
+    import graft.operators.Corpus
+    val rng = new scala.util.Random(11)
+    val df = (1L to 500L).map(i => (i, 1L + rng.nextInt(100)))
+      .toDF("doc_id", "toks")
+    // single-window reference: one global cumsum in hash order
+    import org.apache.spark.sql.expressions.Window
+    val ref = df
+      .withColumn("_u", Corpus.hashUnit(col("doc_id")))
+      .withColumn("_cum", sum(col("toks")).over(
+        Window.orderBy(col("_u"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("_cum") <= 5000L)
+      .select("doc_id").as[Long].collect().toSet
+    val got = Corpus.capTokensGlobal(df, col("doc_id"), col("toks"),
+      budget = 5000L, numRanges = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === ref)
+    assert(got.nonEmpty && got.size < 500)
+    val repart = Corpus.capTokensGlobal(df.repartition(13), col("doc_id"),
+      col("toks"), budget = 5000L, numRanges = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(repart === ref)
+    // a larger budget only ever ADDS documents
+    val bigger = Corpus.capTokensGlobal(df, col("doc_id"), col("toks"),
+      budget = 9000L, numRanges = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.subsetOf(bigger) && bigger.size > got.size)
+  }
+
   test("weighted order: higher-weight source dominates every prefix " +
     "proportionally; order is partitioning-independent") {
     import graft.operators.Corpus
