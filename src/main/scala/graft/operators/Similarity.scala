@@ -358,6 +358,61 @@ object Similarity {
       .select(col("v").cast("array<float>")).limit(trainSample)
       .collect().map(_.getSeq[Float](0).toArray)
     val centers = lloyds(sample, nLists)
+    ivfSearch(corpus, queries, centers, k, nProbe, idCol, embCol)
+  }
+
+  /** The trained IVF coarse quantizer as a PERSISTABLE relation — one
+    * row per (cell, dimension): `cell`, `pos`, `cval`. Write it out
+    * once and feed it to [[ivfTopKWithCentroids]]: a growing corpus
+    * then reuses the index instead of retraining per query batch (the
+    * same index-is-a-relation contract as the dedup signature tables).
+    * Training is the [[ivfTopK]] path: a capped driver sample through
+    * [[lloyds]]. */
+  def ivfCentroids(embeddings: DataFrame, nLists: Int = 16,
+      trainSample: Int = 100000, embCol: String = "embedding"): DataFrame = {
+    val corpus = embeddings.select(col(embCol).as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+    val sample = corpus
+      .select(col("v").cast("array<float>")).limit(trainSample)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val centers = lloyds(sample, nLists)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    centers.zipWithIndex.flatMap { case (c, cell) =>
+      c.zipWithIndex.map { case (x, pos) => (cell, pos, x) }
+    }.toSeq.toDF("cell", "pos", "cval")
+  }
+
+  /** [[ivfTopK]] against a PERSISTED quantizer from [[ivfCentroids]]:
+    * the centroid relation (nLists × dim rows — bounded by index
+    * geometry, never by corpus size) is collected back into plan
+    * literals and the search runs identically; no training sample is
+    * read, so query batches against a stable corpus skip the k-means
+    * entirely and produce assignments consistent with every previous
+    * batch — the incremental-ANN contract. */
+  def ivfTopKWithCentroids(centroids: DataFrame, embeddings: DataFrame,
+      queries: DataFrame, k: Int = 10, nProbe: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val rows = centroids.select(col("cell").cast("int"),
+        col("pos").cast("int"), col("cval").cast("double"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    require(rows.nonEmpty, "ivfTopKWithCentroids: empty centroid relation")
+    val centers = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cs) =>
+      cs.sortBy(_._2).map(_._3).toArray
+    }.toArray
+    val corpus = embeddings.select(col(idCol).as("vec_id"),
+      col(embCol).as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+    ivfSearch(corpus, queries, centers, k, nProbe, idCol, embCol)
+  }
+
+  /** Shared IVF search body: centroids ride the plan as literals,
+    * assignment is one codegen projection, the probe a cell-equality
+    * broadcast join. `corpus` must already carry (vec_id, v) with
+    * nulls excluded. */
+  private def ivfSearch(corpus: DataFrame, queries: DataFrame,
+      centers: Array[Array[Double]], k: Int, nProbe: Int,
+      idCol: String, embCol: String): DataFrame = {
     val dim = centers(0).length
 
     // nearest cell(s) by L2 — a plain codegen'd expression per centroid

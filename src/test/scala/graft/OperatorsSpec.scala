@@ -1347,6 +1347,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(first === 1L)
   }
 
+  test("ivf with persisted centroids: relation has nLists x dim rows, " +
+    "search works without retraining, assignments are reusable") {
+    val dim = 64
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == axis) 1f else 0f)
+    val near = unit(0); near(1) = 0.02f
+    val emb = ((0L, unit(0)) +: (1L, near) +:
+      (2 until 40).map(i => (i.toLong, unit(i % dim)))).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(emb, nLists = 4)
+    assert(cents.count() === 4L * dim)
+    assert(cents.select("cell").distinct().count() === 4)
+    // the persisted relation drives the same search (no training here:
+    // the query batch reads centroids, not a sample)
+    val got = Similarity.ivfTopKWithCentroids(cents,
+      emb, emb.filter($"vec_id" === 0), k = 5, nProbe = 2)
+    val first = got.filter($"rnk" === 1).select("vec_id").as[Long].head()
+    assert(first === 1L)
+    // two query batches against the same persisted index agree exactly
+    val again = Similarity.ivfTopKWithCentroids(cents,
+      emb, emb.filter($"vec_id" === 0), k = 5, nProbe = 2)
+    assert(got.collect().toSet === again.collect().toSet)
+  }
+
   test("text analysis basics") {
     val df = Seq("The cat and the dog. A bird!").toDF("text")
     val r = df.select(
