@@ -451,6 +451,24 @@ object SparkEntry {
         Tables.documents(s, dir), col("doc_id"), col("n_chars"),
         budget = 75000L)
         .select(col("doc_id"), col("n_chars"))),
+    // the operators COMPOSE into one Catalyst plan: exact dedup →
+    // PII scrub + normalize → length gate → train-split filter, end to
+    // end with a single composed oracle
+    "x53_curate_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keep = docs
+        .groupBy(Dedup.contentHash(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      docs.join(keep, Seq("doc_id"), "left_semi")
+        .withColumn("clean_text",
+          TextAnalysis.normalizeText(TextAnalysis.scrubPii(col("text"))))
+        .filter(length(col("clean_text")) >= 60)
+        .withColumn("split", graft.operators.Corpus.assignSplit(
+          col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .filter(col("split") === "train")
+        .select(col("doc_id"), col("source"), col("clean_text"))
+    }),
   )
 
   /** x35's query string — shared between the Spark query and the
@@ -1246,6 +1264,37 @@ object SparkEntry {
         |SELECT occ.token, CAST(dfs.df AS BIGINT) AS df, occ.doc_id
         |FROM occ JOIN dfs USING (token), cap
         |WHERE dfs.df <= cap.c""".stripMargin,
+    // the composed pipeline: x1's identity, x17's scrub chain, a
+    // length gate, and the x16 split replay chained as CTEs
+    "x53_curate_pipeline" ->
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(lower(trim(text)))
+        |), c AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b|\b(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}\b', '<IP>', 'g'),
+        |        '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b', '<IP>', 'g'),
+        |        '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |        '\b[A-CEGHJ-PR-TW-Z]{2}[0-9]{6}[A-D]\b', '<NID>', 'g'),
+        |        '\b(?:4[0-9]{3}|5[1-5][0-9]{2}|3[47][0-9]{2}|6(?:011|5[0-9]{2}))(?:[ -]?[0-9]{4}){2}(?:[ -]?[0-9]{1,4})?\b', '<CC>', 'g'),
+        |        '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+        |      '\b(a|an|the|and|of|to|in|is)\b', '', 'g'),
+        |      '\s+', ' ', 'g')) AS clean_text,
+        |    ((list_reduce([0::BIGINT] || list_transform(
+        |        range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |        i -> ord(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |        (a,x) -> (a*131 + x) % 1000000007)
+        |      * 1103515245 + 12345) % 1000000007
+        |      * 69069 + 1) % 1000000007 / 1000000007.0 AS u
+        |  FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM keep)
+        |)
+        |SELECT doc_id, source, clean_text FROM c
+        |WHERE length(clean_text) >= 60 AND u < 0.8""".stripMargin,
     // ONE global cumsum window in the oracle replays what the engine
     // computes as range offsets + per-range windows; same (u, key)
     // total order as x16/x40
