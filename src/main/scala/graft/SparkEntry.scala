@@ -451,6 +451,11 @@ object SparkEntry {
         Tables.documents(s, dir), col("doc_id"), col("n_chars"),
         budget = 75000L)
         .select(col("doc_id"), col("n_chars"))),
+    // hashing-trick features: vocabulary-free signed-count vectors,
+    // integer-exact on any engine
+    "x54_hashed_features" -> ((s, dir) =>
+      graft.operators.Relevance.hashedFeatures(
+        Tables.documents(s, dir), dim = 64)),
     // the operators COMPOSE into one Catalyst plan: exact dedup →
     // PII scrub + normalize → length gate → train-split filter, end to
     // end with a single composed oracle
@@ -1264,6 +1269,27 @@ object SparkEntry {
         |SELECT occ.token, CAST(dfs.df AS BIGINT) AS df, occ.doc_id
         |FROM occ JOIN dfs USING (token), cap
         |WHERE dfs.df <= cap.c""".stripMargin,
+    // x36's tokenization + the code-point poly fold (x34's token
+    // hash), component and sign from exact integer div/mod, integer
+    // signed sums
+    "x54_hashed_features" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(coalesce(text, ''), '\s+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    list_reduce([0::BIGINT] || list_transform(
+        |      range(1, length(tok) + 1),
+        |      i -> ord(substr(tok, i, 1))::BIGINT),
+        |      (a,x) -> (a*131 + x) % 1000000007) AS hh
+        |  FROM toks
+        |)
+        |SELECT doc_id, CAST(hh % 64 AS INT) AS pos,
+        |  CAST(sum(CASE WHEN (hh // 64) % 2 = 0 THEN 1 ELSE -1 END)
+        |    AS BIGINT) AS fval
+        |FROM h GROUP BY 1, 2""".stripMargin,
     // the composed pipeline: x1's identity, x17's scrub chain, a
     // length gate, and the x16 split replay chained as CTEs
     "x53_curate_pipeline" ->

@@ -132,4 +132,37 @@ object Relevance {
       .select(col("token"), col(idCol), col("tf"), col("df"),
         round(col("tf") * (lit(n.toDouble) / col("df")), 6).as("tfidf"))
   }
+
+  /** Hashing-trick document features (Weinberger et al., ICML'09): a
+    * `dim`-dimensional signed-count vector per document with NO
+    * vocabulary — each token folds to an oracle-replayable poly hash h,
+    * lands in component `h mod dim`, and contributes `±1` per
+    * occurrence by the sign bit `(h div dim) mod 2` (the signed variant
+    * keeps collision noise zero-mean). This is the model-free
+    * featurizer for clustering/dedup/classification when no embedding
+    * column exists; values are INTEGER sums, so the output is exact on
+    * any engine. Output is RELATIONAL (one row per non-zero (doc,
+    * component)): idCol, `pos`, `fval` — sparse by construction, and a
+    * document's vector is never one array in one task.
+    *
+    * Scale shape: token explode → ONE (doc, pos)-keyed count aggregate,
+    * map-side combined (at most `dim` partial rows per doc per
+    * partition reach the shuffle). No joins, no driver participation,
+    * no vocabulary state — the property that makes feature hashing the
+    * scale path where a fitted vocabulary (x27/x36) would itself be a
+    * corpus-sized relation. */
+  def hashedFeatures(docs: DataFrame, dim: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dim > 0, s"hashedFeatures: dim must be > 0, got $dim")
+    docs
+      .select(col(idCol), explode(tokens(textCol)).as("_tok"))
+      .withColumn("_h", graft.functions.ShingleExprs
+        .polyFingerprint(col("_tok")))
+      .select(col(idCol),
+        pmod(col("_h"), lit(dim.toLong)).cast("int").as("pos"),
+        when(pmod(expr(s"_h div $dim"), lit(2L)) === 0L, 1L)
+          .otherwise(-1L).as("_sign"))
+      .groupBy(col(idCol), col("pos"))
+      .agg(sum(col("_sign")).as("fval"))
+  }
 }

@@ -35,6 +35,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(got(6L) === (("a\n\nb", 0L)))
   }
 
+  test("hashed features: component and sign from the poly hash, signed " +
+    "occurrence sums, collisions cancel to zero-mean") {
+    import graft.operators.Relevance
+    // fold("ab") = 97*131+98 = 12805 → pos 12805%8 = 5, sign +(1600%2=0)
+    // fold("cd") = 99*131+100 = 13069 → pos 5 too, sign −(1633%2=1):
+    // a planted collision — the signed trick cancels it
+    val docs = Seq(
+      (1L, "ab ab"), (2L, "cd"), (3L, "ab cd"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Relevance.hashedFeatures(docs, dim = 8)
+      .as[(Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map((1L, 5) -> 2L, (2L, 5) -> -1L, (3L, 5) -> 0L))
+    // no shuffle beyond the one keyed aggregate; no joins
+    val plan = Relevance.hashedFeatures(docs, dim = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+
   test("tfidf: term/document frequencies and ratio-idf weights; " +
     "stopword cap drops ubiquitous tokens") {
     import graft.operators.Relevance
