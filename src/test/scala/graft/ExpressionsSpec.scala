@@ -368,6 +368,22 @@ class ExpressionsSpec extends SparkTestBase {
     assert(viaDf(1) === None)
   }
 
+  test("winnowSet property: the shared-substring guarantee holds for " +
+    "random texts and planted runs at several (k, w)") {
+    val rng = new scala.util.Random(13)
+    def randText(n: Int): String =
+      Array.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    for (_ <- 1 to 40; (k, w) <- Seq((4, 5), (8, 8), (5, 12))) {
+      val shared = randText(w + k - 1) // exactly the guarantee threshold
+      val a = randText(rng.nextInt(40)) + shared + randText(rng.nextInt(40))
+      val b = randText(rng.nextInt(40)) + shared + randText(rng.nextInt(40))
+      val fa = ShingleOps.winnowSet(UTF8String.fromString(a), k, w).toSet
+      val fb = ShingleOps.winnowSet(UTF8String.fromString(b), k, w).toSet
+      assert(fa.intersect(fb).nonEmpty,
+        s"k=$k w=$w shared='$shared' a='$a' b='$b'")
+    }
+  }
+
   test("ShingleOps kernels agree between eval and direct call") {
     val s = UTF8String.fromString("abcdefghij")
     assert(ShingleOps.shingleSet(s, 3).toSeq ===
