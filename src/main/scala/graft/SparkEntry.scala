@@ -451,6 +451,12 @@ object SparkEntry {
         Tables.documents(s, dir), col("doc_id"), col("n_chars"),
         budget = 75000L)
         .select(col("doc_id"), col("n_chars"))),
+    // substring-overlap CLUSTERS: the x49 winnow pairs resolved into
+    // components — quote-chain groups, not just pairs
+    "x55_overlap_clusters" -> ((s, dir) =>
+      graft.operators.Graph.connectedComponents(
+        Dedup.winnowOverlap(Tables.documents(s, dir),
+          k = 16, w = 16, minShared = 3, maxDf = 16))),
     // hashing-trick features: vocabulary-free signed-count vectors,
     // integer-exact on any engine
     "x54_hashed_features" -> ((s, dir) =>
@@ -1269,6 +1275,39 @@ object SparkEntry {
         |SELECT occ.token, CAST(dfs.df AS BIGINT) AS df, occ.doc_id
         |FROM occ JOIN dfs USING (token), cap
         |WHERE dfs.df <= cap.c""".stripMargin,
+    // the x49 winnow replay feeding the x24 recursive-CTE components
+    "x55_overlap_clusters" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) - 16 + 2),
+        |      p -> list_reduce([0::BIGINT] || list_transform(range(0, 16),
+        |             j -> ord(substr(text, p + j, 1))::BIGINT),
+        |           (a,x) -> (a*131 + x) % 1000000007)) AS hs
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 16
+        |), m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) < 16 THEN [list_min(hs)]
+        |         ELSE list_distinct(list_transform(range(1, len(hs) - 16 + 2),
+        |                p -> list_min(hs[p : p + 15]))) END AS fps
+        |  FROM g
+        |), f AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+        |capped AS (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM f)
+        |  WHERE df <= 16
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), es AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), cc AS (
+        |  SELECT u AS node, u AS lbl FROM es
+        |  UNION
+        |  SELECT es.v, cc.lbl FROM cc JOIN es ON cc.node = es.u
+        |)
+        |SELECT node, MIN(lbl) AS component FROM cc GROUP BY node""".stripMargin,
     // x36's tokenization + the code-point poly fold (x34's token
     // hash), component and sign from exact integer div/mod, integer
     // signed sums
