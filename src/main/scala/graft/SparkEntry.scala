@@ -451,6 +451,11 @@ object SparkEntry {
         Tables.documents(s, dir), col("doc_id"), col("n_chars"),
         budget = 75000L)
         .select(col("doc_id"), col("n_chars"))),
+    // overlap SPANS: where the shared passage sits in each document
+    // (bounding gram-position range of the shared fingerprints)
+    "x56_overlap_spans" -> ((s, dir) =>
+      Dedup.winnowOverlapSpans(Tables.documents(s, dir),
+        k = 16, w = 16, minShared = 3, maxDf = 16)),
     // substring-overlap CLUSTERS: the x49 winnow pairs resolved into
     // components — quote-chain groups, not just pairs
     "x55_overlap_clusters" -> ((s, dir) =>
@@ -1275,6 +1280,38 @@ object SparkEntry {
         |SELECT occ.token, CAST(dfs.df AS BIGINT) AS df, occ.doc_id
         |FROM occ JOIN dfs USING (token), cap
         |WHERE dfs.df <= cap.c""".stripMargin,
+    // the x49 replay with each fingerprint resolved to its first gram
+    // index (list_position ≡ array_position, both 1-based)
+    "x56_overlap_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) - 16 + 2),
+        |      p -> list_reduce([0::BIGINT] || list_transform(range(0, 16),
+        |             j -> ord(substr(text, p + j, 1))::BIGINT),
+        |           (a,x) -> (a*131 + x) % 1000000007)) AS hs
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 16
+        |), m AS (
+        |  SELECT doc_id, hs,
+        |    CASE WHEN len(hs) < 16 THEN [list_min(hs)]
+        |         ELSE list_distinct(list_transform(range(1, len(hs) - 16 + 2),
+        |                p -> list_min(hs[p : p + 15]))) END AS fps
+        |  FROM g
+        |), fp2 AS (
+        |  SELECT doc_id, unnest(fps) AS fp,
+        |    list_position(hs, unnest(fps))::BIGINT AS pos
+        |  FROM m
+        |), capped AS (
+        |  SELECT doc_id, fp, pos FROM (
+        |    SELECT doc_id, fp, pos, count(*) OVER (PARTITION BY fp) AS df
+        |    FROM fp2)
+        |  WHERE df <= 16
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared,
+        |  min(a.pos) AS a_from, max(a.pos) AS a_to,
+        |  min(b.pos) AS b_from, max(b.pos) AS b_to
+        |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     // the x49 winnow replay feeding the x24 recursive-CTE components
     "x55_overlap_clusters" ->
       """WITH RECURSIVE g AS (

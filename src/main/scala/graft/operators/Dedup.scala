@@ -213,6 +213,57 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[winnowOverlap]] with SPAN ESTIMATES: for each overlapping pair,
+    * the gram-position extent of the shared fingerprints in each
+    * document — "roughly characters [a_from, a_to] of A match
+    * [b_from, b_to] of B", the report a contamination review actually
+    * reads. Positions are 1-based first-gram indexes (a fingerprint's
+    * position is the first gram in the doc hashing to it; a span's
+    * character extent is [from, to + k − 1]). The span is the bounding
+    * range of ALL shared fingerprints, so disjoint repeated passages
+    * merge into one range — exact per-passage alignment is a
+    * downstream local diff on the reported spans.
+    *
+    * Scale shape: identical to [[winnowOverlap]] plus one per-row gram
+    * array used ONLY inside the fingerprint projection (positions
+    * resolve before any join; the gram array never shuffles). The
+    * pair aggregate carries four extra min/max columns on the same
+    * exchange. */
+  def winnowOverlapSpans(docs: DataFrame, k: Int = 8, w: Int = 8,
+      minShared: Int = 2, maxDf: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1 && minShared >= 1 && maxDf >= 2,
+      s"winnowOverlapSpans: invalid params k=$k w=$w " +
+        s"minShared=$minShared maxDf=$maxDf")
+    val t = col(textCol)
+    // per-position gram hashes, relationally (polyFingerprint holds no
+    // lambda, so embedding it in transform is safe); used only to
+    // resolve each fingerprint to its first gram index, then dropped
+    val grams = transform(sequence(lit(1), length(t) - (k - 1)),
+      p => ShingleExprs.polyFingerprint(t.substr(p, lit(k))))
+    val fps = docs
+      .filter(t.isNotNull && length(t) >= k)
+      .withColumn("_hs", grams)
+      .select(col(idCol).as("_id"),
+        explode(ShingleExprs.winnowSet(t, k, w)).as("_fp"),
+        col("_hs"))
+      .select(col("_id"), col("_fp"),
+        array_position(col("_hs"), col("_fp")).cast("long").as("_pos"))
+    val dfCounts = fps.groupBy(col("_fp"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf)
+      .select(col("_fp"))
+    val capped = fps.join(dfCounts, Seq("_fp"))
+    capped.toDF("_fp", "doc_a", "_pa")
+      .join(capped.toDF("_fp", "doc_b", "_pb"), Seq("_fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("_pa")).as("a_from"), max(col("_pa")).as("a_to"),
+        min(col("_pb")).as("b_from"), max(col("_pb")).as("b_to"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ---- MinHash + LSH --------------------------------------------------
 
   /** Number of minhash permutations / LSH layout (16 bands × 4 rows

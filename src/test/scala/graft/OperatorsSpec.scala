@@ -105,6 +105,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("winnow overlap spans: the reported range brackets the planted " +
+    "shared passage in both documents") {
+    val passage = "the quick brown fox jumps over the lazy dog repeatedly"
+    val prefixA = "completely unrelated opening text here. "
+    val prefixB = "другой язык в начале. "
+    val docs = Seq(
+      (1L, prefixA + passage + " tail one"),
+      (2L, prefixB + passage + " other tail"),
+      (3L, "nothing shared with anything else at all in this one"))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowOverlapSpans(docs, k = 8, w = 4, minShared = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+    val (_, _, n, aFrom, aTo, bFrom, bTo) = got.head
+    assert(n >= 2)
+    // spans must fall inside each doc's passage region (gram indexes,
+    // 1-based; passage starts after the prefix)
+    val aStart = prefixA.length + 1
+    val bStart = prefixB.length + 1
+    assert(aFrom >= aStart && aTo <= aStart + passage.length,
+      s"a span [$aFrom,$aTo] outside passage at $aStart")
+    assert(bFrom >= bStart && bTo <= bStart + passage.length,
+      s"b span [$bFrom,$bTo] outside passage at $bStart")
+    // the two spans describe the SAME passage: equal extents
+    assert(aTo - aFrom === bTo - bFrom)
+  }
+
   test("exact delta: in-batch dedup then anti join vs the index; " +
     "index text is never re-hashed") {
     val corpus = Seq((1L, "seen before"), (2L, "also seen"))
