@@ -448,6 +448,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("decontamination runs as a stream-static join: streamed docs " +
+    "against a static benchmark equal the batch pass") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Dedup
+
+    val benchText = "the secret benchmark passage that must not leak " * 4
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "clean document with entirely original content here"),
+      (2L, "prefix " + benchText + " suffix"),   // contaminated
+      (3L, "another clean unrelated body of text"))
+
+    val input = MemoryStream[(Long, String)]
+    val q = Dedup.decontaminate(input.toDF().toDF("doc_id", "text"),
+        bench, minSharedGrams = 20)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(2)); q.processAllAvailable()
+      input.addData(docs.drop(2)); q.processAllAvailable()
+      val streamed = spark.table("decon_stream").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated")))
+        .toMap
+      val batch = Dedup.decontaminate(docs.toDF("doc_id", "text"),
+        bench, minSharedGrams = 20).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated")))
+        .toMap
+      assert(streamed === batch)
+      assert(streamed(2L) === true && streamed(1L) === false)
+    } finally q.stop()
+  }
+
   test("streaming sessionization: sealed sessions equal the batch " +
     "rollup, including the exact-gap boundary") {
     implicit val sql = spark.sqlContext
