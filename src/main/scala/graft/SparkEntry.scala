@@ -451,6 +451,14 @@ object SparkEntry {
         Tables.documents(s, dir), col("doc_id"), col("n_chars"),
         budget = 75000L)
         .select(col("doc_id"), col("n_chars"))),
+    // quality-aware canonical: per near-dup cluster keep the LONGEST
+    // text (tie → min id) instead of the min-id doc
+    "x57_quality_canonical" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Graph.dupClustersBy(docs,
+        Dedup.simhashPairs(docs, maxHamming = 3, poly = true),
+        length(col("text")))
+    }),
     // overlap SPANS: where the shared passage sits in each document
     // (bounding gram-position range of the shared fingerprints)
     "x56_overlap_spans" -> ((s, dir) =>
@@ -1280,6 +1288,36 @@ object SparkEntry {
         |SELECT occ.token, CAST(dfs.df AS BIGINT) AS df, occ.doc_id
         |FROM occ JOIN dfs USING (token), cap
         |WHERE dfs.df <= cap.c""".stripMargin,
+    // the x24 component replay + argmax(length, tie min id) canonical
+    // (row_number with NULLS LAST ≡ the engine's struct-max ordering)
+    "x57_quality_canonical" ->
+      s"""WITH RECURSIVE $PolySimhashFpCtes,
+        |e AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+        |es AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        |cc AS (
+        |  SELECT u AS node, u AS lbl FROM es
+        |  UNION
+        |  SELECT es.v, cc.lbl FROM cc JOIN es ON cc.node = es.u),
+        |comp AS (SELECT node, MIN(lbl) AS component FROM cc GROUP BY node),
+        |asg AS (
+        |  SELECT d.doc_id, length(d.text)::DOUBLE AS pref,
+        |         coalesce(c.component, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        |ranked AS (
+        |  SELECT doc_id, cluster_id,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY pref DESC NULLS LAST, doc_id ASC) AS rn
+        |  FROM asg)
+        |SELECT a.doc_id, a.cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY a.cluster_id) AS BIGINT)
+        |    AS cluster_size,
+        |  (r.rn = 1) AS is_canonical
+        |FROM asg a JOIN ranked r
+        |  ON a.doc_id = r.doc_id AND a.cluster_id = r.cluster_id"""
+        .stripMargin,
     // the x49 replay with each fingerprint resolved to its first gram
     // index (list_position ≡ array_position, both 1-based)
     "x56_overlap_spans" ->

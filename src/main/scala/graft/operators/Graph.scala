@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -130,6 +130,44 @@ object Graph {
     assigned
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+  }
+
+  /** [[dupClusters]] with a QUALITY-AWARE canonical: instead of the
+    * min-id document, each cluster keeps its argmax of `preference`
+    * (longest text, highest classifier score, newest crawl — any
+    * numeric column; ties break to the smaller id, so the choice is
+    * total and deterministic). This is what production dedup actually
+    * wants: the surviving copy should be the best one, not the
+    * first-crawled one. `cluster_id` remains the component-min id
+    * (stable under preference changes); only `is_canonical` moves.
+    *
+    * Scale shape: components over the pair graph as in [[dupClusters]],
+    * then ONE max(struct(pref, −id)) aggregate per cluster joined back
+    * on the cluster id — map-side combinable, skew-safe for a giant
+    * cluster (no window sort over the cluster's rows is needed for the
+    * argmax; the size count window shares the cluster-id exchange). */
+  def dupClustersBy(docs: DataFrame, pairs: DataFrame,
+      preference: Column, idCol: String = "doc_id",
+      srcCol: String = "doc_a", dstCol: String = "doc_b"): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+    val assigned = docs
+      .select(col(idCol), preference.cast("double").as("_pref"))
+      .join(cc, col(idCol) === col("node"), "left")
+      .select(col(idCol), col("_pref"),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+    // argmax(pref, tie → min id) as a plain aggregate: max over the
+    // (pref, -id) struct's lexicographic order; null prefs sort lowest
+    // (they only win a cluster where every pref is null)
+    val best = assigned.groupBy(col("cluster_id"))
+      .agg(max(struct(col("_pref").as("p"), (-col(idCol)).as("ni")))
+        .as("_b"))
+      .select(col("cluster_id"), (-col("_b.ni")).as("_best_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+    assigned.join(best, Seq("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col(idCol) === col("_best_id"))
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
         col("is_canonical"))
   }

@@ -105,6 +105,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("quality-aware canonical: argmax preference with min-id ties; " +
+    "cluster ids stay the component min; singletons canonical") {
+    import graft.operators.Graph
+    val docs = Seq[(Long, java.lang.Double)](
+      (1L, 10.0), (2L, 50.0), (3L, 50.0),  // cluster {1,2,3}: 2 wins tie
+      (4L, 7.0),                            // singleton
+      (5L, 3.0), (6L, null)).toDF("doc_id", "pref")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Graph.dupClustersBy(docs, pairs, col("pref"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((1L, 3L, false)))
+    assert(got(2L) === ((1L, 3L, true)),  "2 beats the tie vs 3 by id")
+    assert(got(3L) === ((1L, 3L, false)))
+    assert(got(4L) === ((4L, 1L, true)),  "singleton is its own canonical")
+    // null pref never beats a non-null one
+    assert(got(5L) === ((5L, 2L, true)))
+    assert(got(6L) === ((5L, 2L, false)))
+  }
+
   test("winnow overlap spans: the reported range brackets the planted " +
     "shared passage in both documents") {
     val passage = "the quick brown fox jumps over the lazy dog repeatedly"
