@@ -451,6 +451,13 @@ object SparkEntry {
         Tables.documents(s, dir), col("doc_id"), col("n_chars"),
         budget = 75000L)
         .select(col("doc_id"), col("n_chars"))),
+    // proportional stratified sample to a 200-doc target: per-source
+    // allocations from a collected count agg, selection by hash rank
+    "x58_stratified_sample" -> ((s, dir) =>
+      graft.operators.Corpus.stratifiedSample(
+        Tables.documents(s, dir), col("doc_id"), col("source"),
+        totalTarget = 200L)
+        .select(col("doc_id"), col("source"))),
     // quality-aware canonical: per near-dup cluster keep the LONGEST
     // text (tie → min id) instead of the min-id doc
     "x57_quality_canonical" -> ((s, dir) => {
@@ -1288,6 +1295,36 @@ object SparkEntry {
         |SELECT occ.token, CAST(dfs.df AS BIGINT) AS df, occ.doc_id
         |FROM occ JOIN dfs USING (token), cap
         |WHERE dfs.df <= cap.c""".stripMargin,
+    // per-source allocations replayed with the identical double chain
+    // (round is half-away-from-zero on both engines for positives),
+    // selection by the x16 hash replay rank
+    "x58_stratified_sample" ->
+      """WITH c AS (
+        |  SELECT CAST(source AS VARCHAR) AS src, count(*)::BIGINT AS n
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1
+        |), tot AS (SELECT sum(n)::BIGINT AS t FROM c),
+        |k AS (
+        |  SELECT src,
+        |    CAST(round(CAST(200 AS DOUBLE) * n / t) AS BIGINT) AS kq
+        |  FROM c, tot
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ((list_reduce([0::BIGINT] || list_transform(
+        |          range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |          i -> ord(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |          (a,x) -> (a*131 + x) % 1000000007)
+        |        * 1103515245 + 12345) % 1000000007
+        |        * 69069 + 1) % 1000000007 / 1000000007.0,
+        |      doc_id) AS rn
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |)
+        |SELECT doc_id, source
+        |FROM r JOIN k ON CAST(r.source AS VARCHAR) = k.src
+        |WHERE rn <= k.kq""".stripMargin,
     // the x24 component replay + argmax(length, tie min id) canonical
     // (row_number with NULLS LAST ≡ the engine's struct-max ordering)
     "x57_quality_canonical" ->

@@ -237,6 +237,55 @@ object Corpus {
       .orderBy(col("order_key").desc, key)
   }
 
+  /** Proportionally-allocated stratified sample to an (approximate)
+    * TARGET COUNT: source `s` with `N_s` rows contributes its
+    * `round(target · N_s / N)` lowest-[[hashUnit]] rows — "a 100k-doc
+    * eval slice mirroring the corpus mix" with exact per-source counts
+    * (± rounding), where rate-based sampling ([[sampleByHash]],
+    * [[temperatureMix]]) only hits the target in expectation. WHICH
+    * rows survive is deterministic, but unlike the rate-based samplers
+    * membership is rank-relative: adding corpus rows can displace
+    * previously-sampled ones (counts, not membership, are the
+    * contract here — use the rate-based samplers when membership
+    * stability matters).
+    *
+    * Scale shape: one tiny per-source count aggregate collected (the
+    * [[temperatureMix]] sanctioned-collect contract), allocations ride
+    * back as a literal when-chain, and selection is one per-source rank
+    * window — a single keyed exchange. Null keys/sources are
+    * excluded. */
+  def stratifiedSample(df: DataFrame, key: Column, sourceCol: Column,
+      totalTarget: Long): DataFrame = {
+    require(totalTarget > 0,
+      s"stratifiedSample: totalTarget must be > 0, got $totalTarget")
+    val counts = df.filter(key.isNotNull && sourceCol.isNotNull)
+      .groupBy(sourceCol.cast("string").as("_src")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    // keep this arithmetic in exact sync with the oracle SQL: the
+    // left-to-right double chain and half-away-from-zero rounding agree
+    // between Math.round and the oracle engine for positive values
+    val ks = counts.map { case (s, n) =>
+      s -> math.round(totalTarget.toDouble * n / total)
+    }
+    val kCol = ks.foldLeft(Option.empty[Column]) {
+      case (acc, (src, kv)) => Some(acc match {
+        case None => when(sourceCol === src, kv)
+        case Some(c) => c.when(sourceCol === src, kv)
+      })
+    } match {
+      case Some(c) => c.otherwise(0L)
+      case None => lit(0L)
+    }
+    import org.apache.spark.sql.expressions.Window
+    df.filter(key.isNotNull && sourceCol.isNotNull)
+      .withColumn("_u", hashUnit(key))
+      .withColumn("_rn", row_number()
+        .over(Window.partitionBy(sourceCol).orderBy(col("_u"), key)))
+      .filter(col("_rn") <= kCol)
+      .drop("_u", "_rn")
+  }
+
   /** Keep at most `k` rows per group, chosen in deterministic
     * ([[hashUnit]](key), key) order — balanced per-group sampling
     * ("at most 10k documents per source") where WHICH rows survive is

@@ -105,6 +105,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("stratified sample: per-source counts proportional to size, " +
+    "total within rounding of target, partitioning-independent") {
+    import graft.operators.Corpus
+    val df = ((1L to 300L).map(i => (i, "big")) ++
+      (301L to 400L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val got = Corpus.stratifiedSample(df, col("doc_id"), col("source"),
+      totalTarget = 100L)
+      .as[(Long, String)].collect()
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // 300:100 split at target 100 → exactly 75 and 25
+    assert(bySrc === Map("big" -> 75, "small" -> 25))
+    val again = Corpus.stratifiedSample(df.repartition(7), col("doc_id"),
+      col("source"), totalTarget = 100L)
+      .as[(Long, String)].collect()
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException] {
+      Corpus.stratifiedSample(df, col("doc_id"), col("source"), 0L)
+    }
+  }
+
   test("quality-aware canonical: argmax preference with min-id ties; " +
     "cluster ids stay the component min; singletons canonical") {
     import graft.operators.Graph
