@@ -327,6 +327,14 @@ object SparkEntry {
         docs, docs.filter(col("doc_id") < 10),
         minSharedGrams = 50, n = 8, maxBroadcastGrams = 1L)
     }),
+    // the Bloom prefilter route: exact results through a constant-size
+    // broadcast, gram shuffle cut to true overlaps + the fp sliver
+    "x59_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Dedup.decontaminateBloom(
+        docs, docs.filter(col("doc_id") < 10),
+        minSharedGrams = 50, n = 8)
+    }),
     // model-scoring seam: the deterministic stub classifier runs through
     // the real mapPartitions batch plumbing; its hashed-bag-of-words
     // arithmetic is replayed exactly by the oracle
@@ -997,6 +1005,7 @@ object SparkEntry {
     // same ground truth, shared verbatim.
     "x20_decontaminate" -> DecontaminateOracle,
     "x33_decontaminate_joined" -> DecontaminateOracle,
+    "x59_decontaminate_bloom" -> DecontaminateOracle,
     "x35_bm25" -> bm25OracleSql,
     // the x16 hash replay, emitted as the order key itself (row order
     // is not hash-compared — the key VALUES are, which pin the order)

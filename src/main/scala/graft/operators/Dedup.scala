@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{PrefixExprs, SetExprs, ShingleExprs}
+import graft.functions.{BloomExprs, PrefixExprs, SetExprs, ShingleExprs}
 
 /** Document deduplication operators, each stated in partition-scalable
   * form: no driver collects, no O(n²) cross joins — candidate generation
@@ -696,6 +696,66 @@ object Dedup {
           (coalesce(col("_n"), lit(0L)) >= minSharedGrams)
             .as("contaminated"))
     }
+  }
+
+  /** [[decontaminate]] with a Bloom-filter prefilter on the gram stream —
+    * the route for benchmark sets too large even for the hashed-gram
+    * array broadcast, at 100 TB the common case (decontaminating against
+    * every public eval suite at once easily exceeds 10⁸ distinct grams ≈
+    * 1 GB of longs; the Bloom filter holds that at ~170 MB, and the
+    * bits/key knob trades broadcast size against prefilter precision
+    * smoothly, with correctness never at stake).
+    *
+    * Results are EXACT — identical to [[decontaminate]]: the filter is
+    * built over all benchmark grams (one fixed-width mergeable
+    * aggregate), so it has no false negatives, and every gram that
+    * passes it still goes through the real semi-join, so false positives
+    * die there instead of surfacing. What the filter buys is shuffle
+    * volume: the per-doc gram array is filtered DOC-LOCALLY
+    * ([[graft.functions.BloomRetain]], direct bit tests on the broadcast
+    * bytes inside codegen) before explode+exchange, so the gram shuffle
+    * carries true overlaps + an fpRate-sized sliver of the corpus
+    * instead of every gram of every document. At the default ~14.4
+    * bits/key with 10 probes (fp ≈ 0.1%), a clean corpus shuffles ~0.1%
+    * of its gram volume. */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+      minSharedGrams: Int = 8, n: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text", bitsPerGram: Int = 14,
+      numHashes: Int = 10): DataFrame = {
+    require(minSharedGrams > 0,
+      s"decontaminateBloom: minSharedGrams must be > 0, got $minSharedGrams")
+    require(bitsPerGram >= 1 && bitsPerGram <= 64,
+      s"decontaminateBloom: bitsPerGram must be in [1,64], got $bitsPerGram")
+    val bg = benchmark
+      .select(explode(ShingleExprs.shingleSetChars(col(textCol), n))
+        .as("_g"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // size the filter to the actual distinct-gram count (one
+    // benchmark-sized job — benchmarks are small relative to the corpus,
+    // and the count also fixes the filter width deterministically)
+    val nBench = bg.count().max(1L)
+    val numBits = ((nBench * bitsPerGram + 63L) / 64L) * 64L
+    val bloom = bg
+      .agg(BloomExprs.bloomBuild(col("_g"), numBits, numHashes).as("_bloom"))
+      .withColumn("_j", lit(1))
+    val hits = docs
+      .select(col(idCol),
+        ShingleExprs.shingleSetChars(col(textCol), n).as("_ng"))
+      .withColumn("_j", lit(1))
+      .join(broadcast(bloom), Seq("_j"))
+      // doc-local prefilter BEFORE the explode: only grams the filter
+      // admits ever become shuffle rows
+      .select(col(idCol),
+        explode(BloomExprs.bloomRetain(col("_bloom"),
+          coalesce(col("_ng"), array().cast("array<long>")))).as("_g"))
+      .join(bg, Seq("_g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_n"), lit(0L)).cast("long").as("n_shared"),
+        (coalesce(col("_n"), lit(0L)) >= minSharedGrams)
+          .as("contaminated"))
   }
 
   // ---- SimHash ---------------------------------------------------------

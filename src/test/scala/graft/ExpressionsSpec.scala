@@ -391,4 +391,54 @@ class ExpressionsSpec extends SparkTestBase {
     assert(ShingleOps.rollingMin(s, 3) ===
       ShingleOps.rollingMin(UTF8String.fromString("abcdefghij"), 3))
   }
+
+  test("Bloom filter: no false negatives, retain preserves order, " +
+    "distributed build merges partials") {
+    import graft.functions.BloomExprs
+    val rng = new scala.util.Random(99)
+    val keys = Seq.fill(500)(rng.nextLong()).distinct
+    // many partitions force aggregate partial merge
+    val built = keys.toDF("g").repartition(7)
+      .agg(BloomExprs.bloomBuild($"g", numBits = 8192, numHashes = 7))
+      .as[Array[Byte]].head()
+    assert(built.length === 4 + 8192 / 8)
+    // zero false negatives — every inserted key answers true
+    for (k <- keys) assert(BloomExprs.mightContain(built, k), s"key $k")
+    // fp sanity at ~16 bits/key with k=7: far below 1%
+    val probes = Seq.fill(2000)(rng.nextLong()).filterNot(keys.contains)
+    val fp = probes.count(BloomExprs.mightContain(built, _))
+    assert(fp < 20, s"false-positive count $fp out of ${probes.size}")
+
+    // retain: subset + order preservation, through the codegen path
+    val some = keys.take(5).sorted
+    val absent = probes.take(5).sorted
+    val mixed = (some ++ absent).sorted
+    val retained = Seq((built, mixed)).toDF("bloom", "grams")
+      .select(BloomExprs.bloomRetain($"bloom", $"grams").as("r"))
+      .as[Seq[Long]].head()
+    assert(retained === retained.sorted, "order not preserved")
+    assert(some.toSet.subsetOf(retained.toSet), "false negative in retain")
+    assert(retained.toSet.subsetOf(mixed.toSet))
+
+    // interpreted eval agrees with the dataframe (codegen) result
+    val expr = graft.functions.BloomRetain(
+      org.apache.spark.sql.catalyst.expressions.Literal(built),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        mixed, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)))
+    val interp = expr.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(interp.toSeq === retained)
+  }
+
+  test("BloomBuildAgg rejects invalid shapes") {
+    import graft.functions.BloomBuildAgg
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    intercept[IllegalArgumentException] {
+      BloomBuildAgg(Literal(1L), numBits = 63, numHashes = 7)
+    }
+    intercept[IllegalArgumentException] {
+      BloomBuildAgg(Literal(1L), numBits = 128, numHashes = 0)
+    }
+  }
 }

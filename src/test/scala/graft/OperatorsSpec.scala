@@ -1012,6 +1012,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(e.getMessage.contains("maxBroadcastGrams"))
   }
 
+  test("decontaminateBloom equals decontaminate, even with a saturated " +
+    "1-bit-per-gram filter (false positives die in the exact join)") {
+    val rnd = new scala.util.Random(31)
+    def randText(n: Int) =
+      (0 until n).map(_ => "abcd"(rnd.nextInt(4))).mkString
+    val docs = ((0 until 40).map(i => (i.toLong, randText(20 + rnd.nextInt(60))))
+      :+ (40L, "ab") // shorter than the gram width -> null gram array
+      ).toDF("doc_id", "text")
+    val bench = (0 until 5).map(i => (100L + i, randText(30)))
+      .toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(docs, bench, minSharedGrams = 5, n = 4)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val viaBloom = Dedup.decontaminateBloom(docs, bench,
+      minSharedGrams = 5, n = 4)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(viaBloom === exact)
+    // near-saturated filter: the prefilter admits almost everything,
+    // results must still be exact
+    val saturated = Dedup.decontaminateBloom(docs, bench,
+      minSharedGrams = 5, n = 4, bitsPerGram = 1, numHashes = 1)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(saturated === exact)
+  }
+
   test("pii scrub + normalization: masking, stopword removal, " +
     "whitespace collapse") {
     import graft.functions.TextAnalysis
