@@ -107,10 +107,13 @@ class PlanSpec extends SparkTestBase {
     // x45 is the quantized variant of the same deliberate brute-force
     // scan (query codes broadcast against the corpus codes); x46
     // attaches the single boundary row to every corpus row — a 1×N
-    // dimension attach like x20
+    // dimension attach like x20; x59 attaches the ONE-row Bloom filter
+    // the same way (the whole point: a constant-size broadcast replaces
+    // the gram-array broadcast)
     val nestedLoopByDesign =
       Set("x5_cosine_topk", "x6_ann_lsh", "x13_ann_ivf",
-        "x20_decontaminate", "x45_quantized_topk", "x46_quantile_bins")
+        "x20_decontaminate", "x45_quantized_topk", "x46_quantile_bins",
+        "x59_decontaminate_bloom")
     for ((name, q) <- SparkEntry.queries) {
       val p = q(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
