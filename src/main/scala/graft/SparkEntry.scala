@@ -335,6 +335,27 @@ object SparkEntry {
         docs, docs.filter(col("doc_id") < 10),
         minSharedGrams = 50, n = 8)
     }),
+    // hot-key-safe join: same rows as the plain equi-join (the oracle IS
+    // the plain join), probe side spread over 8 salt sub-keys
+    "x60_salted_join" -> ((s, dir) =>
+      graft.operators.Skew.saltedJoin(
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        col("o_custkey"), col("c_custkey"), saltFactor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            .as("revenue"))),
+    // per-group top-k WITHOUT the window sort: k-bounded mergeable heaps,
+    // shuffle carries <= k rows per group
+    "x61_grouped_topk" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKPairs.topK(
+          col("o_totalprice"), col("o_orderkey"), k = 3).as("_top"))
+        .select(col("o_custkey"), posexplode(col("_top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rnk"),
+          col("col.id").as("o_orderkey"),
+          col("col.score").as("o_totalprice"))),
     // model-scoring seam: the deterministic stub classifier runs through
     // the real mapPartitions batch plumbing; its hashed-bag-of-words
     // arithmetic is replayed exactly by the oracle
@@ -1006,6 +1027,22 @@ object SparkEntry {
     "x20_decontaminate" -> DecontaminateOracle,
     "x33_decontaminate_joined" -> DecontaminateOracle,
     "x59_decontaminate_bloom" -> DecontaminateOracle,
+    // the salted join is a plan rewrite, not new semantics: the oracle
+    // is the PLAIN join it must equal row-for-row
+    "x60_salted_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "x61_grouped_topk" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+        |  FROM orders)
+        |SELECT o_custkey, rnk, o_orderkey, o_totalprice
+        |FROM ranked WHERE rnk <= 3""".stripMargin,
     "x35_bm25" -> bm25OracleSql,
     // the x16 hash replay, emitted as the order key itself (row order
     // is not hash-compared — the key VALUES are, which pin the order)

@@ -431,6 +431,42 @@ class ExpressionsSpec extends SparkTestBase {
     assert(interp.toSeq === retained)
   }
 
+  test("TopKPairs: merged partial heaps equal the window-sort result, " +
+    "ties break to smaller id, nulls skipped") {
+    import graft.functions.TopKPairs
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map { i =>
+      (i % 7, java.lang.Double.valueOf(
+        if (i % 19 == 0) 5.0 else rnd.nextDouble() * 10), i.toLong)
+    } ++ Seq((0, null.asInstanceOf[java.lang.Double], 9999L)) // skipped
+    // many partitions force partial-heap merges through serde
+    val df = rows.toDF("g", "s", "id").repartition(13)
+    val got = df.groupBy($"g")
+      .agg(TopKPairs.topK($"s", $"id", 4).as("t"))
+      .select($"g", posexplode($"t"))
+      .select($"g", $"pos", $"col.id", $"col.score")
+      .as[(Int, Int, Long, Double)].collect().toSet
+    val want = rows.filter(_._2 != null)
+      .groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._2.doubleValue(), r._3)).take(4).zipWithIndex
+          .map { case (r, i) => (g, i, r._3, r._2.doubleValue()) }
+      }.toSet
+    assert(got === want)
+    // k larger than the group: whole group, still best-first
+    val tiny = Seq((1, 2.0, 10L), (1, 2.0, 3L)).toDF("g", "s", "id")
+      .groupBy($"g").agg(TopKPairs.topK($"s", $"id", 5).as("t"))
+      .select(explode($"t")).select($"col.id").as[Long].collect().toSeq
+    assert(tiny === Seq(3L, 10L)) // equal scores -> smaller id first
+  }
+
+  test("TopKPairs rejects invalid k") {
+    import graft.functions.TopKPairs
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    intercept[IllegalArgumentException] {
+      TopKPairs(Literal(1.0), Literal(1L), k = 0)
+    }
+  }
+
   test("BloomBuildAgg rejects invalid shapes") {
     import graft.functions.BloomBuildAgg
     import org.apache.spark.sql.catalyst.expressions.Literal

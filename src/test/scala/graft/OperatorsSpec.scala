@@ -1524,4 +1524,46 @@ class OperatorsSpec extends SparkTestBase {
     val small = resizePayload(media, targetBytes = 4096).collect()(0)
     assert(small.payload.length === 2048)
   }
+
+  test("salted join equals the plain join: hot key, duplicate rows, " +
+    "null keys dropped on both sides") {
+    import graft.operators.Skew
+    val rnd = new scala.util.Random(7)
+    // hot key 1 carries half the probe side; a duplicated row checks the
+    // whole-row salt does not dedup; null keys on both sides match nothing
+    val left = ((1 to 200).map(i =>
+        (java.lang.Long.valueOf(if (i <= 100) 1L else rnd.nextLong(50)), s"l$i"))
+      :+ (java.lang.Long.valueOf(5L), "dup")
+      :+ (java.lang.Long.valueOf(5L), "dup")
+      :+ (null.asInstanceOf[java.lang.Long], "nl"))
+      .toDF("lk", "lv")
+    val right = ((0L to 60L).map(k => (java.lang.Long.valueOf(k), s"r$k"))
+      :+ (null.asInstanceOf[java.lang.Long], "nr"))
+      .toDF("rk", "rv")
+    val plain = left.join(right, col("lk") === col("rk"))
+      .select("lk", "lv", "rv")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val salted = Skew.saltedJoin(left, right, col("lk"), col("rk"),
+        saltFactor = 4)
+      .select("lk", "lv", "rv")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(salted === plain)
+    // the hot key's probe rows actually spread: >1 distinct salt value
+    val salts = left.filter(col("lk") === 1L)
+      .withColumn("_salt", pmod(xxhash64(left.columns.map(col): _*), lit(4)))
+      .select("_salt").distinct().count()
+    assert(salts > 1, s"hot key landed on $salts salt(s)")
+  }
+
+  test("saltedJoin rejects colliding columns and bad factors") {
+    import graft.operators.Skew
+    val df = Seq((1L, "a")).toDF("k", "_salt")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df, col("k"), col("k"))
+    }
+    val ok = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(ok, ok, col("k"), col("k"), saltFactor = 0)
+    }
+  }
 }
