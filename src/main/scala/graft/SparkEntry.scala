@@ -345,6 +345,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
             .as("revenue"))),
+    // one-pass corpus profiling: every column's stats from a single scan
+    // (exact distincts here so the oracle can replay; the 100 TB default
+    // is the HLL route — see Profile scaladoc)
+    "x64_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(Tables.documents(s, dir),
+        exactDistinct = true)),
+    // z-order layout keys: the Morton interleave is the sort key a
+    // multi-column data-skipping write clusters by
+    "x65_zorder" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"),
+          graft.functions.ZOrderExprs.zorder(
+            col("l_orderkey"), col("l_partkey")).as("z"))
+        .orderBy(col("z"), col("l_orderkey"), col("l_partkey"))
+        .limit(1000)),
     // per-group top-k WITHOUT the window sort: k-bounded mergeable heaps,
     // shuffle carries <= k rows per group
     "x61_grouped_topk" -> ((s, dir) =>
@@ -1027,6 +1042,34 @@ object SparkEntry {
     "x20_decontaminate" -> DecontaminateOracle,
     "x33_decontaminate_joined" -> DecontaminateOracle,
     "x59_decontaminate_bloom" -> DecontaminateOracle,
+    "x64_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_num,
+           |  CAST(MAX($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len,
+           |  CAST(NULL AS DOUBLE) AS avg_len FROM documents""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  CAST(MIN(length($c)) AS BIGINT) AS min_len,
+           |  CAST(MAX(length($c)) AS BIGINT) AS max_len,
+           |  round(AVG(length($c)), 6) AS avg_len FROM documents""".stripMargin
+      Seq(num("doc_id"), str("text"), str("lang"), str("source"),
+        num("n_chars")).mkString("\nUNION ALL\n")
+    },
+    "x65_zorder" ->
+      """SELECT l_orderkey, l_partkey,
+        |  CAST(list_sum(list_transform(range(0, 32), i ->
+        |    (((l_orderkey >> i) & 1) << (2 * i)) +
+        |    (((l_partkey >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+        |FROM lineitem
+        |ORDER BY z, l_orderkey, l_partkey
+        |LIMIT 1000""".stripMargin,
     // the salted join is a plan rewrite, not new semantics: the oracle
     // is the PLAIN join it must equal row-for-row
     "x60_salted_join" ->

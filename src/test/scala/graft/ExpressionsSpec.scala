@@ -459,6 +459,37 @@ class ExpressionsSpec extends SparkTestBase {
     assert(tiny === Seq(3L, 10L)) // equal scores -> smaller id first
   }
 
+  test("ZOrder: known interleavings, 32-bit mask, dominance monotonicity, " +
+    "codegen equals kernel, null propagation") {
+    import graft.functions.{ZOrderExprs, ZOrderOps}
+    assert(ZOrderOps.interleave(0L, 0L) === 0L)
+    assert(ZOrderOps.interleave(3L, 1L) === 7L) // a→bits 0,2; b→bit 1
+    assert(ZOrderOps.interleave(0L, 3L) === 10L) // b→bits 1,3
+    assert(ZOrderOps.interleave(0xffffffffL, 0xffffffffL) === -1L)
+    // only the low 32 bits participate
+    assert(ZOrderOps.interleave((1L << 32) + 5L, 9L) ===
+      ZOrderOps.interleave(5L, 9L))
+    // dominance monotone: growing both coordinates never shrinks z
+    // (unsigned compare — bit 63 is b's bit 31, not a sign)
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 200) {
+      val (a, b) = (rnd.nextLong(1L << 32), rnd.nextLong(1L << 32))
+      val (da, db) = (rnd.nextLong(1L << 8), rnd.nextLong(1L << 8))
+      val z1 = ZOrderOps.interleave(a, b)
+      val z2 = ZOrderOps.interleave(math.min(a + da, (1L << 32) - 1),
+        math.min(b + db, (1L << 32) - 1))
+      assert(java.lang.Long.compareUnsigned(z1, z2) <= 0, s"($a,$b)+($da,$db)")
+    }
+    // codegen path through a DataFrame equals the static kernel; nulls null
+    val rows = Seq((1L, 2L), (12345L, 67890L), (0L, 0L))
+    val got = rows.toDF("a", "b")
+      .select(ZOrderExprs.zorder($"a", $"b")).as[Long].collect().toSeq
+    assert(got === rows.map(r => ZOrderOps.interleave(r._1, r._2)))
+    val n = Seq((Some(1L), Option.empty[Long])).toDF("a", "b")
+      .select(ZOrderExprs.zorder($"a", $"b")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("TopKPairs rejects invalid k") {
     import graft.functions.TopKPairs
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -1555,6 +1555,59 @@ class OperatorsSpec extends SparkTestBase {
     assert(salts > 1, s"hot key landed on $salts salt(s)")
   }
 
+  test("profile: one pass over mixed types, nulls counted, " +
+    "type-inapplicable stats null, exact and approx routes agree here") {
+    import graft.operators.Profile
+    val df = Seq(
+      (Some(1L), Some("aa")), (Some(2L), Some("bbbb")),
+      (Some(2L), None), (None, Some("aa"))
+    ).toDF("id", "s")
+    def rows(exact: Boolean) = Profile.profile(df, exactDistinct = exact)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (exact <- Seq(true, false)) {
+      val m = rows(exact)
+      val id = m("id")
+      assert(id.getLong(1) === 4L && id.getLong(2) === 1L) // rows, nulls
+      assert(id.getLong(3) === 2L) // distinct (HLL exact at this size)
+      assert(id.getDouble(4) === 1.0 && id.getDouble(5) === 2.0)
+      assert(id.isNullAt(6) && id.isNullAt(7) && id.isNullAt(8))
+      val s = m("s")
+      assert(s.getLong(2) === 1L && s.getLong(3) === 2L)
+      assert(s.isNullAt(4) && s.isNullAt(5))
+      assert(s.getLong(6) === 2L && s.getLong(7) === 4L)
+      assert(math.abs(s.getDouble(8) - 8.0 / 3.0) < 1e-6)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.profile(df, cols = Seq("nope"))
+    }
+  }
+
+  test("zorderBy clusters both keys: aligned-square points stay " +
+    "contiguous and partitions narrow both dimensions") {
+    import graft.operators.Layout
+    import graft.functions.ZOrderOps
+    // every point of the 4-aligned square [4,8)² sorts strictly between
+    // the squares below and above it on the curve
+    val inSquare = for (a <- 4L until 8L; b <- 4L until 8L)
+      yield ZOrderOps.interleave(a, b)
+    val below = ZOrderOps.interleave(3L, 3L)
+    val above = ZOrderOps.interleave(8L, 8L)
+    assert(inSquare.forall(z => z > below && z < above))
+    assert(inSquare.max - inSquare.min === 15L) // 16 contiguous z values
+
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b))
+      .toDF("a", "b")
+    val parts = Layout.zorderBy(grid, col("a"), col("b"), numFiles = 16)
+      .select(spark_partition_id().as("p"), col("a"), col("b"))
+      .groupBy("p").agg(
+        (max("a") - min("a")).as("wa"), (max("b") - min("b")).as("wb"))
+      .as[(Int, Long, Long)].collect()
+    // a plain sort by `a` gives every partition the full 0..63 range of
+    // `b` (width 63); z-ordering must beat that on average in BOTH dims
+    assert(parts.map(_._2).sum / parts.length < 40, parts.toSeq)
+    assert(parts.map(_._3).sum / parts.length < 40, parts.toSeq)
+  }
+
   test("saltedJoin rejects colliding columns and bad factors") {
     import graft.operators.Skew
     val df = Seq((1L, "a")).toDF("k", "_salt")
