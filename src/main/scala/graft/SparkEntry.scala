@@ -345,6 +345,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
             .as("revenue"))),
+    // HLL sketches as persistable values: per-source build, one rollup
+    // merge answers the global question without rescanning; the gate
+    // asserts every estimate lands within 5% of exact (error-gated
+    // pattern — DuckDB recomputes the exact counts, not the registers)
+    "x62_hll_distinct" -> ((s, dir) => {
+      import graft.functions.HllExprs
+      val docs = Tables.documents(s, dir)
+      val perSource = docs.groupBy(col("source"))
+        .agg(HllExprs.hllSketch(xxhash64(col("text"))).as("_sk"),
+          count_distinct(col("text")).as("n_exact"))
+      val global = perSource
+        .agg(HllExprs.hllMerge(col("_sk")).as("_sk"))
+        .withColumn("source", lit("__all__"))
+        .crossJoin(broadcast(
+          docs.agg(count_distinct(col("text")).as("n_exact"))))
+      perSource.unionByName(global.select(perSource.columns.map(col): _*))
+        .select(col("source"), col("n_exact"),
+          (abs(HllExprs.hllEstimate(col("_sk")) -
+            col("n_exact").cast("double")) <=
+            lit(0.05) * col("n_exact").cast("double")).as("within_tol"))
+    }),
+    // PageRank over the near-dup graph: which document is the hub of a
+    // template family; same edge ground truth as x24, fixed 10 rounds
+    "x63_pagerank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Graph.pageRank(
+        Dedup.simhashPairs(docs, maxHamming = 3, poly = true))
+        .select(col("node").as("doc_id"), col("pr"))
+    }),
     // one-pass corpus profiling: every column's stats from a single scan
     // (exact distincts here so the oracle can replay; the 100 TB default
     // is the HLL route — see Profile scaladoc)
@@ -1042,6 +1071,42 @@ object SparkEntry {
     "x20_decontaminate" -> DecontaminateOracle,
     "x33_decontaminate_joined" -> DecontaminateOracle,
     "x59_decontaminate_bloom" -> DecontaminateOracle,
+    // error-gated: the oracle recomputes the EXACT counts; the engine
+    // asserts its register estimates land inside the 5% gate
+    "x62_hll_distinct" ->
+      """SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact,
+        |       true AS within_tol
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT '__all__', CAST(COUNT(DISTINCT text) AS BIGINT), true
+        |FROM documents""".stripMargin,
+    "x63_pagerank" -> {
+      // the teleport constant is interpolated from the SAME Scala double
+      // the operator adds ((1-0.85) = 0.15000000000000002 in IEEE754),
+      // so both engines iterate identical arithmetic; per-node
+      // contribution sums are order-sensitive at 1e-15, pinned by the
+      // shared round-to-6
+      val tel = 1.0 - 0.85
+      val rounds = (1 to 10).map(i =>
+        s"""r$i AS (
+           |  SELECT es.v AS node,
+           |    $tel / (SELECT n FROM nn) + 0.85 * SUM(p.r / d.deg) AS r
+           |  FROM es JOIN r${i - 1} p ON es.u = p.node
+           |  JOIN deg d ON d.node = es.u
+           |  GROUP BY es.v)""".stripMargin).mkString(",\n")
+      s"""WITH $PolySimhashFpCtes,
+         |e AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |es AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM es GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+         |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+         |$rounds
+         |SELECT node AS doc_id, round(r, 6) AS pr FROM r10""".stripMargin
+    },
     "x64_profile" -> {
       def num(c: String) =
         s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,

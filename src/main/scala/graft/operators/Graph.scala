@@ -106,6 +106,66 @@ object Graph {
     labels.select(col("node"), col("lbl").as("component"))
   }
 
+  /** PageRank over an undirected edge list — centrality for the
+    * near-dup graph (which document is the hub of a template family —
+    * the boilerplate source — vs a leaf copy) or any other
+    * document-relation graph the pipeline builds. Fixed iteration
+    * count, damped uniform teleport, node set = nodes appearing in
+    * `edges` (every node of the symmetrized graph has degree ≥ 1, so
+    * there is no dangling mass to redistribute).
+    *
+    * Scale shape: same discipline as [[connectedComponents]] — per
+    * round ONE edge join + one keyed aggregate, working set ∝ the pair
+    * graph (never the corpus), lineage cut per round so the plan stays
+    * flat across iterations. The degree relation is computed once and
+    * persisted; the only driver scalar is the node count.
+    *
+    * Output: (`node`, `pr`), ranks rounded to 6 decimals (the sum of a
+    * node's neighbor contributions is order-sensitive double
+    * arithmetic at the 1e-15 scale; rounding pins a deterministic,
+    * oracle-comparable value). */
+  def pageRank(edges: DataFrame, srcCol: String = "doc_a",
+      dstCol: String = "doc_b", damping: Double = 0.85,
+      iters: Int = 10): DataFrame = {
+    require(damping > 0.0 && damping < 1.0,
+      s"pageRank: damping must be in (0,1), got $damping")
+    require(iters >= 0 && iters <= 1000,
+      s"pageRank: iters must be in [0,1000], got $iters")
+    val sym = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges
+        .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+        .select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count()
+    if (n == 0) { sym.unpersist(); deg.unpersist()
+      return deg.select(col("node"), lit(0.0).as("pr")) }
+    // sym/deg stay persisted: no action runs inside the loop (the
+    // checkpoints are lazy), so the caller's first action is what
+    // materializes the chain — both relations are re-read each round
+    // and must still be cached then
+    // the teleport term (1-d)/n is computed ONCE here — the oracle
+    // interpolates the same Scala double so both engines add the
+    // identical constant
+    val teleport = (1.0 - damping) / n
+    var ranks = deg.select(col("node"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(deg, Seq("node"))
+        .select(col("node").as("u"), (col("r") / col("deg")).as("c"))
+      ranks = truncated( // flat plan across rounds
+        sym.join(contrib, Seq("u"))
+          .groupBy(col("v"))
+          .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("r"))
+          .select(col("v").as("node"), col("r")))
+    }
+    ranks.select(col("node"), round(col("r"), 6).as("pr"))
+  }
+
   /** Duplicate-cluster assignment for a whole corpus: every document of
     * `docs` gets its cluster id (the minimum doc id of its near-dup
     * component; docs in no pair are their own singleton cluster), the

@@ -490,6 +490,45 @@ class ExpressionsSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("HLL: estimates inside the error bound, disjoint merge equals " +
+    "whole-corpus sketch byte-for-byte, partitioning-independent") {
+    import graft.functions.{HllExprs, HllOps}
+    val rnd = new scala.util.Random(17)
+    val keys = Seq.fill(12000)(rnd.nextLong()).distinct
+    def sketchOf(ks: Seq[Long], parts: Int): Array[Byte] =
+      ks.toDF("h").repartition(parts)
+        .agg(HllExprs.hllSketch($"h")).as[Array[Byte]].head()
+    val whole = sketchOf(keys, 7)
+    // build is partitioning-independent (register max is commutative)
+    assert(java.util.Arrays.equals(whole, sketchOf(keys, 1)))
+    val est = HllOps.estimate(whole)
+    assert(math.abs(est - keys.size) / keys.size < 0.05, s"est $est")
+    // merge of disjoint half-sketches IS the whole sketch
+    val (h1, h2) = keys.splitAt(keys.size / 2)
+    val merged = Seq(sketchOf(h1, 3), sketchOf(h2, 3)).toDF("sk")
+      .agg(HllExprs.hllMerge($"sk")).as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(merged, whole))
+    // small range: linear counting keeps tiny cardinalities near-exact
+    val small = sketchOf(keys.take(20), 2)
+    assert(math.abs(HllOps.estimate(small) - 20.0) < 1.0)
+    // nulls contribute nothing
+    val withNull = (keys.take(20).map(java.lang.Long.valueOf)
+      :+ null.asInstanceOf[java.lang.Long]).toDF("h")
+      .agg(HllExprs.hllSketch($"h")).as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(withNull, small))
+    // estimate through the expression path agrees with the kernel
+    val viaExpr = Seq(whole).toDF("sk")
+      .select(HllExprs.hllEstimate($"sk")).as[Double].head()
+    assert(viaExpr === est)
+  }
+
+  test("HLL aggregates reject precision out of range") {
+    import graft.functions.{HllMergeAgg, HllSketchAgg}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    intercept[IllegalArgumentException] { HllSketchAgg(Literal(1L), p = 3) }
+    intercept[IllegalArgumentException] { HllMergeAgg(Literal(1L), p = 17) }
+  }
+
   test("TopKPairs rejects invalid k") {
     import graft.functions.TopKPairs
     import org.apache.spark.sql.catalyst.expressions.Literal

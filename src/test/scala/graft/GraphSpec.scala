@@ -69,4 +69,61 @@ class GraphSpec extends SparkTestBase {
       (3L, 3L, 2L, true), (4L, 3L, 2L, false),
       (6L, 6L, 1L, true), (8L, 8L, 1L, true)))
   }
+
+  /** Dense reference PageRank over the symmetrized edge set, same
+    * teleport/damping arithmetic as the operator. */
+  private def refPageRank(edges: Seq[(Long, Long)], damping: Double,
+      iters: Int): Map[Long, Double] = {
+    val es = (edges ++ edges.map(_.swap)).distinct
+    val nodes = es.map(_._1).distinct.sorted
+    val deg = es.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = nodes.size
+    val teleport = (1.0 - damping) / n
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = es.groupBy(_._2)
+      r = nodes.map { v =>
+        v -> (teleport + damping *
+          in(v).map { case (u, _) => r(u) / deg(u) }.sum)
+      }.toMap
+    }
+    r.map { case (k, v) =>
+      k -> BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble }
+  }
+
+  test("pageRank: symmetric graphs uniform, path graph matches the " +
+    "dense reference, mass conserved, partitioning-independent") {
+    // triangle: perfect symmetry -> uniform 1/3
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val triGot = Graph.pageRank(tri).as[(Long, Double)].collect().toMap
+    assert(triGot.values.forall(v => math.abs(v - 1.0 / 3) < 1e-6), triGot)
+
+    // path 1-2-3 plus far component 10-11: reference comparison
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val want = refPageRank(edges, 0.85, 10)
+    val got = Graph.pageRank(edges.toDF("doc_a", "doc_b"))
+      .as[(Long, Double)].collect().toMap
+    assert(got === want)
+    // the center of the path outranks its leaves
+    assert(got(2L) > got(1L) && got(2L) > got(3L))
+    // rank is a distribution over the node set (mass conserved)
+    assert(math.abs(got.values.sum - 1.0) < 1e-4, got.values.sum)
+
+    // same answer regardless of input partitioning
+    val repart = Graph.pageRank(edges.toDF("doc_a", "doc_b").repartition(7))
+      .as[(Long, Double)].collect().toMap
+    assert(repart === got)
+  }
+
+  test("pageRank: empty edges yield empty ranks; bad params rejected") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Graph.pageRank(empty).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(empty, damping = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(empty, iters = -1)
+    }
+  }
 }
