@@ -374,6 +374,12 @@ object SparkEntry {
         Dedup.simhashPairs(docs, maxHamming = 3, poly = true))
         .select(col("node").as("doc_id"), col("pr"))
     }),
+    // SemDeDup: k-means cells + in-cell cosine pruning; soundness exact
+    // by construction, recall gated against the brute-force droppable
+    // slice (floor 0.6 — measured 0.72 at sf0.01 / 0.90 at sf0.1)
+    "x66_semdedup" -> ((s, dir) =>
+      Similarity.semanticDedupGate(Tables.embeddings(s, dir),
+        threshold = 0.3, sliceMax = 1000L, floor = 0.6, nLists = 4)),
     // one-pass corpus profiling: every column's stats from a single scan
     // (exact distincts here so the oracle can replay; the 100 TB default
     // is the HLL route — see Profile scaladoc)
@@ -1107,6 +1113,23 @@ object SparkEntry {
          |$rounds
          |SELECT node AS doc_id, round(r, 6) AS pr FROM r10""".stripMargin
     },
+    // the dropped SET depends on quantizer seeds; its contract doesn't:
+    // the oracle recomputes the brute-force droppable slice count and
+    // asserts the recall gate held
+    "x66_semdedup" ->
+      """WITH n0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |nn AS (SELECT * FROM n0 WHERE nrm > 0),
+        |dr AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM nn a JOIN nn b ON a.vec_id < b.vec_id AND b.vec_id < 1000
+        |  WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+        |          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.3)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_droppable, true AS recall_ok
+        |FROM dr""".stripMargin,
     "x64_profile" -> {
       def num(c: String) =
         s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VectorExprs
 
@@ -520,5 +521,100 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  // ---- semantic dedup (SemDeDup) ---------------------------------------
+
+  /** SemDeDup [Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023]: cluster the
+    * embedding space with a k-means coarse quantizer, then drop every
+    * vector with an IN-CELL smaller-id neighbor of cosine ≥
+    * `threshold`. Near-semantic duplicates overwhelmingly co-locate in
+    * a cell, so the quadratic pair scan runs per cell (|corpus|²/nLists
+    * expected comparisons) instead of globally — the approximation that
+    * makes embedding dedup tractable at corpus scale.
+    *
+    * By construction every dropped vector HAS a genuine smaller-id
+    * neighbor at ≥ threshold (soundness is exact); what the cell
+    * boundary costs is recall — [[semanticDedupGate]] measures it
+    * against the brute-force answer on a bounded slice.
+    *
+    * Scale shape: training is the bounded driver sample of [[ivfTopK]];
+    * assignment one codegen projection; the pair scan a cell-equality
+    * self-join (candidates ∝ Σ cell² — pick nLists so cells fit the
+    * task size); output one row per input vector. Output: (idCol,
+    * `cell`, `kept`). */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+      nLists: Int = 8, trainSample: Int = 100000,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"semanticDedup: threshold must be in (0,1], got $threshold")
+    val corpus = embeddings.select(col(idCol).as("vec_id"),
+        col(embCol).as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+    val sample = corpus
+      .select(col("v").cast("array<float>")).limit(trainSample)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val centers = lloyds(sample, nLists)
+    val dim = centers(0).length
+    def dist2(v: Column, c: Array[Double]): Column =
+      VectorExprs.dot(v, v) - lit(2.0) * VectorExprs.dot(v, typedlit(c.toSeq)) +
+        lit(c.map(x => x * x).sum)
+    val cell = {
+      val ranked = sort_array(array(centers.zipWithIndex.map { case (c, i) =>
+        struct(dist2(col("v"), c).as("d"), lit(i).as("cell"))
+      }: _*))
+      when(size(col("v")) === dim, element_at(ranked, 1)("cell"))
+        .otherwise(raise_error(concat(
+          lit(s"semanticDedup: embedding dim mismatch, expected $dim got "),
+          size(col("v")).cast("string"))).cast("int"))
+    }
+    val assigned = corpus.withColumn("cell", cell)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id") &&
+          cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id").as(idCol), col("cell"),
+        coalesce(!col("_drop"), lit(true)).as("kept"))
+  }
+
+  /** Oracle gate for [[semanticDedup]], the [[recallGate]] pattern: the
+    * dropped SET depends on quantizer internals no SQL engine can
+    * replay, but its quantitative contract is engine-independent —
+    * soundness is exact by construction, and recall against the
+    * brute-force droppable set (vectors with ANY smaller-id neighbor ≥
+    * threshold, restricted to `vec_id < sliceMax` so the exact baseline
+    * stays bounded at any corpus size) must clear `floor`. Output: ONE
+    * row (`n_droppable`, `recall_ok`) — an oracle recomputes
+    * `n_droppable` from the data and asserts the gate held. */
+  def semanticDedupGate(embeddings: DataFrame, threshold: Double,
+      sliceMax: Long, floor: Double, nLists: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val sd = semanticDedup(embeddings, threshold, nLists,
+      idCol = idCol, embCol = embCol)
+    val corpus = embeddings.select(col(idCol).as("vec_id"),
+        col(embCol).as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+    // round-6 like every oracle-compared cosine, so the droppable COUNT
+    // is bit-stable between engines even for boundary-grazing pairs
+    val droppable = corpus.as("a")
+      .join(corpus.filter(col("vec_id") < sliceMax).as("b"),
+        col("a.vec_id") < col("b.vec_id") &&
+          round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val caught = droppable
+      .join(sd.filter(!col("kept")).select(col(idCol).as("vec_id")),
+        Seq("vec_id"), "left_semi")
+    droppable.agg(count(lit(1)).as("n_droppable"))
+      .crossJoin(caught.agg(count(lit(1)).as("_n_caught")))
+      .select(col("n_droppable"),
+        (col("n_droppable") === 0L ||
+          col("_n_caught").cast("double") >=
+            lit(floor) * col("n_droppable").cast("double")).as("recall_ok"))
   }
 }

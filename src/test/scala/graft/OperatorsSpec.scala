@@ -1608,6 +1608,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(parts.map(_._3).sum / parts.length < 40, parts.toSeq)
   }
 
+  test("semanticDedup: exact duplicates drop to the min id, soundness " +
+    "holds (every dropped vector has a real smaller-id near neighbor), " +
+    "well-separated clusters reach full recall") {
+    val rnd = new scala.util.Random(23)
+    // two tight, far-apart clusters + an isolated outlier; within a
+    // cluster every vector is a near-duplicate of the cluster seed
+    def jitter(base: Array[Float]) =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+    val c1 = Array.fill(8)(1.0f) ++ Array.fill(8)(0.0f)
+    val c2 = Array.fill(8)(0.0f) ++ Array.fill(8)(1.0f)
+    val vecs = (0L until 10L).map(i => (i, jitter(c1).toSeq)) ++
+      (10L until 20L).map(i => (i, jitter(c2).toSeq)) :+
+      (20L, (Array.fill(8)(1.0f) ++ Array.fill(8)(-1.0f)).toSeq)
+    val emb = vecs.toDF("vec_id", "embedding")
+    val sd = Similarity.semanticDedup(emb, threshold = 0.95, nLists = 2)
+      .as[(Long, Int, Boolean)].collect()
+    val kept = sd.filter(_._3).map(_._1).toSet
+    // each cluster keeps exactly its min id; the outlier survives
+    assert(kept === Set(0L, 10L, 20L), kept)
+    // soundness re-verified from raw data: every dropped vector has a
+    // genuine smaller-id neighbor above the threshold
+    val byId = vecs.toMap
+    def cos(a: Seq[Float], b: Seq[Float]) = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    for ((id, _, k) <- sd if !k)
+      assert(byId.keys.exists(u => u < id && cos(byId(u), byId(id)) >= 0.95),
+        s"dropped $id without a real neighbor")
+    // gate on the same data: full slice, perfect recall expected
+    val gate = Similarity.semanticDedupGate(emb, threshold = 0.95,
+      sliceMax = 100L, floor = 0.99, nLists = 2).collect()(0)
+    assert(gate.getLong(0) === 18L && gate.getBoolean(1), gate)
+  }
+
   test("saltedJoin rejects colliding columns and bad factors") {
     import graft.operators.Skew
     val df = Seq((1L, "a")).toDF("k", "_salt")

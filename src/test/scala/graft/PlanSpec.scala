@@ -110,11 +110,13 @@ class PlanSpec extends SparkTestBase {
     // dimension attach like x20; x59 attaches the ONE-row Bloom filter
     // the same way (the whole point: a constant-size broadcast replaces
     // the gram-array broadcast); x62's global row joins two SINGLE-row
-    // aggregates (merged sketch × exact count) — a 1×1 attach
+    // aggregates (merged sketch × exact count) — a 1×1 attach; x66's
+    // gate embeds the brute-force droppable slice as its exact baseline
+    // (the semanticDedup path itself is a cell-equality join)
     val nestedLoopByDesign =
       Set("x5_cosine_topk", "x6_ann_lsh", "x13_ann_ivf",
         "x20_decontaminate", "x45_quantized_topk", "x46_quantile_bins",
-        "x59_decontaminate_bloom", "x62_hll_distinct")
+        "x59_decontaminate_bloom", "x62_hll_distinct", "x66_semdedup")
     for ((name, q) <- SparkEntry.queries) {
       val p = q(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
