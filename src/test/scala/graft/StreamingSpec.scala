@@ -524,4 +524,91 @@ class StreamingSpec extends SparkTestBase {
         "the exact-gap event must stay in user a's first session")
     } finally q.stop()
   }
+
+  test("stream-stream interval join: multi-batch inner join equals the " +
+    "batch join; left_outer emits null-padded rows once the watermark " +
+    "closes the interval") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamJoins
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // impressions and clicks; ad 1 clicked in-window (+30s), ad 2
+    // clicked OUT of window (+120s), ad 3 never clicked, ad 4's click
+    // arrives a batch later than its impression (cross-batch state)
+    val imps = Seq(
+      (1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:00:00")),
+      (3L, t("2024-01-01 10:00:10")), (4L, t("2024-01-01 10:00:20")))
+    val clicks = Seq(
+      (1L, t("2024-01-01 10:00:30")), (2L, t("2024-01-01 10:02:00")),
+      (4L, t("2024-01-01 10:01:15")))
+    val flushImp = (99L, t("2024-01-02 00:00:00"))
+    val flushClick = (98L, t("2024-01-02 00:00:00"))
+
+    def run(joinType: String): Set[(Long, Option[Long])] = {
+      val impIn = MemoryStream[(Long, java.sql.Timestamp)]
+      val clkIn = MemoryStream[(Long, java.sql.Timestamp)]
+      val joined = StreamJoins.intervalJoin(
+        impIn.toDF().toDF("ad", "imp_ts"),
+        clkIn.toDF().toDF("cad", "click_ts"),
+        "ad", "cad", "imp_ts", "click_ts",
+        "0 seconds", "0 seconds", lowerSec = 0L, upperSec = 60L,
+        joinType = joinType)
+      val q = joined.writeStream.format("memory")
+        .queryName(s"ssj_$joinType").outputMode("append").start()
+      try {
+        impIn.addData(imps.take(3)); clkIn.addData(clicks.take(2))
+        q.processAllAvailable()
+        impIn.addData(imps.drop(3)); clkIn.addData(clicks.drop(2))
+        q.processAllAvailable()
+        impIn.addData(flushImp); clkIn.addData(flushClick)
+        q.processAllAvailable()
+        spark.table(s"ssj_$joinType")
+          .filter($"ad" < 90L || $"ad".isNull)
+          .select($"ad", $"cad")
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      } finally q.stop()
+    }
+
+    val inner = run("inner")
+    // stream result equals the batch interval join on the closed input
+    val batchInner = StreamJoins.intervalJoin(
+      imps.toDF("ad", "imp_ts"), clicks.toDF("cad", "click_ts"),
+      "ad", "cad", "imp_ts", "click_ts", "0 seconds", "0 seconds",
+      lowerSec = 0L, upperSec = 60L)
+      .select($"ad", $"cad")
+      .collect().map(r => (r.getLong(0), Some(r.getLong(1)))).toSet
+    assert(inner === batchInner)
+    assert(inner === Set((1L, Some(1L)), (4L, Some(4L))))
+
+    // left_outer: the in-window matches plus null-padded 2 and 3 (their
+    // 60s interval expired under the advanced watermark)
+    val outer = run("left_outer")
+    assert(outer === Set((1L, Some(1L)), (4L, Some(4L)),
+      (2L, None), (3L, None)))
+  }
+
+  test("intervalJoin rejects overlapping schemas, unknown columns, " +
+    "empty intervals, unsupported types") {
+    import graft.streaming.StreamJoins
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val a = Seq((1L, t("2024-01-01 00:00:00"))).toDF("k", "ts")
+    val b = Seq((1L, t("2024-01-01 00:00:00"))).toDF("k2", "ts2")
+    intercept[IllegalArgumentException] {
+      StreamJoins.intervalJoin(a, a, "k", "k", "ts", "ts",
+        "0 seconds", "0 seconds", 0L, 60L)
+    }
+    intercept[IllegalArgumentException] {
+      StreamJoins.intervalJoin(a, b, "nope", "k2", "ts", "ts2",
+        "0 seconds", "0 seconds", 0L, 60L)
+    }
+    intercept[IllegalArgumentException] {
+      StreamJoins.intervalJoin(a, b, "k", "k2", "ts", "ts2",
+        "0 seconds", "0 seconds", 10L, -20L)
+    }
+    intercept[IllegalArgumentException] {
+      StreamJoins.intervalJoin(a, b, "k", "k2", "ts", "ts2",
+        "0 seconds", "0 seconds", 0L, 60L, joinType = "cross")
+    }
+  }
 }
