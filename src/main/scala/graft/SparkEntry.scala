@@ -380,6 +380,26 @@ object SparkEntry {
     "x66_semdedup" -> ((s, dir) =>
       Similarity.semanticDedupGate(Tables.embeddings(s, dir),
         threshold = 0.3, sliceMax = 1000L, floor = 0.6, nLists = 4)),
+    // multi-level aggregation surface: ROLLUP with grouping ids (one
+    // Expand + one aggregate — never L separate scans for L levels)
+    "x67_rollup" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            .as("revenue"))),
+    // pivot with an explicit (fixed-domain) value list, reshaped in the
+    // same single aggregate pass
+    "x68_pivot" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+        .select(col("source") +: langs.map(l =>
+          coalesce(col(l), lit(0L)).as(l)): _*)
+    }),
     // one-pass corpus profiling: every column's stats from a single scan
     // (exact distincts here so the oracle can replay; the 100 TB default
     // is the HLL route — see Profile scaladoc)
@@ -1130,6 +1150,21 @@ object SparkEntry {
         |          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.3)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_droppable, true AS recall_ok
         |FROM dr""".stripMargin,
+    "x67_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "x68_pivot" ->
+      """SELECT source,
+        |  CAST(COUNT(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
+        |  CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,
+        |  CAST(COUNT(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,
+        |  CAST(COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
+        |  CAST(COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source""".stripMargin,
     "x64_profile" -> {
       def num(c: String) =
         s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,

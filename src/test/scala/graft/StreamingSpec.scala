@@ -588,6 +588,28 @@ class StreamingSpec extends SparkTestBase {
       (2L, None), (3L, None)))
   }
 
+  test("streaming HLL: the sketch aggregated over micro-batches is " +
+    "byte-identical to the batch sketch over the same rows") {
+    implicit val sql = spark.sqlContext
+    import graft.functions.HllExprs
+    val rnd = new scala.util.Random(41)
+    val keys = Seq.fill(5000)(rnd.nextLong()).distinct
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("h")
+      .agg(HllExprs.hllSketch(col("h")).as("sk"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      keys.grouped(1700).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+      }
+      val streamed = spark.table("hll_stream").as[Array[Byte]].head()
+      val batch = keys.toDF("h")
+        .agg(HllExprs.hllSketch(col("h"))).as[Array[Byte]].head()
+      assert(java.util.Arrays.equals(streamed, batch))
+    } finally q.stop()
+  }
+
   test("intervalJoin rejects overlapping schemas, unknown columns, " +
     "empty intervals, unsupported types") {
     import graft.streaming.StreamJoins
