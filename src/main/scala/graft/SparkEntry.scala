@@ -380,6 +380,14 @@ object SparkEntry {
     "x66_semdedup" -> ((s, dir) =>
       Similarity.semanticDedupGate(Tables.embeddings(s, dir),
         threshold = 0.3, sliceMax = 1000L, floor = 0.6, nLists = 4)),
+    // leakage-free split: keyed on the near-dup CLUSTER id, so no
+    // near-duplicate pair can straddle train/test
+    "x69_cluster_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Graph.clusterAwareSplit(docs,
+        Dedup.simhashPairs(docs, maxHamming = 3, poly = true),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    }),
     // multi-level aggregation surface: ROLLUP with grouping ids (one
     // Expand + one aggregate — never L separate scans for L levels)
     "x67_rollup" -> ((s, dir) =>
@@ -713,13 +721,33 @@ object SparkEntry {
   /** DuckDB replay of [[graft.operators.Corpus.hashUnit]] over doc_id —
     * the shared deterministic-sampling hash (x16/x22 inline the same
     * arithmetic; x29/x30 reference this constant). */
-  private val HashUnitSqlOfDocId =
-    """((list_reduce([0::BIGINT] || list_transform(
-      |      range(1, length(CAST(doc_id AS VARCHAR)) + 1),
-      |      i -> ord(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+  /** [[HashUnitSqlOfDocId]] over an arbitrary SQL expression. */
+  private def hashUnitSqlOf(e: String): String =
+    s"""((list_reduce([0::BIGINT] || list_transform(
+      |      range(1, length(CAST($e AS VARCHAR)) + 1),
+      |      i -> ord(substr(CAST($e AS VARCHAR), i, 1))::BIGINT),
       |      (a,x) -> (a*131 + x) % 1000000007)
       |    * 1103515245 + 12345) % 1000000007
       |    * 69069 + 1) % 1000000007 / 1000000007.0""".stripMargin
+
+  private val HashUnitSqlOfDocId = hashUnitSqlOf("doc_id")
+
+  /** Shared DuckDB CTE chain resolving the poly-simhash near-dup pair
+    * graph into connected components — the exact block x24 verifies
+    * against, reused verbatim by the cluster-keyed split (x69) so the
+    * two can never silently disagree. Requires `WITH RECURSIVE` and the
+    * [[PolySimhashFpCtes]] prefix; yields `comp(node, component)`. */
+  private val SimhashComponentCtes =
+    """e AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |es AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+      |cc AS (
+      |  SELECT u AS node, u AS lbl FROM es
+      |  UNION
+      |  SELECT es.v, cc.lbl FROM cc JOIN es ON cc.node = es.u),
+      |comp AS (SELECT node, MIN(lbl) AS component FROM cc GROUP BY node)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -903,16 +931,7 @@ object SparkEntry {
     // full corpus with singletons as their own cluster
     "x24_dup_clusters" ->
       s"""WITH RECURSIVE $PolySimhashFpCtes,
-        |e AS (
-        |  SELECT a.doc_id AS u, b.doc_id AS v
-        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
-        |es AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
-        |cc AS (
-        |  SELECT u AS node, u AS lbl FROM es
-        |  UNION
-        |  SELECT es.v, cc.lbl FROM cc JOIN es ON cc.node = es.u),
-        |comp AS (SELECT node, MIN(lbl) AS component FROM cc GROUP BY node),
+        |$SimhashComponentCtes,
         |asg AS (
         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
@@ -921,6 +940,23 @@ object SparkEntry {
         |    AS cluster_size,
         |  doc_id = cluster_id AS is_canonical
         |FROM asg""".stripMargin,
+    // same component ground truth as x24; the split key is the CLUSTER
+    // id, so the oracle proves no near-dup pair straddles splits
+    "x69_cluster_split" ->
+      s"""WITH RECURSIVE $PolySimhashFpCtes,
+        |$SimhashComponentCtes,
+        |asg AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        |u AS (
+        |  SELECT doc_id, cluster_id,
+        |    ${hashUnitSqlOf("cluster_id")} AS uu
+        |  FROM asg)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN uu < 0.8 THEN 'train'
+        |       WHEN uu < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM u""".stripMargin,
     // recall gates: the oracle recomputes the query set and the exact
     // k-th cosine from the data (engine-independent), and asserts the
     // recall floor held for every query

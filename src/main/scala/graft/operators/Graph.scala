@@ -166,6 +166,33 @@ object Graph {
     ranks.select(col("node"), round(col("r"), 6).as("pr"))
   }
 
+  /** Leakage-free train/val/test split: the standard hash split
+    * ([[Corpus.assignSplit]]) keyed on the DOCUMENT id leaks — two
+    * near-duplicates hash independently, so ~2·p·(1−p) of duplicate
+    * pairs straddle train/test and the eval set contains paraphrases
+    * of training documents. Keying the split on the duplicate-CLUSTER
+    * id instead sends every near-dup component to ONE split
+    * atomically: pairs can never straddle, and the guarantee is purely
+    * structural (no similarity threshold tuning at split time).
+    *
+    * Scale shape: [[connectedComponents]] over the pair graph (working
+    * set ∝ duplicates), one left join to attach cluster ids, then a
+    * pure projection — the split decision itself shuffles nothing and
+    * is a deterministic function of the cluster id, so it is stable
+    * under corpus growth and replayable by an oracle.
+    *
+    * Output: (idCol, `cluster_id`, `split`). */
+  def clusterAwareSplit(docs: DataFrame, pairs: DataFrame,
+      splits: Seq[(String, Double)], idCol: String = "doc_id",
+      srcCol: String = "doc_a", dstCol: String = "doc_b"): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+    docs.select(col(idCol))
+      .join(cc, col(idCol) === col("node"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+      .withColumn("split", Corpus.assignSplit(col("cluster_id"), splits))
+  }
+
   /** Duplicate-cluster assignment for a whole corpus: every document of
     * `docs` gets its cluster id (the minimum doc id of its near-dup
     * component; docs in no pair are their own singleton cluster), the

@@ -116,6 +116,41 @@ class GraphSpec extends SparkTestBase {
     assert(repart === got)
   }
 
+  test("clusterAwareSplit: no near-dup pair straddles splits, " +
+    "singletons match the plain doc-keyed split, fractions land") {
+    import graft.operators.Corpus
+    val rnd = new scala.util.Random(3)
+    val n = 400L
+    val docs = (1L to n).toDF("doc_id")
+    // random chains/cliques over the first half; second half singletons
+    val pairs = (1 to 300).map { _ =>
+      val a = 1L + rnd.nextLong(n / 2)
+      val b = 1L + rnd.nextLong(n / 2)
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Graph.clusterAwareSplit(docs, pairs, splits)
+      .as[(Long, Long, String)].collect()
+    assert(got.length === n)
+    val byId = got.map(r => r._1 -> r).toMap
+    // the leakage guarantee: both endpoints of every pair share a split
+    for ((a, b) <- pairs.as[(Long, Long)].collect())
+      assert(byId(a)._3 === byId(b)._3 && byId(a)._2 === byId(b)._2,
+        s"pair ($a,$b) straddles splits")
+    // a singleton's cluster id is itself -> identical to the plain split
+    val plain = docs
+      .withColumn("split", Corpus.assignSplit(col("doc_id"), splits))
+      .as[(Long, String)].collect().toMap
+    val inPairs = pairs.as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    for ((id, cid, sp) <- got if !inPairs(id)) {
+      assert(cid === id)
+      assert(sp === plain(id), s"singleton $id diverged from plain split")
+    }
+    // all three splits are populated at this size
+    assert(got.map(_._3).toSet === Set("train", "val", "test"))
+  }
+
   test("pageRank: empty edges yield empty ranks; bad params rejected") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Graph.pageRank(empty).count() === 0L)
