@@ -28,28 +28,4 @@ object Layout {
       .sortWithinPartitions(col(zCol))
   }
 
-  /** Write `df` as an EXTERNAL bucketed table: hash-partitioned into
-    * `nBuckets` by `key` at write time, bucket files sorted by `key`.
-    *
-    * This is the pre-paid exchange: two tables bucketed the same way
-    * join (and aggregate on the key) with NO shuffle — Spark's scan
-    * reports the bucket hash distribution, Catalyst sees the join's
-    * distribution requirement already satisfied, and the Exchange
-    * disappears from the plan. For the fact tables a 100 TB pipeline
-    * joins every day (orders↔lineitem, docs↔signatures), bucketing
-    * turns the dominant per-run shuffle into a one-time write cost.
-    * Pick nBuckets ≈ table size / target task size; both sides of a
-    * co-located join must agree on it. */
-  def writeBucketed(df: DataFrame, tableName: String, path: String,
-      key: String, nBuckets: Int): Unit = {
-    require(nBuckets >= 1,
-      s"writeBucketed: nBuckets must be >= 1, got $nBuckets")
-    require(df.columns.contains(key), s"writeBucketed: no column '$key'")
-    df.write.mode("overwrite")
-      .option("path", path)
-      .bucketBy(nBuckets, key)
-      .sortBy(key)
-      .format("parquet")
-      .saveAsTable(tableName)
-  }
 }

@@ -50,4 +50,36 @@ class BucketingSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("join + aggregation on the bucket key run with zero exchanges " +
+    "end-to-end, matching the shuffled-plan result") {
+    // the bucket distribution satisfies BOTH the join and the keyed
+    // aggregation: neither adds an Exchange (the b_* tables were
+    // written by the previous test, which this suite runs first)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val agg = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).as("qty"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        agg.queryExecution.executedPlan)
+      val got = agg.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).toSet
+      val dir = "/root/testdata/sf0.001"
+      val plain = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).as("qty"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).toSet
+      assert(got === plain)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -99,47 +99,6 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("Exchange")) === 1, p)
   }
 
-  test("bucketed tables: co-located join and keyed aggregation plan " +
-    "ZERO exchanges; results match the shuffled join") {
-    import graft.operators.Layout
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket")
-      .toString
-    val facts = (1L to 2000L).map(i => (i % 97, i, s"f$i"))
-      .toDF("k", "id", "payload")
-    val dims = (0L until 97L).map(k => (k, s"d$k")).toDF("k2", "attr")
-    Layout.writeBucketed(facts, "b_facts", s"$tmp/facts", "k", 8)
-    Layout.writeBucketed(dims, "b_dims", s"$tmp/dims", "k2", 8)
-    try {
-      val bf = spark.table("b_facts")
-      val bd = spark.table("b_dims")
-      // disable broadcast so the join NEEDS the key distribution — the
-      // bucket layout must satisfy it without any Exchange; aggregate
-      // on the bucket key so the agg rides the same distribution
-      val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val joined =
-        try {
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-          val j = bf.join(bd, col("k") === col("k2"))
-            .groupBy(col("k")).agg(count(lit(1)).as("n"),
-              first(col("attr")).as("attr"))
-          assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
-            j.queryExecution.executedPlan)
-          j.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-            .toSet
-        } finally
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-      val plain = facts.join(dims, col("k") === col("k2"))
-        .groupBy(col("k")).agg(count(lit(1)).as("n"),
-          first(col("attr")).as("attr"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-        .toSet
-      assert(joined === plain)
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS b_facts")
-      spark.sql("DROP TABLE IF EXISTS b_dims")
-    }
-  }
-
   test("no query plans a cartesian product; nested-loop joins only " +
     "where brute force is the contract") {
     // x5 brute-force cosine is DELIBERATELY a broadcast nested-loop scan
