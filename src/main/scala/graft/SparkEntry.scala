@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.analytics.{PageAnalytics, QzMastery, RegisterAnalytics, Tpch}
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, EditSimilarity, Multimodal, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -308,6 +308,11 @@ object SparkEntry {
     "x31_dedup_paragraph" -> ((s, dir) =>
       Dedup.dedupParagraphs(Tables.documents(s, dir),
         delimiter = " the ", rejoin = " the ")),
+    // cross-doc boilerplate: segments present in >= 3 distinct docs are
+    // template noise — ALL occurrences drop (vs x31's keep-canonical)
+    "x71_boilerplate" -> ((s, dir) =>
+      Dedup.removeBoilerplate(Tables.documents(s, dir), minDocs = 3,
+        delimiter = " the ", rejoin = " the ")),
     // incremental near-dedup: docs with doc_id % 7 == 0 arrive as the new
     // batch, the rest are the existing corpus (its signature table stands
     // in for the persisted parquet index) — pairs touching the delta only
@@ -388,6 +393,40 @@ object SparkEntry {
         Dedup.simhashPairs(docs, maxHamming = 3, poly = true),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
+    // one-pass char-distribution stats; diversity metrics are exact
+    // rationals (Simpson index), not libm-dependent entropy
+    "x74_char_stats" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(length(col("text")) >= 1)
+        .withColumn("_cs",
+          graft.functions.CharStatsExprs.charStats(col("text")))
+        .select(col("doc_id"),
+          element_at(col("_cs"), 1).as("n_cp"),
+          element_at(col("_cs"), 2).as("distinct_cp"),
+          (lit(1.0) - element_at(col("_cs"), 3).cast("double") /
+            (element_at(col("_cs"), 1).cast("double") *
+              element_at(col("_cs"), 1).cast("double"))).as("simpson"),
+          (element_at(col("_cs"), 4).cast("double") /
+            element_at(col("_cs"), 1).cast("double")).as("top_char_frac"))),
+    // n-gram-LM-style quality gate with an exact value: fraction of
+    // bigram occurrences whose type occurs in >= 2 distinct docs
+    "x75_bigram_coverage" -> ((s, dir) =>
+      graft.operators.Vocab.bigramCoverage(Tables.documents(s, dir),
+        col("text"), minDf = 2)),
+    // earliest-chain funnel over a thinned event stream (the full
+    // stream saturates every stage at this density; the event_id filter
+    // is deterministic and mirrored in the oracle)
+    "x72_funnel" -> ((s, dir) =>
+      graft.analytics.Funnels.funnel(
+        Tables.events(s, dir).filter(col("event_id") % 13 === 0),
+        Seq("view", "click", "purchase"))),
+    // weekly cohort retention in engine-independent integer weeks
+    "x73_retention" -> ((s, dir) =>
+      graft.analytics.Funnels.retention(Tables.events(s, dir))),
+    // bounded Levenshtein self-join: q-gram prefix filter candidates,
+    // banded-verify — the oracle brute-forces inside the length band
+    "x70_edit_distance" -> ((s, dir) =>
+      EditSimilarity.editDistancePairs(Tables.documents(s, dir),
+        maxDist = 20, q = 4)),
     // multi-level aggregation surface: ROLLUP with grouping ids (one
     // Expand + one aggregate — never L separate scans for L levels)
     "x67_rollup" -> ((s, dir) =>
@@ -957,6 +996,89 @@ object SparkEntry {
         |       WHEN uu < 0.9 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM u""".stripMargin,
+    "x74_char_stats" ->
+      """WITH cp AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+        |    i -> substr(text, i, 1))) AS ch
+        |  FROM documents WHERE length(text) >= 1),
+        |cnt AS (SELECT doc_id, ch, count(*) AS c FROM cp GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_cp,
+        |  CAST(count(*) AS BIGINT) AS distinct_cp,
+        |  1.0 - CAST(sum(c*c) AS DOUBLE) /
+        |        (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+        |    AS simpson,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+        |    AS top_char_frac
+        |FROM cnt GROUP BY doc_id""".stripMargin,
+    "x75_bigram_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(coalesce(text, ''), '\s+'),
+        |    x -> x <> '') AS tk
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, tk[i] AS t1, tk[i + 1] AS t2
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        |        FROM toks)),
+        |dfreq AS (SELECT t1, t2, count(DISTINCT doc_id) AS df
+        |          FROM pairs GROUP BY 1, 2),
+        |per AS (
+        |  SELECT p.doc_id, count(*) AS n_bigrams,
+        |         sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS n_known
+        |  FROM pairs p JOIN dfreq f USING (t1, t2) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(per.n_known, 0) AS BIGINT) AS n_known,
+        |  CASE WHEN coalesce(per.n_bigrams, 0) > 0
+        |       THEN CAST(coalesce(per.n_known, 0) AS DOUBLE) /
+        |            CAST(per.n_bigrams AS DOUBLE) END AS coverage
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
+        .stripMargin,
+    // the funnel recurrence replayed as staged min-ts joins: tₖ = min
+    // ts of stage k strictly after tₖ₋₁ (all comparisons in µs)
+    "x72_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        |  WHERE event_id % 13 = 0 AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL AND event_type IS NOT NULL
+        |), s1 AS (
+        |  SELECT user_id, min(t) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY e.user_id
+        |)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"""
+        .stripMargin,
+    // integer-week arithmetic on days-since-epoch: no calendar or
+    // timezone semantics for the engines to disagree on
+    "x73_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), f AS (SELECT user_id, min(d) AS d0 FROM e GROUP BY 1)
+        |SELECT CAST(floor(f.d0 / 7) AS BIGINT) AS cohort_week,
+        |       CAST(floor((e.d - f.d0) / 7) AS BIGINT) AS week_offset,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    // brute force restricted to the length band (|len diff| ≤ maxDist
+    // is implied by dist ≤ maxDist, so the restriction loses nothing)
+    "x70_edit_distance" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(levenshtein(a.text, b.text) AS INT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id
+        | AND abs(length(a.text) - length(b.text)) <= 20
+        |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
     // recall gates: the oracle recomputes the query set and the exact
     // k-th cosine from the data (engine-independent), and asserts the
     // recall floor held for every query
@@ -1967,6 +2089,28 @@ object SparkEntry {
         |       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
         |FROM marked
         |GROUP BY doc_id""".stripMargin,
+    "x71_boilerplate" ->
+      """WITH parts AS (
+        |  SELECT doc_id, string_split(text, ' the ') AS ps FROM documents
+        |), p AS (
+        |  SELECT doc_id, generate_subscripts(ps, 1) - 1 AS idx,
+        |         unnest(ps) AS para
+        |  FROM parts
+        |), freq AS (
+        |  SELECT lower(trim(para)) AS k, count(DISTINCT doc_id) AS nd
+        |  FROM p WHERE length(trim(para)) >= 1
+        |  GROUP BY 1
+        |), m AS (
+        |  SELECT p.doc_id, p.idx, p.para,
+        |         (length(trim(p.para)) >= 1 AND coalesce(f.nd, 0) >= 3)
+        |           AS boiler
+        |  FROM p LEFT JOIN freq f ON lower(trim(p.para)) = f.k
+        |)
+        |SELECT doc_id,
+        |       coalesce(string_agg(para, ' the ' ORDER BY idx)
+        |                FILTER (WHERE NOT boiler), '') AS text,
+        |       CAST(count(*) FILTER (WHERE boiler) AS BIGINT) AS n_dropped
+        |FROM m GROUP BY doc_id""".stripMargin,
     // x32: same brute-force ground truth as x2 (LSH candidates are
     // exact-verified; recall is deterministically 1 on this corpus at
     // t = 0.5), restricted to pairs with at least one delta-side doc

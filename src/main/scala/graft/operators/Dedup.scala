@@ -91,6 +91,54 @@ object Dedup {
         coalesce(size(col("_drop")), lit(0)).cast("long").as("n_dropped"))
   }
 
+  /** CROSS-document boilerplate removal (C4/RefinedWeb-style): drop
+    * every segment whose normalized (lower + trim) content occurs in at
+    * least `minDocs` DISTINCT documents — headers, footers, nav chrome,
+    * cookie banners, license blurbs. Complements [[dedupParagraphs]]:
+    * there a repeated paragraph keeps one canonical copy; here frequency
+    * across documents marks the content as template noise, so ALL
+    * occurrences are dropped. Segments whose trimmed length is below
+    * `minChars` are structural (blank separators) and always kept.
+    *
+    * Scale shape: the corpus shuffles only 16-byte content hashes — the
+    * frequency aggregate is a two-stage distinct-count on (hash, doc)
+    * then hash (both map-side combinable), and the boilerplate set it
+    * yields is tiny by construction (segments repeated across ≥ minDocs
+    * docs), so AQE broadcasts it into the occurrence join. Only doc ids
+    * and dropped index lists — ∝ affected docs, not corpus — reach the
+    * final left join; untouched documents pass through byte-identical
+    * (no re-split, no re-concat), as in [[dedupParagraphs]].
+    *
+    * Output: idCol, rebuilt `text`, `n_dropped`. */
+  def removeBoilerplate(docs: DataFrame, minDocs: Int = 3,
+      delimiter: String = "\n", rejoin: String = "\n", minChars: Int = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2,
+      s"removeBoilerplate: minDocs must be >= 2, got $minDocs")
+    require(minChars >= 0,
+      s"removeBoilerplate: minChars must be >= 0, got $minChars")
+    val parts = docs.select(col(idCol).as("_id"),
+      posexplode(split(col(textCol), delimiter)).as(Seq("_idx", "_para")))
+    val occ = parts
+      .filter(length(trim(col("_para"))) >= minChars)
+      .select(col("_id"), col("_idx"), contentHash(col("_para")).as("_h"))
+    val boiler = occ.groupBy(col("_h"))
+      .agg(countDistinct(col("_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_h"))
+    val dropped = occ.join(boiler, Seq("_h"))
+      .groupBy(col("_id")).agg(collect_set(col("_idx")).as("_drop"))
+    docs.join(dropped, col(idCol) === dropped("_id"), "left")
+      .select(col(idCol),
+        when(col("_drop").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(split(col(textCol), delimiter),
+              (p, i) => !array_contains(col("_drop"), i)),
+            rejoin))
+          .as("text"),
+        coalesce(size(col("_drop")), lit(0)).cast("long").as("n_dropped"))
+  }
+
   /** The persistable content-hash index for incremental exact dedup:
     * one 16-byte hash row per distinct (normalized) content ever
     * accepted. Write it out once, append each accepted batch's hashes,

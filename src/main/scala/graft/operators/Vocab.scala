@@ -105,4 +105,49 @@ object Vocab {
       .filter(col("n_occurrences") > lit(phi) * col("n"))
       .select(col("token"), col("n_occurrences"))
   }
+
+  /** Per-document bigram coverage: what fraction of a document's
+    * adjacent-token bigram occurrences belong to bigram types seen in
+    * at least `minDf` distinct documents corpus-wide. A lightweight
+    * n-gram-LM quality gate — prose scores high, shredded/garbled text
+    * scores low — whose value is exact (integer counts + one IEEE
+    * division), unlike log-probability scores whose libm dependence is
+    * not bit-reproducible across engines.
+    *
+    * Scale shape: the document-frequency aggregate is two map-side-
+    * combinable stages over (bigram, doc) then bigram; the coverage
+    * join shuffles bigram keys (the corpus's bigram type universe —
+    * the same contract as [[tokenCounts]]; route through
+    * [[heavyHitters]] when only frequent types matter), then one keyed
+    * aggregate per doc. Docs with fewer than two tokens surface with
+    * zero counts and a null coverage.
+    *
+    * Output: (idCol, n_bigrams, n_known, coverage). */
+  def bigramCoverage(df: DataFrame, textCol: Column, minDf: Int = 2,
+      idCol: String = "doc_id"): DataFrame = {
+    require(minDf >= 1, s"bigramCoverage: minDf must be >= 1, got $minDf")
+    val tk = array_remove(split(textCol, "\\s+"), "")
+    val pairs = df.select(col(idCol), explode(when(size(tk) >= 2,
+        zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (a, b) => struct(a.as("t1"), b.as("t2"))))
+      .otherwise(array().cast("array<struct<t1:string,t2:string>>")))
+      .as("p"))
+      .select(col(idCol), col("p.t1").as("t1"), col("p.t2").as("t2"))
+    val dfreq = pairs.groupBy(col("t1"), col("t2"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+    val per = pairs.join(dfreq, Seq("t1", "t2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("_df") >= minDf, 1L).otherwise(0L)).as("n_known"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          coalesce(col("n_known"), lit(0L)).cast("double") /
+            col("n_bigrams").cast("double"))
+          .as("coverage"))
+  }
 }

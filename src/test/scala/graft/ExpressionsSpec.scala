@@ -196,6 +196,37 @@ class ExpressionsSpec extends SparkTestBase {
     assert(aggSig === kernelSig)
   }
 
+  test("CharStats: counts, distincts, squared sums; codegen and " +
+    "interpreted agree; null and empty semantics") {
+    import graft.functions.{CharStatsExpr, CharStatsExprs}
+    val df = Seq(
+      (1L, "aab"),        // n=3, distinct=2, sumSq=4+1=5, max=2
+      (2L, ""),           // all zeros
+      (3L, "aaaa"),       // n=4, distinct=1, sumSq=16, max=4
+      (4L, "héllo"),      // multibyte é: n=5, distinct=4 (h é l l o)
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val got = df.select($"id", CharStatsExprs.charStats($"t").as("cs"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(got(1L) === Seq(3L, 2L, 5L, 2L))
+    assert(got(2L) === Seq(0L, 0L, 0L, 0L))
+    assert(got(3L) === Seq(4L, 1L, 16L, 4L))
+    assert(got(4L) === Seq(5L, 4L, 7L, 2L))
+    assert(got(5L) === null)
+
+    // interpreted eval agrees with the dataframe (codegen) result
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def ev(s: String): Seq[Long] =
+      CharStatsExpr(Literal(s))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+    assert(ev("aab") === Seq(3L, 2L, 5L, 2L))
+    assert(ev("héllo") === Seq(5L, 4L, 7L, 2L))
+    assert(ev("") === Seq(0L, 0L, 0L, 0L))
+  }
+
   test("JaccardGE interpreted eval agrees with the codegen results") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData

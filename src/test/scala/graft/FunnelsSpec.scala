@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.analytics.Funnels
+
+class FunnelsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+
+  test("funnel: strictly-increasing chain, earliest-occurrence greedy, " +
+    "zero-count stages stay visible") {
+    val events = Seq(
+      // user 1 completes in order
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(20), "purchase"),
+      // user 2: click BEFORE view never counts; no click after the view
+      (2L, ts(0), "click"), (2L, ts(5), "view"),
+      // user 3: click tied to the view timestamp is NOT strictly after
+      (3L, ts(0), "view"), (3L, ts(0), "click"),
+      // user 4: no view at all — reaches stage 0
+      (4L, ts(0), "purchase"), (4L, ts(1), "click"),
+      // user 5: view then click; purchase only before the click
+      (5L, ts(0), "purchase"), (5L, ts(1), "view"), (5L, ts(2), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnels
+      .funnel(events, Seq("view", "click", "purchase"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "view", 4L), (2L, "click", 2L),
+      (3L, "purchase", 1L)))
+  }
+
+  test("funnel: the greedy earliest chain matches the staged-min " +
+    "recurrence (t1=view@0, t2=click@1, t3=purchase@3)") {
+    val events = Seq(
+      (1L, ts(0), "view"), (1L, ts(1), "click"),
+      (1L, ts(3), "purchase"), (1L, ts(5), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnels.funnel(events, Seq("view", "click", "purchase"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "view", 1L), (2L, "click", 1L),
+      (3L, "purchase", 1L)))
+  }
+
+  test("retention: integer-week cohorts and offsets, distinct users") {
+    val day = 86400L
+    val events = Seq(
+      // user 1 first seen day 0: active weeks 0 and 2 (twice, distinct)
+      (1L, ts(0)), (1L, ts(14 * day)), (1L, ts(15 * day)),
+      // user 2 first seen day 1 (same absolute cohort week): week 0 only
+      (2L, ts(1 * day)),
+      // user 3 first seen day 8 — next cohort week, offset 1 active
+      (3L, ts(8 * day)), (3L, ts(16 * day))
+    ).toDF("user_id", "ts")
+    val base = 1700000000000L / 1000 / day // days since epoch at ts(0)
+    val w0 = base / 7
+    val w3 = (base + 8) / 7
+    val got = Funnels.retention(events)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((w0, 0L, 2L), (w0, 2L, 1L), (w3, 0L, 1L),
+      (w3, 1L, 1L)))
+  }
+}

@@ -35,6 +35,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(got(6L) === (("a\n\nb", 0L)))
   }
 
+  test("boilerplate removal: all occurrences of cross-doc frequent " +
+    "segments drop, blanks and untouched docs survive byte-identical") {
+    val docs = Seq(
+      (1L, "footer\nunique a\nfooter"), // both occurrences drop
+      (2L, "footer\nunique b"),
+      (3L, "Footer \nunique c"),        // lower+trim normalization matches
+      (4L, "clean doc"),
+      (5L, "x\n\ny")                    // blank separator always kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplate(docs, minDocs = 3)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === (("unique a", 2L)))
+    assert(got(2L) === (("unique b", 1L)))
+    assert(got(3L) === (("unique c", 1L)))
+    assert(got(4L) === (("clean doc", 0L)))
+    assert(got(5L) === (("x\n\ny", 0L)))
+    // below the frequency threshold nothing is boilerplate
+    val none = Dedup.removeBoilerplate(docs, minDocs = 4)
+      .as[(Long, String, Long)].collect()
+    assert(none.forall(_._3 === 0L))
+    assert(none.map(r => r._1 -> r._2).toMap.apply(1L)
+      === "footer\nunique a\nfooter")
+  }
+
   test("hashed features: component and sign from the poly hash, signed " +
     "occurrence sums, collisions cancel to zero-mean") {
     import graft.operators.Relevance

@@ -38,6 +38,30 @@ class VocabSpec extends SparkTestBase {
     assert(top === Seq(("a", "b", 2L), ("b", "c", 2L)))
   }
 
+  test("bigramCoverage: occurrence-weighted known fraction, minDf " +
+    "counts distinct docs, short docs get null coverage") {
+    val docs = Seq(
+      (1L, "a b c"),       // bigrams: (a,b) df2, (b,c) df1 → 1/2 known
+      (2L, "a b a b"),     // (a,b)×2 df2, (b,a) df1 → 2/3 known
+      (3L, "solo"),        // no bigrams → null coverage
+      (4L, "x y")          // (x,y) df1 → 0/1 known
+    ).toDF("doc_id", "text")
+    val got = Vocab.bigramCoverage(docs, col("text"), minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((3L, 2L, 2.0 / 3.0)))
+    assert(got(3L) === ((0L, 0L, null)))
+    assert(got(4L) === ((1L, 0L, 0.0)))
+    // minDf honours DISTINCT docs: (a,b) twice within doc 2 alone
+    // would not qualify at minDf = 2 without doc 1
+    val solo = Vocab.bigramCoverage(
+      Seq((2L, "a b a b")).toDF("doc_id", "text"), col("text"), minDf = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(solo === ((3L, 0L)))
+  }
+
   test("MG summary retains every token above N/(capacity+1), never overcounts") {
     val rnd = new scala.util.Random(7L)
     // 2000 filler tokens from a 400-word tail + two heavy tokens
