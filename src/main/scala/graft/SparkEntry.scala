@@ -422,11 +422,38 @@ object SparkEntry {
     // weekly cohort retention in engine-independent integer weeks
     "x73_retention" -> ((s, dir) =>
       graft.analytics.Funnels.retention(Tables.events(s, dir))),
+    // conversion latency: exact percentiles of (furthest − first stage
+    // time) over users completing the whole funnel — funnelUsers ∘
+    // exactPercentiles composition
+    "x78_funnel_durations" -> ((s, dir) => {
+      val fu = graft.analytics.Funnels.funnelUsers(
+        Tables.events(s, dir).filter(col("event_id") % 13 === 0),
+        Seq("view", "click", "purchase"))
+      graft.operators.Corpus.exactPercentiles(
+        fu.filter(col("reached") === 3).withColumn("grp", lit("all")),
+        "grp", (col("last_us") - col("first_us")).cast("double"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+    }),
+    // first-order event-flow structure; (ts, event_id) order makes
+    // equal-timestamp neighbours deterministic on both engines
+    "x76_transitions" -> ((s, dir) =>
+      graft.analytics.Funnels.transitions(Tables.events(s, dir))),
+    // SCD2-style run collapse: consecutive same-value events merge into
+    // validity runs; lag flag + run index + per-run agg share ONE
+    // exchange (the sessionize plan contract)
+    "x77_value_runs" -> ((s, dir) =>
+      graft.analytics.Funnels.valueRuns(Tables.events(s, dir))
+        .select(col("key"), col("run_idx"), col("value"),
+          date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("start_ts"),
+          date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("end_ts"),
+          col("n_events"))),
     // bounded Levenshtein self-join: q-gram prefix filter candidates,
     // banded-verify — the oracle brute-forces inside the length band
     "x70_edit_distance" -> ((s, dir) =>
       EditSimilarity.editDistancePairs(Tables.documents(s, dir),
-        maxDist = 20, q = 4)),
+        maxDist = 8, q = 4)),
     // multi-level aggregation surface: ROLLUP with grouping ids (one
     // Expand + one aggregate — never L separate scans for L levels)
     "x67_rollup" -> ((s, dir) =>
@@ -1035,6 +1062,87 @@ object SparkEntry {
         |            CAST(per.n_bigrams AS DOUBLE) END AS coverage
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
         .stripMargin,
+    // the same staged-min recurrence as x72; the percentile replays
+    // Spark's exact expression lo + (p·(n−1) − ⌊p·(n−1)⌋)·(hi − lo)
+    // op-for-op — quantile_cont would interpolate with a DIFFERENT
+    // double expression, off by 1 ulp (≈ 2.4e-4 at µs-span magnitude)
+    "x78_funnel_durations" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        |  WHERE event_id % 13 = 0 AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL AND event_type IS NOT NULL
+        |), s1 AS (
+        |  SELECT user_id, min(t) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY e.user_id
+        |), d AS (
+        |  SELECT CAST(s3.t3 - s1.t1 AS DOUBLE) AS dur
+        |  FROM s3 JOIN s1 USING (user_id)
+        |), r AS (
+        |  SELECT dur, row_number() OVER (ORDER BY dur) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM d)
+        |SELECT 'all' AS grp,
+        |  round(max(CASE WHEN rn = CAST(floor(0.5*(n-1)) AS BIGINT) + 1
+        |                 THEN dur END) +
+        |        max(0.5*(n-1) - floor(0.5*(n-1))) *
+        |        (max(CASE WHEN rn = CAST(ceil(0.5*(n-1)) AS BIGINT) + 1
+        |                  THEN dur END) -
+        |         max(CASE WHEN rn = CAST(floor(0.5*(n-1)) AS BIGINT) + 1
+        |                  THEN dur END)), 6) AS p50,
+        |  round(max(CASE WHEN rn = CAST(floor(0.9*(n-1)) AS BIGINT) + 1
+        |                 THEN dur END) +
+        |        max(0.9*(n-1) - floor(0.9*(n-1))) *
+        |        (max(CASE WHEN rn = CAST(ceil(0.9*(n-1)) AS BIGINT) + 1
+        |                  THEN dur END) -
+        |         max(CASE WHEN rn = CAST(floor(0.9*(n-1)) AS BIGINT) + 1
+        |                  THEN dur END)), 6) AS p90,
+        |  round(max(CASE WHEN rn = CAST(floor(0.99*(n-1)) AS BIGINT) + 1
+        |                 THEN dur END) +
+        |        max(0.99*(n-1) - floor(0.99*(n-1))) *
+        |        (max(CASE WHEN rn = CAST(ceil(0.99*(n-1)) AS BIGINT) + 1
+        |                  THEN dur END) -
+        |         max(CASE WHEN rn = CAST(floor(0.99*(n-1)) AS BIGINT) + 1
+        |                  THEN dur END)), 6) AS p99
+        |FROM r""".stripMargin,
+    "x76_transitions" ->
+      """WITH o AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL)
+        |SELECT prev AS from_type, event_type AS to_type,
+        |       CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "x77_value_runs" ->
+      """WITH base AS (
+        |  SELECT user_id AS key, ts, event_type AS value, event_id AS id
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |f AS (
+        |  SELECT key, ts, value, id,
+        |    CASE WHEN lag(value) OVER w IS NULL
+        |           OR lag(value) OVER w <> value THEN 1 ELSE 0 END AS chg
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY key ORDER BY epoch_us(ts), id)),
+        |r AS (
+        |  SELECT key, ts, value,
+        |    SUM(chg) OVER (PARTITION BY key ORDER BY epoch_us(ts), id)
+        |      - 1 AS run_idx
+        |  FROM f)
+        |SELECT key, CAST(run_idx AS BIGINT) AS run_idx, value,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
     // the funnel recurrence replayed as staged min-ts joins: tₖ = min
     // ts of stage k strictly after tₖ₋₁ (all comparisons in µs)
     "x72_funnel" ->
@@ -1077,8 +1185,8 @@ object SparkEntry {
         |       CAST(levenshtein(a.text, b.text) AS INT) AS dist
         |FROM documents a JOIN documents b
         |  ON a.doc_id < b.doc_id
-        | AND abs(length(a.text) - length(b.text)) <= 20
-        |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
+        | AND abs(length(a.text) - length(b.text)) <= 8
+        |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin,
     // recall gates: the oracle recomputes the query set and the exact
     // k-th cosine from the data (engine-independent), and asserts the
     // recall floor held for every query

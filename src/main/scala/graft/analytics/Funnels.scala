@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-event product analytics over the event log: funnel
@@ -34,27 +35,10 @@ object Funnels {
   def funnel(events: DataFrame, stages: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type"): DataFrame = {
-    require(stages.nonEmpty, "funnel: stages must be non-empty")
     val spark = events.sparkSession
     import spark.implicits._
     val st = stages.toArray
-    val reached = events
-      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
-        col(typeCol).isNotNull)
-      .select(col(userCol).cast("long").as("_1"),
-        unix_micros(col(tsCol)).as("_2"), col(typeCol).as("_3"))
-      .as[(Long, Long, String)]
-      .groupByKey(_._1)
-      .flatMapSortedGroups($"_2") { (u: Long, it: Iterator[(Long, Long, String)]) =>
-        var cur = 0
-        var last = Long.MinValue
-        while (it.hasNext && cur < st.length) {
-          val (_, t, ty) = it.next()
-          if (ty == st(cur) && (cur == 0 || t > last)) { last = t; cur += 1 }
-        }
-        Iterator.single((u, cur))
-      }
-      .toDF("u", "reached")
+    val reached = funnelUsers(events, stages, userCol, tsCol, typeCol)
     val counts = reached.filter(col("reached") >= 1)
       .select(explode(sequence(lit(1), col("reached"))).as("stage_idx"))
       .groupBy(col("stage_idx")).agg(count(lit(1)).as("n_users"))
@@ -67,11 +51,112 @@ object Funnels {
         coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
+  /** Per-user funnel outcome behind [[funnel]]: the furthest stage
+    * reached plus the first- and furthest-stage match times (µs) of the
+    * earliest chain — the relation conversion-latency analyses run on
+    * (see the funnel-duration percentile query). Same plan: one shuffle
+    * on user, sorted-group scan, O(1) state.
+    *
+    * Output: (user_id, reached, first_us, last_us); the times are null
+    * for users who never match stage 1. */
+  def funnelUsers(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel: stages must be non-empty")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val st = stages.toArray
+    events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol).cast("long").as("_1"),
+        unix_micros(col(tsCol)).as("_2"), col(typeCol).as("_3"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"_2") { (u: Long, it: Iterator[(Long, Long, String)]) =>
+        var cur = 0
+        var first = Long.MinValue
+        var last = Long.MinValue
+        while (it.hasNext && cur < st.length) {
+          val (_, t, ty) = it.next()
+          if (ty == st(cur) && (cur == 0 || t > last)) {
+            if (cur == 0) first = t
+            last = t
+            cur += 1
+          }
+        }
+        Iterator.single((u, cur,
+          if (cur >= 1) Some(first) else None,
+          if (cur >= 1) Some(last) else None))
+      }
+      .toDF("user_id", "reached", "first_us", "last_us")
+  }
+
   /** Floor-division day number (µs → days since epoch), exact for
     * pre-epoch timestamps too (plain `div` truncates toward zero). */
   private def floorDay(tsUs: org.apache.spark.sql.Column) =
     (tsUs - ((tsUs % 86400000000L) + 86400000000L) % 86400000000L) /
       86400000000L
+
+  /** Event-flow transition counts (first-order Markov structure): how
+    * often event type A is immediately followed by type B within a
+    * user's timeline. The per-user order is (ts, event id) — the id
+    * tiebreak makes equal-timestamp neighbours deterministic, so the
+    * result is engine-replayable.
+    *
+    * Scale shape: one keyed exchange + one sort (lag window), then a
+    * map-side-combinable count whose key space is |types|² — the same
+    * single-exchange contract as sessionization.
+    *
+    * Output: (from_type, to_type, n_transitions). */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol), col(typeCol),
+        lag(col(typeCol), 1).over(w).as("_prev"))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /** Run-length collapse of a per-key value timeline (the SCD2 /
+    * change-data-capture interval build): consecutive events with the
+    * SAME value merge into one validity run carrying its start/end
+    * times and event count. Runs restart whenever the value changes —
+    * equal-timestamp order is pinned by the event-id tiebreak.
+    *
+    * Scale shape: the change flag (lag), the running run index
+    * (cumulative sum), and the per-run aggregate all share ONE keyed
+    * exchange and sort — identical to the sessionize plan; no
+    * self-joins, no second shuffle.
+    *
+    * Output: (key, run_idx, value, start_ts, end_ts, n_events). */
+  def valueRuns(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(unix_micros(col("_ts")), col("_id"))
+    val prev = lag(col("value"), 1).over(w)
+    events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(keyCol).as("key"), col(tsCol).as("_ts"),
+        col(valCol).as("value"), col(idCol).as("_id"))
+      .withColumn("_chg",
+        when(prev.isNull || prev =!= col("value"), 1L).otherwise(0L))
+      .withColumn("run_idx", sum(col("_chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .groupBy(col("key"), col("run_idx"))
+      .agg(first(col("value")).as("value"),
+        min(col("_ts")).as("start_ts"),
+        max(col("_ts")).as("end_ts"),
+        count(lit(1)).as("n_events"))
+  }
 
   /** Cohort retention: users grouped by the week of their FIRST event
     * (cohort), counted distinct in each subsequent week offset. Weeks

@@ -96,6 +96,29 @@ object PrefixOps {
     val pl = math.max(0L, math.min(m.toLong, pl0)).toInt
     new GenericArrayData(java.util.Arrays.copyOf(g, pl))
   }
+
+  /** Fixed-length variant of [[rankedPrefix]]: the first min(sz, k)
+    * grams in (df asc, gram asc) order — the Ed-Join prefix, whose
+    * length (q·maxDist + 1) is a constant of the edit-distance bound
+    * rather than a fraction of the document's gram count. */
+  def rankedPrefixK(ng: ArrayData, grams: ArrayData, dfs: ArrayData,
+      k: Int): ArrayData = {
+    val m = ng.numElements()
+    val dictN = grams.numElements()
+    val g = ng.toLongArray()
+    val d = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val idx = indexOf(grams, dictN, g(i))
+      if (idx < 0) throw new IllegalStateException(
+        s"rankedPrefixK: gram ${g(i)} missing from the dictionary " +
+          "(dictionary must be built from the same relation)")
+      d(i) = dfs.getLong(idx)
+      i += 1
+    }
+    sortPairs(d, g, 0, m - 1)
+    new GenericArrayData(java.util.Arrays.copyOf(g, math.min(m, k)))
+  }
 }
 
 /** Prefix grams of a document in rare-first rank order (see
@@ -141,6 +164,44 @@ case class RankedPrefixGrams(ng: Expression, dictGrams: Expression,
     copy(ng = f, dictGrams = s, dictDfs = t)
 }
 
+/** Fixed-length rare-first prefix (see [[PrefixOps.rankedPrefixK]]). */
+case class RankedPrefixGramsK(ng: Expression, dictGrams: Expression,
+    dictDfs: Expression, k: Int) extends TernaryExpression {
+  require(k >= 1, s"RankedPrefixGramsK: k must be >= 1, got $k")
+
+  override def first: Expression = ng
+  override def second: Expression = dictGrams
+  override def third: Expression = dictDfs
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ranked_prefix_k"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = children.forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires three array<bigint> inputs, got " +
+        children.map(_.dataType.sql).mkString(", "))
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    PrefixOps.rankedPrefixK(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.PrefixOps.rankedPrefixK($a, $b, $c, $k)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): RankedPrefixGramsK =
+    copy(ng = f, dictGrams = s, dictDfs = t)
+}
+
 object PrefixExprs {
   /** Column API for [[RankedPrefixGrams]]. `probeFrac` as an exact
     * decimal string (e.g. `"0.499999999999"`). */
@@ -151,4 +212,12 @@ object PrefixExprs {
       GraftColumnBridge.expression(dictGrams),
       GraftColumnBridge.expression(dictDfs),
       probeFrac.underlying.toPlainString))
+
+  /** Column API for [[RankedPrefixGramsK]]. */
+  def rankedPrefixGramsK(ng: Column, dictGrams: Column, dictDfs: Column,
+      k: Int): Column =
+    GraftColumnBridge.column(RankedPrefixGramsK(
+      GraftColumnBridge.expression(ng),
+      GraftColumnBridge.expression(dictGrams),
+      GraftColumnBridge.expression(dictDfs), k))
 }

@@ -42,6 +42,58 @@ class FunnelsSpec extends SparkTestBase {
       (3L, "purchase", 1L)))
   }
 
+  test("funnelUsers: earliest-chain first/last times in µs; " +
+    "non-starters carry nulls") {
+    val events = Seq(
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(20), "purchase"),
+      (2L, ts(5), "click"), // never stage 1
+      (3L, ts(7), "view")   // stage 1 only: first == last
+    ).toDF("user_id", "ts", "event_type")
+    val got = graft.analytics.Funnels
+      .funnelUsers(events, Seq("view", "click", "purchase"))
+      .as[(Long, Int, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val us0 = 1700000000000L * 1000L
+    assert(got(1L) === ((3, Some(us0), Some(us0 + 20000000L))))
+    assert(got(2L) === ((0, None, None)))
+    assert(got(3L) === ((1, Some(us0 + 7000000L), Some(us0 + 7000000L))))
+  }
+
+  test("transitions: adjacent pairs per user in (ts, id) order; ties " +
+    "broken by id; null fields dropped") {
+    val events = Seq(
+      (1L, ts(0), "a", 1L), (1L, ts(1), "b", 2L), (1L, ts(2), "a", 3L),
+      // user 2: same-ts events — id order decides adjacency (b→c, not c→b)
+      (2L, ts(0), "a", 4L), (2L, ts(1), "b", 5L), (2L, ts(1), "c", 6L),
+      // single-event user: no transitions
+      (3L, ts(0), "z", 7L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = graft.analytics.Funnels.transitions(events)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L)))
+  }
+
+  test("valueRuns: consecutive same values collapse; change restarts " +
+    "the run; id breaks timestamp ties") {
+    val events = Seq(
+      (1L, ts(0), "x", 1L), (1L, ts(1), "x", 2L), (1L, ts(2), "y", 3L),
+      (1L, ts(3), "x", 4L), // x again -> NEW run (not merged with run 0)
+      // user 2: tie at ts(0) — id order makes the runs (p), (q)
+      (2L, ts(0), "p", 5L), (2L, ts(0), "q", 6L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = graft.analytics.Funnels.valueRuns(events)
+      .select($"key", $"run_idx", $"value", $"n_events")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, "x", 2L), (1L, 1L, "y", 1L), (1L, 2L, "x", 1L),
+      (2L, 0L, "p", 1L), (2L, 1L, "q", 1L)))
+    // start/end span the run
+    val spans = graft.analytics.Funnels.valueRuns(events)
+      .filter($"key" === 1L && $"run_idx" === 0L)
+      .select($"start_ts", $"end_ts").collect().head
+    assert(spans.getTimestamp(0) === ts(0) && spans.getTimestamp(1) === ts(1))
+  }
+
   test("retention: integer-week cohorts and offsets, distinct users") {
     val day = 86400L
     val events = Seq(

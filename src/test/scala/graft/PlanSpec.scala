@@ -99,6 +99,21 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("Exchange")) === 1, p)
   }
 
+  test("x77 value runs: change flag, run index, and the per-run " +
+    "aggregate share ONE exchange (the sessionize contract)") {
+    val p = plan("x77_value_runs")
+    assert(p.linesIterator.count(_.contains("Exchange")) === 1, p)
+  }
+
+  test("x76 transitions: the lag window and the transition count " +
+    "add no second data exchange (the count aggregates map-side " +
+    "into the |types|^2 key space)") {
+    val p = plan("x76_transitions")
+    // one exchange for the user window; the final |types|^2-key agg is
+    // a single-partition exchange of partial counts, not data
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) === 1, p)
+  }
+
   test("no query plans a cartesian product; nested-loop joins only " +
     "where brute force is the contract") {
     // x5 brute-force cosine is DELIBERATELY a broadcast nested-loop scan
@@ -116,10 +131,13 @@ class PlanSpec extends SparkTestBase {
     // aggregates (merged sketch × exact count) — a 1×1 attach; x66's
     // gate embeds the brute-force droppable slice as its exact baseline
     // (the semanticDedup path itself is a cell-equality join)
+    // x70 attaches the ONE-row gram-df dictionary to each doc the same
+    // way (the Ed-Join rare-first order's broadcast side)
     val nestedLoopByDesign =
       Set("x5_cosine_topk", "x6_ann_lsh", "x13_ann_ivf",
         "x20_decontaminate", "x45_quantized_topk", "x46_quantile_bins",
-        "x59_decontaminate_bloom", "x62_hll_distinct", "x66_semdedup")
+        "x59_decontaminate_bloom", "x62_hll_distinct", "x66_semdedup",
+        "x70_edit_distance")
     for ((name, q) <- SparkEntry.queries) {
       val p = q(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
