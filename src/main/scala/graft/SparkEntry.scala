@@ -422,6 +422,13 @@ object SparkEntry {
     // weekly cohort retention in engine-independent integer weeks
     "x73_retention" -> ((s, dir) =>
       graft.analytics.Funnels.retention(Tables.events(s, dir))),
+    // daily-volume QC: z-scores from exact integer moments; sqrt is
+    // IEEE-correctly-rounded, so doubles match the oracle bit-for-bit
+    "x79_event_anomaly" -> ((s, dir) =>
+      graft.analytics.Trends.dailyCountAnomaly(Tables.events(s, dir))),
+    // per-type least-squares trend in exact BIGINT sums, one division
+    "x80_daily_trend" -> ((s, dir) =>
+      graft.analytics.Trends.dailyTrend(Tables.events(s, dir))),
     // conversion latency: exact percentiles of (furthest − first stage
     // time) over users completing the whole funnel — funnelUsers ∘
     // exactPercentiles composition
@@ -1062,6 +1069,42 @@ object SparkEntry {
         |            CAST(per.n_bigrams AS DOUBLE) END AS coverage
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
         .stripMargin,
+    "x79_event_anomaly" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT event_type, day, count(*) AS n FROM d GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS k, sum(n) AS m,
+        |             sum(n*n) AS ss
+        |      FROM c GROUP BY 1)
+        |SELECT c.event_type, c.day, CAST(c.n AS BIGINT) AS n,
+        |  CASE WHEN CAST(ss AS DOUBLE)/CAST(k AS DOUBLE)
+        |            - (CAST(m AS DOUBLE)/CAST(k AS DOUBLE))
+        |              * (CAST(m AS DOUBLE)/CAST(k AS DOUBLE)) > 0
+        |       THEN (CAST(c.n AS DOUBLE) - CAST(m AS DOUBLE)/CAST(k AS DOUBLE))
+        |            / sqrt(CAST(ss AS DOUBLE)/CAST(k AS DOUBLE)
+        |                   - (CAST(m AS DOUBLE)/CAST(k AS DOUBLE))
+        |                     * (CAST(m AS DOUBLE)/CAST(k AS DOUBLE)))
+        |  END AS z
+        |FROM c JOIN s USING (event_type)""".stripMargin,
+    "x80_daily_trend" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT event_type, day, count(*) AS y FROM d GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS k, sum(day) AS sx,
+        |             sum(y) AS sy, sum(day*y) AS sxy, sum(day*day) AS sxx
+        |      FROM c GROUP BY 1)
+        |SELECT event_type, CAST(k AS BIGINT) AS n_days,
+        |  CASE WHEN k*sxx - sx*sx <> 0
+        |       THEN CAST(k*sxy - sx*sy AS DOUBLE)
+        |            / CAST(k*sxx - sx*sx AS DOUBLE) END AS slope,
+        |  CASE WHEN k*sxx - sx*sx <> 0
+        |       THEN CAST(sy*sxx - sx*sxy AS DOUBLE)
+        |            / CAST(k*sxx - sx*sx AS DOUBLE) END AS intercept
+        |FROM s""".stripMargin,
     // the same staged-min recurrence as x72; the percentile replays
     // Spark's exact expression lo + (p·(n−1) − ⌊p·(n−1)⌋)·(hi − lo)
     // op-for-op — quantile_cont would interpolate with a DIFFERENT
