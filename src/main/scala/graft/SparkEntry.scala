@@ -422,6 +422,11 @@ object SparkEntry {
     // weekly cohort retention in engine-independent integer weeks
     "x73_retention" -> ((s, dir) =>
       graft.analytics.Funnels.retention(Tables.events(s, dir))),
+    // collocations by lift (monotone in PMI, bit-reproducible): count
+    // filter before the joins, deterministic top-k order
+    "x81_bigram_lift" -> ((s, dir) =>
+      graft.operators.Vocab.bigramLift(Tables.documents(s, dir),
+        col("text"), minCount = 5, k = 50)),
     // daily-volume QC: z-scores from exact integer moments; sqrt is
     // IEEE-correctly-rounded, so doubles match the oracle bit-for-bit
     "x79_event_anomaly" -> ((s, dir) =>
@@ -1069,6 +1074,26 @@ object SparkEntry {
         |            CAST(per.n_bigrams AS DOUBLE) END AS coverage
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
         .stripMargin,
+    "x81_bigram_lift" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(coalesce(text, ''), '\s+'),
+        |    x -> x <> '') AS tk
+        |  FROM documents),
+        |u AS (SELECT unnest(tk) AS t FROM toks),
+        |uc AS (SELECT t, count(*) AS n FROM u GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM u),
+        |pairs AS (
+        |  SELECT tk[i] AS t1, tk[i + 1] AS t2
+        |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks)),
+        |bc AS (SELECT t1, t2, count(*) AS nab FROM pairs GROUP BY 1, 2)
+        |SELECT t1, t2, CAST(nab AS BIGINT) AS n_ab,
+        |  CAST(nab AS DOUBLE) * CAST(total AS DOUBLE) /
+        |  (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS lift
+        |FROM bc JOIN uc a ON bc.t1 = a.t JOIN uc b ON bc.t2 = b.t
+        |CROSS JOIN tot
+        |WHERE nab >= 5
+        |ORDER BY lift DESC, t1, t2 LIMIT 50""".stripMargin,
     "x79_event_anomaly" ->
       """WITH d AS (
         |  SELECT event_type,

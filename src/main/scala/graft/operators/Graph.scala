@@ -52,17 +52,67 @@ object Graph {
     * that appears in `edges`, labeled with the minimum node id reachable
     * from it (`component`). Null endpoints are dropped; parallel edges
     * and self-loops are harmless. Deterministic (exact min ids), so the
-    * output is oracle-comparable. */
+    * output is oracle-comparable. Node ids are widened to long.
+    *
+    * Cost routing: the pair graph is ∝ DUPLICATES, not corpus — for
+    * most corpora it is many orders of magnitude smaller than the
+    * input, and frequently driver-sized. When the symmetrized edge
+    * count is within `driverMaxEdges` (16 bytes/edge — the default
+    * 1M edges ≈ 32 MB, the same bounded-collect contract as the IVF
+    * training sample), a driver union-find resolves components in one
+    * pass instead of O(log n) distributed rounds, each of which costs a
+    * join + aggregate + convergence probe. Above the cap — or with
+    * `driverMaxEdges = 0` — the distributed min-label propagation runs;
+    * it is the 100 TB route and the two produce identical labels. */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
-      dstCol: String = "doc_b", maxIter: Int = 64): DataFrame = {
+      dstCol: String = "doc_b", maxIter: Int = 64,
+      driverMaxEdges: Long = 1000000L): DataFrame = {
+    require(driverMaxEdges >= 0,
+      s"connectedComponents: driverMaxEdges must be >= 0, got $driverMaxEdges")
     val sym = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
-      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
       .union(edges
         .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
-        .select(col(dstCol).as("u"), col(srcCol).as("v")))
+        .select(col(dstCol).cast("long").as("u"),
+          col(srcCol).cast("long").as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // the count doubles as the persist materialization (the iterative
+    // route's round-0 aggregate reuses the cached relation)
+    val nDirected = sym.count()
+    if (driverMaxEdges > 0 && nDirected <= 2L * driverMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) {
+          parent.put(r, parent.get(parent.get(r))) // path halving
+          r = parent.get(r)
+        }
+        r
+      }
+      sym.collect().foreach { row =>
+        val u = row.getLong(0)
+        val v = row.getLong(1)
+        if (!parent.containsKey(u)) parent.put(u, u)
+        if (!parent.containsKey(v)) parent.put(v, v)
+        val ru = find(u)
+        val rv = find(v)
+        // union by MIN root: the root is always the component minimum,
+        // exactly the distributed route's label
+        if (ru < rv) parent.put(rv, ru)
+        else if (rv < ru) parent.put(ru, rv)
+      }
+      sym.unpersist()
+      import scala.jdk.CollectionConverters._
+      val out = parent.keySet().iterator().asScala
+        .map(n => (n, find(n))).toSeq
+      return out.toDF("node", "component")
+    }
 
     // round 0: label(u) = min(u, min neighbor) — one aggregate
     var labels = truncated(

@@ -106,6 +106,45 @@ object Vocab {
       .select(col("token"), col("n_occurrences"))
   }
 
+  /** Collocation mining: top-k adjacent-token pairs by LIFT — the
+    * observed bigram frequency over its expectation under unigram
+    * independence, n_ab·N / (n_a·n_b). The log of this is PMI; the
+    * raw ratio ranks identically (log is monotone) while staying
+    * bit-reproducible across engines (products and one division are
+    * exactly-rounded IEEE ops; log is libm-dependent). `minCount`
+    * suppresses the classic PMI pathology of rare-pair dominance.
+    *
+    * Scale shape: bigram and unigram counts are map-side-combinable
+    * aggregates; the count filter runs BEFORE the unigram joins, so
+    * only surviving pair types join; the total-token scalar attaches
+    * by a constant-key broadcast; TakeOrdered pushes k into every
+    * partition under the deterministic (lift desc, t1, t2) order.
+    *
+    * Output: (t1, t2, n_ab, lift). */
+  def bigramLift(df: DataFrame, textCol: Column, minCount: Int = 5,
+      k: Int = 50): DataFrame = {
+    require(minCount >= 1, s"bigramLift: minCount must be >= 1, got $minCount")
+    require(k > 0, s"bigramLift: k must be > 0, got $k")
+    val bc = bigramCounts(df, textCol)
+      .withColumnRenamed("n_occurrences", "n_ab")
+      .filter(col("n_ab") >= minCount)
+    val uc = tokenCounts(df, textCol)
+    val tot = tokens(df, textCol).agg(count(lit(1)).as("total"))
+      .withColumn("_k", lit(1))
+    bc.join(uc.select(col("token").as("t1"),
+        col("n_occurrences").as("_na")), "t1")
+      .join(uc.select(col("token").as("t2"),
+        col("n_occurrences").as("_nb")), "t2")
+      .withColumn("_k", lit(1))
+      .join(broadcast(tot), "_k")
+      .select(col("t1"), col("t2"), col("n_ab"),
+        (col("n_ab").cast("double") * col("total").cast("double") /
+          (col("_na").cast("double") * col("_nb").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
+
   /** Per-document bigram coverage: what fraction of a document's
     * adjacent-token bigram occurrences belong to bigram types seen in
     * at least `minDf` distinct documents corpus-wide. A lightweight

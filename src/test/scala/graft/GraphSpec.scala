@@ -7,16 +7,20 @@ import graft.operators.Graph
 class GraphSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Graph.connectedComponents(edges.toDF("doc_a", "doc_b"))
+  private def components(edges: Seq[(Long, Long)],
+      driverMaxEdges: Long = 1000000L): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("doc_a", "doc_b"),
+      driverMaxEdges = driverMaxEdges)
       .as[(Long, Long)].collect().toMap
 
-  test("chain graph collapses to its minimum (forces multiple rounds)") {
+  test("chain graph collapses to its minimum (forces multiple rounds " +
+    "on the distributed route; both routes agree)") {
     // a 16-node path is the adversarial diameter case the pointer
     // shortcut exists for: plain one-hop propagation needs 15 rounds
     val chain = (1L until 16L).map(i => (i, i + 1))
-    val got = components(chain)
-    assert(got === (1L to 16L).map(_ -> 1L).toMap)
+    val want = (1L to 16L).map(_ -> 1L).toMap
+    assert(components(chain) === want)                    // driver route
+    assert(components(chain, driverMaxEdges = 0) === want) // distributed
   }
 
   test("disjoint components keep separate minima") {
@@ -54,7 +58,9 @@ class GraphSpec extends SparkTestBase {
       val want = parent.keys.map(k => k -> find(k)).toMap
       // union-find roots are the min of each component only because
       // unions always hang the larger root under the smaller
-      assert(components(edges) === want, s"trial $trial")
+      assert(components(edges) === want, s"trial $trial (driver)")
+      assert(components(edges, driverMaxEdges = 0) === want,
+        s"trial $trial (distributed)")
     }
   }
 

@@ -62,6 +62,23 @@ class VocabSpec extends SparkTestBase {
     assert(solo === ((3L, 0L)))
   }
 
+  test("bigramLift: lift is observed/expected under independence; " +
+    "minCount gates; deterministic order") {
+    // corpus: "a b" ×4, "a c" ×1, filler "z z" ×5
+    // tokens: a=5, b=4, c=1, z=10 → N=20
+    // lift(a,b) = 4·20/(5·4) = 4.0; (z,z) = 5·20/100 = 1.0
+    val docs = (Seq.fill(4)("a b") ++ Seq("a c") ++ Seq.fill(5)("z z"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Vocab.bigramLift(docs, col("text"), minCount = 2, k = 10)
+      .as[(String, String, Long, Double)].collect().toList
+    assert(got === List(("a", "b", 4L, 4.0), ("z", "z", 5L, 1.0)))
+    // minCount = 5 removes (a,b)
+    val gated = Vocab.bigramLift(docs, col("text"), minCount = 5, k = 10)
+      .as[(String, String, Long, Double)].collect().toList
+    assert(gated === List(("z", "z", 5L, 1.0)))
+  }
+
   test("MG summary retains every token above N/(capacity+1), never overcounts") {
     val rnd = new scala.util.Random(7L)
     // 2000 filler tokens from a 400-word tail + two heavy tokens
