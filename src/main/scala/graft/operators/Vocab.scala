@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{MisraGriesTokens, TextAnalysis}
+import graft.functions.{BpeExprs, MisraGriesTokens, TextAnalysis}
 
 /** Corpus vocabulary statistics: exact token frequencies / top-k, and
   * sketch-routed heavy hitters for when the distinct-token universe is
@@ -104,6 +104,79 @@ object Vocab {
       .agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") > lit(phi) * col("n"))
       .select(col("token"), col("n_occurrences"))
+  }
+
+  /** BPE-style merge training over the corpus: `nMerges` rounds of
+    * (count adjacent symbol pairs) → (pick the most frequent pair,
+    * ties broken lexicographically) → (apply the merge everywhere,
+    * greedy leftmost non-overlapping — the standard BPE application
+    * step, via the doc-local [[graft.functions.MergeAdjacentExpr]]
+    * kernel). Symbols start as whitespace tokens, so the learned
+    * merges are phrase units; the algorithm is tokenization-agnostic —
+    * char-level BPE is the same loop over char symbols.
+    *
+    * Determinism: the argmax order (count desc, left asc, right asc)
+    * is total, and the merge pass is a deterministic projection, so
+    * the merge table is reproducible anywhere (the spec checks it
+    * against an independent single-machine reference implementation).
+    *
+    * Scale shape: each round is ONE map-side-combinable pair-count
+    * shuffle, a TakeOrdered(1) (one row to the driver), and one
+    * projection pass with per-round lineage truncation — the same
+    * iterative-job discipline as connected components. The sequential
+    * dependence between rounds is inherent to BPE; production
+    * tokenizer training bounds wall-clock by training on a hash sample
+    * ([[Corpus.sampleByHash]]) — vocabulary statistics converge long
+    * before the full corpus is read.
+    *
+    * Output: (merge_idx 0-based, left, right, n_occurrences) — the
+    * ordered merge table a tokenizer consumes. */
+  def bpeMerges(df: DataFrame, textCol: Column, nMerges: Int,
+      minCount: Long = 2L, sep: String = " "): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 10000,
+      s"bpeMerges: nMerges must be in [1,10000], got $nMerges")
+    require(minCount >= 1, s"bpeMerges: minCount must be >= 1, got $minCount")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def truncated(d: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        d.checkpoint(eager = false)
+      else d.localCheckpoint(eager = false)
+
+    var syms = df
+      .select(array_remove(split(textCol, "\\s+"), "").as("s"))
+      .filter(size(col("s")) >= 2)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var idx = 0
+    var exhausted = false
+    while (idx < nMerges && !exhausted) {
+      val top = syms
+        .select(explode(when(size(col("s")) >= 2,
+          zip_with(
+            slice(col("s"), lit(1), size(col("s")) - 1),
+            slice(col("s"), lit(2), size(col("s")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>")))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      top.headOption match {
+        case Some((l, r, n)) if n >= minCount =>
+          merges += ((idx, l, r, n))
+          syms = truncated(syms.select(
+            BpeExprs.mergeAdjacent(col("s"), lit(l), lit(r), sep).as("s")))
+          idx += 1
+        case _ => exhausted = true
+      }
+    }
+    merges.result()
+      .toDF("merge_idx", "left", "right", "n_occurrences")
+      .select(col("merge_idx").cast("long"), col("left"), col("right"),
+        col("n_occurrences"))
   }
 
   /** Collocation mining: top-k adjacent-token pairs by LIFT — the

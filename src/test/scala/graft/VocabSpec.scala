@@ -79,6 +79,70 @@ class VocabSpec extends SparkTestBase {
     assert(gated === List(("z", "z", 5L, 1.0)))
   }
 
+  private def refMergeGreedy(s: Vector[String], l: String, r: String,
+      sep: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var j = 0
+    while (j < s.length) {
+      if (j + 1 < s.length && s(j) == l && s(j + 1) == r) {
+        b += (l + sep + r); j += 2
+      } else { b += s(j); j += 1 }
+    }
+    b.result()
+  }
+
+  /** Independent single-machine BPE trainer: overlapping pair counts,
+    * argmax by (count desc, left, right), greedy-leftmost merge. */
+  private def refBpe(texts: Seq[String], n: Int, minCount: Long,
+      sep: String): Seq[(Long, String, String, Long)] = {
+    var seqs = texts.filter(_ != null)
+      .map(_.split("\\s+").filter(_.nonEmpty).toVector)
+      .filter(_.length >= 2)
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var i = 0
+    var stop = false
+    while (i < n && !stop) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for (s <- seqs; j <- 0 until s.length - 1)
+        counts((s(j), s(j + 1))) = counts.getOrElse((s(j), s(j + 1)), 0L) + 1
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .minBy { case ((l, r), c) => (-c, l, r) }
+        if (c < minCount) stop = true
+        else {
+          out += ((i.toLong, l, r, c))
+          seqs = seqs.map(refMergeGreedy(_, l, r, sep))
+          i += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("bpeMerges: overlapping counts, lexicographic tie-break, " +
+    "greedy-leftmost application") {
+    // "a a a": pair (a,a) counts 2 (overlapping); after the merge the
+    // doc is ["a a", "a"], so round 2's top pair is ("a a", "a")
+    val docs = Seq((1L, "a a a"), (2L, "x y x y")).toDF("doc_id", "text")
+    val got = Vocab.bpeMerges(docs, col("text"), nMerges = 2,
+      minCount = 2L)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(got.head === ((0L, "a", "a", 2L)))
+    assert(got === refBpe(Seq("a a a", "x y x y"), 2, 2L, " ").toList)
+  }
+
+  test("bpeMerges equals the independent reference on the sf0.001 " +
+    "corpus (8 merges)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val texts = docs.select($"text").as[String].collect().toSeq
+    val got = Vocab.bpeMerges(docs, col("text"), nMerges = 8)
+      .as[(Long, String, String, Long)].collect().toList
+    val want = refBpe(texts, 8, 2L, " ").toList
+    assert(got === want)
+    assert(got.length === 8) // the corpus supports at least 8 merges
+  }
+
   test("MG summary retains every token above N/(capacity+1), never overcounts") {
     val rnd = new scala.util.Random(7L)
     // 2000 filler tokens from a 400-word tail + two heavy tokens
