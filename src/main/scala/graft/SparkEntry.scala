@@ -422,6 +422,15 @@ object SparkEntry {
     // weekly cohort retention in engine-independent integer weeks
     "x73_retention" -> ((s, dir) =>
       graft.analytics.Funnels.retention(Tables.events(s, dir))),
+    // contrastive negatives: deterministic modular walk, near-dup
+    // CLUSTERS excluded (the clusterAwareSplit leakage rule applied to
+    // negative mining)
+    "x82_negative_samples" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Corpus.negativeSamples(docs,
+        Dedup.simhashPairs(docs, maxHamming = 3, poly = true),
+        k = 3, oversample = 5)
+    }),
     // collocations by lift (monotone in PMI, bit-reproducible): count
     // filter before the joins, deterministic top-k order
     "x81_bigram_lift" -> ((s, dir) =>
@@ -1074,6 +1083,38 @@ object SparkEntry {
         |            CAST(per.n_bigrams AS DOUBLE) END AS coverage
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
         .stripMargin,
+    // same component ground truth as x24/x69; the modular walk, the
+    // existence join, and the first-k-survivors rank replayed exactly
+    "x82_negative_samples" ->
+      s"""WITH RECURSIVE $PolySimhashFpCtes,
+        |$SimhashComponentCtes,
+        |ids AS (SELECT doc_id AS id FROM documents
+        |        WHERE doc_id IS NOT NULL),
+        |mx AS (SELECT max(id) + 1 AS m FROM ids),
+        |cand AS (
+        |  SELECT id AS anchor_id, unnest(range(1, 9)) AS j
+        |  FROM ids),
+        |c2 AS (
+        |  SELECT anchor_id, j,
+        |         ((anchor_id + j * 7919) % m + m) % m AS cand
+        |  FROM cand CROSS JOIN mx),
+        |ex AS (
+        |  SELECT c2.anchor_id, c2.j, c2.cand
+        |  FROM c2
+        |  JOIN ids e ON c2.cand = e.id
+        |  LEFT JOIN comp ca ON c2.anchor_id = ca.node
+        |  LEFT JOIN comp cb ON c2.cand = cb.node
+        |  WHERE c2.cand <> c2.anchor_id
+        |    AND coalesce(ca.component, c2.anchor_id)
+        |        <> coalesce(cb.component, c2.cand)),
+        |dd AS (SELECT anchor_id, cand, min(j) AS j FROM ex GROUP BY 1, 2),
+        |r AS (
+        |  SELECT anchor_id, cand,
+        |         row_number() OVER (PARTITION BY anchor_id
+        |                            ORDER BY j, cand) AS rank
+        |  FROM dd)
+        |SELECT anchor_id, cand AS neg_id, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin,
     "x81_bigram_lift" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(

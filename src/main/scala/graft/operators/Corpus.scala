@@ -535,4 +535,62 @@ object Corpus {
         col("col").as("chunk"))
       .withColumn("n_chars", length(col("chunk")).cast("long"))
   }
+
+  /** Deterministic negative sampling for contrastive training: for each
+    * anchor document, `k` partner documents that are NOT near-duplicates
+    * of it. Candidates come from a fixed modular walk over the id space
+    * (cand_j = pmod(anchor + j·7919, maxId+1), j = 1..k+oversample) —
+    * engine-replayable, join-stable, and uniform-ish without any RNG
+    * state; candidates that do not exist, equal the anchor, or share a
+    * duplicate CLUSTER with it (components over the supplied near-dup
+    * pair list, so transitively-linked near-dups are excluded — the
+    * same leakage rule as [[graft.operators.Graph.clusterAwareSplit]])
+    * are dropped, and the first `k` survivors by walk order are kept.
+    * `oversample` is the slack absorbing those drops; anchors inside
+    * huge clusters may return fewer than k.
+    *
+    * Scale shape: the walk is a generator projection (k+oversample rows
+    * per doc); existence and cluster checks are key-equality joins
+    * (components working set ∝ duplicates); the final rank window
+    * partitions by anchor over ≤ k+oversample rows each. The one driver
+    * scalar is max(id).
+    *
+    * Output: (anchor_id, neg_id, rank 1..k). */
+  def negativeSamples(docs: DataFrame, pairs: DataFrame, k: Int,
+      oversample: Int = 4, idCol: String = "doc_id",
+      srcCol: String = "doc_a", dstCol: String = "doc_b"): DataFrame = {
+    require(k >= 1, s"negativeSamples: k must be >= 1, got $k")
+    require(oversample >= 0,
+      s"negativeSamples: oversample must be >= 0, got $oversample")
+    import org.apache.spark.sql.expressions.Window
+    val ids = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"))
+    val maxRow = ids.agg(max(col("id"))).collect().head
+    if (maxRow.isNullAt(0))
+      return ids.select(col("id").as("anchor_id"),
+        col("id").as("neg_id"), col("id").as("rank"))
+    val m = maxRow.getLong(0) + 1
+    val cand = ids.select(col("id").as("anchor_id"),
+        explode(sequence(lit(1), lit(k + oversample))).as("j"))
+      .withColumn("cand",
+        pmod(col("anchor_id") + col("j") * 7919L, lit(m)))
+      .filter(col("cand") =!= col("anchor_id"))
+      .join(ids.select(col("id").as("cand")), "cand")
+    val cc = Graph.connectedComponents(pairs, srcCol, dstCol)
+    val filtered = cand
+      .join(cc.select(col("node").as("anchor_id"),
+        col("component").as("_ca")), Seq("anchor_id"), "left")
+      .join(cc.select(col("node").as("cand"),
+        col("component").as("_cb")), Seq("cand"), "left")
+      .filter(coalesce(col("_ca"), col("anchor_id")) =!=
+        coalesce(col("_cb"), col("cand")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("_j"), col("cand"))
+    filtered.groupBy(col("anchor_id"), col("cand"))
+      .agg(min(col("j")).as("_j"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("cand").as("neg_id"),
+        col("rank").cast("long").as("rank"))
+  }
 }

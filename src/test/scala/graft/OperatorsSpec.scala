@@ -35,6 +35,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(got(6L) === (("a\n\nb", 0L)))
   }
 
+  test("negativeSamples: modular walk order, cluster exclusion is " +
+    "transitive, missing ids dropped, at most k per anchor") {
+    import graft.operators.Corpus
+    val docs = (0L to 9L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Corpus.negativeSamples(docs, pairs, k = 2, oversample = 3)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toList).toMap
+    // 7919 % 10 = 9: anchor 0 walks 9, 8, 7, ...
+    assert(got(0L) === List(9L, 8L))
+    // anchor 2 is clustered with {1, 2, 3} (transitively): its j=1
+    // candidate 1 is excluded, so the negs are 0 (j=2) then 9 (j=3)
+    assert(got(2L) === List(0L, 9L))
+    // no emitted negative shares a cluster with its anchor
+    val cluster = Map(1L -> 1L, 2L -> 1L, 3L -> 1L).withDefault(identity)
+    for ((a, negs) <- got; n <- negs)
+      assert(cluster(a) !== cluster(n), s"anchor $a neg $n")
+    assert(got.values.forall(_.length <= 2))
+  }
+
   test("boilerplate removal: all occurrences of cross-doc frequent " +
     "segments drop, blanks and untouched docs survive byte-identical") {
     val docs = Seq(
