@@ -132,12 +132,15 @@ class PlanSpec extends SparkTestBase {
     // gate embeds the brute-force droppable slice as its exact baseline
     // (the semanticDedup path itself is a cell-equality join)
     // x70 attaches the ONE-row gram-df dictionary to each doc the same
-    // way (the Ed-Join rare-first order's broadcast side)
+    // way (the Ed-Join rare-first order's broadcast side); x81 attaches
+    // the ONE-row total-token scalar to the filtered pair types
+    // (Catalyst folds the constant join key, leaving a 1×N broadcast
+    // attach)
     val nestedLoopByDesign =
       Set("x5_cosine_topk", "x6_ann_lsh", "x13_ann_ivf",
         "x20_decontaminate", "x45_quantized_topk", "x46_quantile_bins",
         "x59_decontaminate_bloom", "x62_hll_distinct", "x66_semdedup",
-        "x70_edit_distance")
+        "x70_edit_distance", "x81_bigram_lift")
     for ((name, q) <- SparkEntry.queries) {
       val p = q(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
