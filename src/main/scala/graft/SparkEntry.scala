@@ -30,6 +30,7 @@ object SparkEntry {
     * seed/bucketing regressions, not run-to-run noise). */
   val AnnLshRecallFloor = 0.2 // measured min 0.3 (sf0.01 and sf0.1)
   val AnnIvfRecallFloor = 0.4 // measured min 0.5 (sf0.01 and sf0.1)
+  val AnnPqRecallFloor = 0.3 // measured min 0.4 (sf0.001), 0.6 (sf0.01/0.1)
 
   /** Exact, order-independent sum of a double column: cast each value to
     * DECIMAL(18,6) (exact for this corpus's ≤2-decimal doubles), sum
@@ -422,6 +423,15 @@ object SparkEntry {
     // weekly cohort retention in engine-independent integer weeks
     "x73_retention" -> ((s, dir) =>
       graft.analytics.Funnels.retention(Tables.events(s, dir))),
+    // PQ/ADC scan (the memory-bound half of IVF+PQ): codes-only
+    // scoring; recall-gated like the other seed-dependent ANN paths
+    "x83_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+      Similarity.recallGate(
+        Similarity.pqTopK(emb, qs, k = 10, m = 16, ksub = 64),
+        Similarity.cosineTopK(emb, qs, k = 10), floor = AnnPqRecallFloor)
+    }),
     // contrastive negatives: deterministic modular walk, near-dup
     // CLUSTERS excluded (the clusterAwareSplit leakage rule applied to
     // negative mining)
@@ -1301,6 +1311,7 @@ object SparkEntry {
     // recall floor held for every query
     "x6_ann_lsh" -> AnnExactTopkOracle,
     "x13_ann_ivf" -> AnnExactTopkOracle,
+    "x83_ann_pq" -> AnnExactTopkOracle,
     // recomputes both polynomial fingerprints code point by code point
     "x10_fingerprint" ->
       """WITH c AS (

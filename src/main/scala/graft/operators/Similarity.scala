@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.VectorExprs
+import graft.functions.{PqExprs, VectorExprs}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -207,6 +207,77 @@ object Similarity {
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
         round(cosine(col("a.v"), col("b.v")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Product-quantization approximate top-k (ADC scan): train m
+    * per-subspace codebooks of ksub centroids on a bounded driver
+    * sample (the [[ivfTopK]] training contract), encode the corpus as
+    * m-code rows, and score each query against CODES ONLY — a per-query
+    * lookup table (computed once per query as a column) replaces every
+    * dot product, so the scan reads m·4 bytes per vector instead of
+    * dim·4 and the original embeddings are never re-read. This is the
+    * memory-bound half of the standard IVF+PQ index (compose with the
+    * IVF cell join to also cut the candidate count).
+    *
+    * Seed-dependent like the other ANN paths → verified through
+    * [[recallGate]] (exact k-th cosine + recall floor).
+    *
+    * Scale shape: training is the capped sample collect; encode is one
+    * codegen projection; the query side (table + norm per query) is a
+    * broadcast; scoring is the deliberate x5/x45 broadcast-scan shape
+    * over the code relation, top-k per query via the rank window. */
+  def pqTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      m: Int = 8, ksub: Int = 16, trainSample: Int = 100000,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && ksub >= 2,
+      s"pqTopK: need m >= 1 and ksub >= 2, got m=$m ksub=$ksub")
+    val corpus = embeddings
+      .select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+    val sample = corpus
+      .select(col("v").cast("array<float>")).limit(trainSample)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pqTopK: cannot train on an empty corpus")
+    require(sample.length >= ksub,
+      s"pqTopK: sample ${sample.length} smaller than ksub=$ksub")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pqTopK: dim $dim is not divisible by m=$m")
+    val dsub = dim / m
+    val cb = new Array[Double](m * ksub * dsub)
+    for (j <- 0 until m) {
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      val centers = lloyds(sub, ksub)
+      for (c <- 0 until ksub; d <- 0 until dsub)
+        cb((j * ksub + c) * dsub + d) = centers(c)(d)
+    }
+    val sqn = new Array[Double](m * ksub)
+    for (j <- 0 until m; c <- 0 until ksub) {
+      var s = 0.0
+      for (d <- 0 until dsub) {
+        val x = cb((j * ksub + c) * dsub + d); s += x * x
+      }
+      sqn(j * ksub + c) = s
+    }
+    val codes = corpus.filter(size(col("v")) === dim)
+      .select(col("vec_id"),
+        PqExprs.encode(col("v"), cb, m, ksub, dsub).as("codes"))
+    val qs = queries
+      .select(col(idCol).as("query_id"),
+        col(embCol).cast("array<double>").as("q"))
+      .filter(col("q").isNotNull && !exists(col("q"), _.isNull) &&
+        size(col("q")) === dim)
+      .select(col("query_id"),
+        PqExprs.table(col("q"), cb, m, ksub, dsub).as("qt"),
+        sqrt(VectorExprs.dot(col("q"), col("q"))).as("qnorm"))
+    val scored = codes.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        PqExprs.cosine(col("codes"), col("qt"), col("qnorm"), sqn, m, ksub)
+          .as("pq_cosine"))
+      .filter(col("pq_cosine").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
   /** Recall gate for an approximate top-k result against the exact

@@ -1502,6 +1502,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(first === 1L)
   }
 
+  test("pq topk: near-identical vector ranks first (it shares the " +
+    "query's codes); parameter validation") {
+    val dim = 64
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == axis) 1f else 0f)
+    val near = unit(0); near(1) = 0.02f
+    val emb = ((0L, unit(0)) +: (1L, near) +:
+      (2 until 40).map(i => (i.toLong, unit(i % dim)))).toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(emb, emb.filter($"vec_id" === 0), k = 5,
+      m = 16, ksub = 8)
+    val first = got.filter($"rnk" === 1).select("vec_id").as[Long].head()
+    assert(first === 1L)
+    intercept[IllegalArgumentException] { // 64 not divisible by 7
+      Similarity.pqTopK(emb, emb.limit(1), m = 7)
+    }
+    intercept[IllegalArgumentException] { // sample smaller than ksub
+      Similarity.pqTopK(emb, emb.limit(1), ksub = 64)
+    }
+  }
+
   test("ivf with persisted centroids: relation has nLists x dim rows, " +
     "search works without retraining, assignments are reusable") {
     val dim = 64

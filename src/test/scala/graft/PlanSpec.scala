@@ -140,7 +140,10 @@ class PlanSpec extends SparkTestBase {
       Set("x5_cosine_topk", "x6_ann_lsh", "x13_ann_ivf",
         "x20_decontaminate", "x45_quantized_topk", "x46_quantile_bins",
         "x59_decontaminate_bloom", "x62_hll_distinct", "x66_semdedup",
-        "x70_edit_distance", "x81_bigram_lift")
+        "x70_edit_distance", "x81_bigram_lift",
+        // x83's ADC scan is the deliberate x5/x45 broadcast-scan shape
+        // over the CODE relation (m·4 bytes/vector, not dim·4)
+        "x83_ann_pq")
     for ((name, q) <- SparkEntry.queries) {
       val p = q(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
