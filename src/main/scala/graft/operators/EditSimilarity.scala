@@ -57,18 +57,29 @@ import graft.functions.{PrefixExprs, ShingleExprs}
   * 100 TB: every join is key-equality (gram hash / length bucket);
   * candidates ∝ near-duplicate pairs under the rare-first order. The
   * dictionary broadcast is bounded by the q-gram vocabulary (not the
-  * corpus); for an open-ended gram universe the window-rank fallback of
-  * the x4 prefix route applies unchanged. The short pool degenerates
-  * toward banded all-pairs only when maxDist is large relative to the
-  * string length — a regime where "within maxDist edits" is itself
+  * corpus); `dictRoute = false` is the open-universe fallback (per-doc
+  * window rank over the df-joined gram stream — no broadcast, one
+  * extra gram-table shuffle). The short pool degenerates toward banded
+  * all-pairs only when maxDist is large relative to the string
+  * length — a regime where "within maxDist edits" is itself
   * near-vacuous.
   */
 object EditSimilarity {
 
   /** All unordered pairs with Levenshtein distance ≤ `maxDist`.
-    * Output: (a_id, b_id, dist) with a_id < b_id, dist ≤ maxDist. */
+    * Output: (a_id, b_id, dist) with a_id < b_id, dist ≤ maxDist.
+    *
+    * `dictRoute = true` (default) ranks prefixes through the one-row
+    * broadcast df dictionary — right whenever the q-gram vocabulary is
+    * broadcastable (natural text). `false` is the open-universe
+    * fallback: df joined onto the exploded gram stream and ranked by a
+    * per-doc window — one extra shuffle + sort of the gram table, no
+    * broadcast requirement (the same dichotomy as x4's
+    * `localPrefixRank`). Both routes use the identical (df, gram)
+    * total order, so candidates — and therefore results — coincide. */
   def editDistancePairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxDist: Int = 20, q: Int = 4): DataFrame = {
+      textCol: String = "text", maxDist: Int = 20, q: Int = 4,
+      dictRoute: Boolean = true): DataFrame = {
     require(maxDist >= 0, s"editDistancePairs: maxDist must be >= 0, got $maxDist")
     require(q >= 2, s"editDistancePairs: q must be >= 2, got $q")
     val prefixLen = q * maxDist + 1
@@ -86,19 +97,35 @@ object EditSimilarity {
     // broadcast row (gram-ascending aligned arrays, as the kernel's
     // binary search requires); ng is a SET, so count(*) per gram is
     // document frequency.
-    val dict = g.filter(col("ng").isNotNull)
+    val gramDf = g.filter(col("ng").isNotNull)
       .select(explode(col("ng")).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .agg(array_sort(collect_list(struct(col("gram"), col("df"))))
-        .as("gd"))
-      .select(
-        transform(col("gd"), x => x.getField("gram")).as("dict_grams"),
-        transform(col("gd"), x => x.getField("df")).as("dict_dfs"))
-    val pre = g.filter(col("ng").isNotNull)
-      .crossJoin(broadcast(dict))
-      .select(col("id"), col("len"),
-        explode(PrefixExprs.rankedPrefixGramsK(col("ng"),
-          col("dict_grams"), col("dict_dfs"), prefixLen)).as("gram"))
+    val pre =
+      if (dictRoute) {
+        val dict = gramDf
+          .agg(array_sort(collect_list(struct(col("gram"), col("df"))))
+            .as("gd"))
+          .select(
+            transform(col("gd"), x => x.getField("gram")).as("dict_grams"),
+            transform(col("gd"), x => x.getField("df")).as("dict_dfs"))
+        g.filter(col("ng").isNotNull)
+          .crossJoin(broadcast(dict))
+          .select(col("id"), col("len"),
+            explode(PrefixExprs.rankedPrefixGramsK(col("ng"),
+              col("dict_grams"), col("dict_dfs"), prefixLen)).as("gram"))
+      } else {
+        // open-universe fallback: rank by a per-doc window over the
+        // df-joined gram stream (same (df, gram) order, no broadcast)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("df"), col("gram"))
+        g.filter(col("ng").isNotNull)
+          .select(col("id"), col("len"), explode(col("ng")).as("gram"))
+          .join(gramDf, Seq("gram"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= prefixLen)
+          .select(col("id"), col("len"), col("gram"))
+      }
     val prefixCands = pre.as("a").join(pre.as("b"),
       col("a.gram") === col("b.gram") &&
         col("a.id") < col("b.id") &&

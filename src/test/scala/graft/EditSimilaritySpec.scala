@@ -37,6 +37,19 @@ class EditSimilaritySpec extends SparkTestBase {
     assert(got.contains((1L, 2L, 1)) && got.contains((3L, 4L, 1)))
   }
 
+  test("open-universe window-rank fallback equals the dictionary " +
+    "route (same (df, gram) order) and brute force") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dict = EditSimilarity.editDistancePairs(docs, maxDist = 8, q = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val win = EditSimilarity.editDistancePairs(docs, maxDist = 8, q = 4,
+      dictRoute = false)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(win === dict)
+    assert(win === brute(docs, 8))
+  }
+
   test("maxDist = 0 degenerates to exact-equality pairs") {
     val docs = Seq(
       (1L, "same text here"), (2L, "same text here"),
