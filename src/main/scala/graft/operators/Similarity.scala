@@ -251,6 +251,72 @@ object Similarity {
       for (c <- 0 until ksub; d <- 0 until dsub)
         cb((j * ksub + c) * dsub + d) = centers(c)(d)
     }
+    pqSearch(corpus, queries, cb, m, ksub, dsub, k, idCol, embCol)
+  }
+
+  /** The trained PQ codebooks as a PERSISTABLE relation — one row per
+    * (subspace, centroid, dimension): `j`, `c`, `pos`, `cval`. Write it
+    * out once and feed it to [[pqTopKWithCodebooks]]: a growing corpus
+    * re-encodes and searches without retraining — the same
+    * index-is-a-relation contract as [[ivfCentroids]] and the dedup
+    * signature tables. */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+      trainSample: Int = 100000, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sample = embeddings
+      .select(col(embCol).cast("array<float>").as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+      .limit(trainSample)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pqCodebooks: cannot train on an empty corpus")
+    require(sample.length >= ksub,
+      s"pqCodebooks: sample ${sample.length} smaller than ksub=$ksub")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pqCodebooks: dim $dim is not divisible by m=$m")
+    val dsub = dim / m
+    val rows = for {
+      j <- 0 until m
+      sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      centers = lloyds(sub, ksub)
+      c <- 0 until ksub
+      d <- 0 until dsub
+    } yield (j, c, d, centers(c)(d))
+    rows.toDF("j", "c", "pos", "cval")
+  }
+
+  /** [[pqTopK]] against a persisted [[pqCodebooks]] relation: m, ksub,
+    * dsub are derived from the relation's shape; only the codebook
+    * (m·ksub·dsub small rows) is collected, never corpus data. */
+  def pqTopKWithCodebooks(codebooks: DataFrame, embeddings: DataFrame,
+      queries: DataFrame, k: Int = 10, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val rows = codebooks.select(col("j").cast("int"), col("c").cast("int"),
+      col("pos").cast("int"), col("cval").cast("double")).collect()
+    require(rows.nonEmpty, "pqTopKWithCodebooks: empty codebook relation")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val dsub = rows.map(_.getInt(2)).max + 1
+    require(rows.length == m * ksub * dsub,
+      s"pqTopKWithCodebooks: ${rows.length} rows != $m*$ksub*$dsub — " +
+        "not a dense codebook relation")
+    val cb = new Array[Double](m * ksub * dsub)
+    rows.foreach { r =>
+      cb((r.getInt(0) * ksub + r.getInt(1)) * dsub + r.getInt(2)) =
+        r.getDouble(3)
+    }
+    val corpus = embeddings
+      .select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+    pqSearch(corpus, queries, cb, m, ksub, dsub, k, idCol, embCol)
+  }
+
+  private def pqSearch(corpus: DataFrame, queries: DataFrame,
+      cb: Array[Double], m: Int, ksub: Int, dsub: Int, k: Int,
+      idCol: String, embCol: String): DataFrame = {
+    val dim = m * dsub
     val sqn = new Array[Double](m * ksub)
     for (j <- 0 until m; c <- 0 until ksub) {
       var s = 0.0

@@ -1522,6 +1522,30 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("pq with persisted codebooks: relation is dense m*ksub*dsub, " +
+    "search works without retraining and matches the trained path") {
+    val dim = 64
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == axis) 1f else 0f)
+    val near = unit(0); near(1) = 0.02f
+    val emb = ((0L, unit(0)) +: (1L, near) +:
+      (2 until 40).map(i => (i.toLong, unit(i % dim)))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(emb, m = 16, ksub = 8)
+    assert(cb.count() === 16L * 8L * 4L)
+    val got = Similarity.pqTopKWithCodebooks(cb, emb,
+      emb.filter($"vec_id" === 0), k = 5)
+    val first = got.filter($"rnk" === 1).select("vec_id").as[Long].head()
+    assert(first === 1L)
+    // identical training seed -> identical results to the inline path
+    val inline = Similarity.pqTopK(emb, emb.filter($"vec_id" === 0),
+      k = 5, m = 16, ksub = 8)
+      .select("query_id", "vec_id", "rnk").as[(Long, Long, Int)]
+      .collect().toSet
+    val persisted = got.select("query_id", "vec_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(persisted === inline)
+  }
+
   test("ivf with persisted centroids: relation has nLists x dim rows, " +
     "search works without retraining, assignments are reusable") {
     val dim = 64
