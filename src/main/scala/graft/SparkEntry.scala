@@ -31,6 +31,7 @@ object SparkEntry {
   val AnnLshRecallFloor = 0.2 // measured min 0.3 (sf0.01 and sf0.1)
   val AnnIvfRecallFloor = 0.4 // measured min 0.5 (sf0.01 and sf0.1)
   val AnnPqRecallFloor = 0.3 // measured min 0.4 (sf0.001), 0.6 (sf0.01/0.1)
+  val AnnIvfPqRecallFloor = 0.3 // measured min 0.5 (sf0.001), 0.6 (sf0.01/0.1)
 
   /** Exact, order-independent sum of a double column: cast each value to
     * DECIMAL(18,6) (exact for this corpus's ≤2-decimal doubles), sum
@@ -431,6 +432,17 @@ object SparkEntry {
       Similarity.recallGate(
         Similarity.pqTopK(emb, qs, k = 10, m = 16, ksub = 64),
         Similarity.cosineTopK(emb, qs, k = 10), floor = AnnPqRecallFloor)
+    }),
+    // the composed billion-scale index: IVF cuts candidates, PQ cuts
+    // bytes — candidates scored from codes only, recall-gated
+    "x84_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+      Similarity.recallGate(
+        Similarity.ivfPqTopK(emb, qs, k = 10, nLists = 8, nProbe = 6,
+          m = 16, ksub = 64),
+        Similarity.cosineTopK(emb, qs, k = 10),
+        floor = AnnIvfPqRecallFloor)
     }),
     // contrastive negatives: deterministic modular walk, near-dup
     // CLUSTERS excluded (the clusterAwareSplit leakage rule applied to
@@ -1312,6 +1324,7 @@ object SparkEntry {
     "x6_ann_lsh" -> AnnExactTopkOracle,
     "x13_ann_ivf" -> AnnExactTopkOracle,
     "x83_ann_pq" -> AnnExactTopkOracle,
+    "x84_ann_ivfpq" -> AnnExactTopkOracle,
     // recomputes both polynomial fingerprints code point by code point
     "x10_fingerprint" ->
       """WITH c AS (

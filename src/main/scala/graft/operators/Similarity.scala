@@ -243,14 +243,7 @@ object Similarity {
     val dim = sample(0).length
     require(dim % m == 0, s"pqTopK: dim $dim is not divisible by m=$m")
     val dsub = dim / m
-    val cb = new Array[Double](m * ksub * dsub)
-    for (j <- 0 until m) {
-      val sub = sample.map(v =>
-        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
-      val centers = lloyds(sub, ksub)
-      for (c <- 0 until ksub; d <- 0 until dsub)
-        cb((j * ksub + c) * dsub + d) = centers(c)(d)
-    }
+    val cb = pqTrain(sample, m, ksub, dsub)
     pqSearch(corpus, queries, cb, m, ksub, dsub, k, idCol, embCol)
   }
 
@@ -313,10 +306,9 @@ object Similarity {
     pqSearch(corpus, queries, cb, m, ksub, dsub, k, idCol, embCol)
   }
 
-  private def pqSearch(corpus: DataFrame, queries: DataFrame,
-      cb: Array[Double], m: Int, ksub: Int, dsub: Int, k: Int,
-      idCol: String, embCol: String): DataFrame = {
-    val dim = m * dsub
+  /** Per-centroid squared norms of a flattened codebook. */
+  private def pqSqNorms(cb: Array[Double], m: Int, ksub: Int,
+      dsub: Int): Array[Double] = {
     val sqn = new Array[Double](m * ksub)
     for (j <- 0 until m; c <- 0 until ksub) {
       var s = 0.0
@@ -325,6 +317,93 @@ object Similarity {
       }
       sqn(j * ksub + c) = s
     }
+    sqn
+  }
+
+  /** Train per-subspace PQ codebooks on a float sample → flattened
+    * [j][c][d] array. */
+  private def pqTrain(sample: Array[Array[Float]], m: Int, ksub: Int,
+      dsub: Int): Array[Double] = {
+    val cb = new Array[Double](m * ksub * dsub)
+    for (j <- 0 until m) {
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      val centers = lloyds(sub, ksub)
+      for (c <- 0 until ksub; d <- 0 until dsub)
+        cb((j * ksub + c) * dsub + d) = centers(c)(d)
+    }
+    cb
+  }
+
+  /** IVF + PQ composed index — the standard billion-scale ANN layout:
+    * the coarse quantizer cuts CANDIDATES (each query scores only its
+    * nProbe cells ≈ nProbe/nLists of the corpus) and product
+    * quantization cuts BYTES (candidates are scored from m·4-byte code
+    * rows via the per-query ADC table; original vectors are never
+    * re-read at query time). Same training contract (one capped driver
+    * sample feeds both quantizers), same recall-gate verification as
+    * the other ANN paths.
+    *
+    * Scale shape: index build is one projection (cell + codes per
+    * vector); search is a cell-equality join against the broadcast
+    * probe set — never a full scan, never the raw embeddings. */
+  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      trainSample: Int = 100000, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && ksub >= 2,
+      s"ivfPqTopK: need m >= 1 and ksub >= 2, got m=$m ksub=$ksub")
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"ivfPqTopK: need 1 <= nProbe <= nLists, got $nProbe/$nLists")
+    val corpus = embeddings
+      .select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+    val sample = corpus
+      .select(col("v").cast("array<float>")).limit(trainSample)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "ivfPqTopK: cannot train on an empty corpus")
+    require(sample.length >= math.max(ksub, nLists),
+      s"ivfPqTopK: sample ${sample.length} smaller than ksub/nLists")
+    val dim = sample(0).length
+    require(dim % m == 0, s"ivfPqTopK: dim $dim is not divisible by m=$m")
+    val dsub = dim / m
+    val centers = lloyds(sample, nLists)
+    val cb = pqTrain(sample, m, ksub, dsub)
+    val sqn = pqSqNorms(cb, m, ksub, dsub)
+
+    val assigned = corpus
+      .select(col("vec_id"),
+        element_at(cellsRankedExpr(col("v"), centers), 1)("cell").as("cell"),
+        PqExprs.encode(col("v"), cb, m, ksub, dsub).as("codes"))
+    val qs = queries
+      .select(col(idCol).as("query_id"),
+        col(embCol).cast("array<double>").as("q"))
+      .filter(col("q").isNotNull && !exists(col("q"), _.isNull) &&
+        size(col("q")) === dim)
+      .select(col("query_id"),
+        explode(slice(cellsRankedExpr(col("q"), centers), 1, nProbe)("cell"))
+          .as("cell"),
+        PqExprs.table(col("q"), cb, m, ksub, dsub).as("qt"),
+        sqrt(VectorExprs.dot(col("q"), col("q"))).as("qnorm"))
+    // one cell per corpus vector × distinct probe cells ⇒ each
+    // (query, vec) pair matches at most once — no distinct needed
+    val scored = assigned.join(broadcast(qs),
+      assigned("cell") === qs("cell") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        PqExprs.cosine(col("codes"), col("qt"), col("qnorm"), sqn, m, ksub)
+          .as("pq_cosine"))
+      .filter(col("pq_cosine").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  private def pqSearch(corpus: DataFrame, queries: DataFrame,
+      cb: Array[Double], m: Int, ksub: Int, dsub: Int, k: Int,
+      idCol: String, embCol: String): DataFrame = {
+    val dim = m * dsub
+    val sqn = pqSqNorms(cb, m, ksub, dsub)
     val codes = corpus.filter(size(col("v")) === dim)
       .select(col("vec_id"),
         PqExprs.encode(col("v"), cb, m, ksub, dsub).as("codes"))
@@ -548,27 +627,30 @@ object Similarity {
     * assignment is one codegen projection, the probe a cell-equality
     * broadcast join. `corpus` must already carry (vec_id, v) with
     * nulls excluded. */
+  /** Ranked (distance, cell) array per vector — the coarse-quantizer
+    * assignment expression shared by the IVF and IVF+PQ paths. The
+    * centroid matrix rides in the plan as literals; a row whose
+    * embedding width disagrees with the trained dimension fails loudly
+    * instead of silently collapsing into one cell (a null dot product
+    * would rank every centroid equal). */
+  private def cellsRankedExpr(v: Column,
+      centers: Array[Array[Double]]): Column = {
+    val dim = centers(0).length
+    def dist2(c: Array[Double]): Column =
+      VectorExprs.dot(v, v) - lit(2.0) * VectorExprs.dot(v, typedlit(c.toSeq)) +
+        lit(c.map(x => x * x).sum)
+    val ranked = sort_array(array(centers.zipWithIndex.map { case (c, i) =>
+      struct(dist2(c).as("d"), lit(i).as("cell"))
+    }: _*))
+    when(size(v) === dim, ranked).otherwise(raise_error(concat(
+      lit(s"ivfTopK: embedding dim mismatch, expected $dim got "),
+      size(v).cast("string"))).cast("array<struct<d:double,cell:int>>"))
+  }
+
   private def ivfSearch(corpus: DataFrame, queries: DataFrame,
       centers: Array[Array[Double]], k: Int, nProbe: Int,
       idCol: String, embCol: String): DataFrame = {
-    val dim = centers(0).length
-
-    // nearest cell(s) by L2 — a plain codegen'd expression per centroid
-    // (the centroid matrix rides in the plan as literals). A row whose
-    // embedding width disagrees with the trained dimension fails loudly
-    // instead of silently collapsing into one cell (a null dot product
-    // would rank every centroid equal).
-    def dist2(v: Column, c: Array[Double]): Column =
-      VectorExprs.dot(v, v) - lit(2.0) * VectorExprs.dot(v, typedlit(c.toSeq)) +
-        lit(c.map(x => x * x).sum)
-    def cellsRanked(v: Column): Column = {
-      val ranked = sort_array(array(centers.zipWithIndex.map { case (c, i) =>
-        struct(dist2(v, c).as("d"), lit(i).as("cell"))
-      }: _*))
-      when(size(v) === dim, ranked).otherwise(raise_error(concat(
-        lit(s"ivfTopK: embedding dim mismatch, expected $dim got "),
-        size(v).cast("string"))).cast("array<struct<d:double,cell:int>>"))
-    }
+    def cellsRanked(v: Column): Column = cellsRankedExpr(v, centers)
 
     val assigned = corpus
       .withColumn("cell", element_at(cellsRanked(col("v")), 1)("cell"))

@@ -1546,6 +1546,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(persisted === inline)
   }
 
+  test("ivf+pq composed index: near-identical vector ranks first; " +
+    "probe bounds validated") {
+    val dim = 64
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == axis) 1f else 0f)
+    val near = unit(0); near(1) = 0.02f
+    val emb = ((0L, unit(0)) +: (1L, near) +:
+      (2 until 40).map(i => (i.toLong, unit(i % dim)))).toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqTopK(emb, emb.filter($"vec_id" === 0),
+      k = 5, nLists = 4, nProbe = 2, m = 16, ksub = 8)
+    val first = got.filter($"rnk" === 1).select("vec_id").as[Long].head()
+    assert(first === 1L)
+    intercept[IllegalArgumentException] { // nProbe > nLists
+      Similarity.ivfPqTopK(emb, emb.limit(1), nLists = 4, nProbe = 5)
+    }
+  }
+
   test("ivf with persisted centroids: relation has nLists x dim rows, " +
     "search works without retraining, assignments are reusable") {
     val dim = 64

@@ -142,8 +142,10 @@ class PlanSpec extends SparkTestBase {
         "x59_decontaminate_bloom", "x62_hll_distinct", "x66_semdedup",
         "x70_edit_distance", "x81_bigram_lift",
         // x83's ADC scan is the deliberate x5/x45 broadcast-scan shape
-        // over the CODE relation (m·4 bytes/vector, not dim·4)
-        "x83_ann_pq")
+        // over the CODE relation (m·4 bytes/vector, not dim·4); x84's
+        // own search is a cell-equality join, but its recall gate
+        // embeds the same exact brute-force baseline as x6/x13
+        "x83_ann_pq", "x84_ann_ivfpq")
     for ((name, q) <- SparkEntry.queries) {
       val p = q(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
