@@ -467,15 +467,17 @@ object SparkEntry {
       graft.analytics.Trends.dailyTrend(Tables.events(s, dir))),
     // conversion latency: exact percentiles of (furthest − first stage
     // time) over users completing the whole funnel — funnelUsers ∘
-    // exactPercentiles composition
+    // exactPercentilesGlobal composition (distributed global rank, no
+    // single-partition window)
     "x78_funnel_durations" -> ((s, dir) => {
       val fu = graft.analytics.Funnels.funnelUsers(
         Tables.events(s, dir).filter(col("event_id") % 13 === 0),
         Seq("view", "click", "purchase"))
-      graft.operators.Corpus.exactPercentiles(
-        fu.filter(col("reached") === 3).withColumn("grp", lit("all")),
-        "grp", (col("last_us") - col("first_us")).cast("double"),
+      graft.operators.Corpus.exactPercentilesGlobal(
+        fu.filter(col("reached") === 3),
+        (col("last_us") - col("first_us")).cast("double"),
         Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .withColumn("grp", lit("all"))
     }),
     // first-order event-flow structure; (ts, event_id) order makes
     // equal-timestamp neighbours deterministic on both engines

@@ -434,6 +434,87 @@ object Corpus {
       .select(col(groupCol) +: out: _*)
   }
 
+  /** [[exactPercentiles]] over the WHOLE input (no grouping) — the
+    * degenerate case where the keyed route would drag every row
+    * through ONE window task (`partitionBy` on a constant folds to an
+    * empty spec: the "WindowExec: No Partition Defined" single-
+    * partition plan). Instead this is the distributed rank from
+    * [[capTokensGlobal]]: (1) range-repartition on the value so each
+    * of `numRanges` tasks sorts only its slice; (2) ONE bounded
+    * aggregate — a row per range — collected and prefix-summed on the
+    * driver (the sanctioned-collect contract: #partitions rows, never
+    * data); (3) per-range `row_number` windows (each partitioned by
+    * range id, sorted in parallel) plus the broadcast offset give the
+    * GLOBAL rank, and a single final aggregate picks the two
+    * bracketing ranks per percentile. Because the total count is a
+    * driver scalar, the bracketing ranks and interpolation fractions
+    * are plain literals — the plan carries no per-row count window at
+    * all. Same `quantile_cont` definition (pos = p·(n−1), linear
+    * interpolation, 6-dp round) as the keyed route, so results are
+    * oracle-identical. Output: ONE row with a column per percentile
+    * name; empty input → empty output (matching the keyed route's
+    * empty groupBy). */
+  def exactPercentilesGlobal(df: DataFrame, value: Column,
+      ps: Seq[(String, Double)], numRanges: Int = 32): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
+      s"exactPercentilesGlobal: percentiles must be in [0,1], got $ps")
+    require(numRanges > 0,
+      s"exactPercentilesGlobal: numRanges must be > 0, got $numRanges")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val v = df.select(value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val ranged = v.repartitionByRange(numRanges, col("v"))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    try {
+      // bounded: one row per non-empty range
+      val partials = ranged.groupBy(col("_pid"))
+        .agg(count(lit(1)).as("_c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = partials.map(_._2).sum
+      val schema = org.apache.spark.sql.types.StructType(ps.map { case (name, _) =>
+        org.apache.spark.sql.types.StructField(name,
+          org.apache.spark.sql.types.DoubleType, nullable = true)
+      })
+      if (n == 0L) return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val offsets = partials.scanLeft((0, 0L)) {
+        case ((_, acc), (pid, c)) => (pid, acc + c)
+      }.init.zip(partials).map { case ((_, off), (pid, _)) => (pid, off) }
+      val offCol = offsets.foldLeft(Option.empty[Column]) {
+        case (acc, (pid, off)) => Some(acc match {
+          case None => when(col("_pid") === pid, off)
+          case Some(c) => c.when(col("_pid") === pid, off)
+        })
+      }.map(_.otherwise(0L)).getOrElse(lit(0L))
+      // driver-side rank arithmetic: n is a scalar, so the bracketing
+      // ranks / fractions are literals, not per-row window counts
+      val wanted = ps.map { case (name, p) =>
+        val pos = p * (n - 1)
+        (name, math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1,
+          pos - math.floor(pos))
+      }
+      val ranked = ranged.withColumn("_rn",
+        row_number().over(
+          Window.partitionBy(col("_pid")).orderBy(col("v"))) + offCol)
+      val aggs = wanted.flatMap { case (name, lo, hi, _) =>
+        Seq(max(when(col("_rn") === lo, col("v"))).as(s"_lo_$name"),
+          max(when(col("_rn") === hi, col("v"))).as(s"_hi_$name"))
+      }
+      val out = wanted.map { case (name, _, _, frac) =>
+        round(col(s"_lo_$name") +
+          lit(frac) * (col(s"_hi_$name") - col(s"_lo_$name")), 6).as(name)
+      }
+      // ONE bounded row: materialize eagerly so the range cache can be
+      // released here instead of leaking into the caller's session
+      val row = ranked.agg(aggs.head, aggs.tail: _*).select(out: _*)
+        .collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(row.toSeq, 1), schema)
+    } finally ranged.unpersist()
+  }
+
   /** Global quantile binning: assign every row its `nBins`-quantile bin
     * of `value` (1-based; bin k covers [b_{k-1}, b_k) with a
     * boundary-valued row going UP) — the stratification primitive
@@ -443,10 +524,12 @@ object Corpus {
     * so bin membership is engine-portable; compose with
     * [[sampleByHash]]/[[mixBySource]] on the bin for per-stratum rates.
     *
-    * Scale shape: one distributed-sort percentile pass (the x19 kernel,
-    * spilling sort, no per-group buffering) reduces to a single
-    * (nBins−1)-element boundary row that broadcasts onto a one-pass bin
-    * projection — the corpus itself is scanned twice and shuffled never.
+    * Scale shape: one distributed global-rank percentile pass
+    * ([[exactPercentilesGlobal]] — range-partitioned parallel sorts +
+    * driver offset table, never a single-partition window) reduces to a
+    * single (nBins−1)-element boundary row that broadcasts onto a
+    * one-pass bin projection — the corpus itself is scanned twice and
+    * shuffled never.
     * Rows with a null value have no bin and are excluded (they are
     * excluded from the boundaries too).
     *
@@ -455,9 +538,8 @@ object Corpus {
       idCol: String = "doc_id"): DataFrame = {
     require(nBins >= 2, s"binByQuantiles: nBins must be >= 2, got $nBins")
     val ps = (1 until nBins).map(i => (s"_p$i", i.toDouble / nBins))
-    val bounds = exactPercentiles(
-      df.select(col(idCol), value.as("_v")).withColumn("_g", lit("all")),
-      "_g", col("_v"), ps)
+    val bounds = exactPercentilesGlobal(
+      df.select(value.as("_v")), col("_v"), ps)
       .select(array(ps.map(p => col(p._1)): _*).as("_bounds"))
     df.select(col(idCol), value.cast("double").as("value"))
       .filter(col("value").isNotNull)

@@ -978,6 +978,31 @@ class OperatorsSpec extends SparkTestBase {
       ap.toString)
   }
 
+  test("global percentiles: distributed rank route is value-identical " +
+    "to the keyed route; empty input yields empty output; no " +
+    "partition-less window in any plan it runs") {
+    import graft.operators.Corpus
+    val rnd = new scala.util.Random(7)
+    val big = (1 to 5000).map(_ => ("all", rnd.nextInt(100000).toDouble))
+      .toDF("g", "v")
+    val ps = Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val keyed = Corpus.exactPercentiles(big, "g", col("v"), ps)
+      .drop("g").as[(Double, Double, Double, Double)].collect().head
+    // exercise the multi-range path: 5000 rows over 8 ranges
+    val global = Corpus.exactPercentilesGlobal(big, col("v"), ps,
+      numRanges = 8).as[(Double, Double, Double, Double)].collect().head
+    assert(global === keyed)
+    // fewer rows than ranges (degenerate partitioning) still exact
+    val tiny = Seq(1.0, 2.0, 3.0).toDF("v")
+    val t = Corpus.exactPercentilesGlobal(tiny, col("v"),
+      Seq("p50" -> 0.5)).as[Double].collect()
+    assert(t === Array(2.0))
+    // empty input: empty frame (matching the keyed route's empty groupBy)
+    val e = Corpus.exactPercentilesGlobal(
+      tiny.filter(col("v") < 0), col("v"), Seq("p50" -> 0.5))
+    assert(e.count() === 0 && e.columns === Array("p50"))
+  }
+
   test("corpus chunking property: dropping each chunk's overlap prefix " +
     "reconstructs the text exactly (random lengths/params)") {
     import graft.operators.Corpus

@@ -154,4 +154,22 @@ class PlanSpec extends SparkTestBase {
           s"$name plans a nested-loop join")
     }
   }
+
+  test("no query plans a partition-less WindowExec (the single-task " +
+    "global-sort plan; constant partition keys constant-fold to an " +
+    "EMPTY spec, so this catches the whole lit-group bug class)") {
+    // exactPercentilesGlobal replaced the constant-group window for
+    // x46/x78 with the range-partition + driver-offset distributed
+    // rank; every remaining window must carry real partition keys
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    for ((name, q) <- SparkEntry.queries) {
+      val exec = q(spark, dir).queryExecution.executedPlan
+      val global = exec.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"$name plans a partition-less window:\n$exec")
+    }
+  }
 }
