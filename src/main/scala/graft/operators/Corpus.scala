@@ -455,7 +455,8 @@ object Corpus {
     * name; empty input → empty output (matching the keyed route's
     * empty groupBy). */
   def exactPercentilesGlobal(df: DataFrame, value: Column,
-      ps: Seq[(String, Double)], numRanges: Int = 32): DataFrame = {
+      ps: Seq[(String, Double)], numRanges: Int = 32,
+      roundDp: Int = 6): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
       s"exactPercentilesGlobal: percentiles must be in [0,1], got $ps")
     require(numRanges > 0,
@@ -502,9 +503,14 @@ object Corpus {
         Seq(max(when(col("_rn") === lo, col("v"))).as(s"_lo_$name"),
           max(when(col("_rn") === hi, col("v"))).as(s"_hi_$name"))
       }
+      // roundDp < 0 skips rounding: decimal rounding of a double is only
+      // magnitude-safe below ~2^53/10^dp (a µs-scale duration at 1e12
+      // already isn't), and the raw lo + frac·(hi−lo) is bit-portable
+      // across engines as long as both evaluate that exact IEEE op order
       val out = wanted.map { case (name, _, _, frac) =>
-        round(col(s"_lo_$name") +
-          lit(frac) * (col(s"_hi_$name") - col(s"_lo_$name")), 6).as(name)
+        val interp = col(s"_lo_$name") +
+          lit(frac) * (col(s"_hi_$name") - col(s"_lo_$name"))
+        (if (roundDp >= 0) round(interp, roundDp) else interp).as(name)
       }
       // ONE bounded row: materialize eagerly so the range cache can be
       // released here instead of leaking into the caller's session
