@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -106,7 +106,12 @@ object BloomOps {
 case class BloomBuildAgg(child: Expression, numBits: Long, numHashes: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression]
+    with ImplicitCastInputTypes {
+
+  // analysis-time contract: an INT key gets an implicit cast; an
+  // incompatible column fails resolution, not execution
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   require(numBits >= 64 && numBits % 64 == 0 &&
     numBits <= 64L * Int.MaxValue,

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -90,7 +90,11 @@ case class HllSketchAgg(child: Expression, p: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Byte]]
-    with UnaryLike[Expression] {
+    with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  // analysis-time contract: an INT hash gets an implicit cast; an
+  // incompatible column fails resolution, not execution
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   require(p >= HllOps.MinP && p <= HllOps.MaxP,
     s"HllSketchAgg: p must be in [${HllOps.MinP},${HllOps.MaxP}], got $p")
@@ -131,7 +135,10 @@ case class HllMergeAgg(child: Expression, p: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Byte]]
-    with UnaryLike[Expression] {
+    with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  // only a serialized sketch column is a valid merge input
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
 
   require(p >= HllOps.MinP && p <= HllOps.MaxP,
     s"HllMergeAgg: p must be in [${HllOps.MinP},${HllOps.MaxP}], got $p")

@@ -6,7 +6,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -41,10 +41,15 @@ case class TopKPairs(scoreExpr: Expression, idExpr: Expression, k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.PriorityQueue[TopKPairs.Pair]]
-    with BinaryLike[Expression] {
+    with BinaryLike[Expression] with ImplicitCastInputTypes {
 
   require(k >= 1 && k <= 1000000,
     s"TopKPairs: k must be in [1, 1000000], got $k")
+
+  // analysis-time contract: a DECIMAL score or INT id gets an implicit
+  // cast; a genuinely incompatible column fails resolution instead of
+  // throwing ClassCastException at execution
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   private type Buf = java.util.PriorityQueue[TopKPairs.Pair]
 

@@ -765,7 +765,12 @@ object Dedup {
     * carries true overlaps + an fpRate-sized sliver of the corpus
     * instead of every gram of every document. At the default ~14.4
     * bits/key with 10 probes (fp ≈ 0.1%), a clean corpus shuffles ~0.1%
-    * of its gram volume. */
+    * of its gram volume.
+    *
+    * Cache lifecycle: the returned (lazy) plan references the persisted
+    * distinct benchmark-gram relation twice (bloom build + exact verify
+    * join) — the CALLER owns releasing it once the result is consumed,
+    * the same contract as [[minhashLsh]]. */
   def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
       minSharedGrams: Int = 8, n: Int = 5, idCol: String = "doc_id",
       textCol: String = "text", bitsPerGram: Int = 14,

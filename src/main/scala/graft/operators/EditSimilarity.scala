@@ -76,7 +76,13 @@ object EditSimilarity {
     * per-doc window — one extra shuffle + sort of the gram table, no
     * broadcast requirement (the same dichotomy as x4's
     * `localPrefixRank`). Both routes use the identical (df, gram)
-    * total order, so candidates — and therefore results — coincide. */
+    * total order, so candidates — and therefore results — coincide.
+    *
+    * Cache lifecycle: the returned (lazy) plan references a persisted
+    * per-doc gram relation from several branches — the CALLER owns
+    * releasing it (`spark.catalog.clearCache()` or session end) once the
+    * result is consumed, the same contract as `Dedup.minhashLsh` /
+    * `connectedComponents`' driver route. */
   def editDistancePairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxDist: Int = 20, q: Int = 4,
       dictRoute: Boolean = true): DataFrame = {

@@ -228,15 +228,16 @@ object Similarity {
     * over the code relation, top-k per query via the rank window. */
   def pqTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       m: Int = 8, ksub: Int = 16, trainSample: Int = 100000,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxTrainBytes: Long = 64L << 20): DataFrame = {
     require(m >= 1 && ksub >= 2,
       s"pqTopK: need m >= 1 and ksub >= 2, got m=$m ksub=$ksub")
     val corpus = embeddings
       .select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
-    val sample = corpus
-      .select(col("v").cast("array<float>")).limit(trainSample)
-      .collect().map(_.getSeq[Float](0).toArray)
+    val sample = collectTrainSample(
+      corpus.select(col("v").cast("array<float>")),
+      trainSample, maxTrainBytes, "pqTopK")
     require(sample.nonEmpty, "pqTopK: cannot train on an empty corpus")
     require(sample.length >= ksub,
       s"pqTopK: sample ${sample.length} smaller than ksub=$ksub")
@@ -255,14 +256,15 @@ object Similarity {
     * signature tables. */
   def pqCodebooks(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
       trainSample: Int = 100000, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      maxTrainBytes: Long = 64L << 20): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val sample = embeddings
-      .select(col(embCol).cast("array<float>").as("v"))
-      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
-      .limit(trainSample)
-      .collect().map(_.getSeq[Float](0).toArray)
+    val sample = collectTrainSample(
+      embeddings
+        .select(col(embCol).cast("array<float>").as("v"))
+        .filter(col("v").isNotNull && !exists(col("v"), _.isNull)),
+      trainSample, maxTrainBytes, "pqCodebooks")
     require(sample.nonEmpty, "pqCodebooks: cannot train on an empty corpus")
     require(sample.length >= ksub,
       s"pqCodebooks: sample ${sample.length} smaller than ksub=$ksub")
@@ -350,7 +352,8 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       nLists: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
       trainSample: Int = 100000, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      maxTrainBytes: Long = 64L << 20): DataFrame = {
     require(m >= 1 && ksub >= 2,
       s"ivfPqTopK: need m >= 1 and ksub >= 2, got m=$m ksub=$ksub")
     require(nProbe >= 1 && nProbe <= nLists,
@@ -358,9 +361,9 @@ object Similarity {
     val corpus = embeddings
       .select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
-    val sample = corpus
-      .select(col("v").cast("array<float>")).limit(trainSample)
-      .collect().map(_.getSeq[Float](0).toArray)
+    val sample = collectTrainSample(
+      corpus.select(col("v").cast("array<float>")),
+      trainSample, maxTrainBytes, "ivfPqTopK")
     require(sample.nonEmpty, "ivfPqTopK: cannot train on an empty corpus")
     require(sample.length >= math.max(ksub, nLists),
       s"ivfPqTopK: sample ${sample.length} smaller than ksub/nLists")
@@ -371,10 +374,15 @@ object Similarity {
     val cb = pqTrain(sample, m, ksub, dsub)
     val sqn = pqSqNorms(cb, m, ksub, dsub)
 
+    // guard BEFORE encode: PqOps.encode reads dim doubles unchecked, so
+    // a mismatched row must raise from the encode input itself — relying
+    // on the cell column's raise_error firing first would couple
+    // correctness to projection evaluation order
+    val vg = dimGuarded(col("v"), dim, "ivfPqTopK")
     val assigned = corpus
       .select(col("vec_id"),
-        element_at(cellsRankedExpr(col("v"), centers), 1)("cell").as("cell"),
-        PqExprs.encode(col("v"), cb, m, ksub, dsub).as("codes"))
+        element_at(cellsRankedExpr(vg, centers), 1)("cell").as("cell"),
+        PqExprs.encode(vg, cb, m, ksub, dsub).as("codes"))
     val qs = queries
       .select(col(idCol).as("query_id"),
         col(embCol).cast("array<double>").as("q"))
@@ -399,14 +407,26 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Raise-on-mismatch embedding guard: the uniform ANN contract (same
+    * as [[cellsRankedExpr]] / [[lshBucket]]) — a vector whose width
+    * disagrees with the trained dimension fails loudly instead of
+    * being silently dropped or read out of bounds. */
+  private def dimGuarded(v: Column, dim: Int, what: String): Column =
+    when(size(v) === dim, v).otherwise(raise_error(concat(
+      lit(s"$what: embedding dim mismatch, expected $dim got "),
+      size(v).cast("string"))).cast("array<double>"))
+
   private def pqSearch(corpus: DataFrame, queries: DataFrame,
       cb: Array[Double], m: Int, ksub: Int, dsub: Int, k: Int,
       idCol: String, embCol: String): DataFrame = {
     val dim = m * dsub
     val sqn = pqSqNorms(cb, m, ksub, dsub)
-    val codes = corpus.filter(size(col("v")) === dim)
+    // loud on mismatch (was: silent drop) — consistent with the IVF and
+    // LSH paths, and the only behavior that cannot hide a garbled corpus
+    val codes = corpus
       .select(col("vec_id"),
-        PqExprs.encode(col("v"), cb, m, ksub, dsub).as("codes"))
+        PqExprs.encode(dimGuarded(col("v"), dim, "pqTopK"), cb, m, ksub,
+          dsub).as("codes"))
     val qs = queries
       .select(col(idCol).as("query_id"),
         col(embCol).cast("array<double>").as("q"))
@@ -545,6 +565,30 @@ object Similarity {
     centers
   }
 
+  /** Bounded training-sample collect shared by every index-build path:
+    * the row cap is the MIN of `trainSample` and however many rows fit
+    * the `maxTrainBytes` byte budget at the corpus's embedding width
+    * (probed from one row), so the "bounded driver collect" contract is
+    * robust to WIDE embeddings, not just long corpora — 100k rows of
+    * dim-1024 floats would otherwise be ~400 MB on the driver. `vecs`
+    * must be a single `array<float>` column with nulls already
+    * excluded. */
+  private def collectTrainSample(vecs: DataFrame, trainSample: Int,
+      maxTrainBytes: Long, what: String): Array[Array[Float]] = {
+    require(trainSample >= 1,
+      s"$what: trainSample must be >= 1, got $trainSample")
+    val head = vecs.limit(1).collect()
+    if (head.isEmpty) return Array.empty
+    val dim = math.max(head(0).getSeq[Float](0).length, 1)
+    val rowsInBudget = maxTrainBytes / (4L * dim)
+    require(rowsInBudget >= 1,
+      s"$what: maxTrainBytes=$maxTrainBytes holds zero dim-$dim vectors " +
+        s"(${4L * dim} bytes each) — raise maxTrainBytes to at least " +
+        s"${4L * dim}")
+    val cap = math.min(trainSample.toLong, rowsInBudget).toInt
+    vecs.limit(cap).collect().map(_.getSeq[Float](0).toArray)
+  }
+
   /** Approximate top-k via an IVF index: a k-means coarse quantizer
     * partitions the corpus into `nLists` cells; each query probes its
     * `nProbe` nearest cells and ranks candidates by exact cosine.
@@ -558,7 +602,8 @@ object Similarity {
     * (fixed seed). */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       nLists: Int = 16, nProbe: Int = 4, trainSample: Int = 100000,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxTrainBytes: Long = 64L << 20): DataFrame = {
     // null vectors AND vectors with null elements are non-neighbors
     // (cosineTopK semantics) — exclude both up front: size() counts null
     // elements, so such a vector would pass the dim guard, get a null
@@ -571,9 +616,9 @@ object Similarity {
     // (the pre-rework MLlib path accepted both), and a raw getSeq[Float]
     // on doubles would throw ClassCastException. The corpus filter above
     // already dropped null vectors / null elements.
-    val sample = corpus
-      .select(col("v").cast("array<float>")).limit(trainSample)
-      .collect().map(_.getSeq[Float](0).toArray)
+    val sample = collectTrainSample(
+      corpus.select(col("v").cast("array<float>")),
+      trainSample, maxTrainBytes, "ivfTopK")
     val centers = lloyds(sample, nLists)
     ivfSearch(corpus, queries, centers, k, nProbe, idCol, embCol)
   }
@@ -586,12 +631,13 @@ object Similarity {
     * Training is the [[ivfTopK]] path: a capped driver sample through
     * [[lloyds]]. */
   def ivfCentroids(embeddings: DataFrame, nLists: Int = 16,
-      trainSample: Int = 100000, embCol: String = "embedding"): DataFrame = {
+      trainSample: Int = 100000, embCol: String = "embedding",
+      maxTrainBytes: Long = 64L << 20): DataFrame = {
     val corpus = embeddings.select(col(embCol).as("v"))
       .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
-    val sample = corpus
-      .select(col("v").cast("array<float>")).limit(trainSample)
-      .collect().map(_.getSeq[Float](0).toArray)
+    val sample = collectTrainSample(
+      corpus.select(col("v").cast("array<float>")),
+      trainSample, maxTrainBytes, "ivfCentroids")
     val centers = lloyds(sample, nLists)
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -765,15 +811,16 @@ object Similarity {
     * `cell`, `kept`). */
   def semanticDedup(embeddings: DataFrame, threshold: Double,
       nLists: Int = 8, trainSample: Int = 100000,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxTrainBytes: Long = 64L << 20): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"semanticDedup: threshold must be in (0,1], got $threshold")
     val corpus = embeddings.select(col(idCol).as("vec_id"),
         col(embCol).as("v"))
       .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
-    val sample = corpus
-      .select(col("v").cast("array<float>")).limit(trainSample)
-      .collect().map(_.getSeq[Float](0).toArray)
+    val sample = collectTrainSample(
+      corpus.select(col("v").cast("array<float>")),
+      trainSample, maxTrainBytes, "semanticDedup")
     val centers = lloyds(sample, nLists)
     val dim = centers(0).length
     def dist2(v: Column, c: Array[Double]): Column =
@@ -826,14 +873,29 @@ object Similarity {
           round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val caught = droppable
-      .join(sd.filter(!col("kept")).select(col(idCol).as("vec_id")),
-        Seq("vec_id"), "left_semi")
-    droppable.agg(count(lit(1)).as("n_droppable"))
-      .crossJoin(caught.agg(count(lit(1)).as("_n_caught")))
-      .select(col("n_droppable"),
-        (col("n_droppable") === 0L ||
-          col("_n_caught").cast("double") >=
-            lit(floor) * col("n_droppable").cast("double")).as("recall_ok"))
+    try {
+      val caught = droppable
+        .join(sd.filter(!col("kept")).select(col(idCol).as("vec_id")),
+          Seq("vec_id"), "left_semi")
+      // the gate is ONE bounded row — materialize it eagerly so the
+      // droppable cache can be released here instead of leaking into the
+      // caller's session (the corpus-sized operators can't do this: their
+      // output is lazy and still references the cache)
+      val rows = droppable.agg(count(lit(1)).as("n_droppable"))
+        .crossJoin(caught.agg(count(lit(1)).as("_n_caught")))
+        .select(col("n_droppable"),
+          (col("n_droppable") === 0L ||
+            col("_n_caught").cast("double") >=
+              lit(floor) * col("n_droppable").cast("double")).as("recall_ok"))
+        .collect()
+      val spark = embeddings.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_droppable",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("recall_ok",
+            org.apache.spark.sql.types.BooleanType, nullable = true))))
+    } finally droppable.unpersist()
   }
 }

@@ -124,18 +124,29 @@ object Vocab {
     * shuffle, a TakeOrdered(1) (one row to the driver), and one
     * projection pass with per-round lineage truncation — the same
     * iterative-job discipline as connected components. The sequential
-    * dependence between rounds is inherent to BPE; production
-    * tokenizer training bounds wall-clock by training on a hash sample
-    * ([[Corpus.sampleByHash]]) — vocabulary statistics converge long
-    * before the full corpus is read.
+    * dependence between rounds is inherent to BPE, so each round costs
+    * a full pass over the TRAINING SET — which is why the operator
+    * carries its own `sampleFraction` knob: production tokenizer
+    * training bounds wall-clock by training on a hash sample
+    * (vocabulary statistics converge long before the full corpus is
+    * read), and with the knob a raw call is safe at corpus scale
+    * instead of requiring the caller to remember to pre-compose
+    * [[Corpus.sampleByHash]]. The sample is [[Corpus.hashUnit]] of the
+    * text — deterministic, so the learned merge table is reproducible;
+    * `sampleFraction = f` is exactly equivalent to pre-sampling with
+    * `Corpus.sampleByHash(df, textCol, f)` (the spec asserts this
+    * composition law).
     *
     * Output: (merge_idx 0-based, left, right, n_occurrences) — the
     * ordered merge table a tokenizer consumes. */
   def bpeMerges(df: DataFrame, textCol: Column, nMerges: Int,
-      minCount: Long = 2L, sep: String = " "): DataFrame = {
+      minCount: Long = 2L, sep: String = " ",
+      sampleFraction: Double = 1.0): DataFrame = {
     require(nMerges >= 1 && nMerges <= 10000,
       s"bpeMerges: nMerges must be in [1,10000], got $nMerges")
     require(minCount >= 1, s"bpeMerges: minCount must be >= 1, got $minCount")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"bpeMerges: sampleFraction must be in (0,1], got $sampleFraction")
     val spark = df.sparkSession
     import spark.implicits._
     def truncated(d: DataFrame): DataFrame =
@@ -143,7 +154,10 @@ object Vocab {
         d.checkpoint(eager = false)
       else d.localCheckpoint(eager = false)
 
-    var syms = df
+    val training =
+      if (sampleFraction >= 1.0) df
+      else Corpus.sampleByHash(df, textCol, sampleFraction)
+    var syms = training
       .select(array_remove(split(textCol, "\\s+"), "").as("s"))
       .filter(size(col("s")) >= 2)
     val merges = Seq.newBuilder[(Int, String, String, Long)]

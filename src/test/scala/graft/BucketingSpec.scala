@@ -8,8 +8,12 @@ import graft.sources.Bucketing
   * once at write time, then every join on the key is exchange-free. */
 class BucketingSpec extends SparkTestBase {
 
-  test("bucketed fact-fact join runs with zero exchanges") {
-    val dir = "/root/testdata/sf0.001"
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Fresh bucketed tables, written once per suite run no matter which
+    * test executes first — each test calls this instead of depending on
+    * a sibling test's side effects (reordering- and single-test-safe). */
+  private lazy val ensureBucketed: Unit = {
     for (t <- Seq("b_lineitem", "b_orders")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
@@ -23,6 +27,10 @@ class BucketingSpec extends SparkTestBase {
     Bucketing.writeBucketed(
       Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
       "b_orders", Seq("o_orderkey"), buckets = 4)
+  }
+
+  test("bucketed fact-fact join runs with zero exchanges") {
+    ensureBucketed
 
     // force the non-broadcast path: at test scale the planner would
     // broadcast, which bypasses (and hides) the bucketed join
@@ -53,9 +61,9 @@ class BucketingSpec extends SparkTestBase {
 
   test("join + aggregation on the bucket key run with zero exchanges " +
     "end-to-end, matching the shuffled-plan result") {
+    ensureBucketed
     // the bucket distribution satisfies BOTH the join and the keyed
-    // aggregation: neither adds an Exchange (the b_* tables were
-    // written by the previous test, which this suite runs first)
+    // aggregation: neither adds an Exchange
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

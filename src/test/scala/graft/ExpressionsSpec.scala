@@ -490,6 +490,43 @@ class ExpressionsSpec extends SparkTestBase {
     assert(tiny === Seq(3L, 10L)) // equal scores -> smaller id first
   }
 
+  test("sketch aggregates carry analysis-time input types: DECIMAL " +
+    "score / INT id are implicitly cast (correct values, no execution " +
+    "ClassCastException); a frame-shaped input fails at analysis") {
+    import graft.functions.{TopKPairs, HllExprs, BloomExprs}
+    // DECIMAL(12,2) score + INT id — the realistic TPCH shape the raw
+    // eval cast would have crashed on
+    val df = Seq((1, BigDecimal("3.50"), 7), (1, BigDecimal("9.25"), 3),
+      (1, BigDecimal("9.25"), 5)).toDF("g", "s", "id")
+    val got = df.groupBy($"g")
+      .agg(TopKPairs.topK($"s", $"id", 2).as("t"))
+      .select(explode($"t")).select($"col.id", $"col.score")
+      .as[(Long, Double)].collect().toSeq
+    assert(got === Seq((3L, 9.25), (5L, 9.25)))
+    // INT keys into the hash sketches: implicit widening executes (the
+    // estimate is only meaningful on pre-hashed input — xxhash64 below —
+    // so here just prove no execution-time ClassCastException)
+    val ints = Seq(1, 2, 3, 2).toDF("k")
+    val est = ints.agg(
+      HllExprs.hllEstimate(HllExprs.hllSketch($"k")).as("e"))
+      .as[Double].head()
+    assert(est > 0.0)
+    val hashed = ints.agg(HllExprs.hllEstimate(
+      HllExprs.hllSketch(xxhash64($"k"))).as("e")).as[Double].head()
+    assert(hashed > 2.0 && hashed < 4.5)
+    val bloom = ints.agg(
+      BloomExprs.bloomBuild($"k", 256L, 4).as("b")).as[Array[Byte]].head()
+    assert(bloom.nonEmpty)
+    // an incompatible (struct) column dies at ANALYSIS, not execution
+    val bad = Seq((1, (1, 2))).toDF("g", "p")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.groupBy($"g").agg(TopKPairs.topK($"p", $"g", 2)).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.agg(HllExprs.hllSketch($"p")).collect()
+    }
+  }
+
   test("ZOrder: known interleavings, 32-bit mask, dominance monotonicity, " +
     "codegen equals kernel, null propagation") {
     import graft.functions.{ZOrderExprs, ZOrderOps}

@@ -1611,6 +1611,61 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.collect().toSet === again.collect().toSet)
   }
 
+  test("byte-capped ANN training: a budget too small for one vector " +
+    "fails with an actionable message; a budget capping the row count " +
+    "still trains; the default leaves small corpora untouched") {
+    val dim = 64
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == axis) 1f else 0f)
+    val emb = (0 until 40).map(i => (i.toLong, unit(i % dim)))
+      .toDF("vec_id", "embedding")
+    // dim-64 floats = 256 bytes/vector: a 100-byte budget holds none
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfCentroids(emb, nLists = 4, maxTrainBytes = 100L)
+    }
+    assert(e.getMessage.contains("maxTrainBytes") &&
+      e.getMessage.contains("256"))
+    // a budget of 8 vectors truncates the sample but still trains
+    val cents = Similarity.ivfCentroids(emb, nLists = 4,
+      maxTrainBytes = 8L * 256)
+    assert(cents.select("cell").distinct().count() === 4)
+    // same guard on the PQ trainer
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(emb, m = 16, ksub = 8, maxTrainBytes = 100L)
+    }
+    assert(e2.getMessage.contains("maxTrainBytes"))
+    // the 64 MB default admits every sf-test corpus unchanged: full-
+    // sample results must be identical with the cap in place
+    val a = Similarity.ivfCentroids(emb, nLists = 4).collect().toSet
+    val b = Similarity.ivfCentroids(emb, nLists = 4,
+      maxTrainBytes = 64L << 20).collect().toSet
+    assert(a === b)
+  }
+
+  test("pq dim-mismatch fails loudly (uniform ANN contract): a corpus " +
+    "vector of the wrong width raises instead of being dropped") {
+    val dim = 64
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == axis) 1f else 0f)
+    val bad = (0 until 20).map(i => (i.toLong, unit(i % dim))) :+
+      (99L, Array.fill(32)(0.5f))
+    val emb = bad.toDF("vec_id", "embedding")
+    val good = (0 until 20).map(i => (i.toLong, unit(i % dim)))
+      .toDF("vec_id", "embedding")
+    // trainSample = 8 keeps training on the (clean) leading rows — the
+    // mismatch must surface from the ENCODE guard, not from training
+    val ex = intercept[Exception] {
+      Similarity.pqTopK(emb, good.limit(1), k = 3, m = 16, ksub = 8,
+        trainSample = 8).collect()
+    }
+    assert(ex.getMessage.contains("dim mismatch"))
+    val ex2 = intercept[Exception] {
+      Similarity.ivfPqTopK(emb, good.limit(1), k = 3, nLists = 4,
+        nProbe = 2, m = 16, ksub = 8, trainSample = 8).collect()
+    }
+    assert(ex2.getMessage.contains("dim mismatch"))
+  }
+
   test("text analysis basics") {
     val df = Seq("The cat and the dog. A bird!").toDF("text")
     val r = df.select(

@@ -143,6 +143,30 @@ class VocabSpec extends SparkTestBase {
     assert(got.length === 8) // the corpus supports at least 8 merges
   }
 
+  test("bpeMerges sampleFraction: 1.0 is identical to the default, and " +
+    "f < 1 equals pre-composing Corpus.sampleByHash (composition law)") {
+    import graft.operators.Corpus
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = Vocab.bpeMerges(docs, col("text"), nMerges = 4)
+      .as[(Long, String, String, Long)].collect().toList
+    val one = Vocab.bpeMerges(docs, col("text"), nMerges = 4,
+      sampleFraction = 1.0)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(one === full)
+    val f = 0.5
+    val knob = Vocab.bpeMerges(docs, col("text"), nMerges = 4,
+      sampleFraction = f)
+      .as[(Long, String, String, Long)].collect().toList
+    val pre = Vocab.bpeMerges(
+      Corpus.sampleByHash(docs, col("text"), f), col("text"), nMerges = 4)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(knob === pre)
+    assert(knob.nonEmpty) // half the fixture corpus still trains merges
+    intercept[IllegalArgumentException] {
+      Vocab.bpeMerges(docs, col("text"), nMerges = 1, sampleFraction = 0.0)
+    }
+  }
+
   test("MG summary retains every token above N/(capacity+1), never overcounts") {
     val rnd = new scala.util.Random(7L)
     // 2000 filler tokens from a 400-word tail + two heavy tokens
