@@ -104,7 +104,7 @@ object SpanDedup {
     val merged = aggregate(col("_spans"), emptyRuns, (acc, sp) =>
       when(size(acc) === 0 || lastOf(acc)("e") < sp("s") - 1,
         concat(acc, array(sp.cast("struct<s:int,e:int>"))))
-        .otherwise(concat(slice(acc, 1, size(acc) - 1),
+        .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
           array(struct(lastOf(acc)("s").as("s"),
             greatest(lastOf(acc)("e"), sp("e")).as("e"))))))
 
