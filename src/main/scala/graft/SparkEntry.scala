@@ -315,6 +315,46 @@ object SparkEntry {
     "x71_boilerplate" -> ((s, dir) =>
       Dedup.removeBoilerplate(Tables.documents(s, dir), minDocs = 3,
         delimiter = " the ", rejoin = " the ")),
+    // Lee-et-al-style exact-substring dedup with SPAN REMOVAL: every
+    // duplicated run of >= 20 consecutive tokens keeps its first
+    // (doc_id, pos) occurrence and is excised everywhere else; output is
+    // the REWRITTEN text of modified docs (x49/x55/x56 only report spans)
+    "x85_span_dedup" -> ((s, dir) =>
+      graft.operators.SpanDedup.excise(Tables.documents(s, dir),
+        windowTokens = 20)),
+    // incremental span excision: the corpus window-fingerprint relation
+    // stands in for the persisted parquet index — FIRST-ARRIVAL
+    // semantics (an indexed fp removes every delta occurrence, whatever
+    // the id order), delta docs rewritten, corpus never touched
+    "x90_span_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.SpanDedup.exciseDelta(
+        docs.filter(col("doc_id") % 7 === 0),
+        graft.operators.SpanDedup.fpIndex(
+          docs.filter(col("doc_id") % 7 =!= 0), windowTokens = 20),
+        windowTokens = 20)
+    }),
+    // incremental SimHash near-dedup: the corpus (id, simhash) relation
+    // stands in for the persisted parquet index — delta-touching pairs
+    // only, corpus text never re-hashed
+    "x86_simhash_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.simhashPairsDelta(
+        docs.filter(col("doc_id") % 7 === 0),
+        Dedup.simhash(docs.filter(col("doc_id") % 7 =!= 0), poly = true),
+        maxHamming = 3, poly = true)
+    }),
+    // incremental bounded edit distance: the EditIndex (prefix arrays +
+    // frozen df dictionary) stands in for its two persisted parquet
+    // relations — delta-touching pairs only, corpus grams never
+    // recomputed, delta ranked under the index's frozen rare-first order
+    "x87_edit_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      EditSimilarity.editDistancePairsDelta(
+        docs.filter(col("doc_id") % 7 === 0),
+        EditSimilarity.editIndex(docs.filter(col("doc_id") % 7 =!= 0),
+          maxDist = 8, q = 4))
+    }),
     // incremental near-dedup: docs with doc_id % 7 == 0 arrive as the new
     // batch, the rest are the existing corpus (its signature table stands
     // in for the persisted parquet index) — pairs touching the delta only
@@ -1068,6 +1108,15 @@ object SparkEntry {
         |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+    // x86: full recompute restricted to pairs touching the delta
+    // (doc_id % 7 == 0) — the delta route must be exactly lossless
+    "x86_simhash_delta" ->
+      s"""WITH $PolySimhashFpCtes
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |  AND (a.doc_id % 7 = 0 OR b.doc_id % 7 = 0)""".stripMargin,
     // x24: the SAME pair set as x3, closed transitively by a recursive
     // label-propagation CTE (every node accumulates every label that can
     // reach it; the min is the component id), then joined back onto the
@@ -1358,6 +1407,16 @@ object SparkEntry {
         |  ON a.doc_id < b.doc_id
         | AND abs(length(a.text) - length(b.text)) <= 8
         |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin,
+    // x87: full recompute restricted to pairs touching the delta
+    // (doc_id % 7 == 0) — the delta route must be exactly lossless
+    "x87_edit_delta" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(levenshtein(a.text, b.text) AS INT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id
+        | AND abs(length(a.text) - length(b.text)) <= 8
+        |WHERE levenshtein(a.text, b.text) <= 8
+        |  AND (a.doc_id % 7 = 0 OR b.doc_id % 7 = 0)""".stripMargin,
     // recall gates: the oracle recomputes the query set and the exact
     // k-th cosine from the data (engine-independent), and asserts the
     // recall floor held for every query
@@ -2384,6 +2443,105 @@ object SparkEntry {
         |       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
         |FROM marked
         |GROUP BY doc_id""".stripMargin,
+    // replays the window-fingerprint pass with the literal 20-token
+    // window STRING as the key (Spark keys on xxhash64 of the token-hash
+    // slice — equal windows collide identically modulo 2^-64 collisions),
+    // ranks occurrences by (doc_id, pos), gaps-and-islands-merges the
+    // removal spans, and rebuilds the kept token stream per doc
+    "x85_span_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |occ AS (
+        |  SELECT doc_id, u.p AS pos,
+        |         array_to_string(toks[u.p:u.p+19], chr(1)) AS fp
+        |  FROM base, unnest(generate_series(1, n - 19)) AS u(p)
+        |  WHERE n >= 20),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos)
+        |           AS rn
+        |  FROM occ),
+        |spans AS (
+        |  SELECT doc_id, pos AS s, pos + 19 AS e FROM ranked WHERE rn > 1),
+        |marks AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(MAX(e) OVER (PARTITION BY doc_id
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM spans),
+        |grp AS (
+        |  SELECT doc_id, s, e,
+        |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+        |  FROM marks),
+        |runs AS (
+        |  SELECT doc_id, g, MIN(s) AS s, MAX(e) AS e
+        |  FROM grp GROUP BY doc_id, g),
+        |kept AS (
+        |  SELECT b.doc_id, u.i, b.toks[u.i] AS tok
+        |  FROM base b
+        |  JOIN (SELECT DISTINCT doc_id FROM runs) d USING (doc_id),
+        |       unnest(generate_series(1, b.n)) AS u(i)
+        |  WHERE NOT EXISTS (SELECT 1 FROM runs r
+        |    WHERE r.doc_id = b.doc_id AND u.i BETWEEN r.s AND r.e))
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+        |       CAST(b.n - count(k.i) AS BIGINT) AS n_removed,
+        |       coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '')
+        |         AS clean_text
+        |FROM base b
+        |JOIN (SELECT DISTINCT doc_id FROM runs) d2 ON b.doc_id = d2.doc_id
+        |LEFT JOIN kept k ON k.doc_id = b.doc_id
+        |GROUP BY b.doc_id, b.n""".stripMargin,
+    // x90: the x85 replay in ARRIVAL order — corpus (doc_id % 7 != 0)
+    // windows rank before delta windows regardless of id, and only
+    // delta documents are rewritten
+    "x90_span_delta" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |occ AS (
+        |  SELECT doc_id, u.p AS pos,
+        |         array_to_string(toks[u.p:u.p+19], chr(1)) AS fp
+        |  FROM base, unnest(generate_series(1, n - 19)) AS u(p)
+        |  WHERE n >= 20),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY fp
+        |           ORDER BY (doc_id % 7 = 0), doc_id, pos) AS rn
+        |  FROM occ),
+        |spans AS (
+        |  SELECT doc_id, pos AS s, pos + 19 AS e FROM ranked
+        |  WHERE rn > 1 AND doc_id % 7 = 0),
+        |marks AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(MAX(e) OVER (PARTITION BY doc_id
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM spans),
+        |grp AS (
+        |  SELECT doc_id, s, e,
+        |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+        |  FROM marks),
+        |runs AS (
+        |  SELECT doc_id, g, MIN(s) AS s, MAX(e) AS e
+        |  FROM grp GROUP BY doc_id, g),
+        |kept AS (
+        |  SELECT b.doc_id, u.i, b.toks[u.i] AS tok
+        |  FROM base b
+        |  JOIN (SELECT DISTINCT doc_id FROM runs) d USING (doc_id),
+        |       unnest(generate_series(1, b.n)) AS u(i)
+        |  WHERE NOT EXISTS (SELECT 1 FROM runs r
+        |    WHERE r.doc_id = b.doc_id AND u.i BETWEEN r.s AND r.e))
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+        |       CAST(b.n - count(k.i) AS BIGINT) AS n_removed,
+        |       coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '')
+        |         AS clean_text
+        |FROM base b
+        |JOIN (SELECT DISTINCT doc_id FROM runs) d2 ON b.doc_id = d2.doc_id
+        |LEFT JOIN kept k ON k.doc_id = b.doc_id
+        |GROUP BY b.doc_id, b.n""".stripMargin,
     "x71_boilerplate" ->
       """WITH parts AS (
         |  SELECT doc_id, string_split(text, ' the ') AS ps FROM documents

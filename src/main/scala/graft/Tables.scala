@@ -14,20 +14,32 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects. Read nanos as long (runtime conf) and truncate to
-    * microseconds — the same truncation DuckDB applies — so `ts` is a real
-    * TimestampType column downstream. */
+  /** `events.ts` has shipped as two physical types across harness data
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read nanos as long via runtime conf, then floor-divide to
+    * microseconds, the same truncation DuckDB applies) and plain
+    * TIMESTAMP(MICROS) without a UTC flag (which Spark reads as
+    * TIMESTAMP_NTZ). Normalize both to a session-UTC TimestampType column so
+    * every downstream window/lag/date_format sees one type and the DuckDB
+    * oracle (NTZ wall-clock) formats identically. */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(spark, dir, "events")
-    // floor division, not truncation: `div` rounds toward zero, which
-    // would shift pre-epoch (negative) nanos forward a full microsecond
-    // relative to DuckDB's floor semantics
-    df.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr(
-          "ts div 1000 - (case when ts % 1000 < 0 then 1 else 0 end)")))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // floor division, not truncation: `div` rounds toward zero, which
+        // would shift pre-epoch (negative) nanos forward a full microsecond
+        // relative to DuckDB's floor semantics
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr(
+              "ts div 1000 - (case when ts % 1000 < 0 then 1 else 0 end)")))
+      case _ =>
+        // TIMESTAMP or TIMESTAMP_NTZ parquet: under the engine's fixed UTC
+        // session zone the NTZ->TZ cast is instant-preserving
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")

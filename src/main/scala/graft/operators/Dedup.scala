@@ -855,7 +855,26 @@ object Dedup {
       64 / nChunks + (if (c < 64 % nChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val sh = simhash(docs, idCol, textCol, poly)
-    val chunks = sh.select(col("id"), col("simhash"),
+    val chunks = toChunks(sh, nChunks)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** (id, simhash) → (id, simhash, chunk, ck): the pigeonhole band rows
+    * of [[simhashPairs]], a fixed-width projection off the persisted
+    * fingerprint — the SimHash analog of [[bandKeys]]. */
+  private def toChunks(fps: DataFrame, nChunks: Int): DataFrame = {
+    val widths = Array.tabulate(nChunks)(c =>
+      64 / nChunks + (if (c < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    fps.select(col("id"), col("simhash"),
       explode(array((0 until nChunks).map { c =>
         val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1
         struct(lit(c).as("chunk"),
@@ -864,12 +883,56 @@ object Dedup {
       }: _*)).as("k"))
       .select(col("id"), col("simhash"), col("k.chunk").as("chunk"),
         col("k.ck").as("ck"))
+  }
+
+  /** Incremental (delta) SimHash near-dedup: Hamming-≤-`maxHamming`
+    * pairs TOUCHING a new batch — delta×corpus and delta×delta, never
+    * corpus×corpus — against a pre-built corpus fingerprint index (the
+    * [[simhash]] relation `(id, simhash)`, typically persisted as
+    * parquet and read back). Output contract is [[simhashPairs]] on
+    * (corpus ∪ delta) restricted to pairs with at least one delta doc;
+    * doc ids must be disjoint between the two inputs.
+    *
+    * Scale shape (mirrors [[minhashLshDelta]]): the text-hashing kernel
+    * runs over the DELTA only; the corpus side is a column-pruned scan
+    * of its persisted 16-byte (id, simhash) rows, from which the chunk
+    * band keys are a fixed-width projection — corpus text is never
+    * re-read. The chunk join is delta-driven, so candidate volume
+    * scales with the delta and its collision rate, not the corpus.
+    * Exactness is unchanged: the pigeonhole guarantee (`maxHamming <
+    * nChunks`) holds for any pair, so every qualifying delta-touching
+    * pair shares a chunk with the probing delta row. */
+  def simhashPairsDelta(delta: DataFrame, corpusFps: DataFrame,
+      maxHamming: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text", poly: Boolean = false,
+      nChunks: Int = 4): DataFrame = {
+    val d = simhash(delta, idCol, textCol, poly)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    chunks.as("x")
-      .join(chunks.as("y"),
+    simhashPairsDeltaFps(d, corpusFps, maxHamming, nChunks)
+  }
+
+  /** [[simhashPairsDelta]] over an ALREADY-computed delta fingerprint
+    * relation — for callers that materialize per-batch fingerprints
+    * anyway (streaming sinks; persist `deltaFps` first, two join
+    * branches reference it). */
+  def simhashPairsDeltaFps(deltaFps: DataFrame, corpusFps: DataFrame,
+      maxHamming: Int = 3, nChunks: Int = 4): DataFrame = {
+    require(nChunks >= 2 && nChunks <= 64,
+      s"simhashPairsDeltaFps: nChunks must be in [2,64], got $nChunks")
+    require(maxHamming >= 0 && maxHamming < nChunks,
+      s"simhashPairsDeltaFps: the pigeonhole guarantee needs maxHamming" +
+        s" < nChunks (got maxHamming=$maxHamming, nChunks=$nChunks)")
+    val d = deltaFps.select(col("id"), col("simhash"))
+    val all = d.unionByName(corpusFps.select(col("id"), col("simhash")))
+    // delta on the probe side only: corpus-internal pairs can never
+    // form; delta-delta pairs arrive in both orders — least/greatest +
+    // distinct canonicalizes (hamming is symmetric)
+    toChunks(d, nChunks).as("x")
+      .join(toChunks(all, nChunks).as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+          col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("doc_a"),
+        greatest(col("x.id"), col("y.id")).as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)

@@ -90,12 +90,7 @@ object EditSimilarity {
     require(q >= 2, s"editDistancePairs: q must be >= 2, got $q")
     val prefixLen = q * maxDist + 1
 
-    val g = docs
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), col(textCol).as("t"),
-        length(col(textCol)).as("len"),
-        ShingleExprs.shingleSetChars(col(textCol), q).as("ng"))
-      .withColumn("n_grams", coalesce(size(col("ng")), lit(0)))
+    val g = gramRelation(docs, idCol, textCol, q)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // route 1: prefix-gram equality join (sound for every pair where at
@@ -156,6 +151,164 @@ object EditSimilarity {
     // distinct candidate pairs → count filter → banded levenshtein
     val cands = prefixCands.union(shortCands).distinct()
     val txt = g.select(col("id"), col("t"), col("ng"), col("n_grams"))
+    val bound = greatest(col("na"), col("nb")) - lit(q * maxDist)
+    cands
+      .join(txt.select(col("id").as("a_id"), col("t").as("ta"),
+        col("ng").as("nga"), col("n_grams").as("na")), "a_id")
+      .join(txt.select(col("id").as("b_id"), col("t").as("tb"),
+        col("ng").as("ngb"), col("n_grams").as("nb")), "b_id")
+      .filter(bound <= 0 ||
+        (col("nga").isNotNull && col("ngb").isNotNull &&
+          graft.functions.SetExprs.sortedIntersectSize(
+            col("nga"), col("ngb")) >= bound))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
+  /** Per-doc gram relation (id, t, len, ng, n_grams) — the doc-local
+    * codegen pass every route starts from. */
+  private def gramRelation(docs: DataFrame, idCol: String,
+      textCol: String, q: Int): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        length(col(textCol)).as("len"),
+        ShingleExprs.shingleSetChars(col(textCol), q).as("ng"))
+      .withColumn("n_grams", coalesce(size(col("ng")), lit(0)))
+
+  /** One-row gram-ascending aligned-array dictionary for
+    * [[graft.functions.RankedPrefixGramsK]]'s binary search. */
+  private def dictRow(gramDf: DataFrame): DataFrame =
+    gramDf
+      .agg(array_sort(collect_list(struct(col("gram"), col("df"))))
+        .as("gd"))
+      .select(
+        transform(col("gd"), x => x.getField("gram")).as("dict_grams"),
+        transform(col("gd"), x => x.getField("df")).as("dict_dfs"))
+
+  /** The persisted corpus-side state for [[editDistancePairsDelta]]:
+    *
+    *  - `docs` — (id, t, len, ng, n_grams, prefix): the gram relation
+    *    plus each doc's ranked prefix-gram array, computed ONCE at
+    *    index-build time under the corpus df order. Text rides along
+    *    because edit-distance verification is on the raw strings (only
+    *    candidate rows are ever fetched by the delta join).
+    *  - `gramDf` — (gram, df): the document-frequency relation that
+    *    FREEZES the rare-first total order. Delta batches rank their
+    *    prefixes under this same order (unseen grams take df 0, which
+    *    perturbs no corpus doc's ranking), so the prefix-filter theorem
+    *    — which needs only a total order common to both sides — still
+    *    covers every delta-touching pair.
+    *
+    * Both members are plain DataFrames: write them as two parquet
+    * relations and reconstruct `EditIndex(docs, gramDf, q, maxDist)` on
+    * read-back. `q`/`maxDist` are baked into the prefix arrays, so the
+    * delta probe takes them from the index, not from arguments. */
+  final case class EditIndex(docs: DataFrame, gramDf: DataFrame,
+      q: Int, maxDist: Int)
+
+  /** Build the [[EditIndex]] for a corpus — one gram-kernel pass plus
+    * one df aggregation plus one broadcast-ranked prefix projection.
+    * Same `dictRoute = true` contract as [[editDistancePairs]]: the df
+    * dictionary rides a one-row broadcast bounded by the corpus's
+    * q-gram vocabulary. */
+  def editIndex(corpus: DataFrame, maxDist: Int = 20, q: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): EditIndex = {
+    require(maxDist >= 0, s"editIndex: maxDist must be >= 0, got $maxDist")
+    require(q >= 2, s"editIndex: q must be >= 2, got $q")
+    val prefixLen = q * maxDist + 1
+    val g = gramRelation(corpus, idCol, textCol, q)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gramDf = g.filter(col("ng").isNotNull)
+      .select(explode(col("ng")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val docs = g.crossJoin(broadcast(dictRow(gramDf)))
+      .select(col("id"), col("t"), col("len"), col("ng"), col("n_grams"),
+        when(col("ng").isNotNull,
+          PrefixExprs.rankedPrefixGramsK(col("ng"),
+            col("dict_grams"), col("dict_dfs"), prefixLen)).as("prefix"))
+    EditIndex(docs, gramDf, q, maxDist)
+  }
+
+  /** Incremental (delta) bounded-edit-distance join: all pairs with
+    * Levenshtein distance ≤ `index.maxDist` TOUCHING a new batch —
+    * delta×corpus and delta×delta, never corpus×corpus — against a
+    * pre-built [[EditIndex]] (typically two persisted parquet
+    * relations read back). Output contract is [[editDistancePairs]] on
+    * (corpus ∪ delta) restricted to pairs with at least one delta doc;
+    * doc ids must be disjoint between the two inputs.
+    *
+    * Scale shape: the q-gram kernel and prefix ranking run over the
+    * DELTA only. The corpus side contributes (a) its persisted prefix
+    * arrays to the gram-equality candidate join — a column-pruned
+    * scan, no text, no kernel — and (b) text + gram sets for exactly
+    * the candidate rows the delta-driven join surfaces. The delta's
+    * ranking dictionary is the DELTA's gram universe left-joined onto
+    * the persisted df relation — delta-sized, not corpus-sized.
+    * Candidates stay ∝ delta near-duplicate pairs: the join probe side
+    * is always the delta.
+    *
+    * Both-short pairs use the same length-granule buckets as the full
+    * operator; the delta probe explodes (bkt−1, bkt, bkt+1) because
+    * corpus rows never probe back. */
+  def editDistancePairsDelta(delta: DataFrame, index: EditIndex,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val q = index.q
+    val maxDist = index.maxDist
+    val prefixLen = q * maxDist + 1
+    val d = gramRelation(delta, idCol, textCol, q)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // frozen-order dictionary restricted to the delta's gram universe:
+    // corpus df, 0 for grams the corpus has never seen
+    val deltaDf = d.filter(col("ng").isNotNull)
+      .select(explode(col("ng")).as("gram")).distinct()
+      .join(index.gramDf, Seq("gram"), "left")
+      .select(col("gram"), coalesce(col("df"), lit(0L)).as("df"))
+    val dPrefix = d.filter(col("ng").isNotNull)
+      .crossJoin(broadcast(dictRow(deltaDf)))
+      .select(col("id"), col("len"),
+        PrefixExprs.rankedPrefixGramsK(col("ng"),
+          col("dict_grams"), col("dict_dfs"), prefixLen).as("prefix"))
+
+    // route 1: delta prefixes probe (delta ∪ corpus) prefixes
+    def explodePrefix(rel: DataFrame): DataFrame =
+      rel.select(col("id"), col("len"), explode(col("prefix")).as("gram"))
+    val preDelta = explodePrefix(dPrefix)
+    val preAll = preDelta.unionByName(explodePrefix(
+      index.docs.filter(col("prefix").isNotNull)
+        .select(col("id"), col("len"), col("prefix"))))
+    val prefixCands = preDelta.as("a").join(preAll.as("b"),
+      col("a.gram") === col("b.gram") &&
+        col("a.id") =!= col("b.id") &&
+        abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(least(col("a.id"), col("b.id")).as("a_id"),
+        greatest(col("a.id"), col("b.id")).as("b_id"))
+
+    // route 2: delta shorts probe (delta ∪ corpus) shorts; the ±1
+    // explode replaces the full operator's symmetric +1 probe
+    def shorts(rel: DataFrame): DataFrame =
+      rel.filter(col("ng").isNull || col("n_grams") <= q * maxDist)
+        .select(col("id"), col("len"),
+          (col("len").cast("long") / (maxDist + 1)).cast("long").as("bkt"))
+    val allShort = shorts(d).unionByName(shorts(
+      index.docs.select(col("id"), col("len"), col("ng"), col("n_grams"))))
+    val probe = shorts(d).select(col("id"), col("len"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("k"))
+    val shortCands = probe.as("a").join(allShort.as("b"),
+      col("a.k") === col("b.bkt") &&
+        col("a.id") =!= col("b.id") &&
+        abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(least(col("a.id"), col("b.id")).as("a_id"),
+        greatest(col("a.id"), col("b.id")).as("b_id"))
+
+    // distinct candidates → q-gram count filter → banded levenshtein,
+    // gram sets and text fetched from (delta ∪ corpus) by id equality
+    val cands = prefixCands.union(shortCands).distinct()
+    val txt = d.select(col("id"), col("t"), col("ng"), col("n_grams"))
+      .unionByName(index.docs
+        .select(col("id"), col("t"), col("ng"), col("n_grams")))
     val bound = greatest(col("na"), col("nb")) - lit(q * maxDist)
     cands
       .join(txt.select(col("id").as("a_id"), col("t").as("ta"),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Token-level exact-substring deduplication with SPAN REMOVAL: find
@@ -26,10 +25,15 @@ import org.apache.spark.sql.functions._
   *    token hashes, then xxhash64 over each length-L slice) and only the
   *    (fp, doc_id, pos) triple — 20 bytes — is exploded and shuffled.
   *    Text never enters the candidate exchange.
-  *  - Duplicate detection is ONE hash exchange of the triples keyed on
-  *    fp + a per-fp rank (first occurrence in (doc_id, pos) order is
-  *    canonical). Fingerprint groups are tiny (df of one window), so the
-  *    rank is a well-partitioned window, never a global sort.
+  *  - Duplicate detection: the canonical (first in (doc_id, pos) order)
+  *    occurrence per fingerprint is a `min(struct(doc_id, pos))` HASH
+  *    AGGREGATE — map-side partial combine collapses hot fingerprints
+  *    (license headers, boilerplate repeated millions of times) to one
+  *    row per map task BEFORE the exchange, so no task ever materializes
+  *    a hot fingerprint's full occurrence list (a rank window keyed on
+  *    fp would). Non-canonical occurrences fall out of one fp-equality
+  *    join against the duplicated-fp subset; skewed fp partitions are
+  *    split by AQE's skew-join handling, which cannot rescue a window.
   *  - Removal intervals aggregate per doc (bounded by the doc's own
   *    window count), are interval-MERGED doc-locally with a higher-order
   *    aggregate (so the rewrite scan is O(tokens x merged_runs), not
@@ -57,6 +61,22 @@ object SpanDedup {
     * lies elsewhere. Unmodified documents are omitted (the interesting
     * output; callers wanting the full corpus left-join this back).
     *
+    * Contracts and degenerate cases:
+    *  - Tokenization is SINGLE-SPACE split (`split(text, " ")`): the
+    *    rewrite round-trips via `concat_ws(" ", ...)` losslessly, so
+    *    correctness never depends on whitespace kind, but runs that
+    *    differ only in tab/newline separators are distinct tokens and
+    *    escape dedup (recall, not correctness). Normalize whitespace
+    *    upstream if that recall matters.
+    *  - Periodic / self-overlapping text follows Lee-et-al semantics:
+    *    every non-first duplicated window is excised, so a doc of N >=
+    *    2L identical tokens keeps only the prefix no later window
+    *    covers — the surviving copy can be SHORTER than L (e.g. one
+    *    token for a constant-token doc). "First occurrence survives"
+    *    is a per-window guarantee, not a per-run one; content bridging
+    *    two excised regions is likewise removed when every window
+    *    through it is a duplicate.
+    *
     * @param windowTokens duplicated-run granularity L: a run must span
     *   at least L consecutive tokens to be excised (50 in Lee et al.)
     */
@@ -65,34 +85,119 @@ object SpanDedup {
     require(windowTokens >= 2,
       s"SpanDedup.excise: windowTokens must be >= 2, got $windowTokens")
     val L = windowTokens
+    val b = tokenBase(docs, idCol, textCol)
+    val occ = winOcc(b, L)
 
-    // doc-local: token array, per-token hashes, per-position window
-    // fingerprints (xxhash64 of the length-L token-hash slice — hashing
-    // the hash array, not a re-concatenated string, keeps the projection
-    // O(L) longs per position instead of O(L) string bytes)
-    val toks = split(col(textCol), " ")
-    val base = docs
+    // the ONLY corpus-wide exchange: 20-byte (fp, id, pos) triples
+    // keyed on fp; first occurrence in (doc_id, pos) order is canonical,
+    // every later occurrence marks its L tokens for removal. Canonical
+    // selection is min(struct) — partial-aggregable, so hot fingerprints
+    // collapse map-side; a row_number window here would sort every
+    // occurrence of a hot fingerprint on one task (see object doc).
+    val canon = occ.groupBy(col("_fp"))
+      .agg(min(struct(col("_id"), col("_pos"))).as("_c"),
+        count(lit(1)).as("_df"))
+      .filter(col("_df") > 1) // unique windows never join back
+      .select(col("_fp"), col("_c._id").as("_cid"),
+        col("_c._pos").as("_cpos"))
+    val spans = occ.join(canon, Seq("_fp"))
+      .filter(col("_id") =!= col("_cid") || col("_pos") =!= col("_cpos"))
+    rewrite(b, spans, L, idCol)
+  }
+
+  /** The persisted window-fingerprint index for [[exciseDelta]]: one row
+    * per distinct length-`windowTokens` window in the AS-INGESTED corpus
+    * — (fp, doc_id, pos) with the canonical (first in (doc_id, pos)
+    * order) occurrence. Build once, write as parquet; `windowTokens`
+    * is baked into the fingerprints, so delta probes must use the same
+    * value (document it next to the index). Same skew discipline as
+    * [[excise]]: min(struct) hash aggregate, no windows. */
+  def fpIndex(docs: DataFrame, windowTokens: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowTokens >= 2,
+      s"SpanDedup.fpIndex: windowTokens must be >= 2, got $windowTokens")
+    winOcc(tokenBase(docs, idCol, textCol), windowTokens)
+      .groupBy(col("_fp"))
+      .agg(min(struct(col("_id"), col("_pos"))).as("_c"))
+      .select(col("_fp").as("fp"), col("_c._id").as("doc_id"),
+        col("_c._pos").as("pos"))
+  }
+
+  /** Incremental (delta) exact-substring excision: rewrite a NEW batch
+    * against a persisted corpus [[fpIndex]] under FIRST-ARRIVAL
+    * semantics — any delta window whose fingerprint exists in the index
+    * is a duplicate (the corpus occurrence is canonical regardless of
+    * id order), and windows new to the delta dedup among themselves by
+    * (doc_id, pos). Output contract: [[excise]] over (corpus THEN
+    * delta) in arrival order, restricted to delta documents. Corpus
+    * documents are never rewritten by this call — they were cleaned
+    * when they arrived.
+    *
+    * Scale shape: the token/fingerprint kernel runs over the DELTA
+    * only; the corpus side is a column-pruned scan of the index's `fp`
+    * column feeding one fp-equality join (delta-driven — only indexed
+    * fps colliding with delta windows survive). Per-batch cost ∝ delta
+    * size; the corpus pays the index build once and appends the
+    * delta's new fps after each batch ([[fpIndex]] of the batch,
+    * anti-joined on fp, unioned on). */
+  def exciseDelta(delta: DataFrame, index: DataFrame,
+      windowTokens: Int = 50, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(windowTokens >= 2,
+      s"SpanDedup.exciseDelta: windowTokens must be >= 2, got $windowTokens")
+    val L = windowTokens
+    val b = tokenBase(delta, idCol, textCol)
+    val occ = winOcc(b, L)
+
+    // per-fp delta metadata (skew-safe hash agg), then one left join to
+    // the index's fp column: indexed fps remove ALL delta occurrences;
+    // delta-only fps remove non-canonical occurrences (df > 1)
+    val dCanon = occ.groupBy(col("_fp"))
+      .agg(min(struct(col("_id"), col("_pos"))).as("_c"),
+        count(lit(1)).as("_df"))
+    val idxFps = index.select(col("fp").as("_fp"), lit(true).as("_in"))
+    val fpMeta = dCanon.join(idxFps, Seq("_fp"), "left")
+      .filter(col("_in").isNotNull || col("_df") > 1)
+      .select(col("_fp"), col("_c._id").as("_cid"),
+        col("_c._pos").as("_cpos"), col("_in"))
+    val spans = occ.join(fpMeta, Seq("_fp"))
+      .filter(col("_in").isNotNull ||
+        col("_id") =!= col("_cid") || col("_pos") =!= col("_cpos"))
+    rewrite(b, spans, L, idCol)
+  }
+
+  /** Doc-local base relation (_id, _t, _toks, _n). */
+  private def tokenBase(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("_id"), col(textCol).as("_t"),
-        toks.as("_toks"))
+        split(col(textCol), " ").as("_toks"))
       .withColumn("_n", size(col("_toks")))
+
+  /** Per-position window fingerprints (_id, _pos, _fp) — one doc-local
+    * projection (token hashes, then xxhash64 over each length-L slice —
+    * hashing the hash array, not a re-concatenated string, keeps it
+    * O(L) longs per position instead of O(L) string bytes), then the
+    * 20-byte triple explode. */
+  private def winOcc(b: DataFrame, L: Int): DataFrame = {
     val tokHashes = transform(col("_toks"), t => xxhash64(t))
     val winFps = when(col("_n") >= L,
       transform(sequence(lit(1), col("_n") - (L - 1)),
         p => struct(p.as("pos"),
           xxhash64(slice(tokHashes, p, lit(L))).as("fp"))))
       .otherwise(array().cast("array<struct<pos:int,fp:bigint>>"))
-
-    // the ONLY corpus-wide exchange: 20-byte (fp, id, pos) triples
-    // keyed on fp; first occurrence in (doc_id, pos) order is canonical,
-    // every later occurrence marks its L tokens for removal
-    val occ = base
-      .select(col("_id"), explode(winFps).as("_w"))
+    b.select(col("_id"), explode(winFps).as("_w"))
       .select(col("_id"), col("_w.pos").as("_pos"), col("_w.fp").as("_fp"))
-    val ranked = occ.withColumn("_rn",
-      row_number().over(
-        Window.partitionBy(col("_fp")).orderBy(col("_id"), col("_pos"))))
-    val spans = ranked.filter(col("_rn") > 1)
+  }
+
+  /** Shared tail: per-doc span aggregation, doc-local interval merge,
+    * and the token-filter rewrite. `spanRows` = (_id, _pos, ...) rows
+    * marking a removed window at _pos. The join on _id is the one
+    * exchange that moves text. */
+  private def rewrite(b: DataFrame, spanRows: DataFrame, L: Int,
+      idCol: String): DataFrame = {
+    val spans = spanRows
       .select(col("_id"), struct(col("_pos").as("s"),
         (col("_pos") + (L - 1)).as("e")).as("_sp"))
       .groupBy(col("_id"))
@@ -108,10 +213,9 @@ object SpanDedup {
           array(struct(lastOf(acc)("s").as("s"),
             greatest(lastOf(acc)("e"), sp("e")).as("e"))))))
 
-    // rewrite: keep tokens not covered by any merged run (1-based
-    // position i+1 vs inclusive [s, e]); the join on _id is the one
-    // exchange that moves text
-    base.join(spans, Seq("_id"))
+    // keep tokens not covered by any merged run (1-based position i+1
+    // vs inclusive [s, e])
+    b.join(spans, Seq("_id"))
       .withColumn("_runs", merged)
       .withColumn("_kept", filter(col("_toks"), (t, i) =>
         !exists(col("_runs"),

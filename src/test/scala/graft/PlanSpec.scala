@@ -141,6 +141,10 @@ class PlanSpec extends SparkTestBase {
         "x20_decontaminate", "x45_quantized_topk", "x46_quantile_bins",
         "x59_decontaminate_bloom", "x62_hll_distinct", "x66_semdedup",
         "x70_edit_distance", "x81_bigram_lift",
+        // x87 is x70's delta route: the same ONE-row dictionary attach,
+        // twice (index build ranks corpus prefixes, probe ranks the
+        // delta under the frozen order)
+        "x87_edit_delta",
         // x83's ADC scan is the deliberate x5/x45 broadcast-scan shape
         // over the CODE relation (m·4 bytes/vector, not dim·4); x84's
         // own search is a cell-equality join, but its recall gate
