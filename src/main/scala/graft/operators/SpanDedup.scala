@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Token-level exact-substring deduplication with SPAN REMOVAL: find
   * every duplicated run of >= `windowTokens` consecutive tokens anywhere
@@ -85,8 +86,14 @@ object SpanDedup {
     require(windowTokens >= 2,
       s"SpanDedup.excise: windowTokens must be >= 2, got $windowTokens")
     val L = windowTokens
+    // persist both reused relations (the minhashLsh cache-lifecycle
+    // contract — caller releases): `b` feeds fingerprinting AND the
+    // final rewrite join; `occ` feeds the canonical aggregate AND the
+    // span join-back. Without these, the tokenize+hash projection and
+    // the triple explode re-execute once per referencing branch.
     val b = tokenBase(docs, idCol, textCol)
-    val occ = winOcc(b, L)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val occ = winOcc(b, L).persist(StorageLevel.MEMORY_AND_DISK)
 
     // the ONLY corpus-wide exchange: 20-byte (fp, id, pos) triples
     // keyed on fp; first occurrence in (doc_id, pos) order is canonical,
@@ -146,8 +153,10 @@ object SpanDedup {
     require(windowTokens >= 2,
       s"SpanDedup.exciseDelta: windowTokens must be >= 2, got $windowTokens")
     val L = windowTokens
+    // same cache-lifecycle contract as [[excise]] (delta-sized here)
     val b = tokenBase(delta, idCol, textCol)
-    val occ = winOcc(b, L)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val occ = winOcc(b, L).persist(StorageLevel.MEMORY_AND_DISK)
 
     // per-fp delta metadata (skew-safe hash agg), then one left join to
     // the index's fp column: indexed fps remove ALL delta occurrences;
@@ -175,21 +184,17 @@ object SpanDedup {
         split(col(textCol), " ").as("_toks"))
       .withColumn("_n", size(col("_toks")))
 
-  /** Per-position window fingerprints (_id, _pos, _fp) — one doc-local
-    * projection (token hashes, then xxhash64 over each length-L slice —
-    * hashing the hash array, not a re-concatenated string, keeps it
-    * O(L) longs per position instead of O(L) string bytes), then the
-    * 20-byte triple explode. */
-  private def winOcc(b: DataFrame, L: Int): DataFrame = {
-    val tokHashes = transform(col("_toks"), t => xxhash64(t))
-    val winFps = when(col("_n") >= L,
-      transform(sequence(lit(1), col("_n") - (L - 1)),
-        p => struct(p.as("pos"),
-          xxhash64(slice(tokHashes, p, lit(L))).as("fp"))))
-      .otherwise(array().cast("array<struct<pos:int,fp:bigint>>"))
-    b.select(col("_id"), explode(winFps).as("_w"))
-      .select(col("_id"), col("_w.pos").as("_pos"), col("_w.fp").as("_fp"))
-  }
+  /** Per-position window fingerprints (_id, _pos, _fp) — ONE doc-local
+    * O(n) kernel pass ([[graft.functions.TokenWindowOps]]: per-token
+    * hashes once, then a rolling degree-(L-1) polynomial — the
+    * declarative `xxhash64(slice(...))` per position costs O(n·L),
+    * 50 corpus passes' worth of hashing at the Lee-et-al L = 50), then
+    * the 20-byte triple explode. Positions are 1-based. */
+  private def winOcc(b: DataFrame, L: Int): DataFrame =
+    b.select(col("_id"),
+      posexplode(graft.functions.TokenWindowExprs
+        .tokenWindowFps(col("_t"), L)).as(Seq("_p0", "_fp")))
+      .select(col("_id"), (col("_p0") + 1).as("_pos"), col("_fp"))
 
   /** Shared tail: per-doc span aggregation, doc-local interval merge,
     * and the token-filter rewrite. `spanRows` = (_id, _pos, ...) rows

@@ -615,4 +615,40 @@ class ExpressionsSpec extends SparkTestBase {
       BloomBuildAgg(Literal(1L), numBits = 128, numHashes = 0)
     }
   }
+
+  test("TokenWindowFps: window equality iff token-window equality; " +
+    "split(text, ' ') position alignment; interpreted ≡ codegen") {
+    import graft.functions.{TokenWindowExprs, TokenWindowOps}
+    // equal 3-token windows collide, every other pair distinct
+    val fpsA = TokenWindowOps.tokenWindowFps(
+      UTF8String.fromString("x a b c y"), 3) // windows at tok 1..3
+    val fpsB = TokenWindowOps.tokenWindowFps(
+      UTF8String.fromString("z z a b c"), 3)
+    assert(fpsA.length === 3 && fpsB.length === 3)
+    assert(fpsA(1) === fpsB(2)) // both are (a b c)
+    assert((fpsA.toSet ++ fpsB.toSet).size === 5) // only that collision
+
+    // token boundaries matter: ("ab","c") never equals ("a","bc")
+    val s1 = TokenWindowOps.tokenWindowFps(UTF8String.fromString("ab c"), 2)
+    val s2 = TokenWindowOps.tokenWindowFps(UTF8String.fromString("a bc"), 2)
+    assert(s1.length === 1 && s2.length === 1 && s1(0) != s2(0))
+
+    // trailing-empty-token semantics match split(text, " ") (limit -1):
+    // "a b " has 3 tokens (last empty) -> two 2-windows
+    assert(TokenWindowOps.tokenWindowFps(
+      UTF8String.fromString("a b "), 2).length === 2)
+    // short docs: empty array, not null
+    assert(TokenWindowOps.tokenWindowFps(
+      UTF8String.fromString("a b"), 3).length === 0)
+
+    // DataFrame (codegen) path agrees with the direct kernel call, and
+    // posexplode positions align with split() token indexing
+    val df = Seq((1L, "x a b c y"), (2L, null: String))
+      .toDF("id", "text")
+      .select($"id",
+        TokenWindowExprs.tokenWindowFps($"text", 3).as("fps"))
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getSeq[Long](1) === fpsA.toSeq)
+    assert(rows(2L).isNullAt(1))
+  }
 }
