@@ -334,6 +334,20 @@ object SparkEntry {
           docs.filter(col("doc_id") % 7 =!= 0), windowTokens = 20),
         windowTokens = 20)
     }),
+    // BPE train + encode end-to-end: 3 merges learned from the corpus
+    // (count desc, lexicographic tie-break, minCount 2), then the whole
+    // corpus tokenized with the trained table via the doc-local encode
+    // kernel — the oracle independently replays BOTH the trainer rounds
+    // and the greedy merge application
+    "x91_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Vocab.bpeMerges(docs, col("text"),
+        nMerges = 3, minCount = 2)
+      graft.operators.Vocab.bpeEncode(docs, col("doc_id"), col("text"),
+        merges)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          array_join(col("bpe"), "\u0001").as("encoded"))
+    }),
     // incremental SimHash near-dedup: the corpus (id, simhash) relation
     // stands in for the persisted parquet index — delta-touching pairs
     // only, corpus text never re-hashed
@@ -884,6 +898,49 @@ object SparkEntry {
     * simhash-pairs oracle (x3) and the dup-clusters oracle (x24), one
     * constant so the two can never silently disagree. Yields CTEs
     * `t`/`h`/`fp`; callers prepend WITH [RECURSIVE] and append theirs. */
+  /** One BPE trainer round as DuckDB CTEs (see x91): pair counts over
+    * training docs (those with ≥ 2 starting symbols — `big`), argmax
+    * under the trainer's total order (count desc, left, right) with the
+    * minCount = 2 floor, then ONE greedy leftmost non-overlapping merge
+    * pass. Greedy non-overlap in SQL: candidate positions grouped into
+    * consecutive-position islands (pos − row_number), odd ranks within
+    * an island are taken ("a a a a" → merge at 1 and 3), and the
+    * rebuild emits the merged symbol at taken positions while dropping
+    * position+1. An exhausted round (m$k empty) passes symbols through
+    * unchanged, mirroring the trainer's stop. */
+  private def bpeRoundCtes(k: Int): String = {
+    val prev = s"s${k - 1}"
+    s"""p$k AS (
+      |  SELECT t.s[u.i] AS l, t.s[u.i+1] AS r, count(*) AS n
+      |  FROM $prev t, unnest(generate_series(1, len(t.s)-1)) AS u(i)
+      |  WHERE t.big
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |m$k AS (SELECT l, r FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+      |c$k AS (
+      |  SELECT t.doc_id, u.i,
+      |    u.i - row_number() OVER (PARTITION BY t.doc_id ORDER BY u.i)
+      |      AS isl
+      |  FROM $prev t, m$k, unnest(generate_series(1, len(t.s)-1)) AS u(i)
+      |  WHERE t.s[u.i] = m$k.l AND t.s[u.i+1] = m$k.r),
+      |t$k AS (
+      |  SELECT doc_id, i FROM (
+      |    SELECT doc_id, i,
+      |      row_number() OVER (PARTITION BY doc_id, isl ORDER BY i)
+      |        AS rnk
+      |    FROM c$k) WHERE rnk % 2 = 1),
+      |s$k AS (
+      |  SELECT e.doc_id, e.big,
+      |    coalesce(list(CASE WHEN a.i IS NOT NULL
+      |        THEN e.tok || ' ' || e.nxt ELSE e.tok END
+      |      ORDER BY e.j) FILTER (WHERE b.i IS NULL), []) AS s
+      |  FROM (
+      |    SELECT p.doc_id, p.big, u.j, p.s[u.j] AS tok, p.s[u.j+1] AS nxt
+      |    FROM $prev p, unnest(generate_series(1, len(p.s))) AS u(j)) e
+      |  LEFT JOIN t$k a ON a.doc_id = e.doc_id AND a.i = e.j
+      |  LEFT JOIN t$k b ON b.doc_id = e.doc_id AND b.i = e.j - 1
+      |  GROUP BY e.doc_id, e.big)""".stripMargin
+  }
+
   private val PolySimhashFpCtes =
       """t AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\x0b\f]+') AS toks
@@ -2493,6 +2550,25 @@ object SparkEntry {
         |JOIN (SELECT DISTINCT doc_id FROM runs) d2 ON b.doc_id = d2.doc_id
         |LEFT JOIN kept k ON k.doc_id = b.doc_id
         |GROUP BY b.doc_id, b.n""".stripMargin,
+    // x91: independent replay of the BPE trainer (3 rounds of pair
+    // count → argmax → greedy merge, see bpeRoundCtes) and the encode —
+    // docs that vanish from the round CTEs (zero symbols) come back
+    // through the s0 left join as empty encodings
+    "x91_bpe_encode" ->
+      s"""WITH s0 AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\\s+'),
+        |      x -> x <> '') AS s,
+        |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |      x -> x <> '')) >= 2 AS big
+        |  FROM documents WHERE text IS NOT NULL),
+        |${bpeRoundCtes(1)},
+        |${bpeRoundCtes(2)},
+        |${bpeRoundCtes(3)}
+        |SELECT b.doc_id,
+        |  CAST(coalesce(len(f.s), 0) AS BIGINT) AS n_tokens,
+        |  coalesce(array_to_string(f.s, chr(1)), '') AS encoded
+        |FROM s0 b LEFT JOIN s3 f USING (doc_id)""".stripMargin,
     // x90: the x85 replay in ARRIVAL order — corpus (doc_id % 7 != 0)
     // windows rank before delta windows regardless of id, and only
     // delta documents are rewritten

@@ -34,6 +34,34 @@ object BpeOps {
     }
     new GenericArrayData(out.toArray(new Array[UTF8String](out.size)))
   }
+
+  /** Apply a whole merge table in rank order (see [[BpeEncodeExpr]]).
+    * `lefts`/`rights` are rank-aligned arrays. */
+  def encodeAll(arr: ArrayData, lefts: ArrayData, rights: ArrayData,
+      sep: UTF8String): ArrayData = {
+    var cur = new Array[UTF8String](arr.numElements())
+    var i = 0
+    while (i < cur.length) { cur(i) = arr.getUTF8String(i); i += 1 }
+    val m = lefts.numElements()
+    var k = 0
+    while (k < m && cur.length >= 2) {
+      val l = lefts.getUTF8String(k)
+      val r = rights.getUTF8String(k)
+      val merged = UTF8String.concat(l, sep, r)
+      val out = new java.util.ArrayList[UTF8String](cur.length)
+      var changed = false
+      i = 0
+      while (i < cur.length) {
+        val isPair = i + 1 < cur.length && cur(i) != null &&
+          cur(i).equals(l) && cur(i + 1) != null && cur(i + 1).equals(r)
+        if (isPair) { out.add(merged); i += 2; changed = true }
+        else { out.add(cur(i)); i += 1 }
+      }
+      if (changed) cur = out.toArray(new Array[UTF8String](out.size))
+      k += 1
+    }
+    new GenericArrayData(cur)
+  }
 }
 
 /** Codegen column: apply one BPE merge (left, right) to a symbol array.
@@ -80,6 +108,54 @@ case class MergeAdjacentExpr(arr: Expression, left: Expression,
     copy(arr = f, left = s, right = t)
 }
 
+/** Full-table BPE application: apply every merge of a trained table in
+  * rank order, each as one greedy leftmost non-overlapping pass — the
+  * Sennrich ENCODE, and exactly the trainer's own application step, so
+  * encoding the training corpus reproduces the trainer's final symbol
+  * state. O(nMerges · len) per doc; a rank-heap encoder is the
+  * constant-factor upgrade when nMerges reaches real vocabulary sizes,
+  * but the sequential pass IS the semantics either way. */
+case class BpeEncodeExpr(arr: Expression, lefts: Expression,
+    rights: Expression, sep: String) extends TernaryExpression {
+
+  override def first: Expression = arr
+  override def second: Expression = lefts
+  override def third: Expression = rights
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bpe_encode"
+
+  private val sepU = UTF8String.fromString(sep)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = children.forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, array<string>, " +
+        s"array<string>), got " + children.map(_.dataType.sql).mkString(", "))
+  }
+
+  override def nullSafeEval(a: Any, l: Any, r: Any): Any =
+    BpeOps.encodeAll(a.asInstanceOf[ArrayData],
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], sepU)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sep", sepU,
+      classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, (a, l, r) =>
+      s"graft.functions.BpeOps.encodeAll($a, $l, $r, $sepRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BpeEncodeExpr =
+    copy(arr = f, lefts = s, rights = t)
+}
+
 object BpeExprs {
   def mergeAdjacent(arr: Column, left: Column, right: Column,
       sep: String): Column =
@@ -87,4 +163,11 @@ object BpeExprs {
       GraftColumnBridge.expression(arr),
       GraftColumnBridge.expression(left),
       GraftColumnBridge.expression(right), sep))
+
+  def encode(arr: Column, lefts: Column, rights: Column,
+      sep: String): Column =
+    GraftColumnBridge.column(BpeEncodeExpr(
+      GraftColumnBridge.expression(arr),
+      GraftColumnBridge.expression(lefts),
+      GraftColumnBridge.expression(rights), sep))
 }

@@ -193,6 +193,41 @@ object Vocab {
         col("n_occurrences"))
   }
 
+  /** Tokenize the corpus with a TRAINED merge table — the Sennrich
+    * encode that turns [[bpeMerges]] from a statistic into a usable
+    * tokenizer: whitespace symbols, then every merge applied in rank
+    * order, each a greedy leftmost non-overlapping pass (identical to
+    * the trainer's application step, so encoding the training corpus
+    * reproduces the trainer's final symbol state — and BPE token counts
+    * become the budget currency for [[Corpus.capTokensGlobal]]-style
+    * operators instead of raw whitespace counts).
+    *
+    * Scale shape: the merge table rides a ONE-row broadcast (bounded by
+    * the nMerges ≤ 10000 vocabulary contract — the x70 dictionary
+    * pattern) and the whole encode is a doc-local codegen kernel
+    * ([[graft.functions.BpeEncodeExpr]]) — no shuffle, no per-merge
+    * projection chain (a 10k-merge table as 10k Catalyst projections
+    * would be 10k plan nodes; the kernel is one).
+    *
+    * Output: (id, bpe array<string>, n_tokens). Merged symbols contain
+    * `sep`, so `concat_ws(sep, bpe)` losslessly reconstructs the
+    * whitespace-normalized document. */
+  def bpeEncode(df: DataFrame, idCol: Column, textCol: Column,
+      merges: DataFrame, sep: String = " "): DataFrame = {
+    val mrow = merges
+      .agg(array_sort(collect_list(struct(col("merge_idx"),
+        col("left"), col("right")))).as("ms"))
+      .select(
+        transform(col("ms"), m => m.getField("left")).as("_ls"),
+        transform(col("ms"), m => m.getField("right")).as("_rs"))
+    df.filter(textCol.isNotNull)
+      .crossJoin(broadcast(mrow))
+      .select(idCol.as("id"),
+        BpeExprs.encode(array_remove(split(textCol, "\\s+"), ""),
+          col("_ls"), col("_rs"), sep).as("bpe"))
+      .withColumn("n_tokens", size(col("bpe")).cast("long"))
+  }
+
   /** Collocation mining: top-k adjacent-token pairs by LIFT — the
     * observed bigram frequency over its expectation under unigram
     * independence, n_ab·N / (n_a·n_b). The log of this is PMI; the

@@ -145,6 +145,9 @@ class PlanSpec extends SparkTestBase {
         // twice (index build ranks corpus prefixes, probe ranks the
         // delta under the frozen order)
         "x87_edit_delta",
+        // x91 attaches the ONE-row trained merge table to every doc
+        // (the same bounded-vocabulary broadcast as x70's dictionary)
+        "x91_bpe_encode",
         // x83's ADC scan is the deliberate x5/x45 broadcast-scan shape
         // over the CODE relation (m·4 bytes/vector, not dim·4); x84's
         // own search is a cell-equality join, but its recall gate

@@ -230,4 +230,51 @@ class VocabSpec extends SparkTestBase {
     assert(Vocab.heavyHitters(spark.emptyDataset[String].toDF("text"),
       col("text"), 0.5, 2).isEmpty)
   }
+
+  test("bpeEncode: trained merges applied in rank order, greedy " +
+    "leftmost; hand-checked example") {
+    val docs = Seq((1L, "a b c a b"), (2L, "a b"), (3L, "a a a"))
+      .toDF("doc_id", "text")
+    // pair counts: (a,b)=3, (a,a)=2, (b,c)=1, (c,a)=1 -> merge 0 =
+    // (a,b); round 2 has no pair with count >= 2 left except... after
+    // merging, ("a b","c")=1, ("c","a b")=1, (a,a)=2 -> merge 1 = (a,a)
+    val merges = Vocab.bpeMerges(docs, col("text"), nMerges = 2,
+      minCount = 2L)
+    val got = Vocab.bpeEncode(docs, col("doc_id"), col("text"), merges)
+      .select($"id", $"bpe", $"n_tokens")
+      .as[(Long, Seq[String], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((Seq("a b", "c", "a b"), 3L)))
+    assert(got(2L) === ((Seq("a b"), 1L)))
+    assert(got(3L) === ((Seq("a a", "a"), 2L))) // greedy leftmost
+  }
+
+  test("bpeEncode: rank order matters — a later merge consumes an " +
+    "earlier merge's output symbol") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val merges = Seq((0L, "b", "c", 9L), (1L, "a", "b c", 9L))
+      .toDF("merge_idx", "left", "right", "n_occurrences")
+    val got = Vocab.bpeEncode(docs, col("doc_id"), col("text"), merges)
+      .select($"bpe").as[Seq[String]].head()
+    assert(got === Seq("a b c"))
+  }
+
+  test("bpeEncode on the sf0.001 corpus: matches the reference encode " +
+    "and round-trips to the whitespace-normalized text") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().filter(_._2 != null)
+    val nMerges = 6
+    val merges = Vocab.bpeMerges(docs, col("text"), nMerges = nMerges)
+    val mlist = refBpe(texts.map(_._2).toSeq, nMerges, 2L, " ")
+    val got = Vocab.bpeEncode(docs, col("doc_id"), col("text"), merges)
+      .select($"id", $"bpe").as[(Long, Seq[String])].collect().toMap
+    for ((id, text) <- texts) {
+      var s = text.split("\\s+").filter(_.nonEmpty).toVector
+      for ((_, l, r, _) <- mlist) s = refMergeGreedy(s, l, r, " ")
+      assert(got(id) === s, s"doc $id")
+      assert(got(id).mkString(" ") ===
+        text.split("\\s+").filter(_.nonEmpty).mkString(" "))
+    }
+  }
 }
