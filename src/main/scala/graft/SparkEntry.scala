@@ -348,6 +348,11 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"),
           array_join(col("bpe"), "\u0001").as("encoded"))
     }),
+    // CCNet-style LM quality filter: add-k bigram model self-scored
+    // over the corpus; avg negative log-likelihood per doc, the
+    // perplexity cut every crawl-curation pipeline applies
+    "x92_lm_score" -> ((s, dir) =>
+      graft.operators.Relevance.lmQualityScore(Tables.documents(s, dir))),
     // incremental SimHash near-dedup: the corpus (id, simhash) relation
     // stands in for the persisted parquet index — delta-touching pairs
     // only, corpus text never re-hashed
@@ -2569,6 +2574,32 @@ object SparkEntry {
         |  CAST(coalesce(len(f.s), 0) AS BIGINT) AS n_tokens,
         |  coalesce(array_to_string(f.s, chr(1)), '') AS encoded
         |FROM s0 b LEFT JOIN s3 f USING (doc_id)""".stripMargin,
+    // x92: replay the add-k bigram model — continuation counts c1 are
+    // the per-prefix sums of bigram-type counts c2, V is the distinct
+    // token count, and self-scoring makes every probe bigram an inner
+    // join hit
+    "x92_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |db AS (
+        |  SELECT doc_id, t[u.i] AS w1, t[u.i+1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM db GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT x) AS vocab
+        |      FROM (SELECT unnest(t) AS x FROM toks)),
+        |p AS (
+        |  SELECT d.doc_id,
+        |    ln((c2.n2 + 0.5) / (c1.n1 + 0.5 * v.vocab)) AS lp
+        |  FROM db d JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(-avg(lp), 6) AS avg_nll
+        |FROM p GROUP BY doc_id""".stripMargin,
     // x90: the x85 replay in ARRIVAL order — corpus (doc_id % 7 != 0)
     // windows rank before delta windows regardless of id, and only
     // delta documents are rewritten

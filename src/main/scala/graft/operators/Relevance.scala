@@ -151,6 +151,63 @@ object Relevance {
     * no vocabulary state — the property that makes feature hashing the
     * scale path where a fitted vocabulary (x27/x36) would itself be a
     * corpus-sized relation. */
+  /** CCNet-style n-gram language-model quality score (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data", LREC 2020 — their KenLM-perplexity filter, restated
+    * as an add-k bigram model): per-document mean negative
+    * log-likelihood, `P(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V)`
+    * with continuation counts `c(w1 ·) = Σ_w2 c(w1 w2)` and `V` the
+    * reference vocabulary size. Low score = fluent/common text, high =
+    * rare or garbled — threshold it to filter, exactly like a
+    * perplexity cut. Train on `reference`, score `docs` (CCNet trains
+    * on Wikipedia and scores the crawl); the single-argument overload
+    * self-scores.
+    *
+    * Output: (idCol, n_bigrams, avg_nll) — natural-log units, rounded
+    * to 6 decimals (the x5 float-compare contract). Documents with
+    * fewer than 2 tokens have no bigrams and are omitted.
+    *
+    * Scale shape: the model is two map-side-combinable count aggregates
+    * over the reference (bigram types, then their per-prefix sums) —
+    * never a broadcast of the vocabulary; scoring joins the document
+    * bigram stream against them on gram keys (hot function words are
+    * AQE-skew-splittable). The only broadcast is the ONE-row vocabulary
+    * scalar. Unseen bigrams/prefixes coalesce to 0 and still get
+    * positive smoothed mass, so cross-corpus scoring never divides by
+    * zero. */
+  def lmQualityScore(docs: DataFrame): DataFrame =
+    lmQualityScore(docs, docs)
+
+  def lmQualityScore(docs: DataFrame, reference: DataFrame,
+      k: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"lmQualityScore: k must be > 0, got $k")
+    def bigrams(df: DataFrame, cols: Seq[Column]): DataFrame = {
+      val t = tokens(textCol)
+      df.select(cols :+ explode(when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("_b"): _*)
+        .select(cols :+ col("_b.w1").as("w1") :+ col("_b.w2").as("w2"): _*)
+    }
+    val c2 = bigrams(reference, Seq.empty)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_n2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("_n2")).as("_n1"))
+    val v = reference.select(explode(tokens(textCol)).as("_t"))
+      .agg(countDistinct(col("_t")).as("_v"))
+    bigrams(docs, Seq(col(idCol)))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("_lp", log(
+        (coalesce(col("_n2"), lit(0L)) + lit(k)) /
+          (coalesce(col("_n1"), lit(0L)) + lit(k) * col("_v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(col("_lp")), 6).as("avg_nll"))
+  }
+
   def hashedFeatures(docs: DataFrame, dim: Int = 256,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(dim > 0, s"hashedFeatures: dim must be > 0, got $dim")

@@ -148,6 +148,9 @@ class PlanSpec extends SparkTestBase {
         // x91 attaches the ONE-row trained merge table to every doc
         // (the same bounded-vocabulary broadcast as x70's dictionary)
         "x91_bpe_encode",
+        // x92 attaches the ONE-row vocabulary-size scalar to the
+        // bigram stream (the x81 total-token pattern)
+        "x92_lm_score",
         // x83's ADC scan is the deliberate x5/x45 broadcast-scan shape
         // over the CODE relation (m·4 bytes/vector, not dim·4); x84's
         // own search is a cell-equality join, but its recall gate

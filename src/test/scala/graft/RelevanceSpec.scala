@@ -62,4 +62,49 @@ class RelevanceSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect()
     assert(atCap.exists(_._1 == "common"), "df 9 <= 0.9*10 kept")
   }
+
+  test("lmQualityScore: hand-computed add-k bigram NLL; short docs " +
+    "omitted") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    // c2: (a,b)=3, (b,a)=1, (b,c)=1; c1: a->3, b->2; V=4 (the
+    // vocabulary counts ALL tokens, including doc 3's bigram-less one)
+    val pAB = (3 + 0.5) / (3 + 0.5 * 4)
+    val pBA = (1 + 0.5) / (2 + 0.5 * 4)
+    val pBC = (1 + 0.5) / (2 + 0.5 * 4)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Relevance.lmQualityScore(docs)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === Set(1L, 2L)) // doc 3 has no bigrams
+    assert(got(1L)._1 === 3L)
+    assert(got(1L)._2 ===
+      r6(-(2 * math.log(pAB) + math.log(pBA)) / 3))
+    assert(got(2L)._1 === 2L)
+    assert(got(2L)._2 === r6(-(math.log(pAB) + math.log(pBC)) / 2))
+  }
+
+  test("lmQualityScore cross-corpus: unseen bigrams get smoothed " +
+    "positive mass (no division by zero, no -inf)") {
+    val reference = Seq((10L, "x y")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val got = Relevance.lmQualityScore(docs, reference)
+      .as[(Long, Long, Double)].collect()
+    // V = 2, P = (0 + .5) / (0 + .5*2) = 0.5 -> nll = ln 2
+    assert(got.length === 1)
+    assert(math.abs(got(0)._3 - math.log(2)) < 1e-6)
+    // a doc written in the reference's word ORDER scores lower (more
+    // likely) than the same vocabulary permuted into bigrams the
+    // reference never uses — the discrimination a perplexity cut needs
+    val sentence = "the quick brown fox jumps over the lazy dog"
+    val reference2 = Seq.tabulate(20)(i => (100L + i, sentence))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (9000001L, "the quick brown fox jumps"),
+      (9000002L, "fox brown quick jumps the")).toDF("doc_id", "text")
+    val scores = Relevance.lmQualityScore(probe, reference2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scores(9000001L) < scores(9000002L))
+  }
 }
