@@ -563,6 +563,24 @@ object SparkEntry {
           date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("end_ts"),
           col("n_events"))),
+    // incremental SCD2 maintenance: history = runs built from events
+    // before the cutoff, then the newer events merge in WITHOUT a
+    // rebuild — untouched keys stream through an anti join, touched
+    // keys consult only their last run (max_by, no window). Oracle =
+    // the full x77 rebuild over ALL events.
+    "x93_scd2_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = to_timestamp(lit("2024-01-20 00:00:00"))
+      graft.analytics.Funnels.mergeRuns(
+        graft.analytics.Funnels.valueRuns(ev.filter(col("ts") < cut)),
+        ev.filter(col("ts") >= cut))
+        .select(col("key"), col("run_idx"), col("value"),
+          date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("start_ts"),
+          date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("end_ts"),
+          col("n_events"))
+    }),
     // bounded Levenshtein self-join: q-gram prefix filter candidates,
     // banded-verify — the oracle brute-forces inside the length band
     "x70_edit_distance" -> ((s, dir) =>
@@ -1404,6 +1422,31 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_transitions
         |FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "x77_value_runs" ->
+      """WITH base AS (
+        |  SELECT user_id AS key, ts, event_type AS value, event_id AS id
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |f AS (
+        |  SELECT key, ts, value, id,
+        |    CASE WHEN lag(value) OVER w IS NULL
+        |           OR lag(value) OVER w <> value THEN 1 ELSE 0 END AS chg
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY key ORDER BY epoch_us(ts), id)),
+        |r AS (
+        |  SELECT key, ts, value,
+        |    SUM(chg) OVER (PARTITION BY key ORDER BY epoch_us(ts), id)
+        |      - 1 AS run_idx
+        |  FROM f)
+        |SELECT key, CAST(run_idx AS BIGINT) AS run_idx, value,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
+    // x93: the merge must equal the FULL rebuild over all events — the
+    // oracle is exactly the x77 computation (cutoff-independence is the
+    // whole point of the incremental contract)
+    "x93_scd2_merge" ->
       """WITH base AS (
         |  SELECT user_id AS key, ts, event_type AS value, event_id AS id
         |  FROM events

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query names (builder-side
+    // spot checks); the driver passes exactly (sfDir, outDir)
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // same engine configuration the benchmark runs (AQE, broadcast
     // threshold, UTC) — the correctness gate must validate the engine
@@ -16,7 +20,9 @@ object Verify {
       appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
     var failed = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // remove any stale output first: a query that fails at analysis
       // time writes nothing, and a leftover dir from a previous run
       // would be silently graded in its place

@@ -158,6 +158,84 @@ object Funnels {
         count(lit(1)).as("n_events"))
   }
 
+  /** Incremental SCD2 maintenance: merge a batch of NEW events into a
+    * persisted [[valueRuns]] history without rebuilding it. The
+    * output is exactly `valueRuns(historyEvents ∪ delta)` — the last
+    * (open) run of a key extends when the first delta value matches
+    * it, closes and is followed by fresh runs otherwise — but the
+    * cost is proportional to the DELTA, not the corpus:
+    *
+    *  - delta events run through the ordinary [[valueRuns]] plan
+    *    (one keyed exchange over the batch);
+    *  - history rows of keys the batch never touches stream through
+    *    an anti join untouched — they never re-enter a window, never
+    *    re-sort, and (when the batch's key set is small, the normal
+    *    case) the anti/semi joins broadcast;
+    *  - per touched key the only history state consulted is its LAST
+    *    run, obtained with a map-side-combinable `max_by` aggregate —
+    *    no window over history, no per-key history scan.
+    *
+    * Contract: every delta event must sort STRICTLY after every
+    * history event of the same key under the (`tsCol`, `idCol`)
+    * order — the standard CDC cutoff (split the feed at an ingest
+    * timestamp). Interleaved late arrivals need a rebuild of the
+    * affected keys, not this operator.
+    *
+    * `history` must have [[valueRuns]]'s schema
+    * (key, run_idx, value, start_ts, end_ts, n_events); `delta` has
+    * the raw event schema. Output: the merged history, same schema. */
+  def mergeRuns(history: DataFrame, delta: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // delta-sized and consumed three times (first-run probe, shifted
+    // re-emit); cached for the lifetime of the returned plan — the
+    // caller owns unpersist, same contract as EditSimilarity
+    val dRuns = valueRuns(delta, keyCol, tsCol, valCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one row per touched key: the batch's FIRST run carries the only
+    // value the merge decision needs
+    val d0 = dRuns.filter(col("run_idx") === 0L)
+      .select(col("key"), col("value").as("_v0"))
+    // last (open) run per touched key: ONE bounded aggregate, never a
+    // window — max_by collapses map-side exactly like min/max. The
+    // inner join is total (every touched key has a first delta run);
+    // `_m` = "the open run extends" is decided once per key here.
+    val last = history.join(d0, Seq("key"), "left_semi")
+      .groupBy(col("key"))
+      .agg(max(col("run_idx")).as("_lri"),
+        max_by(struct(col("value"), col("start_ts"), col("n_events")),
+          col("run_idx")).as("_l"))
+      .select(col("key"), col("_lri"), col("_l.start_ts").as("_lstart"),
+        col("_l.n_events").as("_ln"), col("_l.value").as("_lval"))
+      .join(d0, Seq("key"))
+      .withColumn("_m", col("_v0") === col("_lval"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d = dRuns.join(last, Seq("key"), "left")
+    val merges = col("run_idx") === 0L && col("_m")
+    // keys absent from history keep their delta run numbering; known
+    // keys shift past the history tail (one less when run 0 merged)
+    val shift = when(col("_lri").isNull, lit(0L))
+      .otherwise(col("_lri") + when(col("_m"), lit(0L)).otherwise(lit(1L)))
+    val adjusted = d.select(col("key"),
+      (col("run_idx") + shift).as("run_idx"),
+      col("value"),
+      when(merges, col("_lstart")).otherwise(col("start_ts")).as("start_ts"),
+      col("end_ts"),
+      (col("n_events") + when(merges, col("_ln")).otherwise(lit(0L)))
+        .as("n_events"))
+    // history passes through except the open run of a merging key,
+    // which `adjusted` re-emits extended
+    val mergedLast = last.filter(col("_m"))
+      .select(col("key"), col("_lri"))
+    val kept = history
+      .join(mergedLast, Seq("key"), "left")
+      .filter(col("_lri").isNull || col("run_idx") =!= col("_lri"))
+      .select(col("key"), col("run_idx"), col("value"), col("start_ts"),
+        col("end_ts"), col("n_events"))
+    kept.unionByName(adjusted)
+  }
+
   /** Cohort retention: users grouped by the week of their FIRST event
     * (cohort), counted distinct in each subsequent week offset. Weeks
     * are 7-day blocks of days-since-epoch — pure integer arithmetic,

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import graft.analytics.Funnels
+import org.apache.spark.sql.functions.col
 
 class FunnelsSpec extends SparkTestBase {
   import spark.implicits._
@@ -92,6 +93,51 @@ class FunnelsSpec extends SparkTestBase {
       .filter($"key" === 1L && $"run_idx" === 0L)
       .select($"start_ts", $"end_ts").collect().head
     assert(spans.getTimestamp(0) === ts(0) && spans.getTimestamp(1) === ts(1))
+  }
+
+  test("mergeRuns: merge of a cutoff split equals the full rebuild — " +
+    "open-run extension, value change, new key, untouched key") {
+    val events = Seq(
+      // key 1: history (x,x,y), delta (y,z) -> y-run EXTENDS, z appends
+      (1L, ts(0), "x", 1L), (1L, ts(1), "x", 2L), (1L, ts(2), "y", 3L),
+      (1L, ts(10), "y", 4L), (1L, ts(11), "z", 5L),
+      // key 2: history (p), delta (q,p) -> no merge, two appended runs
+      (2L, ts(0), "p", 6L), (2L, ts(10), "q", 7L), (2L, ts(11), "p", 8L),
+      // key 3: untouched by the delta
+      (3L, ts(0), "a", 9L), (3L, ts(1), "b", 10L),
+      // key 4: delta-only (new key), with an internal run split
+      (4L, ts(10), "m", 11L), (4L, ts(11), "m", 12L), (4L, ts(12), "n", 13L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val cut = ts(5)
+    val merged = Funnels.mergeRuns(
+      Funnels.valueRuns(events.filter($"ts" < cut)),
+      events.filter($"ts" >= cut))
+    val full = Funnels.valueRuns(events)
+    val cols = Seq("key", "run_idx", "value", "start_ts", "end_ts",
+      "n_events").map(col)
+    assert(merged.select(cols: _*).collect().toSet ===
+      full.select(cols: _*).collect().toSet)
+    // the extended run carries history start, delta end, summed count
+    val r1 = merged.filter($"key" === 1L && $"run_idx" === 1L)
+      .select($"value", $"start_ts", $"end_ts", $"n_events")
+      .collect().head
+    assert(r1.getString(0) === "y" && r1.getTimestamp(1) === ts(2) &&
+      r1.getTimestamp(2) === ts(10) && r1.getLong(3) === 2L)
+  }
+
+  test("mergeRuns: empty delta returns history; empty history returns " +
+    "the delta's runs") {
+    val events = Seq((1L, ts(0), "x", 1L), (1L, ts(1), "y", 2L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val runs = Funnels.valueRuns(events)
+    val none = events.filter($"event_id" < 0L)
+    val cols = Seq("key", "run_idx", "value", "start_ts", "end_ts",
+      "n_events").map(col)
+    assert(Funnels.mergeRuns(runs, none).select(cols: _*)
+      .collect().toSet === runs.select(cols: _*).collect().toSet)
+    assert(Funnels.mergeRuns(Funnels.valueRuns(none), events)
+      .select(cols: _*).collect().toSet ===
+      runs.select(cols: _*).collect().toSet)
   }
 
   test("retention: integer-week cohorts and offsets, distinct users") {
