@@ -156,6 +156,21 @@ object SparkEntry {
     }),
     "x12_cosine_dedup" -> ((s, dir) =>
       Similarity.cosineDedupBlocked(Tables.embeddings(s, dir), "label", 0.3)),
+    // incremental ANN: a NEW batch of vectors probes the corpus through
+    // the PERSISTED coarse quantizer (ivfCentroids relation) — no
+    // retraining, assignments consistent with every previous batch;
+    // recall-gated against the exact scan like every ANN query
+    "x97_ann_delta" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val delta = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 50)
+      val index = Similarity.ivfCentroids(corpus)
+      Similarity.recallGate(
+        Similarity.ivfTopKWithCentroids(index, corpus, delta,
+          k = 10, nProbe = 10),
+        Similarity.cosineTopK(corpus, delta, k = 10),
+        floor = AnnIvfRecallFloor)
+    }),
     // Extensions: point-in-time (as-of) lookup — strictly-previous order
     // date per order, the inter-purchase-interval primitive
     "x14_asof_prev_order" -> ((s, dir) => {
@@ -229,8 +244,11 @@ object SparkEntry {
     // distributed exact percentiles (sort-based, no per-group buffering
     // — `percentile()` holds every group value in aggregation state);
     // same quantile_cont definition as the oracle
+    // per-source percentiles through the GROUPED distributed rank:
+    // source is a few-large-groups column, so the keyed window (one
+    // task per source) is the wrong plan at corpus scale
     "x19_len_percentiles" -> ((s, dir) =>
-      graft.operators.Corpus.exactPercentiles(
+      graft.operators.Corpus.exactPercentilesGrouped(
         Tables.documents(s, dir), "source", length(col("text")),
         Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))),
     // benchmark decontamination: docs sharing ≥ 50 8-grams with the
@@ -353,6 +371,27 @@ object SparkEntry {
     // perplexity cut every crawl-curation pipeline applies
     "x92_lm_score" -> ((s, dir) =>
       graft.operators.Relevance.lmQualityScore(Tables.documents(s, dir))),
+    // CCNet head/middle/tail: per-language perplexity terciles via the
+    // distributed grouped rank (range-partitioned parallel sorts +
+    // bounded offset table) — never an ntile window with one task per
+    // language
+    "x94_ppl_buckets" -> ((s, dir) =>
+      graft.operators.Relevance.perplexityBuckets(Tables.documents(s, dir))),
+    // Zipf-law fit per language over the top-1000 token ranks — the
+    // cheap ingest-QA distribution alarm; ranking via the distributed
+    // grouped rank, fit via closed-form covar/var aggregates
+    "x95_zipf_slope" -> ((s, dir) =>
+      graft.operators.Vocab.zipfSlope(Tables.documents(s, dir))),
+    // per-source relative quality gate: drop each source's worst
+    // quartile by the x8 heuristic score (rank + count, no per-source
+    // single-task window)
+    "x96_quality_gate" -> ((s, dir) =>
+      graft.operators.Corpus.percentileGate(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          col("text")),
+        graft.functions.TextAnalysis.qualityScore(col("text")),
+        "source", "doc_id", dropFraction = 0.25, scoreName = "quality")
+        .select(col("doc_id"), col("source"), col("quality"))),
     // incremental SimHash near-dedup: the corpus (id, simhash) relation
     // stands in for the persisted parquet index — delta-touching pairs
     // only, corpus text never re-hashed
@@ -1527,6 +1566,29 @@ object SparkEntry {
     // recall floor held for every query
     "x6_ann_lsh" -> AnnExactTopkOracle,
     "x13_ann_ivf" -> AnnExactTopkOracle,
+    // x97: exact top-k with the delta split — corpus excludes every
+    // 10th vector, queries are the first five of those
+    "x97_ann_delta" ->
+      """WITH n0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |n AS (SELECT * FROM n0 WHERE nrm > 0 AND vec_id % 10 <> 0),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n0
+        |      WHERE nrm > 0 AND vec_id % 10 = 0 AND vec_id < 50),
+        |s AS (
+        |  SELECT query_id, vec_id,
+        |         round(list_sum(list_transform(generate_series(1, len(v)),
+        |                 i -> qv[i] * v[i])) / (qnrm * nrm), 6) AS cosine
+        |  FROM n, q WHERE vec_id <> query_id),
+        |topk AS (
+        |  SELECT query_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cosine DESC, vec_id) AS INT) AS rnk
+        |  FROM s)
+        |SELECT query_id, min(cosine) AS kth_cosine, true AS recall_ok
+        |FROM topk WHERE rnk <= 10 GROUP BY 1""".stripMargin,
     "x83_ann_pq" -> AnnExactTopkOracle,
     "x84_ann_ivfpq" -> AnnExactTopkOracle,
     // recomputes both polynomial fingerprints code point by code point
@@ -2643,6 +2705,75 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |       round(-avg(lp), 6) AS avg_nll
         |FROM p GROUP BY doc_id""".stripMargin,
+    // x94: the x92 LM replay + per-language ntile terciles on the
+    // ROUNDED score (ties broken by doc_id, matching the engine's
+    // total order)
+    "x94_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |db AS (
+        |  SELECT doc_id, t[u.i] AS w1, t[u.i+1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM db GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT x) AS vocab
+        |      FROM (SELECT unnest(t) AS x FROM toks)),
+        |p AS (
+        |  SELECT d.doc_id,
+        |    ln((c2.n2 + 0.5) / (c1.n1 + 0.5 * v.vocab)) AS lp
+        |  FROM db d JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  CROSS JOIN v),
+        |s AS (
+        |  SELECT doc_id, round(-avg(lp), 6) AS avg_nll
+        |  FROM p GROUP BY doc_id)
+        |SELECT s.doc_id, d.lang, s.avg_nll,
+        |  CAST(ntile(3) OVER (PARTITION BY d.lang
+        |       ORDER BY s.avg_nll, s.doc_id) AS INT) AS ppl_bucket
+        |FROM s JOIN documents d USING (doc_id)""".stripMargin,
+    // x95: rank = row_number per lang (freq desc, token asc); slope =
+    // covar_pop/var_pop over ln rank/freq of the top 1000 — identical
+    // closed form to the engine's aggregate
+    "x95_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT lang, token, count(*) AS freq
+        |       FROM toks GROUP BY 1, 2),
+        |rk AS (SELECT lang, freq,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY freq DESC, token) AS rank
+        |       FROM tf)
+        |SELECT lang,
+        |  round(covar_pop(ln(freq), ln(rank))
+        |        / nullif(var_pop(ln(rank)), 0), 6) AS zipf_slope,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(freq) AS BIGINT) AS n_tokens
+        |FROM rk WHERE rank <= 1000 GROUP BY lang""".stripMargin,
+    // x96: keep rows ranking above floor(0.25·n) per source under
+    // (quality, doc_id) — the x8 score expression inline
+    "x96_quality_gate" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    0.3 * least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0) +
+        |    0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |                 greatest(CAST(length(text) AS DOUBLE), 1.0)) +
+        |    0.4 * least(CAST(len(regexp_extract_all(lower(text),
+        |                 '\b(the|and|of|to|a|in|is|was)\b')) AS DOUBLE) / 10.0, 1.0)
+        |      AS quality
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, quality,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY quality, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM s)
+        |SELECT doc_id, source, quality
+        |FROM r WHERE rn > floor(0.25 * n)""".stripMargin,
     // x90: the x85 replay in ARRIVAL order — corpus (doc_id % 7 != 0)
     // windows rank before delta windows regardless of id, and only
     // delta documents are rewritten

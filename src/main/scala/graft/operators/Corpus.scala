@@ -434,6 +434,45 @@ object Corpus {
       .select(col(groupCol) +: out: _*)
   }
 
+  /** [[exactPercentiles]] for LOW-cardinality groups (sources,
+    * languages, shards) — the keyed-window route above sorts each
+    * group on ONE task, which is the right trade only when groups are
+    * numerous and small. Here the rank comes from
+    * [[GroupedRank.rankInGroup]] (range-partitioned parallel sorts +
+    * bounded driver offset table), so a 10-source 100 TB corpus sorts
+    * on every core instead of ten tasks; group counts are one
+    * broadcast aggregate. Same quantile_cont definition, identical
+    * output, same oracle. */
+  def exactPercentilesGrouped(df: DataFrame, groupCol: String,
+      value: Column, ps: Seq[(String, Double)],
+      numRanges: Int = 64): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
+      s"exactPercentilesGrouped: percentiles must be in [0,1], got $ps")
+    val v = df.select(col(groupCol).as("g"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val ranked = GroupedRank.rankInGroup(v, col("g"),
+      Seq(col("v").asc), "rn", numRanges)
+    val counts = v.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val aggs = ps.flatMap { case (name, p) =>
+      val pos = lit(p) * (col("n") - 1)
+      val lo = floor(pos) + 1 // 1-based ranks
+      val hi = ceil(pos) + 1
+      Seq(
+        max(when(col("rn") === lo, col("v"))).as(s"_lo_$name"),
+        max(when(col("rn") === hi, col("v"))).as(s"_hi_$name"),
+        max(pos - floor(pos)).as(s"_frac_$name"))
+    }
+    val out = ps.map { case (name, _) =>
+      round(col(s"_lo_$name") +
+        col(s"_frac_$name") * (col(s"_hi_$name") - col(s"_lo_$name")), 6)
+        .as(name)
+    }
+    ranked.join(broadcast(counts), Seq("g"))
+      .groupBy(col("g").as(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: out: _*)
+  }
+
   /** [[exactPercentiles]] over the WHOLE input (no grouping) — the
     * degenerate case where the keyed route would drag every row
     * through ONE window task (`partitionBy` on a constant folds to an
@@ -680,5 +719,39 @@ object Corpus {
       .filter(col("rank") <= k)
       .select(col("anchor_id"), col("cand").as("neg_id"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** Per-group bottom-fraction filter — "drop each source's worst
+    * quartile by quality score", the FineWeb-style curation step
+    * where the threshold is RELATIVE per group rather than a global
+    * constant (a clean source's median beats a spammy source's p90,
+    * so one global cutoff over- or under-prunes every source).
+    *
+    * The contract is exact and deterministic: within each group,
+    * rows rank ascending by (`score`, `idCol`) and the lowest
+    * ⌊dropFraction · n⌋ rows drop. Rows with a null score sort first
+    * (Spark asc default) and are pruned preferentially.
+    *
+    * Scale shape: ranking is
+    * [[graft.operators.GroupedRank.rankInGroup]] (range-partitioned
+    * parallel sorts + bounded driver offset table — never a
+    * one-task-per-source window); group sizes are one broadcast
+    * aggregate; the gate itself is a projection-level comparison.
+    *
+    * Output: the input columns plus `scoreName`, kept rows only. */
+  def percentileGate(df: DataFrame, score: Column, grpCol: String,
+      idCol: String, dropFraction: Double = 0.25,
+      scoreName: String = "score"): DataFrame = {
+    require(dropFraction >= 0 && dropFraction < 1,
+      s"percentileGate: dropFraction must be in [0, 1), got $dropFraction")
+    val scored = df.withColumn(scoreName, score)
+    val ranked = GroupedRank.rankInGroup(scored, col(grpCol),
+      Seq(col(scoreName).asc, col(idCol).asc), "_pg_rn")
+    val counts = scored.groupBy(col(grpCol))
+      .agg(count(lit(1)).as("_pg_n"))
+    ranked.join(broadcast(counts), Seq(grpCol))
+      .filter(col("_pg_rn") >
+        floor(lit(dropFraction) * col("_pg_n")).cast("long"))
+      .drop("_pg_rn", "_pg_n")
   }
 }

@@ -208,6 +208,52 @@ object Relevance {
         round(-avg(col("_lp")), 6).as("avg_nll"))
   }
 
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus bigram LM ([[lmQualityScore]]) and split each language
+    * into `nBuckets` equal-frequency perplexity buckets (bucket 1 =
+    * lowest avg negative log-likelihood = "head", the cleanest slice;
+    * the CCNet pipeline trains on head/middle and drops tail). Bucket
+    * assignment follows SQL `ntile` semantics exactly — the first
+    * (n mod b) buckets take one extra row — over the total order
+    * (avg_nll, id), so the result is engine-portable.
+    *
+    * Scale shape: scoring is the [[lmQualityScore]] plan (bigram
+    * count + broadcast stats); bucketing is NOT an
+    * `ntile() OVER (PARTITION BY lang …)` window — with a handful of
+    * corpus-scale languages that is one task per language. Instead
+    * [[graft.operators.GroupedRank.rankInGroup]] gives the exact
+    * in-language rank via range-partitioned parallel sorts + a
+    * bounded driver offset table, and the ntile arithmetic is a
+    * projection against broadcast per-language counts.
+    *
+    * Output: (id, lang, avg_nll, ppl_bucket ∈ [1, nBuckets]).
+    * Documents with fewer than two tokens have no bigrams, hence no
+    * score and no bucket (same exclusion as [[lmQualityScore]]). */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3,
+      k: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"perplexityBuckets: nBuckets must be in [2, 1000], got $nBuckets")
+    val scores = lmQualityScore(docs, docs, k, idCol, textCol)
+      .select(col(idCol), col("avg_nll"))
+    val joined = scores
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val ranked = graft.operators.GroupedRank.rankInGroup(
+      joined, col(langCol),
+      Seq(col("avg_nll").asc, col(idCol).asc), "_rn")
+    val counts = joined.groupBy(col(langCol)).agg(count(lit(1)).as("_n"))
+    ranked.join(broadcast(counts), Seq(langCol))
+      .withColumn("_q", expr(s"_n DIV $nBuckets"))
+      .withColumn("_r", expr(s"_n % $nBuckets"))
+      // ntile: ranks 1.._r*(_q+1) land in the _r wide buckets, the
+      // rest in width-_q buckets (the ELSE never divides by a zero _q:
+      // when _q = 0 every rank is ≤ _r·1 = n)
+      .withColumn("ppl_bucket", expr(
+        "CAST(CASE WHEN _rn <= _r * (_q + 1) THEN (_rn - 1) DIV (_q + 1) + 1 " +
+          "ELSE _r + (_rn - _r * (_q + 1) - 1) DIV _q + 1 END AS INT)"))
+      .select(col(idCol), col(langCol), col("avg_nll"), col("ppl_bucket"))
+  }
+
   def hashedFeatures(docs: DataFrame, dim: Int = 256,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(dim > 0, s"hashedFeatures: dim must be > 0, got $dim")

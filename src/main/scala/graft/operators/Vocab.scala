@@ -311,4 +311,43 @@ object Vocab {
             col("n_bigrams").cast("double"))
           .as("coverage"))
   }
+
+  /** Zipf-law fit per language: least-squares slope of
+    * ln(freq) ~ ln(rank) over each language's `topK` most frequent
+    * tokens (rank ties broken token-ascending). Natural-language text
+    * sits near −1; a corpus slice drifting far off (machine-generated
+    * boilerplate ≈ flat head, template spam ≈ cliff) is the classic
+    * cheap distribution-shift alarm for ingest QA.
+    *
+    * Scale shape: token frequencies are one map-combinable aggregate;
+    * ranking is [[graft.operators.GroupedRank.rankInGroup]] — range-
+    * partitioned parallel sorts plus a bounded driver offset table,
+    * never a one-task-per-language window — and the fit reduces over
+    * ≤ topK rows per language with closed-form `covar_pop/var_pop`
+    * (no iterative solver). The tail past topK (where Zipf breaks
+    * down anyway) is never sorted further or carried.
+    *
+    * Output: (lang, zipf_slope 6-dp — null when a language has one
+    * distinct token, n_types ≤ topK, n_tokens = occurrences covered
+    * by those types). */
+  def zipfSlope(docs: DataFrame, topK: Int = 1000,
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    require(topK >= 2, s"zipfSlope: topK must be >= 2, got $topK")
+    val tf = docs
+      .select(col(langCol),
+        explode(array_remove(split(col(textCol), "\\s+"), "")).as("token"))
+      .groupBy(col(langCol), col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val ranked = GroupedRank.rankInGroup(
+        tf, col(langCol), Seq(col("freq").desc, col("token").asc), "rank")
+      .filter(col("rank") <= topK)
+    val lx = log(col("rank"))
+    ranked.groupBy(col(langCol))
+      .agg(
+        round(when(var_pop(lx) > 0d,
+          covar_pop(log(col("freq")), lx) / var_pop(lx)), 6)
+          .as("zipf_slope"),
+        count(lit(1)).as("n_types"),
+        sum(col("freq")).as("n_tokens"))
+  }
 }

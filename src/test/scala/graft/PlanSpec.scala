@@ -151,6 +151,12 @@ class PlanSpec extends SparkTestBase {
         // x92 attaches the ONE-row vocabulary-size scalar to the
         // bigram stream (the x81 total-token pattern)
         "x92_lm_score",
+        // x94 scores through the x92 LM plan, so it carries the same
+        // ONE-row vocabulary scalar attach
+        "x94_ppl_buckets",
+        // x97 is x13's probe against the persisted quantizer — the
+        // same recall-gate exact-scan broadcast shape
+        "x97_ann_delta",
         // x83's ADC scan is the deliberate x5/x45 broadcast-scan shape
         // over the CODE relation (m·4 bytes/vector, not dim·4); x84's
         // own search is a cell-equality join, but its recall gate
