@@ -312,15 +312,20 @@ object SparkEntry {
       graft.operators.Vocab.heavyHitters(
         Tables.documents(s, dir), col("text"), phi = 0.005, capacity = 256)),
     // balanced per-source sampling: at most k docs per source / a token
-    // budget per source, membership a pure function of the key hash
+    // budget per source, membership a pure function of the key hash;
+    // source is a few-large-groups column, so both route through the
+    // distributed grouped rank / prefix sum (numRanges > 0), never a
+    // one-task-per-source window
     "x29_cap_per_source" -> ((s, dir) =>
       graft.operators.Corpus.capPerGroup(
-        Tables.documents(s, dir), col("source"), col("doc_id"), k = 10)
+        Tables.documents(s, dir), col("source"), col("doc_id"), k = 10,
+        numRanges = 32)
         .select(col("doc_id"), col("source"))),
     "x30_token_budget_mix" -> ((s, dir) =>
       graft.operators.Corpus.capTokensPerGroup(
         Tables.documents(s, dir), col("source"), col("doc_id"),
-        TextAnalysis.tokenCount(col("text")), budget = 600L)
+        TextAnalysis.tokenCount(col("text")), budget = 600L,
+        numRanges = 32)
         .select(col("doc_id"), col("source"))),
     // paragraph-level exact dedup: the testdata corpus is single-line,
     // so " the " (a literal, also a valid regex) stands in for the real
@@ -822,7 +827,7 @@ object SparkEntry {
     "x58_stratified_sample" -> ((s, dir) =>
       graft.operators.Corpus.stratifiedSample(
         Tables.documents(s, dir), col("doc_id"), col("source"),
-        totalTarget = 200L)
+        totalTarget = 200L, numRanges = 32)
         .select(col("doc_id"), col("source"))),
     // quality-aware canonical: per near-dup cluster keep the LONGEST
     // text (tie → min id) instead of the min-id doc

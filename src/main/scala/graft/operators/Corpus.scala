@@ -251,11 +251,13 @@ object Corpus {
     *
     * Scale shape: one tiny per-source count aggregate collected (the
     * [[temperatureMix]] sanctioned-collect contract), allocations ride
-    * back as a literal when-chain, and selection is one per-source rank
-    * window — a single keyed exchange. Null keys/sources are
+    * back as a literal when-chain. Selection ranks per source — with
+    * `numRanges > 0` (recommended: source is a few-large-groups
+    * column) via [[GroupedRank.rankInGroup]]'s parallel sorts, else a
+    * keyed rank window (one task per source). Null keys/sources are
     * excluded. */
   def stratifiedSample(df: DataFrame, key: Column, sourceCol: Column,
-      totalTarget: Long): DataFrame = {
+      totalTarget: Long, numRanges: Int = 0): DataFrame = {
     require(totalTarget > 0,
       s"stratifiedSample: totalTarget must be > 0, got $totalTarget")
     val counts = df.filter(key.isNotNull && sourceCol.isNotNull)
@@ -278,12 +280,16 @@ object Corpus {
       case None => lit(0L)
     }
     import org.apache.spark.sql.expressions.Window
-    df.filter(key.isNotNull && sourceCol.isNotNull)
+    val scored = df.filter(key.isNotNull && sourceCol.isNotNull)
       .withColumn("_u", hashUnit(key))
-      .withColumn("_rn", row_number()
-        .over(Window.partitionBy(sourceCol).orderBy(col("_u"), key)))
-      .filter(col("_rn") <= kCol)
-      .drop("_u", "_rn")
+    val ranked =
+      if (numRanges > 0)
+        GroupedRank.rankInGroup(scored, sourceCol,
+          Seq(col("_u"), key), "_rn", numRanges)
+      else scored.withColumn("_rn", row_number()
+        .over(Window.partitionBy(sourceCol).orderBy(col("_u"), key))
+        .cast("long"))
+    ranked.filter(col("_rn") <= kCol).drop("_u", "_rn")
   }
 
   /** Keep at most `k` rows per group, chosen in deterministic
@@ -291,19 +297,27 @@ object Corpus {
     * ("at most 10k documents per source") where WHICH rows survive is
     * a pure function of their keys: stable across runs, partitionings,
     * and corpus growth (a group's survivors only change when lower-
-    * hashed rows arrive, never by reshuffling). One keyed exchange
-    * (rank window); rows with a null key have no hash position and are
-    * excluded, as in [[mixBySource]]. */
+    * hashed rows arrive, never by reshuffling). Rows with a null key
+    * have no hash position and are excluded, as in [[mixBySource]].
+    *
+    * Route: `numRanges = 0` (default) ranks with a keyed window — one
+    * exchange, right for MANY small groups. For a few corpus-scale
+    * groups (sources, languages) pass `numRanges > 0` to rank via
+    * [[GroupedRank.rankInGroup]] instead: the window route would sort
+    * each group on ONE task. */
   def capPerGroup(df: DataFrame, groupCol: Column, key: Column,
-      k: Int): DataFrame = {
+      k: Int, numRanges: Int = 0): DataFrame = {
     require(k > 0, s"capPerGroup: k must be > 0, got $k")
     import org.apache.spark.sql.expressions.Window
-    df.filter(key.isNotNull)
-      .withColumn("_u", hashUnit(key))
-      .withColumn("_rn", row_number()
-        .over(Window.partitionBy(groupCol).orderBy(col("_u"), key)))
-      .filter(col("_rn") <= k)
-      .drop("_u", "_rn")
+    val scored = df.filter(key.isNotNull).withColumn("_u", hashUnit(key))
+    val ranked =
+      if (numRanges > 0)
+        GroupedRank.rankInGroup(scored, groupCol,
+          Seq(col("_u"), key), "_rn", numRanges)
+      else scored.withColumn("_rn", row_number()
+        .over(Window.partitionBy(groupCol).orderBy(col("_u"), key))
+        .cast("long"))
+    ranked.filter(col("_rn") <= k).drop("_u", "_rn")
   }
 
   /** Keep each group's prefix — in ([[hashUnit]](key), key) order —
@@ -313,20 +327,28 @@ object Corpus {
     * count passes the budget every later row of the group drops, so
     * membership stays a pure prefix property (stable under corpus
     * growth the same way hash splits are). A single row larger than
-    * the whole budget is dropped with everything after it. One keyed
-    * exchange (cumsum window); null keys are excluded, null token
-    * counts weigh 0. */
+    * the whole budget is dropped with everything after it. Null keys
+    * are excluded, null token counts weigh 0.
+    *
+    * Route: `numRanges = 0` (default) uses the keyed cumsum window
+    * (many small groups); `numRanges > 0` routes through
+    * [[GroupedRank.prefixSumInGroup]] for few-large-groups inputs,
+    * where the window would drag each group through one task. */
   def capTokensPerGroup(df: DataFrame, groupCol: Column, key: Column,
-      tokens: Column, budget: Long): DataFrame = {
+      tokens: Column, budget: Long, numRanges: Int = 0): DataFrame = {
     require(budget > 0, s"capTokensPerGroup: budget must be > 0, got $budget")
     import org.apache.spark.sql.expressions.Window
-    df.filter(key.isNotNull)
+    val base = df.filter(key.isNotNull)
       .withColumn("_toks", coalesce(tokens.cast("long"), lit(0L)))
-      .withColumn("_cum", sum(col("_toks"))
-        .over(Window.partitionBy(groupCol).orderBy(hashUnit(key), key)
+      .withColumn("_u", hashUnit(key))
+    val cum =
+      if (numRanges > 0)
+        GroupedRank.prefixSumInGroup(base, groupCol,
+          Seq(col("_u"), key), col("_toks"), "_cum", numRanges)
+      else base.withColumn("_cum", sum(col("_toks"))
+        .over(Window.partitionBy(groupCol).orderBy(col("_u"), key)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("_cum") <= budget)
-      .drop("_toks", "_cum")
+    cum.filter(col("_cum") <= budget).drop("_toks", "_cum", "_u")
   }
 
   /** GLOBAL token-budget prefix: keep documents in deterministic

@@ -46,10 +46,43 @@ object GroupedRank {
     * contract as EditSimilarity — Bench clears caches per query). */
   def rankInGroup(df: DataFrame, grp: Column, orderCols: Seq[Column],
       rankName: String = "rank", numRanges: Int = 64,
+      maxOffsetRows: Int = 100000): DataFrame =
+    withGroupOffsets(df, grp, orderCols, count(lit(1)), rankName,
+      numRanges, maxOffsetRows, "rankInGroup") { (w, _) =>
+      row_number().over(w).cast("long")
+    }
+
+  /** The weighted analog of [[rankInGroup]]: adds `sumName` = the
+    * INCLUSIVE running sum of `weight` within `grp` under `orderCols`
+    * — the distributed form of
+    * `sum(w) OVER (PARTITION BY g ORDER BY … ROWS UNBOUNDED
+    * PRECEDING)` for few-large-groups inputs (token-budget prefixes,
+    * cumulative mixture quotas). Same machinery, with per-(range,
+    * group) weight SUMS as the offsets. Null weights count 0; the
+    * same bounded-collect contract and cap apply. */
+  def prefixSumInGroup(df: DataFrame, grp: Column, orderCols: Seq[Column],
+      weight: Column, sumName: String = "running", numRanges: Int = 64,
       maxOffsetRows: Int = 100000): DataFrame = {
-    require(orderCols.nonEmpty, "rankInGroup: orderCols must be non-empty")
-    require(numRanges > 0,
-      s"rankInGroup: numRanges must be > 0, got $numRanges")
+    val in = df.withColumn("_gr_w", coalesce(weight.cast("long"), lit(0L)))
+    withGroupOffsets(in, grp, orderCols, sum(col("_gr_w")), sumName,
+      numRanges, maxOffsetRows, "prefixSumInGroup") { (w, _) =>
+      sum(col("_gr_w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    }.drop("_gr_w")
+  }
+
+  /** Shared core: range-repartition on (group, order), collect the
+    * bounded per-(range, group) `offsetAgg` table, prefix-sum it per
+    * group on the driver, broadcast-join it back (null-safe on the
+    * group so null groups rank instead of silently dropping), and add
+    * `name` = localExpr(window, offsets) + the group's offset. */
+  private def withGroupOffsets(df: DataFrame, grp: Column,
+      orderCols: Seq[Column], offsetAgg: Column, name: String,
+      numRanges: Int, maxOffsetRows: Int, caller: String)(
+      localExpr: (org.apache.spark.sql.expressions.WindowSpec,
+        DataFrame) => Column): DataFrame = {
+    require(orderCols.nonEmpty, s"$caller: orderCols must be non-empty")
+    require(numRanges > 0, s"$caller: numRanges must be > 0, got $numRanges")
     val spark = df.sparkSession
     val cols = df.columns
     val ranged = df.withColumn("_gr_g", grp)
@@ -58,9 +91,9 @@ object GroupedRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded: one row per non-empty (range, group) pair
     val partials = ranged.groupBy(col("_gr_pid"), col("_gr_g"))
-      .agg(count(lit(1)).as("_c")).collect()
+      .agg(offsetAgg.cast("long").as("_c")).collect()
     require(partials.length <= maxOffsetRows,
-      s"rankInGroup: offset table has ${partials.length} (range, group) " +
+      s"$caller: offset table has ${partials.length} (range, group) " +
         s"rows, over the $maxOffsetRows cap — the group column has too " +
         "many distinct values for the bounded-collect contract; use a " +
         "per-key window for high-cardinality groups")
@@ -81,15 +114,12 @@ object GroupedRank {
       spark.sparkContext.parallelize(offRows, 1), offSchema)
     val w = Window.partitionBy(col("_gr_pid"), col("_gr_g"))
       .orderBy(orderCols: _*)
-    // null-safe on the group so a null group ranks instead of silently
-    // dropping through the equi-join
     ranged
       .join(broadcast(offDf
           .withColumnRenamed("_gr_pid", "_gr_pid2")
           .withColumnRenamed("_gr_g", "_gr_g2")),
         col("_gr_pid") === col("_gr_pid2") && col("_gr_g") <=> col("_gr_g2"))
-      .withColumn(rankName,
-        row_number().over(w).cast("long") + col("_gr_off"))
-      .select((cols.map(col) :+ col(rankName)): _*)
+      .withColumn(name, localExpr(w, offDf) + col("_gr_off"))
+      .select((cols.map(col) :+ col(name)): _*)
   }
 }

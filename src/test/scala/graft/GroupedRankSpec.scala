@@ -67,6 +67,34 @@ class GroupedRankSpec extends SparkTestBase {
     }
   }
 
+  test("prefixSumInGroup equals the keyed cumsum window for every " +
+    "numRanges; capPerGroup/capTokensPerGroup/stratifiedSample " +
+    "distributed routes equal their window routes") {
+    val df = (1 to 60).map { i =>
+      (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c",
+        (i * 7 % 13).toLong)
+    }.toDF("id", "src", "toks")
+    val viaWindow = df.withColumn("run",
+      sum($"toks").over(Window.partitionBy($"src").orderBy($"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .as[(Long, String, Long, Long)].collect().toSet
+    for (n <- Seq(1, 2, 8)) {
+      val got = GroupedRank.prefixSumInGroup(df, $"src", Seq($"id"),
+          $"toks", "run", numRanges = n)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got === viaWindow, s"numRanges=$n")
+    }
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id").as[Long].collect().toSet
+    assert(ids(Corpus.capPerGroup(df, $"src", $"id", 5)) ===
+      ids(Corpus.capPerGroup(df, $"src", $"id", 5, numRanges = 8)))
+    assert(ids(Corpus.capTokensPerGroup(df, $"src", $"id", $"toks", 40L)) ===
+      ids(Corpus.capTokensPerGroup(df, $"src", $"id", $"toks", 40L,
+        numRanges = 8)))
+    assert(ids(Corpus.stratifiedSample(df, $"id", $"src", 20L)) ===
+      ids(Corpus.stratifiedSample(df, $"id", $"src", 20L, numRanges = 8)))
+  }
+
   test("percentileGate drops exactly the per-group bottom fraction " +
     "under (score, id) order") {
     val df = Seq(
