@@ -607,6 +607,24 @@ object SparkEntry {
           date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("end_ts"),
           col("n_events"))),
+    // SCD2 point-in-time enrichment: each view event looks up its
+    // user's state (latest non-view run) AS OF the view's timestamp —
+    // the runs table consumed as a slowly-changing dimension through
+    // the single-shuffle as-of union trick (no fan-out join, no range
+    // scan)
+    "x98_scd2_lookup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val state = graft.analytics.Funnels.valueRuns(
+        ev.filter(col("event_type") =!= "view"))
+      graft.operators.AsofJoin.asofLookup(
+        ev.filter(col("event_type") === "view"), state,
+        col("user_id"), col("key"), col("ts"), col("start_ts"),
+        col("value"), "state_asof",
+        leftProjection = Seq(col("event_id"), col("user_id"), col("ts")))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("state_asof"))
+    }),
     // incremental SCD2 maintenance: history = runs built from events
     // before the cutoff, then the newer events merge in WITHOUT a
     // rebuild — untouched keys stream through an anti join, touched
@@ -1487,6 +1505,43 @@ object SparkEntry {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM r GROUP BY 1, 2, 3""".stripMargin,
+    // x98: replay the non-view runs, then for each view probe take the
+    // run with the LATEST start ≤ probe ts (ties → max value, matching
+    // the as-of union trick's carried-max contract)
+    "x98_scd2_lookup" ->
+      """WITH base AS (
+        |  SELECT user_id AS key, ts, event_type AS value, event_id AS id
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_type <> 'view'),
+        |f AS (
+        |  SELECT key, ts, value, id,
+        |    CASE WHEN lag(value) OVER w IS NULL
+        |           OR lag(value) OVER w <> value THEN 1 ELSE 0 END AS chg
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY key ORDER BY epoch_us(ts), id)),
+        |r AS (
+        |  SELECT key, ts, value,
+        |    SUM(chg) OVER (PARTITION BY key ORDER BY epoch_us(ts), id)
+        |      AS run_idx
+        |  FROM f),
+        |runs AS (
+        |  SELECT key, run_idx, value, min(epoch_us(ts)) AS sus
+        |  FROM r GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT p.event_id, r.value,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY r.sus DESC, r.value DESC) AS rn
+        |  FROM p JOIN runs r
+        |    ON r.key = p.user_id AND r.sus <= epoch_us(p.ts))
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  j.value AS state_asof
+        |FROM p LEFT JOIN (SELECT event_id, value FROM j WHERE rn = 1) j
+        |  USING (event_id)""".stripMargin,
     // x93: the merge must equal the FULL rebuild over all events — the
     // oracle is exactly the x77 computation (cutoff-independence is the
     // whole point of the incremental contract)
