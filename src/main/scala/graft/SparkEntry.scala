@@ -260,6 +260,26 @@ object SparkEntry {
         docs, docs.filter(col("doc_id") < 10),
         minSharedGrams = 50, n = 8)
     }),
+    // graded contamination: per-doc FRACTION of distinct 8-grams found
+    // in the benchmark slice — the curation-feature companion to x20's
+    // binary flag; same broadcast/semi-join routing, the per-doc gram
+    // count rides the same doc-local shingle projection
+    "x100_contamination_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Dedup.contaminationScore(
+        docs, docs.filter(col("doc_id") < 10), n = 8)
+    }),
+    // sketch percentiles with a DISTRIBUTED rank-error audit: the
+    // estimate's rank (ties-aware) must land within the GK guarantee —
+    // the gate that makes approx_percentile trustworthy at corpus scale
+    // (estimates themselves are sketch-dependent, so the oracle checks
+    // the audit verdict and exact group counts, like x62's HLL gate)
+    "x99_approx_quantiles" -> ((s, dir) =>
+      graft.operators.Corpus.approxPercentilesGated(
+        Tables.documents(s, dir), "source", length(col("text")),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), accuracy = 1000)
+        .select(col("source"), col("pname"), col("p"), col("n"),
+          col("rank_ok"))),
     // Gopher-style repetition signals
     "x21_repetition" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -1820,6 +1840,41 @@ object SparkEntry {
     // operator forced through the oversized-benchmark semi-join route —
     // same ground truth, shared verbatim.
     "x20_decontaminate" -> DecontaminateOracle,
+    "x100_contamination_score" ->
+      """WITH bg AS (
+        |  SELECT list_sort(list_distinct(flatten(list(ng)))) AS g FROM (
+        |    SELECT list_distinct(list_transform(
+        |      generate_series(1, greatest(length(text) - 7, 0)),
+        |      i -> substr(text, i, 8))) AS ng
+        |    FROM documents WHERE doc_id < 10 AND length(text) >= 8)),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 8 THEN
+        |      len(list_distinct(list_transform(
+        |        generate_series(1, greatest(length(text) - 7, 0)),
+        |        i -> substr(text, i, 8))))
+        |    ELSE 0 END AS n_grams,
+        |    CASE WHEN length(text) >= 8 THEN
+        |      len(list_intersect(
+        |        list_distinct(list_transform(
+        |          generate_series(1, greatest(length(text) - 7, 0)),
+        |          i -> substr(text, i, 8))),
+        |        bg.g))
+        |    ELSE 0 END AS n_shared
+        |  FROM documents CROSS JOIN bg)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |       CAST(n_shared AS BIGINT) AS n_shared,
+        |       CASE WHEN n_grams > 0
+        |            THEN CAST(n_shared AS DOUBLE) / n_grams
+        |            ELSE 0.0 END AS score
+        |FROM d""".stripMargin,
+    "x99_approx_quantiles" ->
+      """SELECT source, pname, p, count(*) AS n, true AS rank_ok
+        |FROM documents CROSS JOIN (VALUES
+        |  ('p50', CAST(0.5 AS DOUBLE)), ('p90', CAST(0.9 AS DOUBLE)),
+        |  ('p99', CAST(0.99 AS DOUBLE))) AS q(pname, p)
+        |WHERE text IS NOT NULL
+        |GROUP BY source, pname, p""".stripMargin,
     "x33_decontaminate_joined" -> DecontaminateOracle,
     "x59_decontaminate_bloom" -> DecontaminateOracle,
     // error-gated: the oracle recomputes the EXACT counts; the engine

@@ -627,6 +627,57 @@ object Corpus {
     df.groupBy(col(groupCol)).agg(exprs.head, exprs.tail: _*)
   }
 
+  /** [[approxPercentiles]] with a DISTRIBUTED rank-error audit — the
+    * shape that makes sketch percentiles trustworthy at corpus scale:
+    * alongside each estimate, verify against the data itself that the
+    * returned value's rank lies within the sketch's guarantee
+    * (`approx_percentile` is a Greenwald–Khanna summary: the element it
+    * returns has rank within n/accuracy of p·n).
+    *
+    * The audit is two conditional counts per (group, percentile), not a
+    * sort: rows ≤ estimate and rows < estimate, both map-side-combining
+    * into the same hash aggregate. With ties the admissible interval is
+    * [frac_lt − ε, frac_le + ε] ∋ p (the returned element's rank r
+    * satisfies frac_lt·n < r ≤ frac_le·n and |r − p·n| ≤ ε·n), which is
+    * exactly what `rank_ok` asserts. The estimate row set broadcasts
+    * (one row per group × percentile — bounded by group cardinality,
+    * the caller's contract for a grouped sketch).
+    *
+    * Output: groupCol, `pname`, `p`, `n` (group rows), `estimate`,
+    * `rank_ok`. Scale: two corpus scans (sketch build + audit), zero
+    * corpus shuffles beyond the two hash aggregates' exchanges of
+    * group-sized partials. */
+  def approxPercentilesGated(df: DataFrame, groupCol: String,
+      value: Column, ps: Seq[(String, Double)],
+      accuracy: Int = 10000, slack: Double = 0.001): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
+      s"approxPercentilesGated: percentiles must be in [0,1], got $ps")
+    require(accuracy > 0,
+      s"approxPercentilesGated: accuracy must be > 0, got $accuracy")
+    val eps = 1.0 / accuracy + slack
+    val v = df.select(col(groupCol).as("_g"), value.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+    val est = approxPercentiles(v, "_g", col("_v"), ps, accuracy)
+      .select(col("_g") +: ps.map { case (name, _) => col(name) }: _*)
+    // unpivot to one row per (group, percentile): stack is codegen'd
+    val stacked = est.select(col("_g"), expr(
+      s"stack(${ps.size}, " + ps.map { case (name, p) =>
+        s"'$name', ${p}D, `$name`"
+      }.mkString(", ") + ") as (pname, p, estimate)"))
+    v.join(broadcast(stacked), Seq("_g"))
+      .groupBy(col("_g"), col("pname"), col("p"), col("estimate"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_v") <= col("estimate"), 1L).otherwise(0L))
+          .as("_le"),
+        sum(when(col("_v") < col("estimate"), 1L).otherwise(0L))
+          .as("_lt"))
+      .select(col("_g").as(groupCol), col("pname"), col("p"), col("n"),
+        col("estimate"),
+        (col("_lt").cast("double") / col("n") <= col("p") + lit(eps) &&
+          col("_le").cast("double") / col("n") >= col("p") - lit(eps))
+          .as("rank_ok"))
+  }
+
   /** Corpus snapshot diff: classify every document id across two corpus
     * versions as `added` / `removed` / `changed` / `unchanged` by
     * comparing normalized content hashes — the audit primitive for

@@ -746,6 +746,73 @@ object Dedup {
     }
   }
 
+  /** Continuous contamination SCORE: per-document fraction of its
+    * distinct character `n`-grams that appear anywhere in the benchmark
+    * set — the graded companion to [[decontaminate]]'s binary flag.
+    * Production pipelines threshold the *fraction* (a 40-gram overlap
+    * means something different in a tweet than in a book chapter), and
+    * keep the raw score as a feature for downstream curation.
+    *
+    * Scale shape: identical to [[decontaminate]]'s two routes, decided
+    * by the same benchmark-gram cap. The per-doc distinct-gram count
+    * rides the SAME doc-local shingle projection that feeds the overlap
+    * test — no second scan, no doc-keyed join-back. On the broadcast
+    * route the corpus never shuffles at all; on the oversized route the
+    * gram stream shuffles once and the count travels with the id.
+    *
+    * Output: idCol, `n_grams` (distinct grams in doc), `n_shared`,
+    * `score` = n_shared / n_grams (0.0 for gram-less docs). */
+  def contaminationScore(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 5, idCol: String = "doc_id", textCol: String = "text",
+      maxBroadcastGrams: Long = 4L * 1000 * 1000): DataFrame = {
+    require(maxBroadcastGrams > 0,
+      s"contaminationScore: maxBroadcastGrams must be > 0, got " +
+        s"$maxBroadcastGrams")
+    val bg = benchmark
+      .select(explode(ShingleExprs.shingleSetChars(col(textCol), n))
+        .as("_g"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nBench = bg.count()
+    val score = coalesce(
+      col("n_shared").cast("double") /
+        when(col("n_grams") > 0, col("n_grams").cast("double")),
+      lit(0.0)).as("score")
+    if (nBench <= maxBroadcastGrams) {
+      val benchGrams = bg
+        .agg(sort_array(collect_list(col("_g"))).as("_bg"))
+        .withColumn("_j", lit(1))
+      docs.select(col(idCol),
+        ShingleExprs.shingleSetChars(col(textCol), n).as("_ng"))
+        .withColumn("_j", lit(1))
+        .join(broadcast(benchGrams), Seq("_j"), "left")
+        .withColumn("n_grams",
+          coalesce(size(col("_ng")), lit(0)).cast("long"))
+        .withColumn("n_shared",
+          coalesce(SetExprs.sortedIntersectSize(col("_ng"), col("_bg")),
+            lit(0)).cast("long"))
+        .select(col(idCol), col("n_grams"), col("n_shared"), score)
+    } else {
+      // oversized route: the doc-local projection computes the gram
+      // count BEFORE the explode, so it tags every id exactly once and
+      // the final join is the same single id-keyed left join the binary
+      // operator pays
+      val grams = docs
+        .select(col(idCol),
+          ShingleExprs.shingleSetChars(col(textCol), n).as("_ng"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hits = grams
+        .select(col(idCol), explode(col("_ng")).as("_g"))
+        .join(bg, Seq("_g"))
+        .groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+      grams.select(col(idCol),
+        coalesce(size(col("_ng")), lit(0)).cast("long").as("n_grams"))
+        .join(hits, Seq(idCol), "left")
+        .withColumn("n_shared", coalesce(col("_n"), lit(0L)).cast("long"))
+        .select(col(idCol), col("n_grams"), col("n_shared"), score)
+    }
+  }
+
   /** [[decontaminate]] with a Bloom-filter prefilter on the gram stream —
     * the route for benchmark sets too large even for the hashed-gram
     * array broadcast, at 100 TB the common case (decontaminating against

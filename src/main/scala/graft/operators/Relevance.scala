@@ -191,8 +191,14 @@ object Relevance {
         .as("_b"): _*)
         .select(cols :+ col("_b.w1").as("w1") :+ col("_b.w2").as("w2"): _*)
     }
+    // persist the bigram-type counts: c1 derives from c2 and the
+    // scoring stream joins c2 — without the cache the reference corpus
+    // is re-bigrammed and re-aggregated once per consumer (model
+    // relations are type-bounded, far smaller than the corpus; input-
+    // lifetime cache, caller/Bench-released)
     val c2 = bigrams(reference, Seq.empty)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = c2.groupBy(col("w1")).agg(sum(col("_n2")).as("_n1"))
     val v = reference.select(explode(tokens(textCol)).as("_t"))
       .agg(countDistinct(col("_t")).as("_v"))
@@ -236,8 +242,14 @@ object Relevance {
       s"perplexityBuckets: nBuckets must be in [2, 1000], got $nBuckets")
     val scores = lmQualityScore(docs, docs, k, idCol, textCol)
       .select(col(idCol), col("avg_nll"))
+    // persist the scored relation: it feeds BOTH the grouped rank and
+    // the per-lang counts, and recomputing it means re-running the
+    // whole LM-scoring pipeline (model join + per-doc NLL aggregate)
+    // per consumer — measured 2× the query's cost at sf0.1. Input-
+    // lifetime cache, caller/Bench-released (the rankInGroup contract).
     val joined = scores
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = graft.operators.GroupedRank.rankInGroup(
       joined, col(langCol),
       Seq(col("avg_nll").asc, col(idCol).asc), "_rn")

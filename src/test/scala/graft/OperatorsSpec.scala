@@ -1106,6 +1106,65 @@ class OperatorsSpec extends SparkTestBase {
     assert(saturated === exact)
   }
 
+  test("contaminationScore equals brute-force gram-overlap fraction; " +
+    "semi-join route equals broadcast route; gram-less docs score 0") {
+    val rnd = new scala.util.Random(41)
+    def randText(n: Int) =
+      (0 until n).map(_ => "abcd"(rnd.nextInt(4))).mkString
+    val gn = 4
+    val docs = ((0 until 40).map(i =>
+      (i.toLong, randText(20 + rnd.nextInt(60))))
+      :+ (40L, "ab") // shorter than the gram width
+      ).toDF("doc_id", "text")
+    val bench = (0 until 5).map(i => (100L + i, randText(30)))
+    def grams(s: String) =
+      if (s.length < gn) Set.empty[String] else s.sliding(gn).toSet
+    val bg = bench.flatMap(b => grams(b._2)).toSet
+    val want = docs.as[(Long, String)].collect().map { case (id, t) =>
+      val g = grams(t)
+      val sh = (g & bg).size
+      (id, g.size.toLong, sh.toLong,
+        if (g.nonEmpty) sh.toDouble / g.size else 0.0)
+    }.toSet
+    val got = Dedup.contaminationScore(docs,
+      bench.toDF("doc_id", "text"), n = gn)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+    val viaJoin = Dedup.contaminationScore(docs,
+      bench.toDF("doc_id", "text"), n = gn, maxBroadcastGrams = 1L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaJoin === want)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.contaminationScore(docs, bench.toDF("doc_id", "text"),
+        maxBroadcastGrams = 0L)
+    }
+    assert(e.getMessage.contains("maxBroadcastGrams"))
+  }
+
+  test("approxPercentilesGated: rank audit passes on uniform and " +
+    "ties-heavy inputs, estimates track exact on the uniform one") {
+    import graft.operators.Corpus
+    val uniform = (1 to 2000).map(i => ("a", i.toDouble)) ++
+      (1 to 500).map(i => ("b", (i % 7).toDouble)) // heavy ties
+    val df = uniform.toDF("g", "v")
+    val got = Corpus.approxPercentilesGated(df, "g", col("v"),
+      Seq("p50" -> 0.5, "p90" -> 0.9), accuracy = 1000)
+      .as[(String, String, Double, Long, Double, Boolean)].collect()
+    assert(got.length === 4)
+    assert(got.forall(_._6), got.mkString("; "))
+    val a = got.filter(_._1 == "a").map(r => r._2 -> r._5).toMap
+    assert(math.abs(a("p50") - 1000) <= 5 && math.abs(a("p90") - 1800) <= 8,
+      a.toString)
+    got.foreach { r =>
+      assert(r._4 === (if (r._1 == "a") 2000L else 500L))
+    }
+    val err = intercept[IllegalArgumentException] {
+      Corpus.approxPercentilesGated(df, "g", col("v"),
+        Seq("bad" -> 1.5))
+    }
+    assert(err.getMessage.contains("percentiles"))
+  }
+
   test("pii scrub + normalization: masking, stopword removal, " +
     "whitespace collapse") {
     import graft.functions.TextAnalysis

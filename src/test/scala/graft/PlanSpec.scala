@@ -161,7 +161,11 @@ class PlanSpec extends SparkTestBase {
         // over the CODE relation (m·4 bytes/vector, not dim·4); x84's
         // own search is a cell-equality join, but its recall gate
         // embeds the same exact brute-force baseline as x6/x13
-        "x83_ann_pq", "x84_ann_ivfpq")
+        "x83_ann_pq", "x84_ann_ivfpq",
+        // x100 rides x20's broadcast route verbatim — the same ONE-row
+        // benchmark-gram-array attach (1×N dimension attach, never a
+        // quadratic pair scan)
+        "x100_contamination_score")
     for ((name, q) <- SparkEntry.queries) {
       val p = q(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
