@@ -438,6 +438,19 @@ object SparkEntry {
         EditSimilarity.editIndex(docs.filter(col("doc_id") % 7 =!= 0),
           maxDist = 8, q = 4))
     }),
+    // incremental n-gram Jaccard (PPJoin family): the delta probes the
+    // corpus's persisted prefix index under the frozen rare-first
+    // order — completes the delta story (exact x48, MinHash x32,
+    // SimHash x86, edit x87, span x90, ANN x97: every near-dup family
+    // now has an index-probe route)
+    "x101_jaccard_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.ngramJaccardDelta(
+        docs.filter(col("doc_id") % 7 === 0),
+        Dedup.jaccardIndex(docs.filter(col("doc_id") % 7 =!= 0),
+          threshold = 0.5, n = 3, blockCol = Some("source")),
+        blockCol = Some("source"))
+    }),
     // incremental near-dedup: docs with doc_id % 7 == 0 arrive as the new
     // batch, the rest are the existing corpus (its signature table stands
     // in for the persisted parquet index) — pairs touching the delta only
@@ -1633,6 +1646,24 @@ object SparkEntry {
         |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin,
     // x87: full recompute restricted to pairs touching the delta
     // (doc_id % 7 == 0) — the delta route must be exactly lossless
+    // x101: full recompute over ALL docs (one global block), restricted
+    // to delta-touching pairs — the delta route must be exactly lossless
+    "x101_jaccard_delta" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 2, 0)),
+        |    i -> substr(text, i, 3))) AS ng
+        |  FROM documents
+        |  WHERE length(text) >= 3)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+        |         CAST(len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+        |           AS jaccard
+        |  FROM g a JOIN g b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5
+        |  AND (doc_a % 7 = 0 OR doc_b % 7 = 0)""".stripMargin,
     "x87_edit_delta" ->
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |       CAST(levenshtein(a.text, b.text) AS INT) AS dist
@@ -2975,7 +3006,8 @@ object SparkEntry {
         |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
         |         CAST(len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)) AS DOUBLE)
         |           AS jaccard
-        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |  FROM g a JOIN g b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5
         |  AND (doc_a % 7 = 0 OR doc_b % 7 = 0)""".stripMargin,
   )

@@ -677,6 +677,159 @@ object Dedup {
       .filter(col("jaccard").isNotNull)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** The persisted prefix index for incremental n-gram Jaccard joins
+    * ([[ngramJaccardDelta]]): `docs` carries one row per corpus doc —
+    * (id, ng sorted hashed gram set, sz, prefix probing-prefix array
+    * under the corpus rare-first order); `gramDf` the corpus gram
+    * document frequencies that FREEZE that order for later delta
+    * probes. `threshold`/`n` are baked into the prefix arrays, so the
+    * delta probe takes them from the index, not from arguments. Both
+    * members are plain DataFrames — write as two parquet relations and
+    * reconstruct on read-back. */
+  final case class JaccardIndex(docs: DataFrame, gramDf: DataFrame,
+      threshold: Double, n: Int)
+
+  private def jaccardDictRow(gramDf: DataFrame): DataFrame =
+    gramDf
+      .agg(array_sort(collect_list(struct(col("gram"), col("df"))))
+        .as("gd"))
+      .select(
+        transform(col("gd"), x => x.getField("gram")).as("dict_grams"),
+        transform(col("gd"), x => x.getField("df")).as("dict_dfs"))
+
+  /** Build the [[JaccardIndex]] for a corpus: one shingle projection,
+    * one gram-df aggregate, one broadcast-ranked prefix projection —
+    * the [[EditSimilarity.editIndex]] discipline for the Jaccard
+    * family. The df dictionary rides a one-row broadcast bounded by
+    * the corpus's gram vocabulary (the `localPrefixRank` contract of
+    * [[ngramJaccardBlocked]]).
+    *
+    * `blockCol` (recommended at corpus scale, matching
+    * [[ngramJaccardBlocked]]'s contract): pairs are generated within a
+    * block only (source, language, shard). The ranking order stays
+    * GLOBAL — the prefix theorem needs any one total order, and a
+    * global order keeps the index valid if blocks are later merged or
+    * re-keyed. Pass None for the global single-block contract. */
+  def jaccardIndex(corpus: DataFrame, threshold: Double = 0.5,
+      n: Int = 3, blockCol: Option[String] = None,
+      idCol: String = "doc_id", textCol: String = "text"): JaccardIndex = {
+    require(threshold > 0 && threshold < 1,
+      s"jaccardIndex: threshold must be in (0,1), got $threshold")
+    val tLow = BigDecimal.valueOf(threshold) - BigDecimal("1e-12")
+    val blk = blockCol.map(c => col(c)).getOrElse(lit(""))
+    val g = corpus
+      .select(col(idCol).as("id"), blk.as("blk"),
+        ShingleExprs.shingleSetChars(col(textCol), n).as("ng"))
+      .filter(col("ng").isNotNull)
+      .withColumn("sz", size(col("ng")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gramDf = g.select(explode(col("ng")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val docs = g.crossJoin(broadcast(jaccardDictRow(gramDf)))
+      .select(col("id"), col("blk"), col("ng"), col("sz"),
+        PrefixExprs.rankedPrefixGrams(col("ng"),
+          col("dict_grams"), col("dict_dfs"), tLow).as("prefix"))
+    JaccardIndex(docs, gramDf, threshold, n)
+  }
+
+  /** Incremental (delta) n-gram Jaccard similarity join: all pairs
+    * with Jaccard ≥ `index.threshold` TOUCHING a new batch —
+    * delta×corpus and delta×delta, never corpus×corpus — against a
+    * pre-built [[JaccardIndex]] (typically two persisted parquet
+    * relations read back). Output contract: [[ngramJaccardBlocked]]
+    * over (corpus ∪ delta) with `blockCol` blocks (one global block
+    * when None — both sides must use the same blocking the index was
+    * built with), restricted to pairs with at least one delta doc;
+    * doc ids must be disjoint between the two inputs.
+    *
+    * Scale shape: the shingle kernel and prefix ranking run over the
+    * DELTA only; the corpus contributes (a) its persisted prefix
+    * arrays to the gram-equality candidate join — a column-pruned
+    * scan, no text, no kernel — and (b) gram sets for exactly the
+    * candidate rows the delta-driven probe surfaces. The delta ranks
+    * under the FROZEN corpus order (delta gram universe left-joined
+    * onto the persisted df relation; unseen grams df = 0 — rarest,
+    * and unseen grams cannot match any corpus gram, so freezing
+    * perturbs no corpus doc's ranking). The prefix-filter theorem
+    * needs only a total order common to both sides, so every
+    * delta-touching pair is covered; the symmetric probing-prefix
+    * form trades x4's asymmetric-prefix/positional pruning for an
+    * index whose arrays never need rebuilding as batches arrive —
+    * candidates stay ∝ delta matches either way, and the size filter
+    * (min ≥ ⌈t·max⌉, exact long arithmetic) still prunes the gram
+    * fan-out before the verify. */
+  def ngramJaccardDelta(delta: DataFrame, index: JaccardIndex,
+      blockCol: Option[String] = None, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tLow = BigDecimal.valueOf(index.threshold) - BigDecimal("1e-12")
+    val blk = blockCol.map(c => col(c)).getOrElse(lit(""))
+    val d = delta
+      .select(col(idCol).as("id"), blk.as("blk"),
+        ShingleExprs.shingleSetChars(col(textCol), index.n).as("ng"))
+      .filter(col("ng").isNotNull)
+      .withColumn("sz", size(col("ng")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // frozen-order dictionary restricted to the delta's gram universe
+    val deltaDf = d.select(explode(col("ng")).as("gram")).distinct()
+      .join(index.gramDf, Seq("gram"), "left")
+      .select(col("gram"), coalesce(col("df"), lit(0L)).as("df"))
+    val dPrefix = d.crossJoin(broadcast(jaccardDictRow(deltaDf)))
+      .select(col("id"), col("blk"), col("sz"),
+        PrefixExprs.rankedPrefixGrams(col("ng"),
+          col("dict_grams"), col("dict_dfs"), tLow).as("prefix"))
+    // posexplode recovers each gram's rank in the doc's rare-first
+    // prefix, from which the PPJoin pruning ingredients (indexing-
+    // prefix membership `ixp`, size bound `minSz`, positional-filter
+    // suffix budget `sfx`) derive — the stored index needs only the
+    // probing-prefix arrays, never a schema change per knob
+    val ixLow = (tLow * 2 / (1 + tLow))
+      .setScale(15, scala.math.BigDecimal.RoundingMode.FLOOR)
+    def explodePrefix(rel: DataFrame): DataFrame =
+      rel.select(col("id"), col("blk"), col("sz"),
+        posexplode(col("prefix")).as(Seq("_p0", "gram")))
+        .withColumn("rn", col("_p0") + 1)
+        .withColumn("ixp",
+          col("rn") <= col("sz") - ceil(lit(ixLow) * col("sz")) + 1)
+        .withColumn("minSz", ceil(lit(tLow) * col("sz")))
+        .withColumn("sfx", col("sz").cast("long") - col("rn"))
+        .drop("_p0")
+    val preDelta = explodePrefix(dPrefix)
+    val preAll = preDelta.unionByName(
+      explodePrefix(index.docs
+        .select(col("id"), col("blk"), col("sz"), col("prefix"))))
+    // the full operator's candidate pruning, orientation-free (a
+    // delta-corpus pair appears in ONE orientation, so the smaller
+    // side's indexing-prefix requirement keys off the size comparison
+    // instead of a fixed side): size bound, asymmetric prefix (Xiao
+    // Lemma 2 — the ≤-side's indexing prefix must share the gram), and
+    // the positional filter (Lemma 3) in the same exact long
+    // arithmetic as ngramJaccardBlocked
+    val alphaN9 = (tLow / (1 + tLow))
+      .setScale(9, scala.math.BigDecimal.RoundingMode.FLOOR)
+      .*(BigDecimal(1000000000L)).toLongExact
+    val cands = preDelta.as("a").join(preAll.as("b"),
+      col("a.blk") === col("b.blk") &&
+        col("a.gram") === col("b.gram") && col("a.id") =!= col("b.id") &&
+        least(col("a.sz"), col("b.sz")) >=
+          greatest(col("a.minSz"), col("b.minSz")) &&
+        when(col("a.sz") <= col("b.sz"), col("a.ixp"))
+          .otherwise(col("b.ixp")) &&
+        (lit(1L) + least(col("a.sfx"), col("b.sfx"))) * lit(1000000000L) >=
+          lit(alphaN9) * (col("a.sz").cast("long") + col("b.sz")))
+      .select(least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"))
+      .distinct()
+    val sets = d.select(col("id"), col("ng"))
+      .unionByName(index.docs.select(col("id"), col("ng")))
+    jaccardVerify(
+      cands
+        .join(sets.select(col("id"), col("ng").as("ng_a")),
+          col("doc_a") === col("id")).drop("id")
+        .join(sets.select(col("id"), col("ng").as("ng_b")),
+          col("doc_b") === col("id")).drop("id"),
+      index.threshold)
+  }
+
   // ---- benchmark decontamination --------------------------------------
 
   /** Flag training documents that share at least `minSharedGrams`

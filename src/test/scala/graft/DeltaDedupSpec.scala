@@ -98,6 +98,63 @@ class DeltaDedupSpec extends SparkTestBase {
     assert(got.exists(p => p._1 == 14L && p._2 == 21L))
   }
 
+  test("x101: n-gram Jaccard delta route from a parquet JaccardIndex " +
+    "equals full recompute restricted to delta-touching pairs") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val (delta, corpus) = split(docs)
+
+    val built = Dedup.jaccardIndex(corpus, threshold = 0.5, n = 3,
+      blockCol = Some("source"))
+    val dir = Files.createTempDirectory("jaccard-index-")
+    built.docs.write.parquet(s"$dir/docs")
+    built.gramDf.write.parquet(s"$dir/grams")
+    // read-back: the corpus side is ONLY the persisted prefix/gram-set
+    // relations — index sufficiency proven structurally
+    val index = Dedup.JaccardIndex(
+      spark.read.parquet(s"$dir/docs"),
+      spark.read.parquet(s"$dir/grams"), threshold = 0.5, n = 3)
+
+    val got = Dedup.ngramJaccardDelta(delta, index,
+      blockCol = Some("source"))
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.ngramJaccardBlocked(
+      docs, "source", threshold = 0.5, n = 3)
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => touching(p._1, p._2))
+    assert(got === full)
+    assert(got.nonEmpty) // the corpus plants near-duplicates
+    assert(got.exists(p => p._1 % 7 == 0 ^ p._2 % 7 == 0),
+      "fixture must exercise delta-corpus pairs, not just delta-delta")
+  }
+
+  test("x101: delta docs whose grams the frozen dictionary has never " +
+    "seen still pair correctly (unseen grams rank rarest, and only " +
+    "delta-delta pairs can share them)") {
+    // corpus over one alphabet; two delta twins over a DISJOINT
+    // alphabet (every gram unseen) plus one delta twin of a corpus doc
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "an entirely different corpus document body here")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (7L, "zzz yyy xxx www vvv uuu zzz yyy xxx www"),
+      (14L, "zzz yyy xxx www vvv uuu zzz yyy xxx www"),
+      (21L, "the quick brown fox jumps over the lazy dog again!")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardDelta(delta,
+      Dedup.jaccardIndex(corpus, threshold = 0.5, n = 3))
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.ngramJaccardBlocked(
+      corpus.unionByName(delta).withColumn("_all", lit("a")), "_all",
+      threshold = 0.5, n = 3)
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => touching(p._1, p._2))
+    assert(got === full)
+    assert(got.exists(p => p._1 == 7L && p._2 == 14L)) // unseen-gram twins
+    assert(got.exists(p => p._1 == 1L && p._2 == 21L)) // delta-corpus
+  }
+
   test("x86: with both fingerprint relations persisted, the delta plan " +
     "contains NO text-hash kernel and never scans document text — " +
     "signatures are read, chunk keys are projections") {

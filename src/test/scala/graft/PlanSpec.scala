@@ -165,7 +165,11 @@ class PlanSpec extends SparkTestBase {
         // x100 rides x20's broadcast route verbatim — the same ONE-row
         // benchmark-gram-array attach (1×N dimension attach, never a
         // quadratic pair scan)
-        "x100_contamination_score")
+        "x100_contamination_score",
+        // x101 attaches the ONE-row frozen rare-first dictionary to the
+        // corpus (index build) and delta (probe) — x70/x87's bounded-
+        // vocabulary broadcast; the pair join itself is gram-equality
+        "x101_jaccard_delta")
     for ((name, q) <- SparkEntry.queries) {
       val p = q(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
