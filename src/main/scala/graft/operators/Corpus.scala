@@ -820,7 +820,11 @@ object Corpus {
     val scored = df.withColumn(scoreName, score)
     val ranked = GroupedRank.rankInGroup(scored, col(grpCol),
       Seq(col(scoreName).asc, col(idCol).asc), "_pg_rn")
-    val counts = scored.groupBy(col(grpCol))
+    // counts from the RANKED relation (same rows, one added column):
+    // it reads rankInGroup's persisted range-exchange cache, where
+    // aggregating `scored` would re-execute the scoring scan — free
+    // here, a full second pipeline pass when the score is expensive
+    val counts = ranked.groupBy(col(grpCol))
       .agg(count(lit(1)).as("_pg_n"))
     ranked.join(broadcast(counts), Seq(grpCol))
       .filter(col("_pg_rn") >
