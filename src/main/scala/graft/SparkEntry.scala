@@ -438,6 +438,18 @@ object SparkEntry {
         EditSimilarity.editIndex(docs.filter(col("doc_id") % 7 =!= 0),
           maxDist = 8, q = 4))
     }),
+    // incremental paragraph dedup: new docs rewritten against the
+    // persisted corpus paragraph-hash index (first-arrival: corpus
+    // occurrences are always canonical) — x31's delta form, the x48
+    // probe shape at paragraph granularity
+    "x102_paragraph_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dedupParagraphsDelta(
+        docs.filter(col("doc_id") % 7 === 0),
+        Dedup.paragraphHashIndex(docs.filter(col("doc_id") % 7 =!= 0),
+          delimiter = " the "),
+        delimiter = " the ", rejoin = " the ")
+    }),
     // incremental n-gram Jaccard (PPJoin family): the delta probes the
     // corpus's persisted prefix index under the frozen rare-first
     // order — completes the delta story (exact x48, MinHash x32,
@@ -1646,6 +1658,30 @@ object SparkEntry {
         |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin,
     // x87: full recompute restricted to pairs touching the delta
     // (doc_id % 7 == 0) — the delta route must be exactly lossless
+    // x102: x31's oracle with corpus-first arrival order (corpus rows
+    // rank before delta rows for the same paragraph), delta docs only
+    "x102_paragraph_delta" ->
+      """WITH parts AS (
+        |  SELECT doc_id, string_split(text, ' the ') AS ps FROM documents
+        |), p AS (
+        |  SELECT doc_id, generate_subscripts(ps, 1) - 1 AS idx,
+        |         unnest(ps) AS para
+        |  FROM parts
+        |), marked AS (
+        |  SELECT doc_id, idx, para,
+        |         CASE WHEN length(trim(para)) >= 1
+        |              THEN row_number() OVER (PARTITION BY lower(trim(para))
+        |                     ORDER BY (doc_id % 7 = 0), doc_id, idx)
+        |              ELSE 1 END AS rn
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |       coalesce(string_agg(para, ' the ' ORDER BY idx)
+        |                FILTER (WHERE rn = 1), '') AS text,
+        |       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+        |FROM marked
+        |WHERE doc_id % 7 = 0
+        |GROUP BY doc_id""".stripMargin,
     // x101: full recompute over ALL docs (one global block), restricted
     // to delta-touching pairs — the delta route must be exactly lossless
     "x101_jaccard_delta" ->

@@ -40,6 +40,24 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
+  /** Shared rebuild tail of the paragraph-dropping family: left-join
+    * per-doc dropped-index sets onto the documents and re-split only
+    * affected docs (untouched docs pass through byte-identical).
+    * `dropped` = (_id, _drop: Set[idx]). Output: idCol, `text`,
+    * `n_dropped`. */
+  private def rebuildDropped(docs: DataFrame, dropped: DataFrame,
+      delimiter: String, rejoin: String, idCol: String,
+      textCol: String): DataFrame =
+    docs.join(dropped, col(idCol) === dropped("_id"), "left")
+      .select(col(idCol),
+        when(col("_drop").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(split(col(textCol), delimiter),
+              (p, i) => !array_contains(col("_drop"), i)),
+            rejoin))
+          .as("text"),
+        coalesce(size(col("_drop")), lit(0)).cast("long").as("n_dropped"))
+
   /** Cross-document paragraph-level exact dedup (the C4/RefinedWeb-style
     * repeated-boilerplate pass): split every document into paragraphs on
     * `delimiter` (a Java regex; `rejoin` glues kept paragraphs back), and
@@ -80,15 +98,66 @@ object Dedup {
     val dropped = occ.join(canon, Seq("_h"))
       .filter(col("_id") =!= col("_c._cid") || col("_idx") =!= col("_c._cidx"))
       .groupBy(col("_id")).agg(collect_set(col("_idx")).as("_drop"))
-    docs.join(dropped, col(idCol) === dropped("_id"), "left")
-      .select(col(idCol),
-        when(col("_drop").isNull, col(textCol))
-          .otherwise(array_join(
-            filter(split(col(textCol), delimiter),
-              (p, i) => !array_contains(col("_drop"), i)),
-            rejoin))
-          .as("text"),
-        coalesce(size(col("_drop")), lit(0)).cast("long").as("n_dropped"))
+    rebuildDropped(docs, dropped, delimiter, rejoin, idCol, textCol)
+  }
+
+  /** The persistable paragraph-hash index for [[dedupParagraphsDelta]]:
+    * one 16-byte content hash per DISTINCT (normalized) paragraph ever
+    * ingested. Build once over the corpus, append each accepted batch's
+    * new hashes ([[paragraphHashIndex]] of the batch anti-joined on
+    * `h`), probe forever — the [[hashIndex]]/[[exactDelta]] discipline
+    * at paragraph granularity. `delimiter`/`minChars` are baked into
+    * what counts as a paragraph; keep them with the index. */
+  def paragraphHashIndex(corpus: DataFrame, delimiter: String = "\n",
+      minChars: Int = 1, textCol: String = "text"): DataFrame =
+    corpus
+      .select(explode(split(col(textCol), delimiter)).as("_para"))
+      .filter(length(trim(col("_para"))) >= minChars)
+      .select(contentHash(col("_para")).as("h"))
+      .distinct()
+
+  /** Incremental cross-document paragraph dedup: rewrite a NEW batch
+    * against a persisted corpus [[paragraphHashIndex]] under
+    * FIRST-ARRIVAL semantics — any delta paragraph whose hash exists
+    * in the index is a repeat (some corpus occurrence preceded it),
+    * and paragraphs new to the delta keep their first (doc id, index)
+    * occurrence and drop the rest. Output contract:
+    * [[dedupParagraphs]] over the corpus-then-delta arrival order,
+    * restricted to delta documents (every delta doc emits a row,
+    * untouched ones byte-identical).
+    *
+    * Scale shape: the split/hash kernel runs over the DELTA only; the
+    * corpus side is a column-pruned scan of the index's 16-byte `h`
+    * column feeding one hash-equality left join (the [[exactDelta]]
+    * probe shape — map-side-combinable delta aggregates, AQE-
+    * broadcastable delta side); per-batch cost ∝ delta, the corpus is
+    * never re-split. */
+  def dedupParagraphsDelta(delta: DataFrame, index: DataFrame,
+      delimiter: String = "\n", rejoin: String = "\n",
+      minChars: Int = 1, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minChars >= 0,
+      s"dedupParagraphsDelta: minChars must be >= 0, got $minChars")
+    val parts = delta.select(col(idCol).as("_id"),
+      posexplode(split(col(textCol), delimiter)).as(Seq("_idx", "_para")))
+    val occ = parts
+      .filter(length(trim(col("_para"))) >= minChars)
+      .select(col("_id"), col("_idx"), contentHash(col("_para")).as("_h"))
+    // per-hash delta metadata (skew-safe min-struct hash agg), then one
+    // left join to the index: indexed hashes drop ALL delta
+    // occurrences; delta-only hashes drop non-canonical ones (df > 1)
+    val dCanon = occ.groupBy(col("_h"))
+      .agg(min(struct(col("_id").as("_cid"), col("_idx").as("_cidx")))
+        .as("_c"), count(lit(1)).as("_df"))
+    val idxH = index.select(col("h").as("_h"), lit(true).as("_in"))
+    val meta = dCanon.join(idxH, Seq("_h"), "left")
+      .filter(col("_in").isNotNull || col("_df") > 1)
+      .select(col("_h"), col("_c"), col("_in"))
+    val dropped = occ.join(meta, Seq("_h"))
+      .filter(col("_in").isNotNull ||
+        col("_id") =!= col("_c._cid") || col("_idx") =!= col("_c._cidx"))
+      .groupBy(col("_id")).agg(collect_set(col("_idx")).as("_drop"))
+    rebuildDropped(delta, dropped, delimiter, rejoin, idCol, textCol)
   }
 
   /** CROSS-document boilerplate removal (C4/RefinedWeb-style): drop
@@ -128,15 +197,7 @@ object Dedup {
       .select(col("_h"))
     val dropped = occ.join(boiler, Seq("_h"))
       .groupBy(col("_id")).agg(collect_set(col("_idx")).as("_drop"))
-    docs.join(dropped, col(idCol) === dropped("_id"), "left")
-      .select(col(idCol),
-        when(col("_drop").isNull, col(textCol))
-          .otherwise(array_join(
-            filter(split(col(textCol), delimiter),
-              (p, i) => !array_contains(col("_drop"), i)),
-            rejoin))
-          .as("text"),
-        coalesce(size(col("_drop")), lit(0)).cast("long").as("n_dropped"))
+    rebuildDropped(docs, dropped, delimiter, rejoin, idCol, textCol)
   }
 
   /** The persistable content-hash index for incremental exact dedup:

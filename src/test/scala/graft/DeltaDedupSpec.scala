@@ -155,6 +155,36 @@ class DeltaDedupSpec extends SparkTestBase {
     assert(got.exists(p => p._1 == 1L && p._2 == 21L)) // delta-corpus
   }
 
+  test("x102: paragraph-dedup delta route from a parquet hash index " +
+    "equals batch dedupParagraphs under corpus-first arrival order, " +
+    "restricted to delta docs") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val (delta, corpus) = split(docs)
+    val delim = " the "
+
+    val dir = s"${Files.createTempDirectory("para-index-")}/h"
+    Dedup.paragraphHashIndex(corpus, delimiter = delim).write.parquet(dir)
+    val got = Dedup.dedupParagraphsDelta(delta,
+      spark.read.parquet(dir), delimiter = delim, rejoin = delim)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // arrival order: shift delta ids past every corpus id so the batch
+    // operator's (id, idx) canonical pick = corpus-then-delta arrival
+    val shift = 1000000L
+    val want = Dedup.dedupParagraphs(
+      corpus.unionByName(delta.withColumn("doc_id",
+        col("doc_id") + shift)),
+      delimiter = delim, rejoin = delim)
+      .filter(col("doc_id") >= shift)
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1 - shift) -> ((r._2, r._3))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    assert(got.values.exists(_._2 > 0), "fixture must drop paragraphs")
+    assert(got.values.exists(_._2 == 0), "untouched docs pass through")
+  }
+
   test("x86: with both fingerprint relations persisted, the delta plan " +
     "contains NO text-hash kernel and never scans document text — " +
     "signatures are read, chunk keys are projections") {
