@@ -438,6 +438,22 @@ object SparkEntry {
         EditSimilarity.editIndex(docs.filter(col("doc_id") % 7 =!= 0),
           maxDist = 8, q = 4))
     }),
+    // incremental clustering: old corpus labels + delta-touching pairs
+    // fold through connectedComponentsDelta — the full dedup loop
+    // (delta pairs -> updated cluster labels) without re-reading the
+    // historic edge list; output and oracle are exactly x24's
+    "x103_clusters_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val delta = docs.filter(col("doc_id") % 7 === 0)
+      val oldLabels = graft.operators.Graph.connectedComponents(
+        Dedup.simhashPairs(corpus, maxHamming = 3, poly = true))
+      val deltaPairs = Dedup.simhashPairsDelta(delta,
+        Dedup.simhash(corpus, poly = true), maxHamming = 3, poly = true)
+      graft.operators.Graph.clustersFromLabels(docs,
+        graft.operators.Graph.connectedComponentsDelta(
+          oldLabels, deltaPairs))
+    }),
     // incremental paragraph dedup: new docs rewritten against the
     // persisted corpus paragraph-hash index (first-arrival: corpus
     // occurrences are always canonical) — x31's delta form, the x48
@@ -980,6 +996,18 @@ object SparkEntry {
   /** Shared ground truth for BOTH decontamination routes (x20 broadcast,
     * x33 forced semi-join): gram overlap against the benchmark slice.
     * One constant so the two routes can never drift apart. */
+  private lazy val DupClustersOracle =
+    s"""WITH RECURSIVE $PolySimhashFpCtes,
+      |$SimhashComponentCtes,
+      |asg AS (
+      |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+      |SELECT doc_id, cluster_id,
+      |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+      |    AS cluster_size,
+      |  doc_id = cluster_id AS is_canonical
+      |FROM asg""".stripMargin
+
   private val DecontaminateOracle =
     """WITH bg AS (
       |  SELECT list_sort(list_distinct(flatten(list(ng)))) AS g FROM (
@@ -1308,17 +1336,10 @@ object SparkEntry {
     // label-propagation CTE (every node accumulates every label that can
     // reach it; the min is the component id), then joined back onto the
     // full corpus with singletons as their own cluster
-    "x24_dup_clusters" ->
-      s"""WITH RECURSIVE $PolySimhashFpCtes,
-        |$SimhashComponentCtes,
-        |asg AS (
-        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
-        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
-        |SELECT doc_id, cluster_id,
-        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
-        |    AS cluster_size,
-        |  doc_id = cluster_id AS is_canonical
-        |FROM asg""".stripMargin,
+    "x24_dup_clusters" -> DupClustersOracle,
+    // x103: IDENTICAL ground truth to x24 — the incremental route must
+    // land on exactly the full-graph clustering
+    "x103_clusters_delta" -> DupClustersOracle,
     // same component ground truth as x24; the split key is the CLUSTER
     // id, so the oracle proves no near-dup pair straddles splits
     "x69_cluster_split" ->

@@ -257,19 +257,9 @@ object Graph {
     * the cluster-id shuffle — no second aggregate-join pass. */
   def dupClusters(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", srcCol: String = "doc_a",
-      dstCol: String = "doc_b"): DataFrame = {
-    val cc = connectedComponents(pairs, srcCol, dstCol)
-    val assigned = docs.select(col(idCol))
-      .join(cc, col(idCol) === col("node"), "left")
-      .select(col(idCol),
-        coalesce(col("component"), col(idCol)).as("cluster_id"))
-    val w = Window.partitionBy(col("cluster_id"))
-    assigned
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
-      .select(col(idCol), col("cluster_id"), col("cluster_size"),
-        col("is_canonical"))
-  }
+      dstCol: String = "doc_b"): DataFrame =
+    clustersFromLabels(docs,
+      connectedComponents(pairs, srcCol, dstCol), idCol)
 
   /** [[dupClusters]] with a QUALITY-AWARE canonical: instead of the
     * min-id document, each cluster keeps its argmax of `preference`
@@ -307,5 +297,101 @@ object Graph {
       .withColumn("is_canonical", col(idCol) === col("_best_id"))
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
         col("is_canonical"))
+  }
+
+  /** [[dupClusters]]' finishing pass over an ALREADY-computed labeling
+    * — for incremental callers ([[connectedComponentsDelta]]) that
+    * maintain (node, component) as a persisted relation instead of
+    * re-deriving it from pairs. Same output contract as
+    * [[dupClusters]]: every doc, unlabeled docs are their own
+    * singleton cluster, sizes via the count window riding the
+    * cluster-id exchange. */
+  def clustersFromLabels(docs: DataFrame, labels: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val assigned = docs.select(col(idCol))
+      .join(labels, col(idCol) === col("node"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+    assigned
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+  }
+
+  /** Incremental connected components: fold a batch of NEW edges into
+    * an existing (node, component) labeling without recomputing the
+    * historic graph — the cluster-maintenance step that lets the whole
+    * incremental dedup story close end-to-end (every near-dup family
+    * has a delta pair route; this turns those delta pairs into updated
+    * labels).
+    *
+    * Exactness: an existing labeling is a lossless coarsening of the
+    * old graph's connectivity, so merging under new edges reduces to
+    * components of the REDUCED graph whose nodes are old component
+    * labels and genuinely-new nodes, and whose edges are the delta
+    * edges with each endpoint mapped through its label. Min-label CC
+    * on that reduced graph yields min(old labels ∪ new node ids) per
+    * merged group — exactly the full recompute's min-node-id label
+    * (proven in the spec: delta route ≡ [[connectedComponents]] on
+    * the union edge set).
+    *
+    * Scale shape: the reduced graph is ∝ DELTA edges (mapping is one
+    * labels join on each endpoint, delta-side probe); its CC inherits
+    * [[connectedComponents]]'s cost routing (driver union-find under
+    * the cap, else O(log n) rounds). The historic labels relation is
+    * touched exactly twice — once as the (AQE-broadcastable,
+    * delta-driven) endpoint-mapping join, once to apply the relabel
+    * map, itself bounded by the number of MERGED old components and
+    * broadcast back. Per-batch cost ∝ delta + one pass over labels;
+    * the old edge list is never read again.
+    *
+    * @param labels existing labeling: (`node`, `component`) — every
+    *   historic node, component = min reachable node id (the
+    *   [[connectedComponents]] contract)
+    * @param newEdges delta edges; endpoints absent from `labels` are
+    *   new nodes
+    * @return updated (`node`, `component`) covering every labeled node
+    *   plus every new node seen in `newEdges` */
+  def connectedComponentsDelta(labels: DataFrame, newEdges: DataFrame,
+      srcCol: String = "doc_a", dstCol: String = "doc_b",
+      maxIter: Int = 64, driverMaxEdges: Long = 1000000L): DataFrame = {
+    val lbl = labels.select(col("node"), col("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = newEdges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("long").as("_u"),
+        col(dstCol).cast("long").as("_v"))
+    // endpoints mapped through their labels (new nodes map to
+    // themselves). Edges collapsing inside one old component become
+    // self-loops — kept, not filtered: connectedComponents treats them
+    // harmlessly, the reduced graph stays delta-sized either way, and
+    // keeping them preserves degenerate inputs (a self-loop-only new
+    // node still surfaces as its own singleton, matching the full
+    // recompute)
+    val mapped = e
+      .join(lbl.select(col("node").as("_u"), col("component").as("_lu")),
+        Seq("_u"), "left")
+      .join(lbl.select(col("node").as("_v"), col("component").as("_lv")),
+        Seq("_v"), "left")
+      .select(coalesce(col("_lu"), col("_u")).as("ru"),
+        coalesce(col("_lv"), col("_v")).as("rv"))
+    val reduced = connectedComponents(mapped, "ru", "rv", maxIter,
+      driverMaxEdges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // relabel map for OLD components: ∝ merged components, broadcast;
+    // new nodes take their reduced label directly (absent → singleton
+    // new nodes never appear in newEdges by definition of `e`)
+    val relabel = reduced
+      .select(col("node").as("_old"), col("component").as("_new"))
+    val updatedOld = lbl
+      .join(broadcast(relabel), col("component") === col("_old"), "left")
+      .select(col("node"),
+        coalesce(col("_new"), col("component")).as("component"))
+    val newNodes = reduced
+      .join(lbl.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("component"))
+    updatedOld.unionByName(newNodes)
   }
 }

@@ -157,6 +157,60 @@ class GraphSpec extends SparkTestBase {
     assert(got.map(_._3).toSet === Set("train", "val", "test"))
   }
 
+  test("connectedComponentsDelta: randomized old/new edge splits equal " +
+    "full recompute on the union, on both cost routes") {
+    val rnd = new scala.util.Random(61)
+    for (trial <- 0 until 5) {
+      val nNodes = 60
+      val all = (0 until 90).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter(e => e._1 != e._2)
+      val (oldE, newE) = all.splitAt(all.size / 2)
+      val oldDf = oldE.toDF("doc_a", "doc_b")
+      val newDf = newE.toDF("doc_a", "doc_b")
+      val full = Graph.connectedComponents(
+        oldDf.unionByName(newDf))
+        .as[(Long, Long)].collect().toSet
+      for (cap <- Seq(1000000L, 0L)) { // driver union-find / distributed
+        val oldLbl = Graph.connectedComponents(oldDf,
+          driverMaxEdges = cap)
+        val got = Graph.connectedComponentsDelta(oldLbl, newDf,
+          driverMaxEdges = cap)
+          .as[(Long, Long)].collect().toSet
+        assert(got === full, s"trial=$trial cap=$cap")
+      }
+    }
+  }
+
+  test("connectedComponentsDelta: new nodes, merges across old " +
+    "components, and untouched components all land right") {
+    // old: {1,2,3} (label 1), {10,11} (label 10), {20,21} (label 20)
+    val oldE = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val oldLbl = Graph.connectedComponents(oldE)
+    // delta: new node 30 bridges the 10- and 20-components; new pair
+    // 40-41 is its own new component; {1,2,3} untouched
+    val newE = Seq((11L, 30L), (30L, 20L), (40L, 41L))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.connectedComponentsDelta(oldLbl, newE)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 10L), (21L, 10L), (30L, 10L),
+      (40L, 40L), (41L, 40L)))
+    // clustersFromLabels finishes like dupClusters: singleton corpus
+    // docs absent from the labeling stay their own cluster
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 30L, 40L, 41L,
+      99L)).toDF("doc_id")
+    val fin = Graph.clustersFromLabels(docs,
+      Graph.connectedComponentsDelta(oldLbl, newE))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(fin(99L) === ((99L, 1L, true)))
+    assert(fin(30L) === ((10L, 5L, false)))
+    assert(fin(10L) === ((10L, 5L, true)))
+  }
+
   test("pageRank: empty edges yield empty ranks; bad params rejected") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Graph.pageRank(empty).count() === 0L)
