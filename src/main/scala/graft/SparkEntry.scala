@@ -3063,8 +3063,7 @@ object SparkEntry {
         |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
         |         CAST(len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)) AS DOUBLE)
         |           AS jaccard
-        |  FROM g a JOIN g b
-        |    ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5
         |  AND (doc_a % 7 = 0 OR doc_b % 7 = 0)""".stripMargin,
   )
