@@ -260,6 +260,13 @@ object SparkEntry {
         docs, docs.filter(col("doc_id") < 10),
         minSharedGrams = 50, n = 8)
     }),
+    // binary-payload exact dedup: byte-identity (no normalization) over
+    // the synthesized media table — the first pass over a scraped
+    // image/audio corpus; x1's hash-agg shape on the binary modality
+    "x104_payload_dedup" -> ((s, dir) =>
+      graft.operators.Multimodal.dedupPayloads(
+        graft.operators.Multimodal.mediaFromDocuments(
+          Tables.documents(s, dir)))),
     // graded contamination: per-doc FRACTION of distinct 8-grams found
     // in the benchmark slice — the curation-feature companion to x20's
     // binary flag; same broadcast/semi-join routing, the per-doc gram
@@ -1928,6 +1935,9 @@ object SparkEntry {
     // operator forced through the oversized-benchmark semi-join route —
     // same ground truth, shared verbatim.
     "x20_decontaminate" -> DecontaminateOracle,
+    "x104_payload_dedup" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
     "x100_contamination_score" ->
       """WITH bg AS (
         |  SELECT list_sort(list_distinct(flatten(list(ng)))) AS g FROM (

@@ -140,4 +140,17 @@ object Multimodal {
       length(col("payload")).cast("long").as("byte_len"),
       greatest(floor(length(col("payload")) / FrameBytes), lit(1))
         .cast("long").as("n_frames"))
+
+  /** Exact payload dedup: group BYTE-identical payloads (md5 over the
+    * raw binary — no text normalization; a payload is opaque), keep the
+    * smallest id — [[Dedup.exact]]'s contract for the binary modality.
+    * Same scale shape: one hash aggregate on 16-byte keys; payload
+    * bytes reduce map-side and never shuffle. The standard first pass
+    * over a scraped image/audio corpus, where byte-identical dupes
+    * (mirrors, re-uploads, CDN copies) dominate. */
+  def dedupPayloads(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame =
+    media.groupBy(unhex(md5(col(payloadCol))).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
 }

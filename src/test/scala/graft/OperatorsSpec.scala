@@ -1770,6 +1770,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(small.payload.length === 2048)
   }
 
+  test("payload dedup groups byte-identical payloads (no text " +
+    "normalization) and keeps the smallest id") {
+    import Multimodal._
+    val a = Array.tabulate(64)(_.toByte)
+    val media = Seq(
+      (1L, a), (5L, a.clone()),             // byte-identical dupes
+      (2L, Array.tabulate(64)(i => (i + 1).toByte)), // distinct
+      (3L, Array.emptyByteArray), (4L, Array.emptyByteArray)
+    ).toDF("media_id", "payload")
+    val got = dedupPayloads(media)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (2L, 1L), (3L, 2L)))
+    // case-variant payloads are DISTINCT here (binary identity) even
+    // though Dedup.exact's normalized text identity would merge them
+    val texts = Seq((1L, "Hello"), (2L, "hello")).toDF("doc_id", "text")
+    assert(dedupPayloads(mediaFromDocuments(texts)).count() === 2)
+    assert(Dedup.exact(texts).count() === 1)
+  }
+
+  test("media features flow into the ANN path: extractFeatures output " +
+    "is a valid embeddings relation for cosineTopK") {
+    import Multimodal._
+    val rnd = new scala.util.Random(71)
+    val media = (0 until 30).map { i =>
+      MediaRecord(i.toLong, "image/fake",
+        Array.fill(256 + rnd.nextInt(512))(rnd.nextInt(256).toByte),
+        32, 32, 0L)
+    }.toDS()
+    val emb = extractFeatures(media)
+      .select(col("mediaId").as("vec_id"), col("featureVec").as("embedding"))
+    val topk = Similarity.cosineTopK(emb,
+      emb.filter(col("vec_id") < 2), k = 5)
+    val rows = topk.collect()
+    assert(rows.length === 10) // 2 queries x 5 neighbors
+    assert(rows.forall(_.getAs[Long]("vec_id") >= 0))
+  }
+
   test("salted join equals the plain join: hot key, duplicate rows, " +
     "null keys dropped on both sides") {
     import graft.operators.Skew
