@@ -260,6 +260,16 @@ object SparkEntry {
         docs, docs.filter(col("doc_id") < 10),
         minSharedGrams = 50, n = 8)
     }),
+    // semantic decontamination: corpus vectors flagged when their max
+    // cosine vs ANY eval vector (every 10th id) reaches 0.35 — the
+    // embedding-space leak check surface n-grams miss; eval broadcasts,
+    // corpus pays one scan + an id-keyed max agg
+    "x105_sem_decontaminate" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0), threshold = 0.35)
+    }),
     // binary-payload exact dedup: byte-identity (no normalization) over
     // the synthesized media table — the first pass over a scraped
     // image/audio corpus; x1's hash-agg shape on the binary modality
@@ -1938,6 +1948,24 @@ object SparkEntry {
     "x104_payload_dedup" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "x105_sem_decontaminate" ->
+      """WITH n0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT * FROM n0 WHERE vec_id % 10 <> 0),
+        |q AS (SELECT vec_id AS eid, v AS qv, nrm AS qnrm FROM n0
+        |      WHERE vec_id % 10 = 0 AND nrm > 0),
+        |s AS (
+        |  SELECT c.vec_id,
+        |         round(list_sum(list_transform(generate_series(1, len(c.v)),
+        |                 i -> qv[i] * c.v[i])) / (qnrm * c.nrm), 6) AS cos
+        |  FROM c, q WHERE c.vec_id <> q.eid AND c.nrm > 0),
+        |m AS (SELECT vec_id, max(cos) AS max_cos FROM s GROUP BY 1)
+        |SELECT c.vec_id, m.max_cos,
+        |       coalesce(m.max_cos >= 0.35, false) AS contaminated
+        |FROM c LEFT JOIN m ON c.vec_id = m.vec_id""".stripMargin,
     "x100_contamination_score" ->
       """WITH bg AS (
         |  SELECT list_sort(list_distinct(flatten(list(ng)))) AS g FROM (

@@ -33,6 +33,44 @@ object Similarity {
     when(denom > 0, dot(a, b) / denom)
   }
 
+  /** Semantic (embedding-level) decontamination: flag corpus vectors
+    * whose max cosine against ANY eval-set vector reaches `threshold` —
+    * the cross-set companion to [[semanticDedup]] (within-corpus) and
+    * the embedding-space analog of [[Dedup.decontaminate]] (surface
+    * n-grams miss paraphrased leakage; the benchmark answer rewritten
+    * in different words still lands next to its source in embedding
+    * space — the contamination n-gram decontamination cannot see).
+    *
+    * Scale shape: the eval side broadcasts ([[cosineTopK]]'s query
+    * discipline — eval sets are benchmark-sized by nature) and the
+    * corpus pays ONE scan: per row a doc-local max over eval cosines,
+    * then a map-side-combinable max aggregate per id; no window, no
+    * corpus shuffle beyond the id-keyed agg of (id, partial-max) rows.
+    * For eval sets past broadcast size, compose the IVF route instead
+    * (assign corpus to cells via [[ivfCentroids]], probe cell-local).
+    *
+    * Output: idCol, `max_cos` (null when the corpus vector has zero
+    * norm or the eval set is empty), `contaminated`. Corpus rows never
+    * drop — this is a flagging pass; filter on `contaminated` to
+    * quarantine. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(threshold > -1 && threshold <= 1,
+      s"semanticDecontaminate: threshold must be in (-1, 1], got $threshold")
+    val c = corpus.select(col(idCol).as("_cid"), col(embCol).as("_cv"))
+    val qs = evalSet.select(col(idCol).as("_eid"), col(embCol).as("_qv"))
+    val scored = c.join(broadcast(qs), col("_cid") =!= col("_eid"))
+      .select(col("_cid"),
+        round(cosine(col("_cv"), col("_qv")), 6).as("_cos"))
+      .filter(col("_cos").isNotNull)
+      .groupBy(col("_cid")).agg(max(col("_cos")).as("max_cos"))
+    c.select(col("_cid")).join(scored, Seq("_cid"), "left")
+      .select(col("_cid").as(idCol), col("max_cos"),
+        coalesce(col("max_cos") >= threshold, lit(false))
+          .as("contaminated"))
+  }
+
   /** Exact top-k neighbors for each query vector (brute force baseline).
     * The (small) query set is broadcast; similarity is computed in one
     * pass over the corpus; per-query ranking sorts only corpus×|queries|

@@ -1807,6 +1807,46 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Long]("vec_id") >= 0))
   }
 
+  test("semanticDecontaminate equals brute-force max cosine; zero-norm " +
+    "and empty-eval edges; threshold guard") {
+    val rnd = new scala.util.Random(83)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextFloat() - 0.5f)
+    val corpusRows = (0 until 25).map(i => (i.toLong, vec())) :+
+      (25L, Array.fill(8)(0.0f)) // zero norm -> null max_cos
+    val evalRows = (100 until 105).map(i => (i.toLong, vec()))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val evalSet = evalRows.toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Option[Double] = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na * nb > 0) Some(d / (na * nb)) else None
+    }
+    val t = 0.3
+    val want = corpusRows.map { case (id, v) =>
+      val mc = evalRows.flatMap(e => cos(v, e._2))
+        .map(c => BigDecimal(c).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .maxOption
+      (id, mc, mc.exists(_ >= t))
+    }.toSet
+    val got = Similarity.semanticDecontaminate(corpus, evalSet, t)
+      .as[(Long, Option[Double], Boolean)].collect().toSet
+    assert(got === want)
+    assert(got.exists(_._3) && got.exists(r => !r._3 && r._2.nonEmpty),
+      "fixture must produce both classes")
+    // empty eval set: nothing contaminated, max_cos all null
+    val none = Similarity.semanticDecontaminate(corpus,
+      evalSet.filter(col("vec_id") < 0), t)
+      .as[(Long, Option[Double], Boolean)].collect()
+    assert(none.length === corpusRows.size)
+    assert(none.forall(r => r._2.isEmpty && !r._3))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(corpus, evalSet, 1.5)
+    }
+    assert(e.getMessage.contains("threshold"))
+  }
+
   test("salted join equals the plain join: hot key, duplicate rows, " +
     "null keys dropped on both sides") {
     import graft.operators.Skew

@@ -169,7 +169,10 @@ class PlanSpec extends SparkTestBase {
         // x101 attaches the ONE-row frozen rare-first dictionary to the
         // corpus (index build) and delta (probe) — x70/x87's bounded-
         // vocabulary broadcast; the pair join itself is gram-equality
-        "x101_jaccard_delta")
+        "x101_jaccard_delta",
+        // x105 is the x5 deliberate broadcast scan: eval vectors attach
+        // to every corpus row for the doc-local max-cosine flag
+        "x105_sem_decontaminate")
     for ((name, q) <- SparkEntry.queries) {
       val p = q(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
