@@ -260,6 +260,14 @@ object SparkEntry {
         docs, docs.filter(col("doc_id") < 10),
         minSharedGrams = 50, n = 8)
     }),
+    // cross-source duplicate flow: x2's MinHash pairs rolled up by the
+    // unordered source pair — which sources copy which (mirror sites =
+    // off-diagonal mass, in-crawl boilerplate = diagonal)
+    "x106_dup_flow" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Graph.dupFlow(docs,
+        Dedup.minhashLsh(docs, threshold = 0.5))
+    }),
     // semantic decontamination: corpus vectors flagged when their max
     // cosine vs ANY eval vector (every 10th id) reaches 0.35 — the
     // embedding-space leak check surface n-grams miss; eval broadcasts,
@@ -1948,6 +1956,26 @@ object SparkEntry {
     "x104_payload_dedup" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "x106_dup_flow" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 4, 0)),
+        |    i -> substr(text, i, 5))) AS ng
+        |  FROM documents
+        |  WHERE length(text) >= 5),
+        |p AS (
+        |  SELECT least(a.source, b.source) AS source_a,
+        |         greatest(a.source, b.source) AS source_b,
+        |         CAST(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+        |         CAST(len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))
+        |              AS DOUBLE) AS DECIMAL(18,6)) AS j
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+        |        CAST(len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))
+        |             AS DOUBLE) >= 0.5)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(j) AS DOUBLE) AS jaccard_sum
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "x105_sem_decontaminate" ->
       """WITH n0 AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

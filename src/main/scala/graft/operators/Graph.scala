@@ -299,6 +299,40 @@ object Graph {
         col("is_canonical"))
   }
 
+  /** Cross-source duplicate-flow matrix: aggregate a near-dup pair
+    * relation by the (unordered) source pair of its endpoints — which
+    * sources duplicate WHICH, the curation diagnostic that decides
+    * crawl-dedup priorities and source trust (a mirror site shows up as
+    * a heavy off-diagonal cell; boilerplate within one crawl as a heavy
+    * diagonal).
+    *
+    * Scale shape: two id-keyed joins attach the (id → source) map to
+    * the pair relation — pair-side driven, ∝ duplicates, and the
+    * source map is a column-pruned scan of the corpus; the final
+    * aggregate is map-side-combinable over the |sources|² key space.
+    * Jaccard mass sums in DECIMAL(18,6) (the q1 discipline) so the
+    * total is exact and engine-portable regardless of partitioning.
+    *
+    * Output: `source_a` ≤ `source_b` (unordered pair, name order),
+    * `n_pairs`, `jaccard_sum`. */
+  def dupFlow(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", srcColName: String = "source",
+      pairSrcCol: String = "doc_a", pairDstCol: String = "doc_b",
+      simCol: String = "jaccard"): DataFrame = {
+    val m = docs.select(col(idCol).as("_id"), col(srcColName).as("_src"))
+    pairs
+      .join(m.select(col("_id"), col("_src").as("_sa")),
+        col(pairSrcCol) === col("_id")).drop("_id")
+      .join(m.select(col("_id"), col("_src").as("_sb")),
+        col(pairDstCol) === col("_id")).drop("_id")
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"),
+        col(simCol).cast("decimal(18,6)").as("_j"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_j")).cast("double").as("jaccard_sum"))
+  }
+
   /** [[dupClusters]]' finishing pass over an ALREADY-computed labeling
     * — for incremental callers ([[connectedComponentsDelta]]) that
     * maintain (node, component) as a persisted relation instead of
