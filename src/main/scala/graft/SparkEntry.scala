@@ -260,6 +260,17 @@ object SparkEntry {
         docs, docs.filter(col("doc_id") < 10),
         minSharedGrams = 50, n = 8)
     }),
+    // filtered vector search: top-k cosine among vectors passing a
+    // metadata predicate — the predicate prunes BEFORE any scoring
+    // (PushedFilters reaches the parquet scan; plan-asserted), so the
+    // scan cost is ∝ the filtered slice, not the corpus
+    "x107_ann_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cosineTopK(emb.filter(col("label") === 1),
+        emb.filter(col("vec_id") < 5), k = 5)
+        .select(col("query_id"), col("vec_id"), col("cosine"),
+          col("rnk"))
+    }),
     // cross-source duplicate flow: x2's MinHash pairs rolled up by the
     // unordered source pair — which sources copy which (mirror sites =
     // off-diagonal mass, in-crawl boilerplate = diagonal)
@@ -1956,6 +1967,26 @@ object SparkEntry {
     "x104_payload_dedup" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "x107_ann_filtered" ->
+      """WITH n0 AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT * FROM n0 WHERE label = 1 AND nrm > 0),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n0
+        |      WHERE vec_id < 5 AND nrm > 0),
+        |s AS (
+        |  SELECT query_id, vec_id,
+        |         round(list_sum(list_transform(generate_series(1, len(v)),
+        |                 i -> qv[i] * v[i])) / (qnrm * nrm), 6) AS cosine
+        |  FROM c, q WHERE vec_id <> query_id)
+        |SELECT query_id, vec_id, cosine,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cosine DESC, vec_id) AS INT) AS rnk
+        |FROM s
+        |QUALIFY rnk <= 5""".stripMargin,
     "x106_dup_flow" ->
       """WITH g AS (
         |  SELECT doc_id, source, list_distinct(list_transform(

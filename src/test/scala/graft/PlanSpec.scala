@@ -114,6 +114,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) === 1, p)
   }
 
+  test("x107 filtered ANN: the metadata predicate reaches the parquet " +
+    "scan (PushedFilters), so scoring reads the filtered slice only") {
+    val p = plan("x107_ann_filtered")
+    val pushed = p.linesIterator
+      .filter(_.contains("PushedFilters:"))
+      .exists(l => l.substring(l.indexOf("PushedFilters:"))
+        .takeWhile(_ != ']').contains("EqualTo(label,1)"))
+    assert(pushed, p)
+  }
+
   test("no query plans a cartesian product; nested-loop joins only " +
     "where brute force is the contract") {
     // x5 brute-force cosine is DELIBERATELY a broadcast nested-loop scan
@@ -172,7 +182,10 @@ class PlanSpec extends SparkTestBase {
         "x101_jaccard_delta",
         // x105 is the x5 deliberate broadcast scan: eval vectors attach
         // to every corpus row for the doc-local max-cosine flag
-        "x105_sem_decontaminate")
+        "x105_sem_decontaminate",
+        // x107 is x5's scan over the label-FILTERED slice (the filter
+        // pushes to the scan — asserted above)
+        "x107_ann_filtered")
     for ((name, q) <- SparkEntry.queries) {
       val p = q(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
