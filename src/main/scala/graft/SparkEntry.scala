@@ -260,6 +260,13 @@ object SparkEntry {
         docs, docs.filter(col("doc_id") < 10),
         minSharedGrams = 50, n = 8)
     }),
+    // the pretraining artifact itself: the corpus token stream packed
+    // into fixed 64-token sequences across doc boundaries — global
+    // (doc, idx) order via the distributed range-partition rank, no
+    // single-task window (machine-guarded)
+    "x108_pack_sequences" -> ((s, dir) =>
+      graft.operators.Packing.packTokensGlobal(
+        Tables.documents(s, dir), seqTokens = 64)),
     // filtered vector search: top-k cosine among vectors passing a
     // metadata predicate — the predicate prunes BEFORE any scoring
     // (PushedFilters reaches the parquet scan; plan-asserted), so the
@@ -1967,6 +1974,21 @@ object SparkEntry {
     "x104_payload_dedup" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "x108_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (
+        |  SELECT doc_id, u.i AS idx, t[u.i] AS tok
+        |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+        |g AS (
+        |  SELECT tok, row_number() OVER (ORDER BY doc_id, idx) - 1 AS pos
+        |  FROM tok)
+        |SELECT CAST(pos // 64 AS BIGINT) AS seq_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       string_agg(tok, chr(1) ORDER BY pos) AS tokens
+        |FROM g GROUP BY 1""".stripMargin,
     "x107_ann_filtered" ->
       """WITH n0 AS (
         |  SELECT vec_id, label,

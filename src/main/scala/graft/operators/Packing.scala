@@ -165,4 +165,44 @@ object Packing {
         col("tok_offset"), col("n_tokens"))
     else offsetSubShards(packed)
   }
+
+  /** Pack the corpus's TOKEN STREAM into fixed-length training
+    * sequences across document boundaries — the materialized
+    * pretraining artifact itself (every sequence exactly `seqTokens`
+    * tokens except the final remainder), where [[packConcat]] plans
+    * slice boundaries by token COUNTS without materializing tokens.
+    *
+    * Scale shape: the token stream is ranked GLOBALLY in (doc, idx)
+    * order by [[GroupedRank.rankInGroup]] with a constant group — the
+    * range-partition + bounded-offset-table route, so the global order
+    * costs one range exchange of (id, idx, token) rows and NO
+    * single-task window anywhere (machine-checked by the partition-less
+    * WindowExec guard). The final seq_id aggregate shuffles the token
+    * stream once more — inherent: the OUTPUT is the full token stream
+    * regrouped; per-sequence assembly sorts ≤ `seqTokens` elements
+    * doc-locally. Deterministic: order is a pure function of
+    * (doc id, position), so re-runs and resumes pack identically.
+    *
+    * Output: `seq_id` (0-based), `n_tokens`, `tokens`
+    * (`delimOut`-joined). */
+  def packTokensGlobal(docs: DataFrame, seqTokens: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text",
+      delimOut: String = "\u0001"): DataFrame = {
+    require(seqTokens >= 1,
+      s"packTokensGlobal: seqTokens must be >= 1, got $seqTokens")
+    val tok = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        posexplode(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+          .as(Seq("_idx", "_tok")))
+    val ranked = GroupedRank.rankInGroup(tok, lit(1),
+      Seq(col("_id").asc, col("_idx").asc), "_pos")
+    ranked
+      .withColumn("seq_id", ((col("_pos") - 1) / seqTokens).cast("long"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          x => x.getField("_tok")), delimOut).as("tokens"))
+  }
 }

@@ -158,6 +158,36 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("packTokensGlobal: concatenating sequences in seq_id order " +
+    "reconstructs the corpus token stream; all but the last sequence " +
+    "are exactly full; empty/short docs fold in") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "  zeta   eta  "), // ragged whitespace
+      (3L, ""),               // no tokens
+      (4L, (1 to 40).map(i => s"t$i").mkString(" ")),
+      (5L, "last few tokens here")
+    ).toDF("doc_id", "text")
+    val L = 8
+    val got = Packing.packTokensGlobal(docs, seqTokens = L)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val wantStream = Seq(
+      "alpha beta gamma delta epsilon", "zeta eta", "",
+      (1 to 40).map(i => s"t$i").mkString(" "), "last few tokens here")
+      .flatMap(_.split("\\s+").filter(_.nonEmpty))
+    val gotStream = got.toSeq.flatMap(_._3.split(''))
+    assert(gotStream === wantStream)
+    assert(got.map(_._1).toSeq === got.indices.map(_.toLong))
+    got.init.foreach(r => assert(r._2 === L.toLong, r.toString()))
+    assert(got.last._2 === (wantStream.size % L match {
+      case 0 => L.toLong; case r => r.toLong
+    }))
+    val e = intercept[IllegalArgumentException] {
+      Packing.packTokensGlobal(docs, seqTokens = 0)
+    }
+    assert(e.getMessage.contains("seqTokens"))
+  }
+
   test("greedy plan: one exchange on the shard key, no join") {
     val df = Seq(("a", 1L, 4L), ("b", 2L, 5L)).toDF("src", "id", "toks")
     val plan = Packing.packGreedy(df, col("src"), "id", col("toks"), 10L)
