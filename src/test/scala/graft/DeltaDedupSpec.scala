@@ -155,6 +155,39 @@ class DeltaDedupSpec extends SparkTestBase {
     assert(got.exists(p => p._1 == 1L && p._2 == 21L)) // delta-corpus
   }
 
+  test("x101 randomized: random corpora with planted near-dups and " +
+    "varying delta splits — delta route equals restricted full " +
+    "recompute every time") {
+    val rnd = new scala.util.Random(89)
+    for ((mod, trial) <- Seq(3, 5).zipWithIndex) {
+      def randText(n: Int) =
+        (0 until n).map(_ => "abcdefgh"(rnd.nextInt(8))).mkString
+      val bases = (0 until 12).map(_ => randText(20 + rnd.nextInt(30)))
+      // near-dup families: each base plus 1-2 lightly-edited twins
+      val docs = bases.zipWithIndex.flatMap { case (b, i) =>
+        val twins = (0 until 1 + rnd.nextInt(2)).map { t =>
+          val pos = rnd.nextInt(b.length)
+          b.substring(0, pos) + "abcdefgh"(rnd.nextInt(8)) +
+            b.substring(math.min(pos + 1, b.length))
+        }
+        (b +: twins).zipWithIndex.map { case (s, j) =>
+          ((i * 10 + j).toLong, s)
+        }
+      }.toDF("doc_id", "text")
+      val delta = docs.filter(col("doc_id") % mod === 0)
+      val corpus = docs.filter(col("doc_id") % mod =!= 0)
+      val got = Dedup.ngramJaccardDelta(delta,
+        Dedup.jaccardIndex(corpus, threshold = 0.6, n = 3))
+        .as[(Long, Long, Double)].collect().toSet
+      val full = Dedup.ngramJaccardBlocked(
+        docs.withColumn("_b", lit("a")), "_b", threshold = 0.6, n = 3)
+        .as[(Long, Long, Double)].collect().toSet
+        .filter(p => p._1 % mod == 0 || p._2 % mod == 0)
+      assert(got === full, s"trial=$trial mod=$mod")
+      assert(got.nonEmpty, s"trial=$trial planted twins must pair")
+    }
+  }
+
   test("x102: paragraph-dedup delta route from a parquet hash index " +
     "equals batch dedupParagraphs under corpus-first arrival order, " +
     "restricted to delta docs") {
