@@ -183,6 +183,19 @@ object SparkEntry {
         leftProjection = Seq(col("o_orderkey")),
         inclusive = false)
     }),
+    // forward as-of with tolerance: the NEXT order date within 30 days
+    // per order (time-to-next-purchase primitive) — same single-shuffle
+    // union plan as x14 with the frame mirrored; gap > 30 d nulls out
+    "x109_asof_next_order" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      graft.operators.AsofJoin.asofLookupForward(
+        left = o, right = o,
+        leftKey = col("o_custkey"), rightKey = col("o_custkey"),
+        leftTime = col("o_orderdate"), rightTime = col("o_orderdate"),
+        valueCol = col("o_orderdate"), asofCol = "next_order_date",
+        leftProjection = Seq(col("o_orderkey")),
+        inclusive = false, toleranceSec = Some(30L * 86400))
+    }),
     // Extensions: temporal band join — same-priority orders within ±1
     // day of each other (temporal-proximity feature primitive),
     // cost-routed: RANGE-frame window (zero joins) while per-key volume
@@ -1862,6 +1875,14 @@ object SparkEntry {
         | AND b.o_orderkey <> a.o_orderkey
         | AND abs(epoch(a.o_orderdate) - epoch(b.o_orderdate)) <= 86400
         |GROUP BY 1""".stripMargin,
+    "x109_asof_next_order" ->
+      """SELECT a.o_orderkey,
+        |       (SELECT min(b.o_orderdate) FROM orders b
+        |        WHERE b.o_custkey = a.o_custkey
+        |          AND b.o_orderdate > a.o_orderdate
+        |          AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY)
+        |         AS next_order_date
+        |FROM orders a""".stripMargin,
     "x14_asof_prev_order" ->
       """SELECT a.o_orderkey,
         |       (SELECT max(b.o_orderdate) FROM orders b

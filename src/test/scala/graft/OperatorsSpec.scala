@@ -1416,6 +1416,64 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("asof forward direction and tolerance equal brute force on " +
+    "random data (all inclusivity/slicing/tolerance combos)") {
+    import graft.operators.AsofJoin
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(19)
+    def t(off: Int) = new Timestamp(1700000000000L + off * 1000L)
+    val trades = (0 until 120).map(i =>
+      (i.toLong, (rnd.nextInt(6)).toString, t(rnd.nextInt(40))))
+    val quotes = (0 until 80).map(_ =>
+      ((rnd.nextInt(6)).toString, t(rnd.nextInt(40)),
+        (rnd.nextInt(50) + 1).toDouble))
+    val tDf = trades.toDF("trade_id", "k", "t")
+    val qDf = quotes.toDF("k", "t", "price")
+
+    for (inclusive <- Seq(true, false);
+         slices <- Seq(None, Some(7L), Some(1L));
+         tol <- Seq(None, Some(5L), Some(0L))) {
+      def brute(forward: Boolean) = trades.map { case (id, k, tt) =>
+        val cands = quotes.filter { case (qk, qt, _) =>
+          qk == k && (
+            if (forward) { if (inclusive) !qt.before(tt) else qt.after(tt) }
+            else { if (inclusive) !qt.after(tt) else qt.before(tt) })
+        }
+        val px = if (cands.isEmpty) None else {
+          val edge =
+            if (forward) cands.map(_._2.getTime).min
+            else cands.map(_._2.getTime).max
+          val within = tol.forall(s =>
+            math.abs(edge - tt.getTime) <= s * 1000L)
+          if (within)
+            Some(cands.filter(_._2.getTime == edge).map(_._3).max)
+          else None
+        }
+        id -> px
+      }.toMap
+      val fwd = AsofJoin.asofLookupForward(tDf, qDf, col("k"), col("k"),
+        col("t"), col("t"), col("price"), "px", Seq(col("trade_id")),
+        inclusive, timeSliceSeconds = slices, toleranceSec = tol)
+        .as[(Long, Option[Double])].collect().toMap
+      assert(fwd === brute(forward = true),
+        s"fwd inclusive=$inclusive slices=$slices tol=$tol")
+      val bwd = AsofJoin.asofLookup(tDf, qDf, col("k"), col("k"),
+        col("t"), col("t"), col("price"), "px", Seq(col("trade_id")),
+        inclusive, timeSliceSeconds = slices, toleranceSec = tol)
+        .as[(Long, Option[Double])].collect().toMap
+      assert(bwd === brute(forward = false),
+        s"bwd inclusive=$inclusive slices=$slices tol=$tol")
+    }
+    // forward + slicing demands a numeric value column
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofLookupForward(tDf,
+        qDf.withColumn("price", col("price").cast("string")),
+        col("k"), col("k"), col("t"), col("t"), col("price"), "px",
+        Seq(col("trade_id")), timeSliceSeconds = Some(7L))
+    }
+    assert(e.getMessage.contains("NUMERIC"))
+  }
+
   test("asof sub-bucketing: the event-wide window partitions by " +
     "(key, slice), so a hot key parallelizes across slices") {
     import graft.operators.AsofJoin
