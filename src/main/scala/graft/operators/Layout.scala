@@ -18,6 +18,41 @@ object Layout {
     * any global sort) + in-partition sort; `numFiles` is the target
     * file count. The z column is kept (callers drop it after write, or
     * keep it as the clustering key for downstream merge joins). */
+  /** Partitioned columnar write — the batch analog of the raw-archive
+    * streaming sink (day-partitioned snappy, SURVEY §2.7) for any
+    * partition scheme: `partitionBy` directories give readers partition
+    * PRUNING (a dt/source predicate never opens non-matching files),
+    * and the format/compression knobs cover the parquet/orc surface the
+    * environment ships. Text-era append hacks are obsolete: columnar
+    * writers are transactional per job, and re-running with
+    * `overwrite = true` + dynamic partition overwrite replaces exactly
+    * the partitions present in `df` (replay-idempotent), never the
+    * whole table. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String], format: String = "parquet",
+      compression: String = "snappy", overwrite: Boolean = true): Unit = {
+    require(Set("parquet", "orc").contains(format),
+      s"writePartitioned: format must be parquet or orc, got '$format'")
+    require(partitionCols.nonEmpty,
+      "writePartitioned: partitionCols must be non-empty (use a plain " +
+        "write for unpartitioned tables)")
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write
+      .mode(if (overwrite) "overwrite" else "append")
+      .format(format)
+      .option("compression", compression)
+      .partitionBy(partitionCols: _*)
+      .save(path)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   def zorderBy(df: DataFrame, a: Column, b: Column,
       numFiles: Int = 32, zCol: String = "z"): DataFrame = {
     require(numFiles >= 1, s"zorderBy: numFiles must be >= 1, got $numFiles")

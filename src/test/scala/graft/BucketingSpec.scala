@@ -90,4 +90,45 @@ class BucketingSpec extends SparkTestBase {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("writePartitioned: parquet and orc round-trip byte-equal data, " +
+    "readers prune partitions, replay overwrites only its own " +
+    "partitions") {
+    import graft.operators.Layout
+    import java.nio.file.Files
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "src0", "alpha"), (2L, "src0", "beta"),
+      (3L, "src1", "gamma"), (4L, "src2", "delta")
+    ).toDF("doc_id", "source", "text")
+    for (fmt <- Seq("parquet", "orc")) {
+      val dir = s"${Files.createTempDirectory(s"wpart-$fmt-")}/t"
+      Layout.writePartitioned(docs, dir, Seq("source"), format = fmt)
+      val back = spark.read.format(fmt).load(dir)
+      assert(back.select($"doc_id", $"source", $"text")
+        .as[(Long, String, String)].collect().toSet ===
+        docs.as[(Long, String, String)].collect().toSet)
+      // partition pruning: the source predicate lands in PartitionFilters
+      val plan = back.filter($"source" === "src1")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(source"), plan)
+      // dynamic overwrite: rewriting ONLY src0 leaves src1/src2 intact
+      val v2 = Seq((9L, "src0", "epsilon")).toDF("doc_id", "source", "text")
+      Layout.writePartitioned(v2, dir, Seq("source"), format = fmt)
+      val after = spark.read.format(fmt).load(dir)
+        .select($"doc_id", $"source", $"text")
+        .as[(Long, String, String)].collect().toSet
+      assert(after === Set((9L, "src0", "epsilon"),
+        (3L, "src1", "gamma"), (4L, "src2", "delta")), fmt)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Layout.writePartitioned(docs, "/tmp/x", Seq("source"),
+        format = "csv")
+    }
+    assert(e.getMessage.contains("parquet or orc"))
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.writePartitioned(docs, "/tmp/x", Seq())
+    }
+    assert(e2.getMessage.contains("partitionCols"))
+  }
 }
