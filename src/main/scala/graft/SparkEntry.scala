@@ -291,6 +291,36 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("cosine"),
           col("rnk"))
     }),
+    // the dedup DECISION applied: keep one canonical doc per near-dup
+    // cluster (plus every singleton) — the x24 clustering composed into
+    // the corpus-materialization semi join a production pass actually
+    // ships; output is the kept docs with their cluster context
+    "x110_dedup_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Graph.dupClusters(docs,
+        Dedup.simhashPairs(docs, maxHamming = 3, poly = true))
+        .filter(col("is_canonical"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    }),
+    // per-source OOV rate vs a FROZEN top-k vocabulary: the tokenizer-
+    // coverage diagnostic (which sources a vocab trained on the corpus
+    // head serves worst); vocab = x27's exact top-k, broadcast back
+    "x111_oov_rate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Vocab
+        .topTokens(docs, col("text"), k = 500).select(col("token"))
+      val toks = docs.select(col("source"),
+        explode(array_remove(split(col("text"), "\\s+"), "")).as("token"))
+      val tot = toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val oov = toks.join(broadcast(vocab), Seq("token"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_oov"))
+      tot.join(oov, Seq("source"), "left")
+        .select(col("source"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"), col("n_tokens"),
+          (coalesce(col("n_oov"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).as("oov_rate"))
+    }),
     // cross-source duplicate flow: x2's MinHash pairs rolled up by the
     // unordered source pair — which sources copy which (mirror sites =
     // off-diagonal mass, in-crawl boilerplate = diagonal)
@@ -2030,6 +2060,36 @@ object SparkEntry {
         |            ORDER BY cosine DESC, vec_id) AS INT) AS rnk
         |FROM s
         |QUALIFY rnk <= 5""".stripMargin,
+    // x110: the x24 component ground truth, kept rows only
+    "x110_dedup_apply" ->
+      s"""WITH RECURSIVE $PolySimhashFpCtes,
+        |$SimhashComponentCtes,
+        |asg AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+        |    AS cluster_size
+        |FROM asg
+        |QUALIFY doc_id = cluster_id""".stripMargin,
+    "x111_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
+        |  FROM documents),
+        |v AS (
+        |  SELECT token FROM (
+        |    SELECT token,
+        |           row_number() OVER (ORDER BY count(*) DESC, token) AS r
+        |    FROM toks GROUP BY token)
+        |  WHERE r <= 500),
+        |tot AS (SELECT source, count(*) AS n_tokens FROM toks GROUP BY 1),
+        |oov AS (
+        |  SELECT source, count(*) AS n_oov FROM toks
+        |  WHERE token NOT IN (SELECT token FROM v) GROUP BY 1)
+        |SELECT t.source, CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+        |       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(o.n_oov, 0) AS DOUBLE) / t.n_tokens AS oov_rate
+        |FROM tot t LEFT JOIN oov o ON t.source = o.source""".stripMargin,
     "x106_dup_flow" ->
       """WITH g AS (
         |  SELECT doc_id, source, list_distinct(list_transform(
