@@ -319,7 +319,12 @@ object Graph {
       idCol: String = "doc_id", srcColName: String = "source",
       pairSrcCol: String = "doc_a", pairDstCol: String = "doc_b",
       simCol: String = "jaccard"): DataFrame = {
-    val m = docs.select(col(idCol).as("_id"), col(srcColName).as("_src"))
+    // least/greatest skip nulls, so a pair with one null-source
+    // endpoint would collapse to a spurious diagonal (s, s) cell —
+    // over-crediting in-source duplication. Bucket missing metadata
+    // explicitly under a sentinel so it surfaces instead.
+    val m = docs.select(col(idCol).as("_id"),
+      coalesce(col(srcColName), lit("(null)")).as("_src"))
     pairs
       .join(m.select(col("_id"), col("_src").as("_sa")),
         col(pairSrcCol) === col("_id")).drop("_id")
@@ -411,12 +416,17 @@ object Graph {
         Seq("_v"), "left")
       .select(coalesce(col("_lu"), col("_u")).as("ru"),
         coalesce(col("_lv"), col("_v")).as("rv"))
+    // connectedComponents is eager (its routing count / convergence
+    // probes materialize while lbl is cached); its result is either a
+    // driver-local DF or a checkpointed relation, so re-reading it
+    // below is cheap without a persist of its own
     val reduced = connectedComponents(mapped, "ru", "rv", maxIter,
       driverMaxEdges)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // relabel map for OLD components: ∝ merged components, broadcast;
-    // new nodes take their reduced label directly (absent → singleton
-    // new nodes never appear in newEdges by definition of `e`)
+    // relabel map for OLD components — one row per reduced-graph node
+    // (∝ delta edges, NOT merely merged components), broadcast-sized
+    // because the reduced graph is delta-sized; new nodes take their
+    // reduced label directly (absent → singleton new nodes never
+    // appear in newEdges by definition of `e`)
     val relabel = reduced
       .select(col("node").as("_old"), col("component").as("_new"))
     val updatedOld = lbl
@@ -426,6 +436,13 @@ object Graph {
     val newNodes = reduced
       .join(lbl.select(col("node")), Seq("node"), "left_anti")
       .select(col("node"), col("component"))
-    updatedOld.unionByName(newNodes)
+    val out = updatedOld.unionByName(newNodes)
+    // lbl's cache already served its purpose (the eager CC call above
+    // scanned it twice); the caller's action re-reads lbl's source —
+    // cheap for the snapshot-parquet labels of StreamClusters.foldBatch,
+    // which calls this once per micro-batch forever and must not
+    // accumulate persisted relations across triggers
+    lbl.unpersist(false)
+    out
   }
 }

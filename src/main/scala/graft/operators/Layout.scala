@@ -36,21 +36,18 @@ object Layout {
     require(partitionCols.nonEmpty,
       "writePartitioned: partitionCols must be non-empty (use a plain " +
         "write for unpartitioned tables)")
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.write
+    // per-writer option (not a session conf mutation): overrides
+    // spark.sql.sources.partitionOverwriteMode for THIS write only, so
+    // concurrent jobs on the same SparkSession never observe dynamic
+    // overwrite and two concurrent writePartitioned calls cannot race a
+    // save/restore of shared state
+    df.write
       .mode(if (overwrite) "overwrite" else "append")
       .format(format)
       .option("compression", compression)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .save(path)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
   }
 
   def zorderBy(df: DataFrame, a: Column, b: Column,

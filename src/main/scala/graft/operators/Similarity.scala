@@ -59,8 +59,12 @@ object Similarity {
     require(threshold > -1 && threshold <= 1,
       s"semanticDecontaminate: threshold must be in (-1, 1], got $threshold")
     val c = corpus.select(col(idCol).as("_cid"), col(embCol).as("_cv"))
-    val qs = evalSet.select(col(idCol).as("_eid"), col(embCol).as("_qv"))
-    val scored = c.join(broadcast(qs), col("_cid") =!= col("_eid"))
+    val qs = evalSet.select(col(embCol).as("_qv"))
+    // Plain broadcast cross join: corpus and eval are independent
+    // relations with unrelated id namespaces, so no id predicate —
+    // an id collision must NOT suppress the comparison (the contract
+    // is "max cosine against ANY eval vector").
+    val scored = c.crossJoin(broadcast(qs))
       .select(col("_cid"),
         round(cosine(col("_cv"), col("_qv")), 6).as("_cos"))
       .filter(col("_cos").isNotNull)

@@ -68,7 +68,10 @@ object StreamQualityGate {
       s"StreamQualityGate.gate: ${rows.length} cutoff groups exceed the " +
         s"$maxGroups cap — a cutoff table that size should broadcast-join " +
         "in foreachBatch instead of riding the plan as a literal")
-    val pairs = rows.filter(!_.isNullAt(0))
+    // A null cutoff means "no cutoff learned" (e.g. the boundary-rank
+    // row carried a null score) — dropping it here keeps the group
+    // ungated, instead of getDouble's unbox-to-0.0 silently gating it.
+    val pairs = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .flatMap(r => Seq(lit(r.getString(0)), lit(r.getDouble(1))))
     val cutoffFor =
       if (pairs.isEmpty) lit(null).cast("double")
