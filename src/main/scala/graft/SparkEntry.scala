@@ -304,22 +304,16 @@ object SparkEntry {
     }),
     // per-source OOV rate vs a FROZEN top-k vocabulary: the tokenizer-
     // coverage diagnostic (which sources a vocab trained on the corpus
-    // head serves worst); vocab = x27's exact top-k, broadcast back
+    // head serves worst); vocab = x27's exact top-k aggregated into a
+    // single-row broadcast array, counted doc-locally by the
+    // SortedContainsCount kernel — ONE corpus scan for the rate pass
+    // (the vocab's own top-k scan is the inherent prior pass), no
+    // token-stream explode, no token-level shuffle
     "x111_oov_rate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val vocab = graft.operators.Vocab
         .topTokens(docs, col("text"), k = 500).select(col("token"))
-      val toks = docs.select(col("source"),
-        explode(array_remove(split(col("text"), "\\s+"), "")).as("token"))
-      val tot = toks.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_tokens"))
-      val oov = toks.join(broadcast(vocab), Seq("token"), "left_anti")
-        .groupBy(col("source")).agg(count(lit(1)).as("n_oov"))
-      tot.join(oov, Seq("source"), "left")
-        .select(col("source"),
-          coalesce(col("n_oov"), lit(0L)).as("n_oov"), col("n_tokens"),
-          (coalesce(col("n_oov"), lit(0L)).cast("double") /
-            col("n_tokens").cast("double")).as("oov_rate"))
+      graft.operators.Vocab.oovRate(docs, vocab)
     }),
     // cross-source duplicate flow: x2's MinHash pairs rolled up by the
     // unordered source pair — which sources copy which (mirror sites =
@@ -450,6 +444,13 @@ object SparkEntry {
     // the REWRITTEN text of modified docs (x49/x55/x56 only report spans)
     "x85_span_dedup" -> ((s, dir) =>
       graft.operators.SpanDedup.excise(Tables.documents(s, dir),
+        windowTokens = 20)),
+    // full-corpus span excision: x85's rewrite left-joined back onto
+    // the corpus (clean_text coalesces to the original), so the output
+    // IS the deduplicated training corpus — every doc, one row,
+    // n_removed = 0 for untouched docs
+    "x112_span_dedup_all" -> ((s, dir) =>
+      graft.operators.SpanDedup.exciseAll(Tables.documents(s, dir),
         windowTokens = 20)),
     // incremental span excision: the corpus window-fingerprint relation
     // stands in for the persisted parquet index — FIRST-ARRIVAL
@@ -2123,7 +2124,7 @@ object SparkEntry {
         |  SELECT c.vec_id,
         |         round(list_sum(list_transform(generate_series(1, len(c.v)),
         |                 i -> qv[i] * c.v[i])) / (qnrm * c.nrm), 6) AS cos
-        |  FROM c, q WHERE c.vec_id <> q.eid AND c.nrm > 0),
+        |  FROM c, q WHERE c.nrm > 0),
         |m AS (SELECT vec_id, max(cos) AS max_cos FROM s GROUP BY 1)
         |SELECT c.vec_id, m.max_cos,
         |       coalesce(m.max_cos >= 0.35, false) AS contaminated
@@ -3063,6 +3064,61 @@ object SparkEntry {
         |JOIN (SELECT DISTINCT doc_id FROM runs) d2 ON b.doc_id = d2.doc_id
         |LEFT JOIN kept k ON k.doc_id = b.doc_id
         |GROUP BY b.doc_id, b.n""".stripMargin,
+    // x112: x85's replay with the rewrite left-joined back onto the
+    // whole corpus (untouched docs keep their original text)
+    "x112_span_dedup_all" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |occ AS (
+        |  SELECT doc_id, u.p AS pos,
+        |         array_to_string(toks[u.p:u.p+19], chr(1)) AS fp
+        |  FROM base, unnest(generate_series(1, n - 19)) AS u(p)
+        |  WHERE n >= 20),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos)
+        |           AS rn
+        |  FROM occ),
+        |spans AS (
+        |  SELECT doc_id, pos AS s, pos + 19 AS e FROM ranked WHERE rn > 1),
+        |marks AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(MAX(e) OVER (PARTITION BY doc_id
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM spans),
+        |grp AS (
+        |  SELECT doc_id, s, e,
+        |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+        |  FROM marks),
+        |runs AS (
+        |  SELECT doc_id, g, MIN(s) AS s, MAX(e) AS e
+        |  FROM grp GROUP BY doc_id, g),
+        |kept AS (
+        |  SELECT b.doc_id, u.i, b.toks[u.i] AS tok
+        |  FROM base b
+        |  JOIN (SELECT DISTINCT doc_id FROM runs) d USING (doc_id),
+        |       unnest(generate_series(1, b.n)) AS u(i)
+        |  WHERE NOT EXISTS (SELECT 1 FROM runs r
+        |    WHERE r.doc_id = b.doc_id AND u.i BETWEEN r.s AND r.e)),
+        |mod AS (
+        |  SELECT b.doc_id,
+        |         CAST(b.n - count(k.i) AS BIGINT) AS n_removed,
+        |         coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '')
+        |           AS clean_text
+        |  FROM base b
+        |  JOIN (SELECT DISTINCT doc_id FROM runs) d2 ON b.doc_id = d2.doc_id
+        |  LEFT JOIN kept k ON k.doc_id = b.doc_id
+        |  GROUP BY b.doc_id, b.n)
+        |SELECT d.doc_id,
+        |       CAST(CASE WHEN d.text IS NOT NULL
+        |                 THEN len(string_split(d.text, ' '))
+        |                 ELSE 0 END AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(m.n_removed, 0) AS BIGINT) AS n_removed,
+        |       coalesce(m.clean_text, d.text) AS clean_text
+        |FROM documents d LEFT JOIN mod m ON d.doc_id = m.doc_id""".stripMargin,
     // x91: independent replay of the BPE trainer (3 rounds of pair
     // count → argmax → greedy merge, see bpeRoundCtes) and the encode —
     // docs that vanish from the round CTEs (zero symbols) come back

@@ -193,10 +193,97 @@ case class JaccardGE(left: Expression, right: Expression, threshold: Double)
     copy(left = newLeft, right = newRight)
 }
 
+/** Occurrence count of `left`'s elements inside the sorted dup-free
+  * set `right` — [[SortedIntersectSize]]'s multiplicity-aware sibling:
+  * on a match only the LEFT cursor advances, so each duplicate left
+  * element recounts against the same right entry.
+  *
+  * The membership-statistics kernel for frozen-dictionary passes
+  * (vocabulary coverage, OOV rates): the dictionary rides the plan as
+  * a broadcast single-row array and every document answers "how many
+  * of my token OCCURRENCES are in the dictionary" in one doc-local
+  * merge — no token-stream explode, no join, nothing corpus-sized ever
+  * shuffles.
+  *
+  * Caller contract: `left` ascending-sorted, nulls absent, duplicates
+  * ALLOWED; `right` ascending-sorted, null-free, duplicate-free. */
+case class SortedContainsCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_contains_count"
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(a, _), ArrayType(b, _)) if a == b =>
+      TypeUtils.checkForOrderingExpr(a, prettyName)
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two arrays of the same orderable type, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  @transient private lazy val ordering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(elemType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < nx && j < ny) {
+      val c = ordering.compare(x.get(i, elemType), y.get(j, elemType))
+      if (c == 0) { n += 1; i += 1 } // left-only advance: count dups
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val va = ctx.freshName("va")
+      val vb = ctx.freshName("vb")
+      val jt = CodeGenerator.javaType(elemType)
+      val getA = CodeGenerator.getValue(a, elemType, i)
+      val getB = CodeGenerator.getValue(b, elemType, j)
+      s"""
+         |int $i = 0; int $j = 0; int $n = 0;
+         |final int ${i}N = $a.numElements();
+         |final int ${j}N = $b.numElements();
+         |while ($i < ${i}N && $j < ${j}N) {
+         |  $jt $va = $getA;
+         |  $jt $vb = $getB;
+         |  int $c = ${ctx.genComp(elemType, va, vb)};
+         |  if ($c == 0) { $n++; $i++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedContainsCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object SetExprs {
   /** Column API for [[SortedIntersectSize]]. */
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectSize(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column API for [[SortedContainsCount]]. */
+  def sortedContainsCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedContainsCount(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Column API for [[JaccardGE]]. */

@@ -112,6 +112,33 @@ object SpanDedup {
     rewrite(b, spans, L, idCol)
   }
 
+  /** Full-corpus variant of [[excise]]: EVERY document surfaces, so the
+    * output IS the deduplicated training corpus (the x110
+    * materialization contract) — modified docs carry their rewritten
+    * text, untouched docs their original text with `n_removed` = 0.
+    *
+    * Scale shape: [[excise]]'s plan plus ONE id-keyed left join of the
+    * (∝ modified docs) rewrite relation back onto the corpus and a
+    * doc-local token count — no new corpus-wide exchange beyond the
+    * join that already moves text (bucketing docs by id makes it
+    * co-located). Null-text documents pass through with zero counts
+    * and null `clean_text`.
+    *
+    * Output: (idCol, n_tokens, n_removed, clean_text) — one row per
+    * input document. */
+  def exciseAll(docs: DataFrame, windowTokens: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val mod = excise(docs, windowTokens, idCol, textCol)
+      .select(col(idCol), col("n_removed").as("_nr"),
+        col("clean_text").as("_ct"))
+    docs.join(mod, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col(textCol).isNotNull, size(split(col(textCol), " ")))
+          .otherwise(0).cast("long").as("n_tokens"),
+        coalesce(col("_nr"), lit(0L)).as("n_removed"),
+        coalesce(col("_ct"), col(textCol)).as("clean_text"))
+  }
+
   /** The persisted window-fingerprint index for [[exciseDelta]]: one row
     * per distinct length-`windowTokens` window in the AS-INGESTED corpus
     * — (fp, doc_id, pos) with the canonical (first in (doc_id, pos)

@@ -120,17 +120,43 @@ object Vocab {
     * the merge table is reproducible anywhere (the spec checks it
     * against an independent single-machine reference implementation).
     *
-    * Scale shape: each round is ONE map-side-combinable pair-count
-    * shuffle, a TakeOrdered(1) (one row to the driver), and one
-    * projection pass with per-round lineage truncation — the same
-    * iterative-job discipline as connected components. The sequential
-    * dependence between rounds is inherent to BPE, so each round costs
-    * a full pass over the TRAINING SET — which is why the operator
-    * carries its own `sampleFraction` knob: production tokenizer
-    * training bounds wall-clock by training on a hash sample
-    * (vocabulary statistics converge long before the full corpus is
-    * read), and with the knob a raw call is safe at corpus scale
-    * instead of requiring the caller to remember to pre-compose
+    * Scale shape — BATCHED exact rounds: each round pays ONE
+    * map-side-combinable pair-count shuffle over the training set and
+    * then commits a whole PREFIX of the ranked pair list (up to
+    * `batchCap` merges) in one fused kernel pass, so the corpus-pass
+    * count grows with ⌈nMerges / batch⌉, not nMerges. The prefix is
+    * provably identical to running the merges one at a time: a ranked
+    * pair joins the batch only while
+    *
+    *   1. it shares no symbol with an earlier batch member (disjoint
+    *      merges commute, destroy none of each other's occurrences,
+    *      and leave every untouched pair's count unchanged — so each
+    *      member's recorded count is its true at-merge-time count);
+    *   2. none of its symbols equals an earlier member's concatenated
+    *      output symbol (an earlier merge may create fresh occurrences
+    *      of such a pair, changing its true count);
+    *   3. its count strictly exceeds every earlier member's creation
+    *      bound B = max(max n(·, left), max n(right, ·)) — any pair an
+    *      earlier merge CREATES is of the form (x, l⊕r) or (l⊕r, y)
+    *      and inherits its count from a snapshot (x, left) /
+    *      (right, y) occurrence, so B bounds the best rank a created
+    *      pair can reach; strictly below the member's count means no
+    *      created pair can outrank it at its sequential turn (the two
+    *      per-symbol maxima come from one small aggregate over the
+    *      already-shuffled pair counts).
+    *
+    *   The first ranked pair is always exact (it IS the snapshot
+    *   argmax), so every round commits ≥ 1 merge and worst-case
+    *   (adversarially interacting pairs) degrades to the sequential
+    *   one-merge-per-round loop, never past it.
+    *
+    * The sequential dependence between rounds is inherent to BPE, so
+    * each round still costs a pass over the TRAINING SET — which is
+    * why the operator carries its own `sampleFraction` knob:
+    * production tokenizer training bounds wall-clock by training on a
+    * hash sample (vocabulary statistics converge long before the full
+    * corpus is read), and with the knob a raw call is safe at corpus
+    * scale instead of requiring the caller to remember to pre-compose
     * [[Corpus.sampleByHash]]. The sample is [[Corpus.hashUnit]] of the
     * text — deterministic, so the learned merge table is reproducible;
     * `sampleFraction = f` is exactly equivalent to pre-sampling with
@@ -141,12 +167,14 @@ object Vocab {
     * ordered merge table a tokenizer consumes. */
   def bpeMerges(df: DataFrame, textCol: Column, nMerges: Int,
       minCount: Long = 2L, sep: String = " ",
-      sampleFraction: Double = 1.0): DataFrame = {
+      sampleFraction: Double = 1.0, batchCap: Int = 32): DataFrame = {
     require(nMerges >= 1 && nMerges <= 10000,
       s"bpeMerges: nMerges must be in [1,10000], got $nMerges")
     require(minCount >= 1, s"bpeMerges: minCount must be >= 1, got $minCount")
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"bpeMerges: sampleFraction must be in (0,1], got $sampleFraction")
+    require(batchCap >= 1 && batchCap <= 256,
+      s"bpeMerges: batchCap must be in [1,256], got $batchCap")
     val spark = df.sparkSession
     import spark.implicits._
     def truncated(d: DataFrame): DataFrame =
@@ -164,7 +192,8 @@ object Vocab {
     var idx = 0
     var exhausted = false
     while (idx < nMerges && !exhausted) {
-      val top = syms
+      val cap = math.min(batchCap, nMerges - idx)
+      val pc = syms
         .select(explode(when(size(col("s")) >= 2,
           zip_with(
             slice(col("s"), lit(1), size(col("s")) - 1),
@@ -174,17 +203,63 @@ object Vocab {
           .as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = pc
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .limit(1)
+        .limit(cap)
         .as[(String, String, Long)]
         .collect()
-      top.headOption match {
-        case Some((l, r, n)) if n >= minCount =>
-          merges += ((idx, l, r, n))
-          syms = truncated(syms.select(
-            BpeExprs.mergeAdjacent(col("s"), lit(l), lit(r), sep).as("s")))
-          idx += 1
-        case _ => exhausted = true
+      if (cands.isEmpty || cands.head._3 < minCount) {
+        exhausted = true
+        pc.unpersist(false)
+      } else {
+        // creation bounds for the candidate symbols, from the cached
+        // pair counts: one bounded aggregate (≤ 2·cap keys), only paid
+        // when a batch could actually extend past its head
+        val (maxAsRight, maxAsLeft) =
+          if (cands.length <= 1) (Map.empty[String, Long], Map.empty[String, Long])
+          else {
+            val ls = cands.map(_._1).distinct.toIndexedSeq
+            val rs = cands.map(_._2).distinct.toIndexedSeq
+            val mr = pc.filter(col("r").isin(ls: _*))
+              .groupBy(col("r")).agg(max(col("n")).as("m"))
+              .as[(String, Long)].collect().toMap
+            val ml = pc.filter(col("l").isin(rs: _*))
+              .groupBy(col("l")).agg(max(col("n")).as("m"))
+              .as[(String, Long)].collect().toMap
+            (mr, ml)
+          }
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        val usedSyms = scala.collection.mutable.Set.empty[String]
+        val usedConcats = scala.collection.mutable.Set.empty[String]
+        var bound = Long.MinValue
+        var stop = false
+        for (c @ (l, r, n) <- cands if !stop) {
+          val disjoint = !usedSyms(l) && !usedSyms(r) &&
+            !usedConcats(l) && !usedConcats(r)
+          if (accepted.nonEmpty && !(disjoint && n > bound && n >= minCount))
+            stop = true
+          else {
+            accepted += c
+            usedSyms += l; usedSyms += r
+            usedConcats += (l + sep + r)
+            bound = math.max(bound,
+              math.max(maxAsRight.getOrElse(l, 0L),
+                maxAsLeft.getOrElse(r, 0L)))
+          }
+        }
+        accepted.foreach { case (l, r, n) =>
+          merges += ((idx, l, r, n)); idx += 1
+        }
+        // one fused kernel pass applies the whole batch in rank order
+        // (identical to the one-at-a-time application: BpeOps.encodeAll
+        // IS the sequential greedy pass per merge)
+        syms = truncated(syms.select(
+          BpeExprs.encode(col("s"),
+            typedLit(accepted.map(_._1).toSeq),
+            typedLit(accepted.map(_._2).toSeq), sep).as("s")))
+        pc.unpersist(false)
       }
     }
     merges.result()
@@ -226,6 +301,44 @@ object Vocab {
         BpeExprs.encode(array_remove(split(textCol, "\\s+"), ""),
           col("_ls"), col("_rs"), sep).as("bpe"))
       .withColumn("n_tokens", size(col("bpe")).cast("long"))
+  }
+
+  /** Per-group OOV (out-of-vocabulary) rate against a FROZEN
+    * vocabulary relation — the tokenizer-coverage diagnostic (which
+    * corpus slices a vocab serves worst), in ONE corpus pass.
+    *
+    * Scale shape: the vocabulary aggregates into a single sorted-array
+    * row (bounded by the vocab-size contract — the x91 merge-table
+    * broadcast pattern) and rides a broadcast; each document then
+    * answers "how many of my token occurrences are in-vocab" with the
+    * doc-local [[graft.functions.SortedContainsCount]] merge kernel —
+    * the corpus is scanned ONCE, the exploded token stream is never
+    * materialized, and the only shuffle carries one tiny
+    * (group, n_tokens, n_in) row per group (map-side combined). The
+    * naive route (explode → left_anti join → two aggregates) scans the
+    * corpus twice and shuffles every token occurrence.
+    *
+    * Groups whose documents carry no tokens are absent (no rate is
+    * defined), matching the exploded route's semantics.
+    *
+    * Output: (`source`, n_oov, n_tokens, oov_rate). */
+  def oovRate(docs: DataFrame, vocab: DataFrame,
+      srcColName: String = "source", textCol: String = "text",
+      tokenCol: String = "token"): DataFrame = {
+    val vrow = vocab.agg(sort_array(collect_set(col(tokenCol))).as("_v"))
+    val tk = sort_array(array_remove(split(col(textCol), "\\s+"), ""))
+    docs.crossJoin(broadcast(vrow))
+      .select(col(srcColName).as("source"),
+        size(tk).cast("long").as("_nt"),
+        graft.functions.SetExprs.sortedContainsCount(tk, col("_v"))
+          .cast("long").as("_nin"))
+      .groupBy(col("source"))
+      .agg(sum(col("_nt")).as("n_tokens"),
+        sum(col("_nt") - col("_nin")).as("n_oov"))
+      .filter(col("n_tokens") > 0)
+      .select(col("source"), col("n_oov"), col("n_tokens"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
   }
 
   /** Collocation mining: top-k adjacent-token pairs by LIFT — the

@@ -73,6 +73,41 @@ class ExpressionsSpec extends SparkTestBase {
     assert(s === 1)
   }
 
+  test("SortedContainsCount: multiplicity-aware membership count") {
+    val df = Seq(
+      (Seq(1L, 1L, 3L, 5L, 5L, 5L), Seq(1L, 5L), 5),  // dups recount
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L), 2),  // set case = intersect
+      (Seq(1L, 2L), Seq(3L, 4L), 0),
+      (Seq[Long](), Seq(1L), 0),
+      (Seq(2L, 2L), Seq[Long](), 0)
+    ).toDF("a", "b", "expected")
+    val rows = df.select(
+      SetExprs.sortedContainsCount($"a", $"b").as("got"), $"expected")
+      .as[(Int, Int)].collect()
+    rows.foreach { case (got, expected) => assert(got === expected) }
+
+    // strings, duplicates on the left (the OOV token-occurrence path)
+    val s = Seq((Seq("a", "the", "the", "zz"), Seq("a", "the")))
+      .toDF("a", "b")
+      .select(SetExprs.sortedContainsCount($"a", $"b").as("n"))
+      .as[Int].head()
+    assert(s === 3)
+
+    // interpreted eval agrees with the dataframe (codegen) result
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def alit(xs: Seq[Long]) =
+      Literal.create(new GenericArrayData(xs.toArray),
+        ArrayType(LongType, containsNull = false))
+    def ev(a: Seq[Long], b: Seq[Long]): Any =
+      graft.functions.SortedContainsCount(alit(a), alit(b))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    assert(ev(Seq(1L, 1L, 3L, 5L, 5L, 5L), Seq(1L, 5L)) === 5)
+    assert(ev(Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L)) === 2)
+    assert(ev(Seq(), Seq(1L)) === 0)
+  }
+
   test("JaccardGE: fused threshold test — value at/above, null below, " +
     "null on empty union") {
     val df = Seq(

@@ -124,6 +124,21 @@ class PlanSpec extends SparkTestBase {
     assert(pushed, p)
   }
 
+  test("x111 OOV: the rate pass is ONE documents scan (vocab top-k is " +
+    "the only other) and the token stream is never exploded") {
+    val p = plan("x111_oov_rate")
+    // two scans total: the frozen-vocab top-k pass + the doc-local rate
+    // pass; the old explode → left_anti → two-agg route paid three
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents")) === 2, p)
+    // the rate pass explodes nothing: the only Generate in the plan is
+    // the vocab pass's token explode; membership is the doc-local
+    // merge kernel, so no token-level anti join exists anywhere
+    assert(p.linesIterator.count(_.contains("Generate")) === 1, p)
+    assert(p.contains("graft_sorted_contains_count"), p)
+    assert(!p.toLowerCase.contains("leftanti"), p)
+  }
+
   test("no query plans a cartesian product; nested-loop joins only " +
     "where brute force is the contract") {
     // x5 brute-force cosine is DELIBERATELY a broadcast nested-loop scan
@@ -183,6 +198,10 @@ class PlanSpec extends SparkTestBase {
         // x105 is the x5 deliberate broadcast scan: eval vectors attach
         // to every corpus row for the doc-local max-cosine flag
         "x105_sem_decontaminate",
+        // x111 attaches the ONE-row sorted-vocab array to every doc
+        // for the doc-local membership count (the x91 merge-table
+        // broadcast pattern)
+        "x111_oov_rate",
         // x107 is x5's scan over the label-FILTERED slice (the filter
         // pushes to the scan — asserted above)
         "x107_ann_filtered")

@@ -34,6 +34,29 @@ class SpanDedupSpec extends SparkTestBase {
     assert(clean === s"${toks("c", 5)} ${toks("d", 2)}")
   }
 
+  test("exciseAll: every doc surfaces — modified docs rewritten, " +
+    "untouched docs keep their text with n_removed = 0, null text " +
+    "passes through") {
+    val shared = toks("dup", 6)
+    val docs = Seq(
+      (1L, s"${toks("a", 3)} $shared ${toks("b", 3)}"),
+      (2L, s"${toks("c", 5)} $shared ${toks("d", 2)}"),
+      (3L, toks("solo", 8)),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.exciseAll(docs, windowTokens = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    // doc 2 rewritten exactly as excise() rewrites it
+    assert(got(2L) === ((13L, 6L, s"${toks("c", 5)} ${toks("d", 2)}")))
+    // canonical and untouched docs pass through unmodified
+    assert(got(1L) === ((12L, 0L, s"${toks("a", 3)} $shared ${toks("b", 3)}")))
+    assert(got(3L) === ((8L, 0L, toks("solo", 8))))
+    assert(got(4L) === ((0L, 0L, null)))
+  }
+
   test("within-doc repeat excises the second occurrence only") {
     val run = toks("r", 5)
     val docs = Seq(

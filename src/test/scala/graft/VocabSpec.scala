@@ -167,6 +167,82 @@ class VocabSpec extends SparkTestBase {
     }
   }
 
+  test("bpeMerges batching guards: shared symbols, count ties with " +
+    "creation-bound interplay, and batchCap=1 all equal the reference") {
+    // shared symbol: (h,e) and (t,h) tie at 10, share h — batch must
+    // stop after (h,e); round 2's winner (t, "h e") only exists after
+    // the merge is applied
+    val theDocs = Seq.fill(10)("t h e").toDF("text")
+    assert(Vocab.bpeMerges(theDocs, col("text"), nMerges = 3)
+      .as[(Long, String, String, Long)].collect().toList ===
+      refBpe(Seq.fill(10)("t h e"), 3, 2L, " ").toList)
+    // prefix stop: the batch walks CONSECUTIVE ranks, so the shared-
+    // symbol pair (c,a) at rank 2 ends the batch before the disjoint
+    // (d,e) is ever considered — and sequentially the created
+    // (c, "a b") ties (d,e) at 8 and wins on lex, so committing (d,e)
+    // in the batch would have been wrong
+    val texts2 = Seq.fill(8)("c a b") ++ Seq.fill(2)("a b") ++
+      Seq.fill(8)("d e")
+    assert(Vocab.bpeMerges(texts2.toDF("text"), col("text"), nMerges = 3)
+      .as[(Long, String, String, Long)].collect().toList ===
+      refBpe(texts2, 3, 2L, " ").toList)
+    // creation bound binding: disjoint (x,y) at rank 2 ties the
+    // creation bound from accepted (a,b) (context pair (z,a) at 8),
+    // so the batch rejects it; it would in fact still win on lex —
+    // the conservative deferral lands on the same table one round on
+    val texts3 = Seq.fill(8)("z a b") ++ Seq.fill(2)("a b") ++
+      Seq.fill(8)("x y")
+    assert(Vocab.bpeMerges(texts3.toDF("text"), col("text"), nMerges = 3)
+      .as[(Long, String, String, Long)].collect().toList ===
+      refBpe(texts3, 3, 2L, " ").toList)
+    // batchCap=1 degrades to the sequential loop, same table
+    assert(Vocab.bpeMerges(texts2.toDF("text"), col("text"), nMerges = 3,
+      batchCap = 1).as[(Long, String, String, Long)].collect().toList ===
+      refBpe(texts2, 3, 2L, " ").toList)
+  }
+
+  test("bpeMerges batching: Spark job count grows sublinearly in " +
+    "nMerges when the ranked pairs are disjoint") {
+    // 60 mutually disjoint pairs with strictly decreasing counts —
+    // every symbol appears in exactly one pair context, so creation
+    // bounds are 0 and full batches commit
+    val rows = (0 until 60).flatMap { k =>
+      Seq.fill(200 - k)(s"a$k b$k")
+    }
+    val docs = rows.toDF("text")
+    def jobsFor(n: Int): (Int, List[(Long, String, String, Long)]) = {
+      val group = s"bpe-jobcount-$n"
+      spark.sparkContext.setJobGroup(group, group,
+        interruptOnCancel = false)
+      val table =
+        try Vocab.bpeMerges(docs, col("text"), nMerges = n)
+          .as[(Long, String, String, Long)].collect().toList
+        finally spark.sparkContext.clearJobGroup()
+      // the status store is fed asynchronously — poll until stable
+      def count(): Int =
+        spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var prev = -1
+      var cur = count()
+      var waited = 0
+      while (cur != prev && waited < 5000) {
+        prev = cur; Thread.sleep(250); waited += 250; cur = count()
+      }
+      (cur, table)
+    }
+    val (jobs8, got8) = jobsFor(8)
+    val (jobs48, got48) = jobsFor(48)
+    assert(got8 === refBpe(rows, 8, 2L, " ").toList)
+    assert(got48 === refBpe(rows, 48, 2L, " ").toList)
+    // sequential = ≥ 1 job per merge; batched = ~constant jobs per
+    // 32-merge round. 6× the merges must cost far less than 6× the
+    // jobs — and far less than one job per merge.
+    assert(jobs48 < 48,
+      s"job count must be sublinear in nMerges: $jobs48 jobs for 48 merges")
+    assert(jobs48 <= jobs8 + 8,
+      s"extra 40 merges must amortize into ~1 extra batch: " +
+        s"jobs(8)=$jobs8, jobs(48)=$jobs48")
+  }
+
   test("MG summary retains every token above N/(capacity+1), never overcounts") {
     val rnd = new scala.util.Random(7L)
     // 2000 filler tokens from a 400-word tail + two heavy tokens
