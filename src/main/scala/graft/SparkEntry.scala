@@ -24,14 +24,16 @@ import graft.operators.{Dedup, EditSimilarity, Multimodal, Similarity}
   */
 object SparkEntry {
 
-  /** Recall floors for the ANN gates (x6/x13): set with margin under the
-    * measured deterministic recalls at sf0.01/sf0.1 (seeds and data are
+  /** Recall floors for the ANN gates: set with margin under the measured
+    * deterministic recalls at sf0.001/sf0.01/sf0.1 (seeds and data are
     * fixed, so the measured value is stable; the floor guards against
-    * seed/bucketing regressions, not run-to-run noise). */
-  val AnnLshRecallFloor = 0.2 // measured min 0.3 (sf0.01 and sf0.1)
-  val AnnIvfRecallFloor = 0.4 // measured min 0.5 (sf0.01 and sf0.1)
-  val AnnPqRecallFloor = 0.3 // measured min 0.4 (sf0.001), 0.6 (sf0.01/0.1)
-  val AnnIvfPqRecallFloor = 0.3 // measured min 0.5 (sf0.001), 0.6 (sf0.01/0.1)
+    * seed/bucketing regressions, not run-to-run noise). Gate configs and
+    * floors come from the swept recall/cost frontier (RecallSweep tool;
+    * tables in SCALE.md "ANN recall frontier"). */
+  val AnnLshRecallFloor = 0.6 // nBits=6 nTables=4 probe=2: min 0.90 at every SF
+  val AnnIvfRecallFloor = 0.6 // nLists=16 nProbe=12: min 0.90/0.80/0.70
+  val AnnPqRecallFloor = 0.6 // m=32 ksub=256: min 0.90/0.90/0.80
+  val AnnIvfPqRecallFloor = 0.5 // nLists=8 nProbe=6 m=32 ksub=256: min 0.80/0.90/0.60
 
   /** Exact, order-independent sum of a double column: cast each value to
     * DECIMAL(18,6) (exact for this corpus's ≤2-decimal doubles), sum
@@ -144,14 +146,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)
       Similarity.recallGate(
-        Similarity.annTopK(emb, qs, k = 10, probeHamming = 2),
+        Similarity.annTopK(emb, qs, k = 10, nBits = 6, nTables = 4,
+          probeHamming = 2),
         Similarity.cosineTopK(emb, qs, k = 10), floor = AnnLshRecallFloor)
     }),
     "x13_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)
       Similarity.recallGate(
-        Similarity.ivfTopK(emb, qs, k = 10, nProbe = 6),
+        Similarity.ivfTopK(emb, qs, k = 10, nLists = 16, nProbe = 12),
         Similarity.cosineTopK(emb, qs, k = 10), floor = AnnIvfRecallFloor)
     }),
     "x12_cosine_dedup" -> ((s, dir) =>
@@ -167,7 +170,7 @@ object SparkEntry {
       val index = Similarity.ivfCentroids(corpus)
       Similarity.recallGate(
         Similarity.ivfTopKWithCentroids(index, corpus, delta,
-          k = 10, nProbe = 10),
+          k = 10, nProbe = 12),
         Similarity.cosineTopK(corpus, delta, k = 10),
         floor = AnnIvfRecallFloor)
     }),
@@ -688,7 +691,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)
       Similarity.recallGate(
-        Similarity.pqTopK(emb, qs, k = 10, m = 16, ksub = 64),
+        Similarity.pqTopK(emb, qs, k = 10, m = 32, ksub = 256),
         Similarity.cosineTopK(emb, qs, k = 10), floor = AnnPqRecallFloor)
     }),
     // the composed billion-scale index: IVF cuts candidates, PQ cuts
@@ -698,7 +701,7 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") < 5)
       Similarity.recallGate(
         Similarity.ivfPqTopK(emb, qs, k = 10, nLists = 8, nProbe = 6,
-          m = 16, ksub = 64),
+          m = 32, ksub = 256),
         Similarity.cosineTopK(emb, qs, k = 10),
         floor = AnnIvfPqRecallFloor)
     }),

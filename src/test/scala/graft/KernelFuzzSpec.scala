@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{BpeExprs, SetExprs, TokenWindowExprs, VectorExprs}
+
+/** Adversarial property fuzzing for the codegen expression kernels
+  * (TokenWindowExprs, BpeExprs, SetExprs, VectorExprs): empty / huge /
+  * astral-plane strings, tokens containing the separator, NaN / ±0
+  * vectors. Every property compares the DataFrame (codegen) result
+  * against an independent driver-side reference — and the dataframe
+  * evaluation itself exercises eval≡codegen because ExpressionsSpec
+  * pins both paths; here the reference is order-independent set/seq
+  * arithmetic, so sorting subtleties (UTF8String binary order vs Java
+  * UTF-16 order on surrogate pairs) cannot mask a kernel bug.
+  *
+  * Deterministic: generators draw from fixed seeds.
+  */
+class KernelFuzzSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int = 120): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  // token alphabet stressing every representation corner: empty-ish
+  // ascii, multibyte BMP, astral plane (surrogate pairs in UTF-16),
+  // combining marks, a token equal to the separator's neighbors
+  private val tokenGen: Gen[String] = Gen.oneOf(
+    "a", "b", "the", "é", "héllo", "日本", "𝄞", "🂡𝔘", "é",
+    "x" * 300, "𝕏" * 80, "-", "_")
+
+  private val textGen: Gen[String] = for {
+    toks <- Gen.listOfN(12, tokenGen)
+    n <- Gen.chooseNum(0, 12)
+  } yield toks.take(n).mkString(" ")
+
+  test("TokenWindowFps fuzz: fp count = max(nTokens-L+1, 0) and fp " +
+    "equality ≡ token-window equality, under split(text, ' ') semantics") {
+    for (l <- Seq(2, 3, 5)) {
+      val texts = samples(textGen) ++ Seq("", " ", "  ", "a  b",
+        "𝄞 𝄞 𝄞 𝄞 𝄞", "x" * 10000 + " y " + "x" * 10000)
+      val fps = texts.toDF("text")
+        .select(col("text"),
+          TokenWindowExprs.tokenWindowFps(col("text"), l).as("fps"))
+        .as[(String, Seq[Long])].collect()
+      // global fp ↔ window consistency across ALL documents
+      val seen = scala.collection.mutable.Map.empty[Long, Seq[String]]
+      for ((text, f) <- fps) {
+        // split(text, " ") keeps empty tokens — the documented contract
+        val toks = text.split(" ", -1).toSeq
+        assert(f.length === math.max(toks.length - l + 1, 0),
+          s"count for '$text' L=$l")
+        for ((fp, i) <- f.zipWithIndex) {
+          val win = toks.slice(i, i + l)
+          seen.get(fp) match {
+            case Some(w) => assert(w === win,
+              s"fp collision/mismatch at '$text' pos $i L=$l")
+            case None => seen(fp) = win
+          }
+        }
+      }
+      // distinct windows got distinct fps (no systematic collision)
+      assert(seen.values.toSeq.distinct.size === seen.size)
+    }
+  }
+
+  test("BPE kernel fuzz: mergeAdjacent equals the greedy reference and " +
+    "encodeAll equals the merge fold, on adversarial token arrays") {
+    def refMerge(s: Vector[String], l: String, r: String,
+        sep: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var j = 0
+      while (j < s.length) {
+        if (j + 1 < s.length && s(j) == l && s(j + 1) == r) {
+          b += (l + sep + r); j += 2
+        } else { b += s(j); j += 1 }
+      }
+      b.result()
+    }
+    val arrGen = for {
+      n <- Gen.chooseNum(0, 10)
+      toks <- Gen.listOfN(n, tokenGen)
+    } yield toks.toVector
+    val pairGen = Gen.zip(arrGen, tokenGen, tokenGen)
+    val cases = samples(pairGen) ++ Seq(
+      (Vector.empty[String], "a", "b"),
+      (Vector("a"), "a", "a"),
+      (Vector("a", "a", "a", "a", "a"), "a", "a"), // overlap runs
+      (Vector("𝄞", "🂡𝔘", "𝄞", "🂡𝔘"), "𝄞", "🂡𝔘"),
+      (Vector("a b", "c"), "a b", "c")) // token CONTAINING the sep
+    val df = cases.map { case (arr, l, r) => (arr, l, r) }
+      .toDF("arr", "l", "r")
+      .select(col("arr"), col("l"), col("r"),
+        BpeExprs.mergeAdjacent(col("arr"), col("l"), col("r"), " ")
+          .as("merged"))
+      .as[(Seq[String], String, String, Seq[String])].collect()
+    for ((arr, l, r, got) <- df)
+      assert(got === refMerge(arr.toVector, l, r, " "),
+        s"mergeAdjacent($arr, $l, $r)")
+
+    // encodeAll ≡ folding mergeAdjacent over the table in rank order
+    val tableGen = for {
+      m <- Gen.chooseNum(0, 6)
+      ls <- Gen.listOfN(m, tokenGen)
+      rs <- Gen.listOfN(m, tokenGen)
+    } yield (ls, rs)
+    val encCases = samples(Gen.zip(arrGen, tableGen), 80)
+    val enc = encCases.map { case (arr, (ls, rs)) => (arr, ls, rs) }
+      .toDF("arr", "ls", "rs")
+      .select(col("arr"), col("ls"), col("rs"),
+        BpeExprs.encode(col("arr"), col("ls"), col("rs"), " ").as("e"))
+      .as[(Seq[String], Seq[String], Seq[String], Seq[String])].collect()
+    for ((arr, ls, rs, got) <- enc) {
+      val want = ls.zip(rs).foldLeft(arr.toVector) {
+        case (acc, (l, r)) => refMerge(acc, l, r, " ")
+      }
+      assert(got === want, s"encodeAll($arr, $ls, $rs)")
+    }
+  }
+
+  test("Set kernel fuzz: sorted merge kernels equal order-independent " +
+    "set arithmetic after sort_array, including astral-plane strings " +
+    "(UTF8 binary order ≠ Java UTF-16 order there)") {
+    val strSetGen = for {
+      n <- Gen.chooseNum(0, 10)
+      toks <- Gen.listOfN(n, tokenGen)
+    } yield toks
+    val cases = samples(Gen.zip(strSetGen, strSetGen))
+    // the kernels require sorted inputs — sort INSIDE the plan with
+    // sort_array so the order is the engine's own UTF8 binary order
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        SetExprs.sortedIntersectSize(
+          array_sort(array_distinct(col("a"))),
+          array_sort(array_distinct(col("b")))).as("isz"),
+        SetExprs.sortedContainsCount(
+          sort_array(col("a")),
+          array_sort(array_distinct(col("b")))).as("csz"),
+        SetExprs.jaccardGE(
+          array_sort(array_distinct(col("a"))),
+          array_sort(array_distinct(col("b"))), 0.0).as("j"))
+      .as[(Seq[String], Seq[String], Int, Int, Option[Double])].collect()
+    for ((a, b, isz, csz, j) <- got) {
+      val (sa, sb) = (a.toSet, b.toSet)
+      assert(isz === (sa & sb).size, s"intersect $a $b")
+      assert(csz === a.count(sb.contains), s"contains $a $b")
+      val uni = (sa | sb).size
+      if (uni == 0) assert(j.isEmpty, s"jaccard empty-union $a $b")
+      else assert(j.contains((sa & sb).size.toDouble / uni),
+        s"jaccard $a $b")
+    }
+  }
+
+  test("DotProduct fuzz: NaN, ±0, infinities — kernel equals the IEEE " +
+    "fold, and -0.0 inputs produce the same bits as the reference") {
+    val specialD: Gen[Double] = Gen.oneOf(
+      0.0, -0.0, 1.5, -2.25, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.MinPositiveValue, 1e300, -1e300)
+    val vecGen = for {
+      n <- Gen.chooseNum(0, 6)
+      xs <- Gen.listOfN(n, specialD)
+      ys <- Gen.listOfN(n, specialD)
+    } yield (xs, ys)
+    val got = samples(vecGen).toDF("a", "b")
+      .select(col("a"), col("b"),
+        VectorExprs.dot(col("a"), col("b")).as("d"))
+      .as[(Seq[Double], Seq[Double], Option[Double])].collect()
+    for ((a, b, d) <- got) {
+      val want = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      d match {
+        case Some(v) =>
+          assert(java.lang.Double.doubleToLongBits(v) ===
+            java.lang.Double.doubleToLongBits(want) ||
+            (v.isNaN && want.isNaN), s"dot $a $b: got $v want $want")
+        case None => fail(s"dot $a $b returned null")
+      }
+    }
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph}
+import graft.streaming.StreamCorpusLoop
+
+/** The incremental corpus loop as ONE foreachBatch stream: micro-batches
+  * maintain the content-hash index, the fingerprint relation, and the
+  * cluster labels; after every prefix each artifact equals its batch
+  * recompute over the closed corpus (the streaming composition of
+  * IncrementalLoopSpec), and replaying a batch changes nothing.
+  */
+class StreamCorpusLoopSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("N micro-batches through the loop equal the batch recompute " +
+    "after every prefix; replayed batches are idempotent") {
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("stream-corpus-loop-").toString
+
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val maxId = all.agg(max($"doc_id")).as[Long].head()
+    val cut1 = maxId / 3
+    val cut2 = 2 * maxId / 3
+    def rows(d: DataFrame): Seq[(Long, String)] =
+      d.as[(Long, String)].collect().toSeq
+    val batches = Seq(
+      rows(all.filter($"doc_id" <= cut1)),
+      rows(all.filter($"doc_id" > cut1 && $"doc_id" <= cut2)),
+      rows(all.filter($"doc_id" > cut2)))
+
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(StreamCorpusLoop.sink(dir))
+      .option("checkpointLocation",
+        Files.createTempDirectory("stream-corpus-loop-ckpt-").toString)
+      .start()
+    try {
+      var closed: Option[DataFrame] = None
+      for (batch <- batches) {
+        in.addData(batch); q.processAllAvailable()
+        closed = Some(closed
+          .map(_.unionByName(batch.toDF("doc_id", "text")))
+          .getOrElse(batch.toDF("doc_id", "text")))
+        val c = closed.get.persist()
+
+        // 1. accepted ids ≡ batch exact-dedup survivors
+        val got = StreamCorpusLoop.acceptedIds(spark, dir)
+          .as[Long].collect().toSet
+        val want = Dedup.exact(c).select($"keep_id")
+          .as[Long].collect().toSet
+        assert(got === want, "accepted ids")
+
+        // hash index ≡ distinct content hashes of the closed corpus
+        assert(StreamCorpusLoop.hashIndex(spark, dir).count() ===
+          Dedup.hashIndex(c).count(), "hash index")
+
+        // 2. fingerprint relation ≡ batch simhash over the closed corpus
+        val gotFps = StreamCorpusLoop.fps(spark, dir)
+          .as[(Long, Long)].collect().toSet
+        val wantFps = Dedup.simhash(c, poly = true)
+          .as[(Long, Long)].collect().toSet
+        assert(gotFps === wantFps, "fingerprints")
+
+        // 3. labels ≡ batch CC over the closed pair set
+        val gotLbl = StreamCorpusLoop.labels(spark, dir)
+          .as[(Long, Long)].collect().toSet
+        val wantLbl = Graph.connectedComponents(
+          Dedup.simhashPairs(c, maxHamming = 3, poly = true))
+          .as[(Long, Long)].collect().toSet
+        assert(gotLbl === wantLbl, "labels")
+        c.unpersist()
+      }
+
+      // restart safety: replay the LAST batch (reversed row order) —
+      // every store rebuilds from bases strictly below the batch id and
+      // overwrites its own delta, so nothing changes
+      def snapshot(): (Set[Long], Set[(Long, Long)], Set[(Long, Long)]) = (
+        StreamCorpusLoop.acceptedIds(spark, dir).as[Long].collect().toSet,
+        StreamCorpusLoop.fps(spark, dir)
+          .as[(Long, Long)].collect().toSet,
+        StreamCorpusLoop.labels(spark, dir)
+          .as[(Long, Long)].collect().toSet)
+      val before = snapshot()
+      StreamCorpusLoop.foldBatch(dir,
+        batches.last.reverse.toDF("doc_id", "text"), batchId = 2L)
+      assert(snapshot() === before, "replay must be a no-op")
+
+      // a half-written delta (no _SUCCESS) is invisible to readers
+      new java.io.File(s"$dir/hash/delta=99").mkdirs()
+      new java.io.File(s"$dir/accepted/delta=99").mkdirs()
+      assert(snapshot() === before, "incomplete deltas must be invisible")
+
+      assert(before._1.nonEmpty && before._3.nonEmpty,
+        "fixture must exercise dedup and clustering paths")
+    } finally q.stop()
+  }
+}
