@@ -318,6 +318,28 @@ object SparkEntry {
         .topTokens(docs, col("text"), k = 500).select(col("token"))
       graft.operators.Vocab.oovRate(docs, vocab)
     }),
+    // weighted reservoir per source (Efraimidis–Spirakis A-ES): 10 docs
+    // per source with selection probability ∝ document length, as a
+    // deterministic pure function of (id, weight) — the log-domain
+    // es_key is oracle-replayable; ranked via the distributed grouped
+    // rank (few-large-groups contract)
+    "x113_weighted_sample" -> ((s, dir) =>
+      graft.operators.Corpus.weightedSamplePerGroup(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        col("source"), col("doc_id"), col("n_chars"), k = 10,
+        numRanges = 8)
+        .select(col("source"), col("doc_id"), col("es_key"))),
+    // n-gram containment (Broder 1997): doc_a's 12-gram set ≥ 90%
+    // inside doc_b's — quote/subset detection the symmetric Jaccard
+    // threshold structurally misses; probe-side prefix filter + fused
+    // size bound against the full inverted gram index, one-merge
+    // int/int verify. 12-char grams + t=0.9 keep candidate density
+    // organic on low-entropy (small-vocabulary) corpora — the measured
+    // knob trade-off is in SCALE.md
+    "x114_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir),
+        threshold = 0.9, n = 12)),
     // cross-source duplicate flow: x2's MinHash pairs rolled up by the
     // unordered source pair — which sources copy which (mirror sites =
     // off-diagonal mass, in-crawl boilerplate = diagonal)
@@ -480,6 +502,21 @@ object SparkEntry {
         merges)
         .select(col("id").as("doc_id"), col("n_tokens"),
           array_join(col("bpe"), "\u0001").as("encoded"))
+    }),
+    // x91's encode shipped as INT token ids: ids = 1-based rank in the
+    // sorted symbol universe (deterministic, SQL-replayable); the
+    // mapping is the doc-local binary-search kernel against a one-row
+    // sorted-vocab broadcast — token-id arrays, the artifact a trainer
+    // consumes
+    "x115_bpe_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Vocab.bpeMerges(docs, col("text"),
+        nMerges = 3, minCount = 2)
+      graft.operators.Vocab.bpeEncodeIds(docs, col("doc_id"),
+        col("text"), merges)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          array_join(transform(col("ids"), _.cast("string")), ",")
+            .as("encoded_ids"))
     }),
     // CCNet-style LM quality filter: add-k bigram model self-scored
     // over the corpus; avg negative log-likelihood per doc, the
@@ -2076,6 +2113,43 @@ object SparkEntry {
         |    AS cluster_size
         |FROM asg
         |QUALIFY doc_id = cluster_id""".stripMargin,
+    // x113: A-ES replay — the same hashUnit chain as x16, shifted to
+    // (0,1], log-domain key, rank per source
+    "x113_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT source, doc_id,
+        |    greatest(CAST(n_chars AS DOUBLE), 0.000000001) AS w,
+        |    ((list_reduce([0::BIGINT] || list_transform(
+        |        range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |        i -> ord(substr(CAST(doc_id AS VARCHAR), i, 1))::BIGINT),
+        |        (a,x) -> (a*131 + x) % 1000000007)
+        |      * 1103515245 + 12345) % 1000000007
+        |      * 69069 + 1) % 1000000007 AS h2
+        |  FROM documents),
+        |k AS (
+        |  SELECT source, doc_id,
+        |    round(ln((h2 + 1) / 1000000008.0) / w, 6) AS es_key
+        |  FROM s),
+        |r AS (
+        |  SELECT source, doc_id, es_key,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY es_key DESC, doc_id) AS rnk FROM k)
+        |SELECT source, doc_id, es_key FROM r WHERE rnk <= 10""".stripMargin,
+    // x114: containment replay over string grams (hashed-set sizes
+    // equal string-set sizes absent 64-bit collisions — the x4 pact)
+    "x114_containment" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 11, 0)),
+        |    i -> substr(text, i, 12))) AS ng
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 12)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+        |             len(a.ng), 6) AS containment
+        |FROM g a JOIN g b ON a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+        |      len(a.ng) >= 0.9""".stripMargin,
     "x111_oov_rate" ->
       """WITH toks AS (
         |  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
@@ -3141,6 +3215,39 @@ object SparkEntry {
         |  CAST(coalesce(len(f.s), 0) AS BIGINT) AS n_tokens,
         |  coalesce(array_to_string(f.s, chr(1)), '') AS encoded
         |FROM s0 b LEFT JOIN s3 f USING (doc_id)""".stripMargin,
+    // x115: the x91 trainer+encode replay, then ids = 1-based rank of
+    // each symbol in the sorted (binary-order) symbol universe,
+    // reassembled per doc in position order
+    "x115_bpe_ids" ->
+      s"""WITH s0 AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\\s+'),
+        |      x -> x <> '') AS s,
+        |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |      x -> x <> '')) >= 2 AS big
+        |  FROM documents WHERE text IS NOT NULL),
+        |${bpeRoundCtes(1)},
+        |${bpeRoundCtes(2)},
+        |${bpeRoundCtes(3)},
+        |enc AS (
+        |  SELECT b.doc_id, coalesce(f.s, []) AS s
+        |  FROM s0 b LEFT JOIN s3 f USING (doc_id)),
+        |vocab AS (
+        |  SELECT x AS tok,
+        |    CAST(row_number() OVER (ORDER BY x) AS INTEGER) AS id
+        |  FROM (SELECT DISTINCT unnest(s) AS x FROM enc)),
+        |ex AS (
+        |  SELECT e.doc_id, u.j, e.s[u.j] AS tok
+        |  FROM enc e, unnest(generate_series(1, len(e.s))) AS u(j)),
+        |ids AS (
+        |  SELECT ex.doc_id, ex.j, v.id
+        |  FROM ex JOIN vocab v ON v.tok = ex.tok)
+        |SELECT e.doc_id,
+        |  CAST(len(e.s) AS BIGINT) AS n_tokens,
+        |  coalesce(string_agg(CAST(i.id AS VARCHAR), ',' ORDER BY i.j),
+        |    '') AS encoded_ids
+        |FROM enc e LEFT JOIN ids i USING (doc_id)
+        |GROUP BY e.doc_id, len(e.s)""".stripMargin,
     // x92: replay the add-k bigram model — continuation counts c1 are
     // the per-prefix sums of bigram-type counts c2, V is the distinct
     // token count, and self-scoring makes every probe bigram an inner

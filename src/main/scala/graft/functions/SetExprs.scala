@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, TypeUtils}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 
 /** Intersection cardinality of two SORTED, null-free, duplicate-free
@@ -275,6 +275,87 @@ case class SortedContainsCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared merge/search helpers for the set kernels (static call targets
+  * for both interpreted eval and generated code). */
+object SetOps {
+  /** Per-element 1-based rank of `x`'s elements in the sorted dup-free
+    * dictionary `dict`, by binary search; absent elements map to -1. */
+  def sortedLookupIds(x: ArrayData, dict: ArrayData,
+      ordering: Ordering[Any], elemType: DataType): ArrayData = {
+    val n = x.numElements()
+    val m = dict.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val v = x.get(i, elemType)
+      var lo = 0
+      var hi = m - 1
+      var found = -1
+      while (lo <= hi && found < 0) {
+        val mid = (lo + hi) >>> 1
+        val c = ordering.compare(dict.get(mid, elemType), v)
+        if (c == 0) found = mid + 1
+        else if (c < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      out(i) = found
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Per-element 1-based rank of `left`'s elements in the sorted
+  * dup-free dictionary `right`, by binary search — the vocabulary
+  * id-assignment kernel: with token ids DEFINED as the 1-based rank in
+  * the sorted symbol universe, a document's symbol array maps to its
+  * id array in one doc-local pass against a broadcast dictionary (no
+  * token-stream explode, no join, O(n log V) per doc). Symbols absent
+  * from the dictionary map to -1 (the UNK id).
+  *
+  * Caller contract: `right` ascending-sorted (engine order), null-free,
+  * duplicate-free; `left` any order, duplicates allowed, null-free. */
+case class SortedLookupIds(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_sorted_lookup_ids"
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(a, _), ArrayType(b, _)) if a == b =>
+      TypeUtils.checkForOrderingExpr(a, prettyName)
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two arrays of the same orderable type, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  @transient private lazy val ordering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(elemType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetOps.sortedLookupIds(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], ordering, elemType)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ordRef = ctx.addReferenceObj("ordering", ordering,
+      "scala.math.Ordering")
+    val etRef = ctx.addReferenceObj("elemType", elemType,
+      classOf[DataType].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SetOps.sortedLookupIds(" +
+        s"$a, $b, $ordRef, $etRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLookupIds =
+    copy(left = newLeft, right = newRight)
+}
+
 object SetExprs {
   /** Column API for [[SortedIntersectSize]]. */
   def sortedIntersectSize(a: Column, b: Column): Column =
@@ -284,6 +365,11 @@ object SetExprs {
   /** Column API for [[SortedContainsCount]]. */
   def sortedContainsCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedContainsCount(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column API for [[SortedLookupIds]]. */
+  def sortedLookupIds(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedLookupIds(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Column API for [[JaccardGE]]. */

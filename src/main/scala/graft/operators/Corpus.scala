@@ -320,6 +320,53 @@ object Corpus {
     ranked.filter(col("_rn") <= k).drop("_u", "_rn")
   }
 
+  /** WEIGHTED reservoir sample per group (Efraimidis–Spirakis A-ES),
+    * deterministic: keep each group's `k` rows with the largest
+    * u^(1/w), where u is the row's [[hashUnit]]-style uniform and w its
+    * weight — selection probability ∝ weight without ever computing
+    * group totals, the one-pass weighted sampler a mixture pipeline
+    * wants when "sample 10k docs per source, long documents
+    * proportionally more often" ([[stratifiedSample]] is the UNweighted
+    * count-proportional cousin; [[capPerGroup]] the uniform cap).
+    *
+    * Ranked in the log domain: es_key = ln(u)/w is monotone with
+    * u^(1/w) (exp is increasing), costs one libm call, and is rounded
+    * to 6 dp with an id tie-break so the selection is a deterministic,
+    * engine-portable pure function of (key, weight). u maps the hash
+    * to (0, 1] — never 0, so ln is total. Weights clamp to ≥ 1e-9
+    * (A-ES requires w > 0); null keys/groups are excluded.
+    *
+    * Scale shape: one doc-local projection + the grouped-rank
+    * selection — `numRanges > 0` routes through
+    * [[GroupedRank.rankInGroup]]'s range-partitioned parallel sorts
+    * (few-large-groups contract), else a keyed rank window. Nothing
+    * shuffles but the rank exchange.
+    *
+    * Output: input columns + `es_key` (the selection key, for audit). */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: Column, key: Column,
+      weight: Column, k: Int, numRanges: Int = 0): DataFrame = {
+    require(k > 0, s"weightedSamplePerGroup: k must be > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    // hashUnit's chain, kept in (0, 1]: (h2 + 1) / (P + 1)
+    val P = 1000000007L
+    val h0 = ShingleExprs.polyFingerprint(key.cast("string"))
+    val h1 = pmod(h0 * lit(1103515245L) + lit(12345L), lit(P))
+    val h2 = pmod(h1 * lit(69069L) + lit(1L), lit(P))
+    val u = (h2 + lit(1L)) / lit(1000000008.0)
+    val scored = df.filter(key.isNotNull && groupCol.isNotNull)
+      .withColumn("es_key",
+        round(log(u) / greatest(weight.cast("double"), lit(1e-9)), 6))
+    val ranked =
+      if (numRanges > 0)
+        GroupedRank.rankInGroup(scored, groupCol,
+          Seq(col("es_key").desc, key.asc), "_rn", numRanges)
+      else scored.withColumn("_rn", row_number()
+        .over(Window.partitionBy(groupCol)
+          .orderBy(col("es_key").desc, key.asc))
+        .cast("long"))
+    ranked.filter(col("_rn") <= k).drop("_rn")
+  }
+
   /** Keep each group's prefix — in ([[hashUnit]](key), key) order —
     * while the running token total stays within `budget`: the
     * token-budget analog of [[capPerGroup]] ("500M tokens per

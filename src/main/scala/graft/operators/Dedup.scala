@@ -738,6 +738,75 @@ object Dedup {
       .filter(col("jaccard").isNotNull)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** N-gram CONTAINMENT join (quote / subset detection): ordered pairs
+    * (doc_a, doc_b) with |g(A) ∩ g(B)| / |g(A)| ≥ `threshold` — doc_a's
+    * gram set mostly inside doc_b's. Asymmetric by design (Broder's
+    * containment, 1997): a short document quoted verbatim inside a long
+    * one scores ~1.0 here while its Jaccard vs the long doc is tiny, so
+    * this is the operator that catches quote farms, wrapper pages, and
+    * benchmark questions embedded in longer crawl pages — the cases the
+    * symmetric [[ngramJaccardBlocked]] threshold structurally misses.
+    *
+    * Route (prefix-filter on the probe side only — the asymmetry means
+    * the container side cannot be pruned, the standard containment-join
+    * shape): per-doc sorted hashed gram sets in one doc-local kernel
+    * pass; global (gram, df) dictionary as a one-row broadcast (the
+    * x70/x101 bounded-vocabulary pattern); doc_a probes with its first
+    * |A| − ⌈t·|A|⌉ + 1 grams in rare-first order (if none of those hit
+    * B, overlap < ⌈t·|A|⌉ — lossless); doc_b side is the full inverted
+    * gram index. Candidates dedup to (a, b), fetch both gram sets by
+    * two id-keyed joins, and verify with ONE [[SetExprs]] merge; the
+    * int/int division is exactly rounded, so the score is
+    * engine-portable bit-for-bit.
+    *
+    * Scale: probe rows ∝ (1−t)·|grams|; index rows = corpus gram
+    * occurrences (the x36 inverted-index contract); rare-first ordering
+    * keeps candidates ∝ output on templated corpora (hot grams land in
+    * few prefixes); hot-gram index partitions are AQE-skew-splittable.
+    * Self-containment (a = b) is excluded; docs shorter than `n` chars
+    * have no gram set and never pair. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+      n: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containmentPairs: threshold must be in (0,1], got $threshold")
+    val tLow = BigDecimal.valueOf(threshold) - BigDecimal("1e-12")
+    val g = docs
+      .select(col(idCol).as("id"),
+        ShingleExprs.shingleSetChars(col(textCol), n).as("ng"))
+      .filter(col("ng").isNotNull && size(col("ng")) >= 1)
+      .withColumn("sz", size(col("ng")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gramDf = g.select(explode(col("ng")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val probe = g.crossJoin(broadcast(jaccardDictRow(gramDf)))
+      .select(col("id").as("_a"), col("sz").as("_sa"),
+        explode(PrefixExprs.rankedPrefixGrams(col("ng"),
+          col("dict_grams"), col("dict_dfs"), tLow)).as("gram"))
+    val index = g.select(col("id").as("_b"), col("sz").as("_sb"),
+      explode(col("ng")).as("gram"))
+    // lossless size filter fused into the candidate join: containment
+    // ≥ t needs overlap ≥ ⌈t·|A|⌉ ≤ |B| (tLow keeps the exact-multiple
+    // boundary on the safe side of double ceil) — on corpora where
+    // candidate density is the cost, this prunes before the dedup
+    // shuffle ever forms
+    val cands = probe.join(index,
+        probe("gram") === index("gram") &&
+          col("_sb") >= ceil(lit(tLow.toDouble) * col("_sa")))
+      .filter(col("_a") =!= col("_b"))
+      .select(col("_a"), col("_b")).distinct()
+    cands
+      .join(g.select(col("id").as("_a"), col("ng").as("_nga"),
+        col("sz").as("_sza")), Seq("_a"))
+      .join(g.select(col("id").as("_b"), col("ng").as("_ngb")), Seq("_b"))
+      .select(col("_a").as("doc_a"), col("_b").as("doc_b"),
+        (SetExprs.sortedIntersectSize(col("_nga"), col("_ngb"))
+          .cast("double") / col("_sza").cast("double")).as("_c"))
+      .filter(col("_c") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("_c"), 6).as("containment"))
+  }
+
   /** The persisted prefix index for incremental n-gram Jaccard joins
     * ([[ngramJaccardDelta]]): `docs` carries one row per corpus doc —
     * (id, ng sorted hashed gram set, sz, prefix probing-prefix array

@@ -341,6 +341,38 @@ object Vocab {
           .as("oov_rate"))
   }
 
+  /** [[bpeEncode]] to INT token ids — the representation a training
+    * pipeline actually ships (token-id arrays, not symbol strings):
+    * ids are DEFINED as the 1-based rank of each symbol in the encoded
+    * corpus's sorted symbol universe, so the mapping is a deterministic
+    * pure function of the corpus + merge table (reproducible anywhere,
+    * SQL-replayable). Symbols outside the universe — possible only
+    * when encoding NEW text against a frozen vocabulary — map to -1
+    * (the UNK id).
+    *
+    * Scale shape: the symbol universe is bounded (base whitespace
+    * vocabulary shrunk by merges, plus ≤ nMerges merged symbols) and
+    * aggregates into ONE sorted broadcast row; id assignment is the
+    * doc-local [[graft.functions.SortedLookupIds]] binary-search
+    * kernel — no token-stream explode, no join, O(len · log V) per
+    * doc. The encode relation is persisted across its two uses
+    * (universe build + mapping; the excise cache-lifecycle contract —
+    * caller releases).
+    *
+    * Output: (id, ids array<int>, n_tokens). */
+  def bpeEncodeIds(df: DataFrame, idCol: Column, textCol: Column,
+      merges: DataFrame, sep: String = " "): DataFrame = {
+    val enc = bpeEncode(df, idCol, textCol, merges, sep)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vrow = enc.select(explode(col("bpe")).as("t")).distinct()
+      .agg(sort_array(collect_list(col("t"))).as("_v"))
+    enc.crossJoin(broadcast(vrow))
+      .select(col("id"),
+        graft.functions.SetExprs.sortedLookupIds(col("bpe"), col("_v"))
+          .as("ids"),
+        col("n_tokens"))
+  }
+
   /** Collocation mining: top-k adjacent-token pairs by LIFT — the
     * observed bigram frequency over its expectation under unigram
     * independence, n_ab·N / (n_a·n_b). The log of this is PMI; the

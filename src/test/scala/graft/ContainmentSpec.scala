@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** N-gram containment join (x114): asymmetric quote/subset detection. */
+class ContainmentSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("a quoted document scores ~1.0 inside its container while the " +
+    "reverse direction and Jaccard-sized pairs stay below threshold") {
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val container = s"PREFIX CONTENT AROUND >> $quote << MORE TRAILING " +
+      "CONTENT THAT MAKES THE CONTAINER MUCH LONGER THAN THE QUOTE " +
+      "SO JACCARD IS SMALL BUT CONTAINMENT IS TOTAL"
+    val docs = Seq(
+      (1L, quote),
+      (2L, container),
+      (3L, "completely unrelated text with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, threshold = 0.8, n = 8)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.contains((1L, 2L)), s"quote→container missing: $got")
+    assert(got((1L, 2L)) === 1.0)
+    assert(!got.contains((2L, 1L)), "container must NOT be contained " +
+      "in the quote (asymmetry)")
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("matches a brute-force driver reference on the sf0.001 corpus " +
+    "(prefix filter is lossless)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, threshold = 0.8, n = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over string grams (hashed-set sizes equal string-set
+    // sizes absent 64-bit collisions)
+    val sets = docs.as[(Long, String)].collect()
+      .filter(r => r._2 != null && r._2.codePointCount(0, r._2.length) >= 8)
+      .map { case (id, t) =>
+        val cps = t.codePoints().toArray
+        id -> (0 to cps.length - 8)
+          .map(i => new String(cps, i, 8)).toSet
+      }
+    val want = (for {
+      (a, ga) <- sets; (b, gb) <- sets if a != b
+      c = (ga & gb).size.toDouble / ga.size if c >= 0.8
+    } yield (a, b,
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "fixture must plant containment pairs")
+  }
+
+  test("threshold bounds enforced") {
+    val df = Seq((1L, "aaaaaaaaaa")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(df, threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(df, threshold = 1.5)
+    }
+  }
+}

@@ -108,6 +108,33 @@ class ExpressionsSpec extends SparkTestBase {
     assert(ev(Seq(), Seq(1L)) === 0)
   }
 
+  test("SortedLookupIds: binary-search ranks, -1 for unknown, dups " +
+    "allowed on the left") {
+    val df = Seq(
+      (Seq("b", "zz", "a", "b"), Seq("a", "b", "c"), Seq(2, -1, 1, 2)),
+      (Seq[String](), Seq("a"), Seq[Int]()),
+      (Seq("x"), Seq[String](), Seq(-1))
+    ).toDF("a", "b", "expected")
+    val rows = df.select(
+      SetExprs.sortedLookupIds($"a", $"b").as("got"), $"expected")
+      .as[(Seq[Int], Seq[Int])].collect()
+    rows.foreach { case (got, expected) => assert(got === expected) }
+
+    // interpreted eval agrees with the dataframe (codegen) result
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def alit2(xs: Seq[Long]) =
+      Literal.create(new GenericArrayData(xs.toArray),
+        ArrayType(LongType, containsNull = false))
+    val got = graft.functions.SortedLookupIds(
+      alit2(Seq(5L, 1L, 9L)), alit2(Seq(1L, 5L, 7L)))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq
+    assert(got === Seq(2, 1, -1))
+  }
+
   test("JaccardGE: fused threshold test — value at/above, null below, " +
     "null on empty union") {
     val df = Seq(

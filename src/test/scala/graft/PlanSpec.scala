@@ -202,6 +202,13 @@ class PlanSpec extends SparkTestBase {
         // for the doc-local membership count (the x91 merge-table
         // broadcast pattern)
         "x111_oov_rate",
+        // x114 attaches the ONE-row rare-first gram dictionary to each
+        // doc for prefix ranking (x101's broadcast); the candidate
+        // join itself is gram-equality
+        "x114_containment",
+        // x115 attaches x91's ONE-row merge table AND the ONE-row
+        // sorted symbol universe (two bounded-vocabulary broadcasts)
+        "x115_bpe_ids",
         // x107 is x5's scan over the label-FILTERED slice (the filter
         // pushes to the scan — asserted above)
         "x107_ann_filtered")

@@ -243,6 +243,26 @@ class VocabSpec extends SparkTestBase {
         s"jobs(8)=$jobs8, jobs(48)=$jobs48")
   }
 
+  test("bpeEncodeIds: ids are 1-based ranks of the sorted symbol " +
+    "universe; id arrays decode back to the bpe encoding") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Vocab.bpeMerges(docs, col("text"), nMerges = 3,
+      minCount = 2)
+    val enc = Vocab.bpeEncode(docs, col("doc_id"), col("text"), merges)
+      .select($"id", $"bpe").as[(Long, Seq[String])].collect().toMap
+    val ids = Vocab.bpeEncodeIds(docs, col("doc_id"), col("text"), merges)
+      .select($"id", $"ids").as[(Long, Seq[Int])].collect().toMap
+    // JVM String order equals the engine's UTF8 binary order on the
+    // fixture's ASCII corpus
+    val vocab = enc.values.flatten.toSeq.distinct.sorted
+    val tokOf = vocab.zipWithIndex.map { case (t, i) => (i + 1) -> t }.toMap
+    assert(ids.keySet === enc.keySet)
+    for ((d, arr) <- ids) {
+      assert(arr.forall(_ >= 1))
+      assert(arr.map(tokOf) === enc(d))
+    }
+  }
+
   test("MG summary retains every token above N/(capacity+1), never overcounts") {
     val rnd = new scala.util.Random(7L)
     // 2000 filler tokens from a 400-word tail + two heavy tokens
