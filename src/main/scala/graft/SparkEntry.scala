@@ -318,6 +318,15 @@ object SparkEntry {
         .topTokens(docs, col("text"), k = 500).select(col("token"))
       graft.operators.Vocab.oovRate(docs, vocab)
     }),
+    // x111's UNBOUNDED-vocab route (explode + anti join) against the
+    // SAME oracle — the two routes must hash-equal, so route equality
+    // is enforced by the correctness gate itself, not just a spec
+    "x116_oov_rate_joined" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Vocab
+        .topTokens(docs, col("text"), k = 500).select(col("token"))
+      graft.operators.Vocab.oovRateJoined(docs, vocab)
+    }),
     // weighted reservoir per source (Efraimidis–Spirakis A-ES): 10 docs
     // per source with selection probability ∝ document length, as a
     // deterministic pure function of (id, weight) — the log-domain
@@ -2151,6 +2160,26 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
         |      len(a.ng) >= 0.9""".stripMargin,
     "x111_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
+        |  FROM documents),
+        |v AS (
+        |  SELECT token FROM (
+        |    SELECT token,
+        |           row_number() OVER (ORDER BY count(*) DESC, token) AS r
+        |    FROM toks GROUP BY token)
+        |  WHERE r <= 500),
+        |tot AS (SELECT source, count(*) AS n_tokens FROM toks GROUP BY 1),
+        |oov AS (
+        |  SELECT source, count(*) AS n_oov FROM toks
+        |  WHERE token NOT IN (SELECT token FROM v) GROUP BY 1)
+        |SELECT t.source, CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+        |       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(o.n_oov, 0) AS DOUBLE) / t.n_tokens AS oov_rate
+        |FROM tot t LEFT JOIN oov o ON t.source = o.source""".stripMargin,
+    // x116: identical oracle to x111 — the joined route must produce
+    // the hash-identical relation
+    "x116_oov_rate_joined" ->
       """WITH toks AS (
         |  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
         |  FROM documents),

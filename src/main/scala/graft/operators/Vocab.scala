@@ -373,6 +373,32 @@ object Vocab {
         col("n_tokens"))
   }
 
+  /** [[oovRate]]'s UNBOUNDED-vocabulary route: when the vocabulary
+    * cannot ride a broadcast row (an open token universe past the
+    * broadcast budget), the token stream explodes and anti-joins the
+    * vocab relation on the token key — gram-keyed shuffle of token
+    * occurrences, the same large-side trade [[graft.operators.Dedup]]
+    * makes for x33's over-budget benchmarks. Output contract is
+    * IDENTICAL to [[oovRate]] (the x116 gate proves the two routes
+    * hash-equal); prefer the kernel route whenever the vocab fits. */
+  def oovRateJoined(docs: DataFrame, vocab: DataFrame,
+      srcColName: String = "source", textCol: String = "text",
+      tokenCol: String = "token"): DataFrame = {
+    val toks = docs.select(col(srcColName).as("source"),
+      explode(array_remove(split(col(textCol), "\\s+"), "")).as("token"))
+    val v = vocab.select(col(tokenCol).cast("string").as("token"))
+      .filter(col("token").isNotNull).distinct()
+    val tot = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val oov = toks.join(v, Seq("token"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_oov"))
+    tot.join(oov, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"), col("n_tokens"),
+        (coalesce(col("n_oov"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("oov_rate"))
+  }
+
   /** Collocation mining: top-k adjacent-token pairs by LIFT — the
     * observed bigram frequency over its expectation under unigram
     * independence, n_ab·N / (n_a·n_b). The log of this is PMI; the

@@ -32,9 +32,12 @@ import graft.operators.Dedup
   * overwrites batch N's own directory — a replayed batch rebuilds from
   * exactly the base its first attempt saw, so the sink is
   * replay-idempotent store-by-store and a crash between stores heals on
-  * replay. Arrival-order contract: batches are ingestion slices (the
-  * x48 replay contract), so the first-arrival keep equals batch
-  * [[Dedup.exact]]'s min-id keep when ids are arrival-ordered.
+  * replay. [[compact]] folds old deltas into a single `base=` directory
+  * behind the committed-batch watermark, so file counts stay bounded
+  * over an unbounded stream. Arrival-order contract: batches are
+  * ingestion slices (the x48 replay contract), so the first-arrival
+  * keep equals batch [[Dedup.exact]]'s min-id keep when ids are
+  * arrival-ordered.
   */
 object StreamCorpusLoop {
 
@@ -47,30 +50,42 @@ object StreamCorpusLoop {
   private def labelsDir(dir: String) = s"$dir/labels"
   private def acceptedDir(dir: String) = s"$dir/accepted"
 
-  /** Complete (`_SUCCESS`-marked) `delta=` directories under `dir`,
-    * optionally restricted to batch ids strictly below `below`. */
-  private def completeDeltas(spark: SparkSession, dir: String,
-      below: Option[Long]): Seq[String] = {
+  /** Complete (`_SUCCESS`-marked) child directories of `dir` with the
+    * given `prefix=` naming, as (id, path). */
+  private def completeDirs(spark: SparkSession, dir: String,
+      prefix: String): Seq[(Long, String)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
     fs.listStatus(p).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
-      .filter(_.getName.startsWith("delta="))
+      .filter(_.getName.startsWith(prefix))
       .filter(gp => fs.exists(new Path(gp, "_SUCCESS")))
-      .filter(gp => below.forall(
-        gp.getName.stripPrefix("delta=").toLong < _))
-      .map(_.toString)
+      .map(gp => gp.getName.stripPrefix(prefix).toLong -> gp.toString)
   }
 
-  private def readDeltas(spark: SparkSession, dir: String,
-      schema: StructType, below: Option[Long]): DataFrame =
-    completeDeltas(spark, dir, below) match {
-      case Nil => spark.createDataFrame(
+  /** Store read for batch `below` (None = the live read): the largest
+    * complete `base=b` with b ≤ below — a compacted union of every
+    * delta with id < b ([[compact]]) — plus the `delta=` dirs with
+    * b ≤ id < below. Content is identical before and after compaction
+    * for every batch at or past the compaction point, which is what
+    * keeps replays exact (see [[compact]]'s watermark contract). */
+  private def readStore(spark: SparkSession, dir: String,
+      schema: StructType, below: Option[Long]): DataFrame = {
+    val bases = completeDirs(spark, dir, "base=")
+      .filter { case (b, _) => below.forall(b <= _) }
+    val base = if (bases.isEmpty) None else Some(bases.maxBy(_._1))
+    val lo = base.map(_._1).getOrElse(Long.MinValue)
+    val deltas = completeDirs(spark, dir, "delta=")
+      .filter { case (i, _) => i >= lo && below.forall(i < _) }
+      .map(_._2)
+    val paths = base.map(_._2).toSeq ++ deltas
+    if (paths.isEmpty)
+      spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case paths => spark.read.schema(schema).parquet(paths: _*)
-    }
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
 
   /** Fold one micro-batch of documents through all three artifacts
     * (the testable core; [[sink]] adapts it to `foreachBatch`). */
@@ -83,7 +98,7 @@ object StreamCorpusLoop {
 
     // 1. exact dedup against the growing hash index, then append the
     // batch's NEW hashes (left_anti keeps the index a set across deltas)
-    val idx = readDeltas(spark, hashDir(dir), hashSchema, Some(batchId))
+    val idx = readStore(spark, hashDir(dir), hashSchema, Some(batchId))
     Dedup.exactDelta(b, idx, idCol, textCol)
       .write.mode("overwrite")
       .parquet(s"${acceptedDir(dir)}/delta=$batchId")
@@ -94,7 +109,7 @@ object StreamCorpusLoop {
     // 2. near-dup pairs against corpus + batch fingerprints (delta
     // probes; corpus×corpus pairs structurally cannot form), then
     // append the batch's fingerprints
-    val corpusFps = readDeltas(spark, fpDir(dir), fpSchema, Some(batchId))
+    val corpusFps = readStore(spark, fpDir(dir), fpSchema, Some(batchId))
     val dFps = Dedup.simhash(b, idCol, textCol, poly = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup
@@ -120,21 +135,68 @@ object StreamCorpusLoop {
     (batch, batchId) =>
       foldBatch(dir, batch, batchId, idCol, textCol, maxHamming)
 
+  /** Compact the loop's stores: fold every delta STRICTLY BELOW
+    * `below` into one `base=<below>` directory per store and prune the
+    * subsumed base/delta directories, plus every labels generation
+    * older than the newest one below `below` — the maintenance step
+    * that keeps a forever-running loop's file count (and per-trigger
+    * listing cost) bounded instead of growing one directory per
+    * micro-batch.
+    *
+    * Safety contract: call with `below` ≤ the stream's last COMMITTED
+    * batch id. Structured Streaming replays only batches past the
+    * commit-log frontier, so no future read asks for state strictly
+    * inside the compacted range — and every read at or past `below`
+    * sees byte-identical content before and after ([[readStore]]
+    * unions the base with the remaining deltas). Crash-safe and
+    * idempotent: the base commits atomically (`_SUCCESS`) BEFORE any
+    * deletion; a re-run that finds a complete `base=<below>` skips the
+    * rewrite and only re-prunes. */
+  def compact(spark: SparkSession, dir: String, below: Long,
+      idCol: String = "doc_id"): Unit = {
+    def one(sub: String, schema: StructType): Unit = {
+      val fs = new Path(sub)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val already = completeDirs(spark, sub, "base=").exists(_._1 == below)
+      if (!already)
+        readStore(spark, sub, schema, Some(below))
+          .write.mode("overwrite").parquet(s"$sub/base=$below")
+      (completeDirs(spark, sub, "delta=").filter(_._1 < below) ++
+        completeDirs(spark, sub, "base=").filter(_._1 < below))
+        .foreach { case (_, p) => fs.delete(new Path(p), true) }
+    }
+    one(hashDir(dir), hashSchema)
+    one(fpDir(dir), fpSchema)
+    one(acceptedDir(dir),
+      StructType(Seq(StructField(idCol, LongType))))
+    // labels are FULL snapshots — only the newest generation below the
+    // watermark can ever be read again
+    val gens = completeDirs(spark, labelsDir(dir), "gen=")
+      .filter(_._1 < below)
+    if (gens.nonEmpty) {
+      val keep = gens.maxBy(_._1)._1
+      val fs = new Path(labelsDir(dir))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      gens.filter(_._1 < keep)
+        .foreach { case (_, p) => fs.delete(new Path(p), true) }
+    }
+  }
+
   /** Accepted (first-arrival unique-content) doc ids across every
     * complete batch. */
   def acceptedIds(spark: SparkSession, dir: String,
       idCol: String = "doc_id"): DataFrame =
-    readDeltas(spark, acceptedDir(dir),
+    readStore(spark, acceptedDir(dir),
       StructType(Seq(StructField(idCol, LongType))), None)
 
   /** The growing content-hash index (one 16-byte row per distinct
     * accepted content). */
   def hashIndex(spark: SparkSession, dir: String): DataFrame =
-    readDeltas(spark, hashDir(dir), hashSchema, None)
+    readStore(spark, hashDir(dir), hashSchema, None)
 
   /** The growing fingerprint relation (id, simhash). */
   def fps(spark: SparkSession, dir: String): DataFrame =
-    readDeltas(spark, fpDir(dir), fpSchema, None)
+    readStore(spark, fpDir(dir), fpSchema, None)
 
   /** Current cluster labels (delegates to [[StreamClusters]]). */
   def labels(spark: SparkSession, dir: String): DataFrame =

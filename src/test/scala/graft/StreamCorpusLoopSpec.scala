@@ -97,6 +97,48 @@ class StreamCorpusLoopSpec extends SparkTestBase {
       new java.io.File(s"$dir/accepted/delta=99").mkdirs()
       assert(snapshot() === before, "incomplete deltas must be invisible")
 
+      // compaction behind the committed watermark (last committed = 2):
+      // readers see byte-identical content, subsumed deltas are gone
+      StreamCorpusLoop.compact(spark, dir, below = 2L)
+      assert(snapshot() === before, "compaction must not change reads")
+      def deltaIds(sub: String): Set[Long] = {
+        val d = new java.io.File(s"$dir/$sub")
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("delta="))
+          .map(_.getName.stripPrefix("delta=").toLong).toSet
+      }
+      assert(deltaIds("hash").filter(_ < 2L).isEmpty, "deltas pruned")
+      assert(deltaIds("fps").filter(_ < 2L).isEmpty)
+      // a replay of the frontier batch reads base=2 + nothing and
+      // rebuilds identically
+      StreamCorpusLoop.foldBatch(dir,
+        batches.last.reverse.toDF("doc_id", "text"), batchId = 2L)
+      assert(snapshot() === before, "post-compaction replay is a no-op")
+      // compaction is idempotent
+      StreamCorpusLoop.compact(spark, dir, below = 2L)
+      assert(snapshot() === before)
+
+      // the loop continues on the compacted store: one more batch,
+      // still ≡ the closed-corpus batch recompute
+      val extra = all.filter($"doc_id" <= cut1 / 2)
+        .withColumn("doc_id", $"doc_id" + 1000000L)
+        .as[(Long, String)].collect().toSeq
+      StreamCorpusLoop.foldBatch(dir, extra.toDF("doc_id", "text"),
+        batchId = 3L)
+      val closedAll = closed.get.unionByName(extra.toDF("doc_id", "text"))
+        .persist()
+      assert(StreamCorpusLoop.acceptedIds(spark, dir)
+        .as[Long].collect().toSet ===
+        Dedup.exact(closedAll).select($"keep_id").as[Long].collect().toSet,
+        "post-compaction fold: accepted")
+      assert(StreamCorpusLoop.labels(spark, dir)
+        .as[(Long, Long)].collect().toSet ===
+        Graph.connectedComponents(
+          Dedup.simhashPairs(closedAll, maxHamming = 3, poly = true))
+          .as[(Long, Long)].collect().toSet,
+        "post-compaction fold: labels")
+      closedAll.unpersist()
+
       assert(before._1.nonEmpty && before._3.nonEmpty,
         "fixture must exercise dedup and clustering paths")
     } finally q.stop()
