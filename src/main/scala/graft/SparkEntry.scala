@@ -349,6 +349,18 @@ object SparkEntry {
     "x114_containment" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir),
         threshold = 0.9, n = 12)),
+    // incremental containment: pairs touching a NEW batch against the
+    // persisted corpus prefix index — delta probes the corpus inverted
+    // grams, the corpus's own prefixes probe only delta grams, so
+    // corpus×corpus pairs structurally cannot form; the x87/x101 delta
+    // discipline extended to the asymmetric operator
+    "x117_containment_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val delta = docs.filter(col("doc_id") % 7 === 0)
+      Dedup.containmentPairsDelta(delta,
+        Dedup.jaccardIndex(corpus, threshold = 0.9, n = 12))
+    }),
     // cross-source duplicate flow: x2's MinHash pairs rolled up by the
     // unordered source pair — which sources copy which (mirror sites =
     // off-diagonal mass, in-crawl boilerplate = diagonal)
@@ -2158,6 +2170,22 @@ object SparkEntry {
         |             len(a.ng), 6) AS containment
         |FROM g a JOIN g b ON a.doc_id <> b.doc_id
         |WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+        |      len(a.ng) >= 0.9""".stripMargin,
+    // x117: the x114 replay restricted to pairs with a delta endpoint
+    // (delta = doc_id % 7 = 0)
+    "x117_containment_delta" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 11, 0)),
+        |    i -> substr(text, i, 12))) AS ng
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 12)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+        |             len(a.ng), 6) AS containment
+        |FROM g a JOIN g b ON a.doc_id <> b.doc_id
+        |WHERE (a.doc_id % 7 = 0 OR b.doc_id % 7 = 0)
+        |  AND CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
         |      len(a.ng) >= 0.9""".stripMargin,
     "x111_oov_rate" ->
       """WITH toks AS (

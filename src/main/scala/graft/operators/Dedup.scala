@@ -807,6 +807,85 @@ object Dedup {
         round(col("_c"), 6).as("containment"))
   }
 
+  /** Incremental (delta) containment join: all ordered containment
+    * pairs TOUCHING a new batch — delta-contained-in-(corpus ∪ delta)
+    * and corpus-contained-in-delta, never corpus×corpus — against a
+    * pre-built [[JaccardIndex]] (whose per-doc probing prefixes use
+    * exactly the containment bound |A| − ⌈t·|A|⌉ + 1, so one index
+    * serves both joins at the same threshold). Output contract:
+    * [[containmentPairs]] over (corpus ∪ delta) restricted to pairs
+    * with a delta endpoint (spec-proven).
+    *
+    * Exactness without a shared order: containment's prefix filter is
+    * ONE-sided (the container side is always the full gram set), and
+    * for a full other side ANY |A| − ⌈t·|A|⌉ + 1 grams of A are a
+    * lossless probe subset — so the corpus prefixes (ranked under the
+    * corpus df order) and the delta prefixes (ranked under the frozen
+    * corpus order with unseen grams at df 0, the x87 discipline)
+    * need not agree; rare-first is purely the candidate-cost choice.
+    *
+    * Scale shape: per-batch cost ∝ delta size + its match rate — the
+    * delta probes the full inverted gram relation (corpus side is a
+    * column-pruned scan of the index), and the corpus side probes ONLY
+    * delta grams (delta-sized inverted index); the lossless
+    * |B| ≥ ⌈t·|A|⌉ size bound prunes both candidate joins. */
+  def containmentPairsDelta(delta: DataFrame, index: JaccardIndex,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = index.threshold
+    val tLow = BigDecimal.valueOf(t) - BigDecimal("1e-12")
+    val d = delta
+      .select(col(idCol).as("id"),
+        ShingleExprs.shingleSetChars(col(textCol), index.n).as("ng"))
+      .filter(col("ng").isNotNull && size(col("ng")) >= 1)
+      .withColumn("sz", size(col("ng")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c = index.docs.select(col("id"), col("ng"), col("sz"),
+      col("prefix"))
+    val deltaDf = d.select(explode(col("ng")).as("gram")).distinct()
+      .join(index.gramDf, Seq("gram"), "left")
+      .select(col("gram"), coalesce(col("df"), lit(0L)).as("df"))
+    val dPrefix = d.crossJoin(broadcast(jaccardDictRow(deltaDf)))
+      .select(col("id"), col("sz"),
+        PrefixExprs.rankedPrefixGrams(col("ng"),
+          col("dict_grams"), col("dict_dfs"), tLow).as("prefix"))
+    def szOk = col("_sb") >= ceil(lit(tLow.toDouble) * col("_sa"))
+    // route 1: delta docs as the CONTAINED side vs every full gram set
+    val containers = c
+      .select(col("id").as("_b"), col("sz").as("_sb"),
+        explode(col("ng")).as("gram"))
+      .unionByName(d.select(col("id").as("_b"), col("sz").as("_sb"),
+        explode(col("ng")).as("gram")))
+    val cand1 = dPrefix
+      .select(col("id").as("_a"), col("sz").as("_sa"),
+        explode(col("prefix")).as("gram"))
+      .join(containers, Seq("gram"))
+      .filter(szOk && col("_a") =!= col("_b"))
+      .select(col("_a"), col("_b"))
+    // route 2: corpus docs as the CONTAINED side vs DELTA containers
+    // only (corpus×corpus cannot form)
+    val cand2 = c
+      .select(col("id").as("_a"), col("sz").as("_sa"),
+        explode(col("prefix")).as("gram"))
+      .join(d.select(col("id").as("_b"), col("sz").as("_sb"),
+        explode(col("ng")).as("gram")), Seq("gram"))
+      .filter(szOk && col("_a") =!= col("_b"))
+      .select(col("_a"), col("_b"))
+    val cands = cand1.unionByName(cand2).distinct()
+    val all = c.select(col("id"), col("ng"), col("sz"))
+      .unionByName(d.select(col("id"), col("ng"), col("sz")))
+    cands
+      .join(all.select(col("id").as("_a"), col("ng").as("_nga"),
+        col("sz").as("_sza")), Seq("_a"))
+      .join(all.select(col("id").as("_b"), col("ng").as("_ngb")),
+        Seq("_b"))
+      .select(col("_a").as("doc_a"), col("_b").as("doc_b"),
+        (SetExprs.sortedIntersectSize(col("_nga"), col("_ngb"))
+          .cast("double") / col("_sza").cast("double")).as("_c"))
+      .filter(col("_c") >= t)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("_c"), 6).as("containment"))
+  }
+
   /** The persisted prefix index for incremental n-gram Jaccard joins
     * ([[ngramJaccardDelta]]): `docs` carries one row per corpus doc —
     * (id, ng sorted hashed gram set, sz, prefix probing-prefix array

@@ -54,6 +54,24 @@ class ContainmentSpec extends SparkTestBase {
     assert(got.nonEmpty, "fixture must plant containment pairs")
   }
 
+  test("delta route equals the full join restricted to delta-touching " +
+    "pairs (corpus×corpus structurally excluded)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+    val got = Dedup.containmentPairsDelta(delta,
+      Dedup.jaccardIndex(corpus, threshold = 0.8, n = 8))
+      .as[(Long, Long, Double)].collect().toSet
+    val want = Dedup.containmentPairs(docs, threshold = 0.8, n = 8)
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => p._1 % 7 == 0 || p._2 % 7 == 0)
+    assert(got === want)
+    assert(got.nonEmpty, "fixture must plant delta-touching containment")
+    // no corpus×corpus pair can appear even when one exists in full
+    assert(got.forall(p => p._1 % 7 == 0 || p._2 % 7 == 0))
+  }
+
   test("threshold bounds enforced") {
     val df = Seq((1L, "aaaaaaaaaa")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

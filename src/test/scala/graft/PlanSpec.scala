@@ -209,6 +209,9 @@ class PlanSpec extends SparkTestBase {
         // x115 attaches x91's ONE-row merge table AND the ONE-row
         // sorted symbol universe (two bounded-vocabulary broadcasts)
         "x115_bpe_ids",
+        // x117 attaches the ONE-row rare-first dictionary twice (index
+        // build + frozen-order delta ranking) — x101's delta pattern
+        "x117_containment_delta",
         // x107 is x5's scan over the label-FILTERED slice (the filter
         // pushes to the scan — asserted above)
         "x107_ann_filtered")
