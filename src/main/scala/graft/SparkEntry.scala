@@ -33,7 +33,7 @@ object SparkEntry {
   val AnnLshRecallFloor = 0.6 // nBits=6 nTables=4 probe=2: min 0.90 at every SF
   val AnnIvfRecallFloor = 0.6 // nLists=16 nProbe=12: min 0.90/0.80/0.70
   val AnnPqRecallFloor = 0.6 // m=32 ksub=256: min 0.90/0.90/0.80
-  val AnnIvfPqRecallFloor = 0.5 // nLists=8 nProbe=6 m=32 ksub=256: min 0.80/0.90/0.60
+  val AnnIvfPqRecallFloor = 0.6 // nLists=8 nProbe=6 m=32 ksub=256 rerank=50: min 0.80/0.90/0.70 (the IVFADC re-rank recovers ALL quantization loss — min equals pure IVF's coverage ceiling at the same probes)
 
   /** Exact, order-independent sum of a double column: cast each value to
     * DECIMAL(18,6) (exact for this corpus's ≤2-decimal doubles), sum
@@ -539,6 +539,34 @@ object SparkEntry {
           array_join(transform(col("ids"), _.cast("string")), ",")
             .as("encoded_ids"))
     }),
+    // CHAR-LEVEL (subword) BPE train + encode: Sennrich symbol init
+    // (code-point chars, </w> on word-final chars), training over the
+    // weighted word-frequency dictionary, merged symbols plain
+    // concatenations — the tokenizer a real pipeline ships, vs x91's
+    // phrase units; the oracle independently replays the weighted
+    // dictionary trainer rounds AND the per-word greedy application
+    "x118_bpe_char" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Vocab.bpeMergesChar(docs, col("text"),
+        nMerges = 4, minCount = 2)
+      graft.operators.Vocab.bpeEncodeChar(docs, col("doc_id"),
+        col("text"), merges)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          array_join(col("bpe"), "\u0001").as("encoded"))
+    }),
+    // x118's encode as INT token ids (the x115 id contract: 1-based
+    // rank in the sorted encoded-symbol universe) — subword id arrays,
+    // the artifact an LLM trainer actually consumes
+    "x119_bpe_char_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Vocab.bpeMergesChar(docs, col("text"),
+        nMerges = 4, minCount = 2)
+      graft.operators.Vocab.bpeEncodeIdsChar(docs, col("doc_id"),
+        col("text"), merges)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          array_join(transform(col("ids"), _.cast("string")), ",")
+            .as("encoded_ids"))
+    }),
     // CCNet-style LM quality filter: add-k bigram model self-scored
     // over the corpus; avg negative log-likelihood per doc, the
     // perplexity cut every crawl-curation pipeline applies
@@ -753,13 +781,14 @@ object SparkEntry {
         Similarity.cosineTopK(emb, qs, k = 10), floor = AnnPqRecallFloor)
     }),
     // the composed billion-scale index: IVF cuts candidates, PQ cuts
-    // bytes — candidates scored from codes only, recall-gated
+    // bytes, and the IVFADC re-rank stage (exact cosine over the ADC
+    // top-50 shortlist) buys the recall back — recall-gated
     "x84_ann_ivfpq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)
       Similarity.recallGate(
         Similarity.ivfPqTopK(emb, qs, k = 10, nLists = 8, nProbe = 6,
-          m = 32, ksub = 256),
+          m = 32, ksub = 256, rerank = 50),
         Similarity.cosineTopK(emb, qs, k = 10),
         floor = AnnIvfPqRecallFloor)
     }),
@@ -1245,6 +1274,81 @@ object SparkEntry {
       |  LEFT JOIN t$k a ON a.doc_id = e.doc_id AND a.i = e.j
       |  LEFT JOIN t$k b ON b.doc_id = e.doc_id AND b.i = e.j - 1
       |  GROUP BY e.doc_id, e.big)""".stripMargin
+  }
+
+  /** One CHAR-LEVEL BPE trainer round as DuckDB CTEs (see x118):
+    * [[bpeRoundCtes]] transposed onto the Sennrich word-frequency
+    * dictionary — rows are DISTINCT words (`wid`) carrying their
+    * corpus multiplicity `n`, pair counts are weighted sums, and the
+    * rebuild concatenates WITHOUT a separator (subword symbols).
+    * Requires the `cs0` dictionary CTE (wid, n, big, s). */
+  private def bpeCharRoundCtes(k: Int): String = {
+    val prev = s"cs${k - 1}"
+    s"""cp$k AS (
+      |  SELECT t.s[u.i] AS l, t.s[u.i+1] AS r, sum(t.n) AS n
+      |  FROM $prev t, unnest(generate_series(1, len(t.s)-1)) AS u(i)
+      |  WHERE t.big
+      |  GROUP BY 1, 2 HAVING sum(t.n) >= 2),
+      |cm$k AS (SELECT l, r FROM cp$k ORDER BY n DESC, l, r LIMIT 1),
+      |cc$k AS (
+      |  SELECT t.wid, u.i,
+      |    u.i - row_number() OVER (PARTITION BY t.wid ORDER BY u.i)
+      |      AS isl
+      |  FROM $prev t, cm$k, unnest(generate_series(1, len(t.s)-1)) AS u(i)
+      |  WHERE t.s[u.i] = cm$k.l AND t.s[u.i+1] = cm$k.r),
+      |ct$k AS (
+      |  SELECT wid, i FROM (
+      |    SELECT wid, i,
+      |      row_number() OVER (PARTITION BY wid, isl ORDER BY i)
+      |        AS rnk
+      |    FROM cc$k) WHERE rnk % 2 = 1),
+      |cs$k AS (
+      |  SELECT e.wid, e.n, e.big,
+      |    coalesce(list(CASE WHEN a.i IS NOT NULL
+      |        THEN e.tok || e.nxt ELSE e.tok END
+      |      ORDER BY e.j) FILTER (WHERE b.i IS NULL), []) AS s
+      |  FROM (
+      |    SELECT p.wid, p.n, p.big, u.j, p.s[u.j] AS tok, p.s[u.j+1] AS nxt
+      |    FROM $prev p, unnest(generate_series(1, len(p.s))) AS u(j)) e
+      |  LEFT JOIN ct$k a ON a.wid = e.wid AND a.i = e.j
+      |  LEFT JOIN ct$k b ON b.wid = e.wid AND b.i = e.j - 1
+      |  GROUP BY e.wid, e.n, e.big)""".stripMargin
+  }
+
+  /** Shared prefix CTEs for the char-BPE oracles: the word-frequency
+    * dictionary `cs0` (code-point symbols, '</w>' suffixed on the
+    * final char — char-indexed substr matches Spark's code-point
+    * split) and the per-doc word stream `cd`/`cdw`; appending
+    * [[bpeCharRoundCtes]] 1..R and the `csym` flatten yields each
+    * doc's final symbol stream in (word, symbol) position order. */
+  private def bpeCharPrefixCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map(bpeCharRoundCtes).mkString(",\n")
+    s"""cw0 AS (
+      |  SELECT w, count(*) AS n FROM (
+      |    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+      |      x -> x <> '')) AS w
+      |    FROM documents WHERE text IS NOT NULL)
+      |  GROUP BY 1),
+      |cs0 AS (
+      |  SELECT w AS wid, n, length(w) >= 2 AS big,
+      |    list_transform(range(1, length(w)+1),
+      |      i -> substr(w, i, 1) ||
+      |        CASE WHEN i = length(w) THEN '</w>' ELSE '' END) AS s
+      |  FROM cw0),
+      |$roundCtes,
+      |cd AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\\s+'),
+      |      x -> x <> '') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |cdw AS (
+      |  SELECT t.doc_id, u.j, t.ws[u.j] AS wid
+      |  FROM cd t, unnest(generate_series(1, len(t.ws))) AS u(j)),
+      |csym AS (
+      |  SELECT w.doc_id, w.j, u.k, f.s[u.k] AS tok
+      |  FROM cdw w, cs$rounds f,
+      |    unnest(generate_series(1, len(f.s))) AS u(k)
+      |  WHERE f.wid = w.wid)""".stripMargin
   }
 
   private val PolySimhashFpCtes =
@@ -3305,6 +3409,36 @@ object SparkEntry {
         |    '') AS encoded_ids
         |FROM enc e LEFT JOIN ids i USING (doc_id)
         |GROUP BY e.doc_id, len(e.s)""".stripMargin,
+    // x118: independent replay of the CHAR-LEVEL BPE trainer (4
+    // weighted rounds over the word-frequency dictionary, see
+    // bpeCharRoundCtes) and the per-word encode flattened back onto
+    // each doc's word stream in position order
+    "x118_bpe_char" ->
+      s"""WITH ${bpeCharPrefixCtes(4)}
+        |SELECT d.doc_id,
+        |  CAST(count(s.tok) AS BIGINT) AS n_tokens,
+        |  coalesce(string_agg(s.tok, chr(1) ORDER BY s.j, s.k), '')
+        |    AS encoded
+        |FROM cd d LEFT JOIN csym s USING (doc_id)
+        |GROUP BY d.doc_id""".stripMargin,
+    // x119: the x118 replay, then ids = 1-based rank of each symbol in
+    // the sorted (binary-order) encoded-symbol universe, reassembled
+    // per doc in (word, symbol) position order
+    "x119_bpe_char_ids" ->
+      s"""WITH ${bpeCharPrefixCtes(4)},
+        |cvocab AS (
+        |  SELECT x AS tok,
+        |    CAST(row_number() OVER (ORDER BY x) AS INTEGER) AS id
+        |  FROM (SELECT DISTINCT tok AS x FROM csym)),
+        |cids AS (
+        |  SELECT s.doc_id, s.j, s.k, v.id
+        |  FROM csym s JOIN cvocab v USING (tok))
+        |SELECT d.doc_id,
+        |  CAST(count(i.id) AS BIGINT) AS n_tokens,
+        |  coalesce(string_agg(CAST(i.id AS VARCHAR), ','
+        |    ORDER BY i.j, i.k), '') AS encoded_ids
+        |FROM cd d LEFT JOIN cids i USING (doc_id)
+        |GROUP BY d.doc_id""".stripMargin,
     // x92: replay the add-k bigram model — continuation counts c1 are
     // the per-prefix sums of bigram-type counts c2, V is the distinct
     // token count, and self-scoring makes every probe bigram an inner

@@ -764,25 +764,68 @@ object Dedup {
     * keeps candidates ∝ output on templated corpora (hot grams land in
     * few prefixes); hot-gram index partitions are AQE-skew-splittable.
     * Self-containment (a = b) is excluded; docs shorter than `n` chars
-    * have no gram set and never pair. */
+    * have no gram set and never pair.
+    *
+    * `localPrefixRank = true` (default) broadcasts the (gram, df)
+    * dictionary as one row — the contract is a bounded gram universe
+    * (char n-grams: ≤ charset^n). For an UNBOUNDED universe (word
+    * n-grams, corpora whose distinct-gram count tracks corpus size)
+    * set it false: the probe prefix ranks via a df join + per-doc
+    * window over the exploded gram stream instead — the same
+    * [[ngramJaccardBlocked]] fallback, no broadcast cliff, identical
+    * output (containment's prefix filter is one-sided, so ANY
+    * |A| − ⌈t·|A|⌉ + 1 grams of A are a lossless probe set). */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
       n: Int = 8, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", localPrefixRank: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"containmentPairs: threshold must be in (0,1], got $threshold")
+    val spark = docs.sparkSession
     val tLow = BigDecimal.valueOf(threshold) - BigDecimal("1e-12")
-    val g = docs
+    // cache-lifecycle discipline: the shingle relation feeds four
+    // consumers (df count, probe, index, verify fetch) but must NOT
+    // ride the CacheManager (a Dataset.persist here is unreleasable by
+    // the caller — the round-8 advisory finding); a checkpoint-style
+    // materialization serves the same reuse and is released by the
+    // context cleaner once the returned plan is garbage-collected
+    val g0 = docs
       .select(col(idCol).as("id"),
         ShingleExprs.shingleSetChars(col(textCol), n).as("ng"))
       .filter(col("ng").isNotNull && size(col("ng")) >= 1)
       .withColumn("sz", size(col("ng")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val g =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        g0.checkpoint(eager = true)
+      else g0.localCheckpoint(eager = true)
     val gramDf = g.select(explode(col("ng")).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val probe = g.crossJoin(broadcast(jaccardDictRow(gramDf)))
-      .select(col("id").as("_a"), col("sz").as("_sa"),
-        explode(PrefixExprs.rankedPrefixGrams(col("ng"),
-          col("dict_grams"), col("dict_dfs"), tLow)).as("gram"))
+    val probe = if (localPrefixRank) {
+      // bounded-gram-universe route: the global (gram, df) dictionary
+      // aggregates into ONE broadcast row and each doc ranks its own
+      // grams in the kernel — zero shuffle beyond the df count
+      g.crossJoin(broadcast(jaccardDictRow(gramDf)))
+        .select(col("id").as("_a"), col("sz").as("_sa"),
+          explode(PrefixExprs.rankedPrefixGrams(col("ng"),
+            col("dict_grams"), col("dict_dfs"), tLow)).as("gram"))
+    } else {
+      // unbounded-universe fallback (the ngramJaccardBlocked
+      // localPrefixRank=false discipline): df joined onto the exploded
+      // gram stream, rare-first rank via a per-doc window — a shuffle
+      // + sort of the gram table instead of a dictionary broadcast
+      // that would not fit. Containment's prefix theorem is one-sided
+      // (any |A| − ⌈t·|A|⌉ + 1 grams of A are a lossless probe set),
+      // so the two routes are interchangeable in output.
+      import org.apache.spark.sql.expressions.Window
+      val wRank = Window.partitionBy(col("_a"))
+        .orderBy(col("df"), col("gram"))
+      g.select(col("id").as("_a"), col("sz").as("_sa"),
+          explode(col("ng")).as("gram"))
+        .join(gramDf, Seq("gram"))
+        .withColumn("_rn", row_number().over(wRank))
+        .filter(col("_rn") <=
+          col("_sa") - ceil(lit(tLow) * col("_sa")) + 1)
+        .select(col("_a"), col("_sa"), col("gram"))
+    }
     val index = g.select(col("id").as("_b"), col("sz").as("_sb"),
       explode(col("ng")).as("gram"))
     // lossless size filter fused into the candidate join: containment
@@ -833,12 +876,20 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = index.threshold
     val tLow = BigDecimal.valueOf(t) - BigDecimal("1e-12")
-    val d = delta
+    val spark = delta.sparkSession
+    // checkpoint-style reuse, NOT Dataset.persist: this operator runs
+    // once per micro-batch in streaming compositions, and a
+    // CacheManager entry per trigger would accumulate forever (the
+    // containmentPairs lifecycle discipline)
+    val d0 = delta
       .select(col(idCol).as("id"),
         ShingleExprs.shingleSetChars(col(textCol), index.n).as("ng"))
       .filter(col("ng").isNotNull && size(col("ng")) >= 1)
       .withColumn("sz", size(col("ng")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        d0.checkpoint(eager = true)
+      else d0.localCheckpoint(eager = true)
     val c = index.docs.select(col("id"), col("ng"), col("sz"),
       col("prefix"))
     val deltaDf = d.select(explode(col("ng")).as("gram")).distinct()
@@ -926,12 +977,19 @@ object Dedup {
       s"jaccardIndex: threshold must be in (0,1), got $threshold")
     val tLow = BigDecimal.valueOf(threshold) - BigDecimal("1e-12")
     val blk = blockCol.map(c => col(c)).getOrElse(lit(""))
-    val g = corpus
+    val spark = corpus.sparkSession
+    // checkpoint-style reuse across the df count and the prefix
+    // projection — never a CacheManager pin the caller cannot release
+    // (the containmentPairs lifecycle discipline)
+    val g0 = corpus
       .select(col(idCol).as("id"), blk.as("blk"),
         ShingleExprs.shingleSetChars(col(textCol), n).as("ng"))
       .filter(col("ng").isNotNull)
       .withColumn("sz", size(col("ng")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val g =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        g0.checkpoint(eager = true)
+      else g0.localCheckpoint(eager = true)
     val gramDf = g.select(explode(col("ng")).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val docs = g.crossJoin(broadcast(jaccardDictRow(gramDf)))
@@ -939,6 +997,40 @@ object Dedup {
         PrefixExprs.rankedPrefixGrams(col("ng"),
           col("dict_grams"), col("dict_dfs"), tLow).as("prefix"))
     JaccardIndex(docs, gramDf, threshold, n)
+  }
+
+  /** Index rows for a DELTA batch under a FROZEN corpus df order —
+    * the incremental extension of [[jaccardIndex]]: (id, ng, sz,
+    * prefix) for the batch's docs, prefixes ranked against the
+    * supplied corpus `gramDf` with unseen grams at df 0 (the x87
+    * discipline — rarest-first, and an unseen gram cannot match any
+    * already-indexed doc, so freezing perturbs nothing). Appending
+    * these rows (plus the batch's own (gram, count) contributions to
+    * the df relation) keeps a growing [[JaccardIndex]] without ever
+    * rebuilding corpus prefixes — each doc's stored prefix is a
+    * lossless probe set under SOME total order, which is all the
+    * one-sided containment argument ([[containmentPairsDelta]]) and
+    * the common-order prefix theorem ([[ngramJaccardDelta]], whose
+    * probes rank under the same frozen order) require. Streaming
+    * composition: [[graft.streaming.StreamContainment]]. */
+  def jaccardIndexDelta(delta: DataFrame, gramDf: DataFrame,
+      threshold: Double, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(threshold > 0 && threshold < 1,
+      s"jaccardIndexDelta: threshold must be in (0,1), got $threshold")
+    val tLow = BigDecimal.valueOf(threshold) - BigDecimal("1e-12")
+    val d = delta
+      .select(col(idCol).as("id"),
+        ShingleExprs.shingleSetChars(col(textCol), n).as("ng"))
+      .filter(col("ng").isNotNull && size(col("ng")) >= 1)
+      .withColumn("sz", size(col("ng")))
+    val deltaDf = d.select(explode(col("ng")).as("gram")).distinct()
+      .join(gramDf, Seq("gram"), "left")
+      .select(col("gram"), coalesce(col("df"), lit(0L)).as("df"))
+    d.crossJoin(broadcast(jaccardDictRow(deltaDf)))
+      .select(col("id"), col("ng"), col("sz"),
+        PrefixExprs.rankedPrefixGrams(col("ng"),
+          col("dict_grams"), col("dict_dfs"), tLow).as("prefix"))
   }
 
   /** Incremental (delta) n-gram Jaccard similarity join: all pairs

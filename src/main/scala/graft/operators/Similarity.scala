@@ -390,16 +390,27 @@ object Similarity {
     *
     * Scale shape: index build is one projection (cell + codes per
     * vector); search is a cell-equality join against the broadcast
-    * probe set — never a full scan, never the raw embeddings. */
+    * probe set — never a full scan, never the raw embeddings.
+    *
+    * `rerank > 0` (recommended ≥ 4·k) enables the IVFADC refinement
+    * stage: the per-query ADC top-`rerank` shortlist is re-scored with
+    * exact cosine against raw vectors fetched by an id-keyed broadcast
+    * join, and the exact order cuts to k — the standard recall
+    * recovery whose cost is ∝ queries·rerank exact distances, NOT more
+    * cell probing. The raw embeddings ARE re-read for shortlist rows
+    * in this mode (column-pruned, id-filtered); the score column is
+    * then `cosine` (exact) instead of `pq_cosine`. */
   def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       nLists: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
       trainSample: Int = 100000, idCol: String = "vec_id",
       embCol: String = "embedding",
-      maxTrainBytes: Long = 64L << 20): DataFrame = {
+      maxTrainBytes: Long = 64L << 20, rerank: Int = 0): DataFrame = {
     require(m >= 1 && ksub >= 2,
       s"ivfPqTopK: need m >= 1 and ksub >= 2, got m=$m ksub=$ksub")
     require(nProbe >= 1 && nProbe <= nLists,
       s"ivfPqTopK: need 1 <= nProbe <= nLists, got $nProbe/$nLists")
+    require(rerank == 0 || rerank >= k,
+      s"ivfPqTopK: rerank must be 0 (off) or >= k, got $rerank vs k=$k")
     val corpus = embeddings
       .select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
@@ -446,7 +457,34 @@ object Similarity {
       .filter(col("pq_cosine").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("pq_cosine").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    if (rerank <= 0)
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    else {
+      // IVFADC refinement (the standard re-rank stage): the ADC
+      // shortlist — top `rerank` per query by code distance — is
+      // re-scored with EXACT cosine against the raw vectors, then cut
+      // to k. Buys back the recall the lossy codes forfeit at a cost
+      // ∝ queries·rerank exact dot products instead of more probing
+      // (probing every cell scans the corpus; the shortlist fetch is
+      // an id-keyed broadcast join + a column-pruned corpus scan).
+      // Output score column is `cosine` (it IS the exact value).
+      val short = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= rerank)
+        .select(col("query_id"), col("vec_id"))
+      val qv = queries
+        .select(col(idCol).as("query_id"),
+          col(embCol).cast("array<double>").as("_q"))
+        .filter(col("_q").isNotNull && !exists(col("_q"), _.isNull) &&
+          size(col("_q")) === dim)
+      val exact = corpus.join(broadcast(short), Seq("vec_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(cosine(col("v"), col("_q")), 6).as("cosine"))
+        .filter(col("cosine").isNotNull)
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      exact.withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= k)
+    }
   }
 
   /** Raise-on-mismatch embedding guard: the uniform ANN contract (same

@@ -168,33 +168,61 @@ object Vocab {
   def bpeMerges(df: DataFrame, textCol: Column, nMerges: Int,
       minCount: Long = 2L, sep: String = " ",
       sampleFraction: Double = 1.0, batchCap: Int = 32): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 10000,
-      s"bpeMerges: nMerges must be in [1,10000], got $nMerges")
-    require(minCount >= 1, s"bpeMerges: minCount must be >= 1, got $minCount")
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"bpeMerges: sampleFraction must be in (0,1], got $sampleFraction")
+    val training =
+      if (sampleFraction >= 1.0) df
+      else Corpus.sampleByHash(df, textCol, sampleFraction)
+    val syms = training
+      .select(array_remove(split(textCol, "\\s+"), "").as("s"),
+        lit(1L).as("w"))
+    bpeTrain(syms, nMerges, minCount, sep, batchCap)
+  }
+
+  /** The shared batched trainer loop over WEIGHTED symbol sequences
+    * (`s` array<string>, `w` long): pair counts are `sum(w)`, so a
+    * per-occurrence relation (w = 1, the [[bpeMerges]] route) and a
+    * deduplicated dictionary with multiplicities (the
+    * [[bpeMergesChar]] route — Sennrich trains on the word-frequency
+    * dictionary, shrinking the per-round kernel pass from token
+    * occurrences to Zipf-few distinct words) count identically.
+    *
+    * Batch-exactness guard #2b (advisory hardening): the equivalence
+    * proof's creation bound assumes an accepted member's concat symbol
+    * l⊕r is globally fresh. When l⊕r instead already occurs in the
+    * SNAPSHOT pair universe (possible in principle via ambiguous
+    * sep-join decompositions, and routinely at char level where
+    * symbols are plain concatenations), pairs containing it hold
+    * pre-existing occurrences ON TOP of the ≤ B created ones, so the
+    * bound no longer caps their post-merge rank. The loop therefore
+    * checks each candidate's concat against the snapshot symbol
+    * universe (one bounded `isin` probe on the cached pair counts,
+    * ≤ cap keys) and conservatively ends the batch right after a
+    * colliding member — later pairs re-rank next round against fresh
+    * counts. Being more conservative only splits rounds differently;
+    * the committed merge TABLE stays sequential-identical. */
+  private def bpeTrain(syms0: DataFrame, nMerges: Int, minCount: Long,
+      sep: String, batchCap: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 10000,
+      s"bpeTrain: nMerges must be in [1,10000], got $nMerges")
+    require(minCount >= 1, s"bpeTrain: minCount must be >= 1, got $minCount")
     require(batchCap >= 1 && batchCap <= 256,
-      s"bpeMerges: batchCap must be in [1,256], got $batchCap")
-    val spark = df.sparkSession
+      s"bpeTrain: batchCap must be in [1,256], got $batchCap")
+    val spark = syms0.sparkSession
     import spark.implicits._
     def truncated(d: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined)
         d.checkpoint(eager = false)
       else d.localCheckpoint(eager = false)
 
-    val training =
-      if (sampleFraction >= 1.0) df
-      else Corpus.sampleByHash(df, textCol, sampleFraction)
-    var syms = training
-      .select(array_remove(split(textCol, "\\s+"), "").as("s"))
-      .filter(size(col("s")) >= 2)
+    var syms = syms0.filter(size(col("s")) >= 2)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var idx = 0
     var exhausted = false
     while (idx < nMerges && !exhausted) {
       val cap = math.min(batchCap, nMerges - idx)
       val pc = syms
-        .select(explode(when(size(col("s")) >= 2,
+        .select(col("w"), explode(when(size(col("s")) >= 2,
           zip_with(
             slice(col("s"), lit(1), size(col("s")) - 1),
             slice(col("s"), lit(2), size(col("s")) - 1),
@@ -202,7 +230,7 @@ object Vocab {
           .otherwise(array().cast("array<struct<l:string,r:string>>")))
           .as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("w")).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cands = pc
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
@@ -213,11 +241,14 @@ object Vocab {
         exhausted = true
         pc.unpersist(false)
       } else {
-        // creation bounds for the candidate symbols, from the cached
-        // pair counts: one bounded aggregate (≤ 2·cap keys), only paid
-        // when a batch could actually extend past its head
-        val (maxAsRight, maxAsLeft) =
-          if (cands.length <= 1) (Map.empty[String, Long], Map.empty[String, Long])
+        // creation bounds + concat-collision probe for the candidate
+        // symbols, from the cached pair counts: bounded aggregates
+        // (≤ 2·cap keys / ≤ cap keys), only paid when a batch could
+        // actually extend past its head
+        val (maxAsRight, maxAsLeft, presentConcats) =
+          if (cands.length <= 1)
+            (Map.empty[String, Long], Map.empty[String, Long],
+              Set.empty[String])
           else {
             val ls = cands.map(_._1).distinct.toIndexedSeq
             val rs = cands.map(_._2).distinct.toIndexedSeq
@@ -227,23 +258,31 @@ object Vocab {
             val ml = pc.filter(col("l").isin(rs: _*))
               .groupBy(col("l")).agg(max(col("n")).as("m"))
               .as[(String, Long)].collect().toMap
-            (mr, ml)
+            val concats = cands.map(c => c._1 + sep + c._2).distinct.toSeq
+            val present = pc
+              .select(explode(array(col("l"), col("r"))).as("s"))
+              .filter(col("s").isin(concats: _*))
+              .distinct().as[String].collect().toSet
+            (mr, ml, present)
           }
         val accepted = scala.collection.mutable.ArrayBuffer
           .empty[(String, String, Long)]
         val usedSyms = scala.collection.mutable.Set.empty[String]
         val usedConcats = scala.collection.mutable.Set.empty[String]
         var bound = Long.MinValue
+        var collided = false
         var stop = false
         for (c @ (l, r, n) <- cands if !stop) {
           val disjoint = !usedSyms(l) && !usedSyms(r) &&
             !usedConcats(l) && !usedConcats(r)
-          if (accepted.nonEmpty && !(disjoint && n > bound && n >= minCount))
+          if (accepted.nonEmpty &&
+              !(disjoint && !collided && n > bound && n >= minCount))
             stop = true
           else {
             accepted += c
             usedSyms += l; usedSyms += r
             usedConcats += (l + sep + r)
+            if (presentConcats(l + sep + r)) collided = true
             bound = math.max(bound,
               math.max(maxAsRight.getOrElse(l, 0L),
                 maxAsLeft.getOrElse(r, 0L)))
@@ -258,7 +297,8 @@ object Vocab {
         syms = truncated(syms.select(
           BpeExprs.encode(col("s"),
             typedLit(accepted.map(_._1).toSeq),
-            typedLit(accepted.map(_._2).toSeq), sep).as("s")))
+            typedLit(accepted.map(_._2).toSeq), sep).as("s"),
+          col("w")))
         pc.unpersist(false)
       }
     }
@@ -266,6 +306,102 @@ object Vocab {
       .toDF("merge_idx", "left", "right", "n_occurrences")
       .select(col("merge_idx").cast("long"), col("left"), col("right"),
         col("n_occurrences"))
+  }
+
+  /** Character-symbol initialization of one whitespace word, Sennrich
+    * subword convention: the word's code-point characters, with the
+    * end-of-word marker `eow` suffixed onto the FINAL character — so
+    * word-final symbols are distinguishable from word-internal ones
+    * and a learned vocabulary can reconstruct word boundaries.
+    * `split(w, "")` splits between code points (surrogate pairs stay
+    * whole — Java regex zero-width matches never land inside a pair),
+    * matching char-indexed `substr` replay in ANSI engines. */
+  private def charInit(word: Column, eow: String): Column = {
+    val cs = array_remove(split(word, ""), "")
+    when(size(cs) > 0,
+      concat(slice(cs, lit(1), size(cs) - 1),
+        array(concat(element_at(cs, lit(-1)), lit(eow)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** CHAR-LEVEL (subword) BPE training — the Sennrich tokenizer a
+    * production pipeline actually ships, vs [[bpeMerges]]' phrase
+    * units: symbols start as the code-point characters of each
+    * whitespace word with `eow` suffixed on the final character, and
+    * merged symbols are plain concatenations (`sep = ""`), so the
+    * learned table is a subword vocabulary ("t"+"h"→"th",
+    * "th"+"e</w>"→"the</w>").
+    *
+    * Scale shape: training runs over the WORD-FREQUENCY DICTIONARY
+    * (one `groupBy(word)` shuffle up front, then every trainer round's
+    * pair count and kernel pass touch only Zipf-few distinct words,
+    * weighted by multiplicity) — exactly Sennrich's formulation, and
+    * provably equal to training on the raw occurrence stream because
+    * symbol sequences are per-word (merges cannot cross word
+    * boundaries, so identical words evolve identically and their pair
+    * contributions just add). The batched rounds, creation-bound and
+    * concat-collision guards of [[bpeTrain]] apply unchanged — at
+    * char level concat collisions are routine ("a"+"b" = "ab" may
+    * already exist), and the conservative batch stop keeps the table
+    * sequential-exact.
+    *
+    * `minCount` is a weighted occurrence floor (pair occurrences
+    * across the corpus, not distinct words). `sampleFraction` hash-
+    * samples DOCUMENTS before the dictionary build, so `f` equals
+    * pre-composing [[Corpus.sampleByHash]] (same law as [[bpeMerges]]).
+    *
+    * Output contract is identical to [[bpeMerges]]:
+    * (merge_idx, left, right, n_occurrences). */
+  def bpeMergesChar(df: DataFrame, textCol: Column, nMerges: Int,
+      minCount: Long = 2L, eow: String = "</w>",
+      sampleFraction: Double = 1.0, batchCap: Int = 32): DataFrame = {
+    require(eow.nonEmpty, "bpeMergesChar: eow marker must be non-empty")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"bpeMergesChar: sampleFraction must be in (0,1], got $sampleFraction")
+    val training =
+      if (sampleFraction >= 1.0) df
+      else Corpus.sampleByHash(df, textCol, sampleFraction)
+    val dict = training
+      .select(explode(array_remove(split(textCol, "\\s+"), "")).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("w"))
+      .select(charInit(col("_w"), eow).as("s"), col("w"))
+    bpeTrain(dict, nMerges, minCount, sep = "", batchCap = batchCap)
+  }
+
+  /** Tokenize the corpus with a CHAR-LEVEL merge table trained by
+    * [[bpeMergesChar]] — the subword encode: each whitespace word is
+    * char-initialized (final char + `eow`) and the whole merge table
+    * is applied per word in rank order via the doc-local
+    * [[graft.functions.BpeEncodeExpr]] kernel inside a `transform`
+    * lambda, then word encodings concatenate in document order.
+    * Per-WORD application is the trainer's own unit (merges never
+    * cross word boundaries), so encoding the training corpus
+    * reproduces the trainer's final dictionary state without any
+    * assumption that `eow` never occurs as literal text.
+    *
+    * Scale shape: the merge table rides a one-row broadcast (the x91
+    * pattern) and the encode is doc-local — no shuffle, no join;
+    * `concat_ws("", bpe)` minus the markers reconstructs the
+    * whitespace-normalized document.
+    *
+    * Output: (id, bpe array<string>, n_tokens). */
+  def bpeEncodeChar(df: DataFrame, idCol: Column, textCol: Column,
+      merges: DataFrame, eow: String = "</w>"): DataFrame = {
+    require(eow.nonEmpty, "bpeEncodeChar: eow marker must be non-empty")
+    val mrow = merges
+      .agg(array_sort(collect_list(struct(col("merge_idx"),
+        col("left"), col("right")))).as("ms"))
+      .select(
+        transform(col("ms"), m => m.getField("left")).as("_ls"),
+        transform(col("ms"), m => m.getField("right")).as("_rs"))
+    val words = array_remove(split(textCol, "\\s+"), "")
+    df.filter(textCol.isNotNull)
+      .crossJoin(broadcast(mrow))
+      .select(idCol.as("id"),
+        flatten(transform(words, w =>
+          BpeExprs.encode(charInit(w, eow), col("_ls"), col("_rs"), "")))
+          .as("bpe"))
+      .withColumn("n_tokens", size(col("bpe")).cast("long"))
   }
 
   /** Tokenize the corpus with a TRAINED merge table — the Sennrich
@@ -352,21 +488,35 @@ object Vocab {
     *
     * Scale shape: the symbol universe is bounded (base whitespace
     * vocabulary shrunk by merges, plus ≤ nMerges merged symbols) and
-    * aggregates into ONE sorted broadcast row; id assignment is the
-    * doc-local [[graft.functions.SortedLookupIds]] binary-search
-    * kernel — no token-stream explode, no join, O(len · log V) per
-    * doc. The encode relation is persisted across its two uses
-    * (universe build + mapping; the excise cache-lifecycle contract —
-    * caller releases).
+    * rides ONE sorted broadcast row; id assignment is the doc-local
+    * [[graft.functions.SortedLookupIds]] binary-search kernel — no
+    * token-stream explode, no join, O(len · log V) per doc. The
+    * universe is collected EAGERLY at call time (engine sort order, so
+    * the driver never re-sorts with JVM collation) and the output plan
+    * re-derives the encode — two doc-local kernel passes total, and
+    * the operator leaves NO persisted relation behind (the
+    * cache-lifecycle discipline of `connectedComponentsDelta`).
     *
     * Output: (id, ids array<int>, n_tokens). */
   def bpeEncodeIds(df: DataFrame, idCol: Column, textCol: Column,
-      merges: DataFrame, sep: String = " "): DataFrame = {
-    val enc = bpeEncode(df, idCol, textCol, merges, sep)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vrow = enc.select(explode(col("bpe")).as("t")).distinct()
-      .agg(sort_array(collect_list(col("t"))).as("_v"))
-    enc.crossJoin(broadcast(vrow))
+      merges: DataFrame, sep: String = " "): DataFrame =
+    idsFromEncoded(bpeEncode(df, idCol, textCol, merges, sep))
+
+  /** [[bpeEncodeChar]] to INT token ids — the char-level twin of
+    * [[bpeEncodeIds]] with the identical id contract (1-based rank in
+    * the encoded corpus's sorted symbol universe, UNK = -1) and the
+    * identical no-leak scale shape. Output: (id, ids, n_tokens). */
+  def bpeEncodeIdsChar(df: DataFrame, idCol: Column, textCol: Column,
+      merges: DataFrame, eow: String = "</w>"): DataFrame =
+    idsFromEncoded(bpeEncodeChar(df, idCol, textCol, merges, eow))
+
+  private def idsFromEncoded(enc: DataFrame): DataFrame = {
+    val spark = enc.sparkSession
+    import spark.implicits._
+    val vocabArr = enc.select(explode(col("bpe")).as("t")).distinct()
+      .orderBy(col("t")).as[String].collect().toSeq
+    val vdf = Seq(Tuple1(vocabArr)).toDF("_v")
+    enc.crossJoin(broadcast(vdf))
       .select(col("id"),
         graft.functions.SetExprs.sortedLookupIds(col("bpe"), col("_v"))
           .as("ids"),

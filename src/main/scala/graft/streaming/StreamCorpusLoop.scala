@@ -51,8 +51,11 @@ object StreamCorpusLoop {
   private def acceptedDir(dir: String) = s"$dir/accepted"
 
   /** Complete (`_SUCCESS`-marked) child directories of `dir` with the
-    * given `prefix=` naming, as (id, path). */
-  private def completeDirs(spark: SparkSession, dir: String,
+    * given `prefix=` naming, as (id, path). Foreign or leftover
+    * children whose suffix is not a number (`delta=3.bak`,
+    * `delta=tmp`) are SKIPPED, not fatal — a stray directory must
+    * never permanently brick every store read. */
+  private[streaming] def completeDirs(spark: SparkSession, dir: String,
       prefix: String): Seq[(Long, String)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -62,7 +65,8 @@ object StreamCorpusLoop {
       .map(_.getPath)
       .filter(_.getName.startsWith(prefix))
       .filter(gp => fs.exists(new Path(gp, "_SUCCESS")))
-      .map(gp => gp.getName.stripPrefix(prefix).toLong -> gp.toString)
+      .flatMap(gp => gp.getName.stripPrefix(prefix).toLongOption
+        .map(_ -> gp.toString))
   }
 
   /** Store read for batch `below` (None = the live read): the largest
@@ -71,7 +75,7 @@ object StreamCorpusLoop {
     * b ≤ id < below. Content is identical before and after compaction
     * for every batch at or past the compaction point, which is what
     * keeps replays exact (see [[compact]]'s watermark contract). */
-  private def readStore(spark: SparkSession, dir: String,
+  private[streaming] def readStore(spark: SparkSession, dir: String,
       schema: StructType, below: Option[Long]): DataFrame = {
     val bases = completeDirs(spark, dir, "base=")
       .filter { case (b, _) => below.forall(b <= _) }
@@ -128,12 +132,26 @@ object StreamCorpusLoop {
   }
 
   /** `foreachBatch` adapter: `docsStream.writeStream.foreachBatch(
-    * StreamCorpusLoop.sink(dir)).start()`. */
+    * StreamCorpusLoop.sink(dir)).start()`.
+    *
+    * `compactEvery = K` (0 = manual) wires [[compact]] into the loop:
+    * after folding batch N with N > 0 and N % K == 0, the sink
+    * compacts behind watermark N. Safe by construction — foreachBatch
+    * callbacks are serialized, so no other micro-batch of THIS stream
+    * is in flight while the compaction deletes subsumed deltas, and
+    * N's own reads already happened (a replay of N reads `base=N`,
+    * byte-identical per the [[compact]] contract). This is the
+    * recommended way to run the loop forever: the per-trigger listing
+    * cost and directory count stay bounded without any external
+    * maintenance job. */
   def sink(dir: String, idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): (DataFrame, Long) => Unit =
-    (batch, batchId) =>
+      maxHamming: Int = 3, compactEvery: Int = 0): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
       foldBatch(dir, batch, batchId, idCol, textCol, maxHamming)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        compact(batch.sparkSession, dir, below = batchId, idCol = idCol)
+    }
 
   /** Compact the loop's stores: fold every delta STRICTLY BELOW
     * `below` into one `base=<below>` directory per store and prune the
@@ -151,7 +169,19 @@ object StreamCorpusLoop {
     * unions the base with the remaining deltas). Crash-safe and
     * idempotent: the base commits atomically (`_SUCCESS`) BEFORE any
     * deletion; a re-run that finds a complete `base=<below>` skips the
-    * rewrite and only re-prunes. */
+    * rewrite and only re-prunes.
+    *
+    * CONCURRENCY: that contract covers committed-batch REPLAY, not a
+    * micro-batch executing concurrently with the deletion — a batch
+    * whose lazy [[readStore]] already listed a subsumed delta path
+    * will fail with FileNotFoundException when its parquet read
+    * executes (Structured Streaming then retries the batch, which
+    * re-lists and heals — a transient failure, not corruption). To
+    * avoid even the transient retry, either quiesce the stream before
+    * an EXTERNAL compact call, or let the sink compact for you
+    * (`sink(..., compactEvery = K)` runs the compaction inside the
+    * serialized foreachBatch callback, where no batch of this stream
+    * can be in flight). */
   def compact(spark: SparkSession, dir: String, below: Long,
       idCol: String = "doc_id"): Unit = {
     def one(sub: String, schema: StructType): Unit = {

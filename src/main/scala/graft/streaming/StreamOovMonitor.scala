@@ -23,23 +23,38 @@ object StreamOovMonitor {
 
   /** Add `n_tokens` / `n_oov` columns to a (possibly streaming)
     * document frame. Null text annotates as (0, 0). The vocabulary
-    * relation is deduplicated, capped at `maxVocab` (a vocab past the
-    * cap should broadcast-join in `foreachBatch` instead of riding the
-    * plan as a literal), and sorted by the ENGINE's string order
-    * (UTF8 binary) — the merge kernel's caller contract. */
+    * relation is deduplicated, capped at `maxVocab` (default 100k —
+    * the honest budget for a plan-literal array; a real subword vocab
+    * fits, an open token universe does not and must broadcast-join in
+    * `foreachBatch` instead), and sorted by the ENGINE's string order
+    * (UTF8 binary) — the merge kernel's caller contract.
+    *
+    * The cap is enforced BEFORE anything is collected: a bounded
+    * `limit(cap + 1)` count probes the distinct-vocab cardinality, so
+    * an unbounded vocabulary relation fails fast instead of
+    * materializing on the driver first and OOMing past the guard. */
   def annotate(docsStream: DataFrame, vocab: DataFrame,
       textCol: String = "text", tokenCol: String = "token",
-      maxVocab: Long = 4000000L): DataFrame = {
+      maxVocab: Int = 100000): DataFrame = {
+    require(maxVocab >= 1 && maxVocab <= 1000000,
+      s"StreamOovMonitor: maxVocab must be in [1, 1e6], got $maxVocab" +
+        " — a plan literal cannot honestly carry more; broadcast-join" +
+        " in foreachBatch for larger vocabularies")
     require(!docsStream.columns.contains("n_tokens") &&
       !docsStream.columns.contains("n_oov"),
       "StreamOovMonitor.annotate: input already carries n_tokens/n_oov")
-    val varr: Seq[String] = vocab
+    val vdis = vocab
       .select(col(tokenCol).cast("string").as("t"))
-      .filter(col("t").isNotNull).distinct().orderBy(col("t"))
+      .filter(col("t").isNotNull).distinct()
+    // fail-fast cardinality probe: scans at most cap+1 distinct tokens,
+    // never materializes the relation on the driver
+    val probed = vdis.limit(maxVocab + 1).count()
+    require(probed <= maxVocab,
+      s"StreamOovMonitor: vocab exceeds the $maxVocab cap " +
+        "(cardinality probe hit the bound before collecting) — " +
+        "broadcast-join in foreachBatch instead")
+    val varr: Seq[String] = vdis.orderBy(col("t"))
       .collect().map(_.getString(0)).toSeq
-    require(varr.length <= maxVocab,
-      s"StreamOovMonitor: ${varr.length} vocab tokens exceed the " +
-        s"$maxVocab cap — broadcast-join in foreachBatch instead")
     val tk = sort_array(array_remove(split(col(textCol), "\\s+"), ""))
     docsStream
       .withColumn("n_tokens",

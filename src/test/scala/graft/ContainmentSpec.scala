@@ -81,4 +81,49 @@ class ContainmentSpec extends SparkTestBase {
       Dedup.containmentPairs(df, threshold = 1.5)
     }
   }
+
+  test("localPrefixRank=false (unbounded gram universe) equals the " +
+    "broadcast-dictionary route") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dict = Dedup.containmentPairs(docs, threshold = 0.9, n = 12)
+      .as[(Long, Long, Double)].collect().toSet
+    val win = Dedup.containmentPairs(docs, threshold = 0.9, n = 12,
+      localPrefixRank = false)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(win === dict)
+    assert(win.nonEmpty)
+  }
+
+  test("cache lifecycle: containmentPairs/Delta leave no CacheManager " +
+    "pin — their materialization releases on GC (context cleaner), " +
+    "unlike a Dataset.persist the caller could never unpersist") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    // scope the query so the returned plan (and its checkpointed RDD)
+    // becomes unreachable afterwards
+    def run(): Unit = {
+      val out = Dedup.containmentPairs(docs, threshold = 0.9, n = 12)
+      assert(out.count() >= 0)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val delta = docs.filter(col("doc_id") % 7 === 0)
+      val d = Dedup.containmentPairsDelta(delta,
+        Dedup.jaccardIndex(corpus, threshold = 0.8, n = 8))
+      assert(d.count() >= 0)
+    }
+    run()
+    // a CacheManager entry (Dataset.persist) holds a strong reference
+    // and would survive GC forever; checkpoint-style materialization
+    // is released by the async context cleaner once unreachable
+    var waited = 0
+    def leftover(): Set[Int] =
+      (spark.sparkContext.getPersistentRDDs.keySet -- baseline).toSet
+    while (leftover().nonEmpty && waited < 60000) {
+      System.gc()
+      Thread.sleep(500); waited += 500
+    }
+    assert(leftover().isEmpty,
+      s"unreleasable persisted RDDs remain after GC: ${leftover()}")
+  }
 }

@@ -121,6 +121,73 @@ class KernelFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("char-BPE path fuzz: bpeEncodeChar equals the per-word " +
+    "char-init + merge fold on adversarial unicode text (astral " +
+    "plane, combining marks, huge words, words containing '</w>')") {
+    def refMerge(s: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var j = 0
+      while (j < s.length) {
+        if (j + 1 < s.length && s(j) == l && s(j + 1) == r) {
+          b += (l + r); j += 2
+        } else { b += s(j); j += 1 }
+      }
+      b.result()
+    }
+    def charInitRef(w: String): Vector[String] = {
+      val cps = w.codePoints().toArray.toVector
+        .map(cp => new String(Character.toChars(cp)))
+      if (cps.isEmpty) Vector.empty else cps.init :+ (cps.last + "</w>")
+    }
+    // symbol generator for merge tables: single code points (incl.
+    // astral) and small concatenations, some eow-suffixed
+    val symGen: Gen[String] = Gen.oneOf(
+      "a", "b", "t", "h", "e", "é", "日", "𝄞", "🂡", "ab", "th",
+      "e</w>", "he</w>", "𝄞</w>", "<", "/", "w", ">", "</w>")
+    val charTextGen: Gen[String] = for {
+      toks <- Gen.listOfN(10, Gen.oneOf(
+        "the", "a", "ab", "abab", "éé", "日本", "𝄞𝄞𝄞", "🂡a🂡",
+        "x" * 500, "a</w>b", "</w>", "é"))
+      n <- Gen.chooseNum(0, 10)
+    } yield toks.take(n).mkString(" ")
+    val tableGen = for {
+      m <- Gen.chooseNum(0, 6)
+      ls <- Gen.listOfN(m, symGen)
+      rs <- Gen.listOfN(m, symGen)
+    } yield (ls, rs)
+    val cases = samples(Gen.zip(charTextGen, tableGen), 100) ++ Seq(
+      ("", (Nil, Nil)), ("   ", (Nil, Nil)),
+      ("aaaa", (List("a"), List("a"))),            // overlap runs
+      ("𝄞𝄞 𝄞", (List("𝄞"), List("𝄞</w>"))),        // astral + eow merge
+      ("the the", (List("t", "th"), List("h", "e</w>"))))
+    val rows = cases.zipWithIndex.map { case ((text, (ls, rs)), i) =>
+      (i.toLong, text, ls, rs) }
+    val df = rows.toDF("doc_id", "text", "ls", "rs")
+    // one table per row is not the operator's shape (it broadcasts ONE
+    // table) — so group rows by table and run per group
+    for (((ls, rs), grp) <- rows.groupBy { case (_, _, ls, rs) => (ls, rs) }) {
+      val merges = ls.zip(rs).zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r, 1L) }
+        .toDF("merge_idx", "left", "right", "n_occurrences")
+      val in = grp.map { case (id, t, _, _) => (id, t) }.toDF("doc_id", "text")
+      val got = graft.operators.Vocab.bpeEncodeChar(
+          in, col("doc_id"), col("text"), merges)
+        .select(col("id"), col("bpe"), col("n_tokens"))
+        .as[(Long, Seq[String], Long)].collect()
+        .map { case (k, b, n) => k -> ((b, n)) }.toMap
+      for ((id, text, _, _) <- grp) {
+        val want = text.split("\\s+").filter(_.nonEmpty).toVector.flatMap {
+          w => ls.zip(rs).foldLeft(charInitRef(w)) {
+            case (acc, (l, r)) => refMerge(acc, l, r)
+          }
+        }
+        val (gb, gn) = got(id)
+        assert(gb === want, s"bpeEncodeChar('$text', $ls, $rs)")
+        assert(gn === want.length.toLong)
+      }
+    }
+  }
+
   test("Set kernel fuzz: sorted merge kernels equal order-independent " +
     "set arithmetic after sort_array, including astral-plane strings " +
     "(UTF8 binary order ≠ Java UTF-16 order there)") {

@@ -209,6 +209,10 @@ class PlanSpec extends SparkTestBase {
         // x115 attaches x91's ONE-row merge table AND the ONE-row
         // sorted symbol universe (two bounded-vocabulary broadcasts)
         "x115_bpe_ids",
+        // x118/x119 are the char-level twins: the ONE-row subword merge
+        // table rides a broadcast for the per-word encode kernel, and
+        // x119 adds the ONE-row sorted symbol universe (x115's pattern)
+        "x118_bpe_char", "x119_bpe_char_ids",
         // x117 attaches the ONE-row rare-first dictionary twice (index
         // build + frozen-order delta ranking) — x101's delta pattern
         "x117_containment_delta",

@@ -40,34 +40,47 @@ object RecallSweep {
       (rs.min, rs.sum / rs.length, dt)
     }
 
+    // --rerank-only: skip the other families (fast iteration on the
+    // IVFADC refinement frontier)
+    val rerankOnly = args.contains("--rerank-only")
+
     println(s"# ANN recall sweep @ $sfDir ($n vectors, 5 queries, k=10)")
     println("| family | config | min recall | mean recall | sec |")
     println("|---|---|---|---|---|")
     for (nBits <- Seq(6, 8, 10); nTables <- Seq(2, 4, 8);
-         probe <- Seq(1, 2)) {
+         probe <- Seq(1, 2) if !rerankOnly) {
       val (mn, mean, dt) = recalls(Similarity.annTopK(emb, qs, k = 10,
         nBits = nBits, nTables = nTables, probeHamming = probe))
       println(f"| LSH | nBits=$nBits nTables=$nTables probe=$probe " +
         f"| $mn%.2f | $mean%.2f | $dt%.1f |")
     }
     for (nLists <- Seq(8, 16, 32); nProbe <- Seq(4, 6, 8, 12)
-         if nProbe <= nLists) {
+         if nProbe <= nLists && !rerankOnly) {
       val (mn, mean, dt) = recalls(Similarity.ivfTopK(emb, qs, k = 10,
         nLists = nLists, nProbe = nProbe))
       println(f"| IVF | nLists=$nLists nProbe=$nProbe " +
         f"| $mn%.2f | $mean%.2f | $dt%.1f |")
     }
-    for (m <- Seq(8, 16, 32); ksub <- Seq(16, 64, 256)) {
+    for (m <- Seq(8, 16, 32); ksub <- Seq(16, 64, 256) if !rerankOnly) {
       val (mn, mean, dt) = recalls(Similarity.pqTopK(emb, qs, k = 10,
         m = m, ksub = ksub))
       println(f"| PQ | m=$m ksub=$ksub | $mn%.2f | $mean%.2f | $dt%.1f |")
     }
     for (nLists <- Seq(8, 16); nProbe <- Seq(4, 6, 8)
-         if nProbe <= nLists; m <- Seq(16, 32); ksub <- Seq(64, 256)) {
+         if nProbe <= nLists && !rerankOnly; m <- Seq(16, 32);
+         ksub <- Seq(64, 256)) {
       val (mn, mean, dt) = recalls(Similarity.ivfPqTopK(emb, qs, k = 10,
         nLists = nLists, nProbe = nProbe, m = m, ksub = ksub))
       println(f"| IVF+PQ | nLists=$nLists nProbe=$nProbe m=$m ksub=$ksub " +
         f"| $mn%.2f | $mean%.2f | $dt%.1f |")
+    }
+    // the IVFADC refinement stage: exact re-rank of the ADC shortlist
+    for ((nLists, nProbe) <- Seq((8, 4), (8, 6), (16, 8), (16, 10),
+           (16, 12)); rr <- Seq(20, 50, 100)) {
+      val (mn, mean, dt) = recalls(Similarity.ivfPqTopK(emb, qs, k = 10,
+        nLists = nLists, nProbe = nProbe, m = 32, ksub = 256, rerank = rr))
+      println(f"| IVF+PQ+rerank | nLists=$nLists nProbe=$nProbe m=32 " +
+        f"ksub=256 rerank=$rr | $mn%.2f | $mean%.2f | $dt%.1f |")
     }
     spark.stop()
   }

@@ -143,4 +143,57 @@ class StreamCorpusLoopSpec extends SparkTestBase {
         "fixture must exercise dedup and clustering paths")
     } finally q.stop()
   }
+
+  test("automatic compaction cadence: ~30 micro-batches with " +
+    "compactEvery=5 keep the store's directory count bounded and the " +
+    "artifacts equal to the batch recompute") {
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("stream-corpus-auto-").toString
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val nBatches = 30
+    val slices = all.grouped(
+      math.max(1, (all.size + nBatches - 1) / nBatches)).toSeq
+
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(StreamCorpusLoop.sink(dir, compactEvery = 5))
+      .option("checkpointLocation",
+        Files.createTempDirectory("stream-corpus-auto-ckpt-").toString)
+      .start()
+    try {
+      for (s <- slices) { in.addData(s); q.processAllAvailable() }
+      def dirCount(sub: String): Int = {
+        val d = new java.io.File(s"$dir/$sub")
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .count(f => f.isDirectory &&
+            (f.getName.startsWith("delta=") || f.getName.startsWith("base=")))
+      }
+      // compaction fired mid-stream: per-store directory count stays
+      // bounded by one base + the deltas since the last watermark,
+      // never ~30 (one per batch)
+      for (sub <- Seq("hash", "fps", "accepted")) {
+        assert(dirCount(sub) <= 7,
+          s"$sub: ${dirCount(sub)} dirs — compaction cadence not firing")
+      }
+      // and the compacted loop is still CORRECT: artifacts equal the
+      // closed-corpus batch recompute
+      val closed = all.toDF("doc_id", "text").persist()
+      assert(StreamCorpusLoop.acceptedIds(spark, dir)
+        .as[Long].collect().toSet ===
+        Dedup.exact(closed).select($"keep_id").as[Long].collect().toSet)
+      assert(StreamCorpusLoop.fps(spark, dir)
+        .as[(Long, Long)].collect().toSet ===
+        Dedup.simhash(closed, poly = true)
+          .as[(Long, Long)].collect().toSet)
+      assert(StreamCorpusLoop.labels(spark, dir)
+        .as[(Long, Long)].collect().toSet ===
+        Graph.connectedComponents(
+          Dedup.simhashPairs(closed, maxHamming = 3, poly = true))
+          .as[(Long, Long)].collect().toSet)
+      closed.unpersist()
+    } finally q.stop()
+  }
 }

@@ -54,4 +54,31 @@ class StreamOovMonitorSpec extends SparkTestBase {
         StreamOovMonitor.annotate(df, vocab), vocab)
     }
   }
+
+  test("over-cap vocabulary fails fast via the bounded cardinality " +
+    "probe, never materializing the relation on the driver") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    // 50M distinct tokens: collecting this first (the old guard order)
+    // would OOM/stall the driver; the limit(cap+1) probe must reject it
+    // in bounded time
+    val huge = spark.range(0, 50000000L)
+      .select(concat(lit("tok"), col("id")).as("token"))
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException] {
+      StreamOovMonitor.annotate(df, huge, maxVocab = 1000)
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(e.getMessage.contains("cardinality probe"))
+    assert(secs < 60.0, s"probe took ${secs}s — not bounded")
+    // an in-cap vocab on the same relation shape still annotates
+    val ok = StreamOovMonitor.annotate(df,
+      spark.range(0, 10L).select(concat(lit("x"), col("id")).as("token")))
+      .select($"n_tokens", $"n_oov").as[(Long, Long)].head()
+    assert(ok === ((2L, 2L)))
+    // the plan-literal default cap itself is bounded at 1e6
+    intercept[IllegalArgumentException] {
+      StreamOovMonitor.annotate(df, vocab = Seq("a").toDF("token"),
+        maxVocab = 2000000)
+    }
+  }
 }

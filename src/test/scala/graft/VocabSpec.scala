@@ -263,6 +263,132 @@ class VocabSpec extends SparkTestBase {
     }
   }
 
+  /** Code-point characters of a word, `eow` suffixed on the last. */
+  private def charInitRef(w: String, eow: String): Vector[String] = {
+    val cps = w.codePoints().toArray.toVector
+      .map(cp => new String(Character.toChars(cp)))
+    if (cps.isEmpty) Vector.empty
+    else cps.init :+ (cps.last + eow)
+  }
+
+  /** Independent single-machine CHAR-LEVEL BPE trainer over the word
+    * frequency dictionary (Sennrich): weighted overlapping pair
+    * counts, argmax by (count desc, left, right), greedy-leftmost
+    * merge with sep = "". */
+  private def refBpeChar(texts: Seq[String], n: Int, minCount: Long,
+      eow: String): Seq[(Long, String, String, Long)] = {
+    val dict0 = texts.filter(_ != null)
+      .flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var seqs = dict0.toSeq
+      .map { case (w, c) => (charInitRef(w, eow), c) }
+      .filter(_._1.length >= 2)
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var i = 0
+    var stop = false
+    while (i < n && !stop) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((s, c) <- seqs; j <- 0 until s.length - 1)
+        counts((s(j), s(j + 1))) =
+          counts.getOrElse((s(j), s(j + 1)), 0L) + c
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .minBy { case ((l, r), c) => (-c, l, r) }
+        if (c < minCount) stop = true
+        else {
+          out += ((i.toLong, l, r, c))
+          seqs = seqs.map { case (s, w) => (refMergeGreedy(s, l, r, ""), w) }
+          i += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("bpeMergesChar: Sennrich char symbols, weighted dictionary " +
+    "counts, hand-checked example") {
+    // dict: low×3, lowest×2 → chars l,o,w(+</w> suffix on finals)
+    // pair counts: (l,o)=5, (o,w)=3 ["low" finals are w</w>], (o,w e s t-chain)...
+    val docs = Seq((1L, "low low lowest"), (2L, "low lowest"))
+      .toDF("doc_id", "text")
+    val texts = Seq("low low lowest", "low lowest")
+    val got = Vocab.bpeMergesChar(docs, col("text"), nMerges = 4,
+      minCount = 2L)
+      .as[(Long, String, String, Long)].collect().toList
+    val want = refBpeChar(texts, 4, 2L, "</w>").toList
+    assert(got === want)
+    // first merge is (l,o) with weighted count 5 — the dictionary
+    // weighting is live (unweighted distinct words would give 2)
+    assert(got.head._2 === "l" && got.head._3 === "o" && got.head._4 === 5L)
+    // merged symbols are plain concatenations (no separator)
+    assert(got.exists(m => (m._2 + m._3).contains("lo")))
+  }
+
+  test("bpeMergesChar equals the char reference on the sf0.001 corpus " +
+    "(12 merges), batched ≡ batchCap=1 ≡ sequential reference") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val texts = docs.select($"text").as[String].collect().toSeq
+    val want = refBpeChar(texts, 12, 2L, "</w>").toList
+    val got = Vocab.bpeMergesChar(docs, col("text"), nMerges = 12)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(got === want)
+    assert(got.length === 12)
+    val seq1 = Vocab.bpeMergesChar(docs, col("text"), nMerges = 12,
+      batchCap = 1)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(seq1 === want)
+    // char-level merges are subword units, not phrases: no merged
+    // symbol contains a space
+    assert(got.forall(m => !(m._2 + m._3).contains(" ")))
+  }
+
+  test("bpeEncodeChar: per-word application reproduces the trainer's " +
+    "dictionary state and round-trips to the marked text") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().filter(_._2 != null)
+    val nMerges = 8
+    val merges = Vocab.bpeMergesChar(docs, col("text"), nMerges = nMerges)
+    val mlist = refBpeChar(texts.map(_._2).toSeq, nMerges, 2L, "</w>")
+    val got = Vocab.bpeEncodeChar(docs, col("doc_id"), col("text"), merges)
+      .select($"id", $"bpe").as[(Long, Seq[String])].collect().toMap
+    for ((id, text) <- texts) {
+      val words = text.split("\\s+").filter(_.nonEmpty).toVector
+      val want = words.flatMap { w =>
+        var s = charInitRef(w, "</w>")
+        for ((_, l, r, _) <- mlist) s = refMergeGreedy(s, l, r, "")
+        s
+      }
+      assert(got(id) === want, s"doc $id")
+      // round-trip: strip markers, concat = marked word stream
+      assert(got(id).mkString("") === words.map(_ + "</w>").mkString(""))
+    }
+  }
+
+  test("bpeEncodeIdsChar: ids are 1-based sorted-universe ranks that " +
+    "decode back to the char encoding; no persisted relation leaks") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Vocab.bpeMergesChar(docs, col("text"), nMerges = 4)
+    val enc = Vocab.bpeEncodeChar(docs, col("doc_id"), col("text"), merges)
+      .select($"id", $"bpe").as[(Long, Seq[String])].collect().toMap
+    // cache-lifecycle discipline: the ids operator (vocab collect +
+    // output materialization) must not add any persisted relation
+    // that it does not release (the trainer's own localCheckpoint
+    // relations predate this snapshot and are excluded)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ids = Vocab.bpeEncodeIdsChar(docs, col("doc_id"), col("text"),
+      merges)
+      .select($"id", $"ids").as[(Long, Seq[Int])].collect().toMap
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"bpeEncodeIdsChar left new persisted RDDs: $leaked")
+    val vocab = enc.values.flatten.toSeq.distinct.sorted
+    val tokOf = vocab.zipWithIndex.map { case (t, i) => (i + 1) -> t }.toMap
+    assert(ids.keySet === enc.keySet)
+    for ((d, arr) <- ids) assert(arr.map(tokOf) === enc(d))
+  }
+
   test("MG summary retains every token above N/(capacity+1), never overcounts") {
     val rnd = new scala.util.Random(7L)
     // 2000 filler tokens from a 400-word tail + two heavy tokens
