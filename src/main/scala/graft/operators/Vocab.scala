@@ -316,7 +316,7 @@ object Vocab {
     * `split(w, "")` splits between code points (surrogate pairs stay
     * whole — Java regex zero-width matches never land inside a pair),
     * matching char-indexed `substr` replay in ANSI engines. */
-  private def charInit(word: Column, eow: String): Column = {
+  private[graft] def charInit(word: Column, eow: String): Column = {
     val cs = array_remove(split(word, ""), "")
     when(size(cs) > 0,
       concat(slice(cs, lit(1), size(cs) - 1),
@@ -385,15 +385,19 @@ object Vocab {
     * whitespace-normalized document.
     *
     * Output: (id, bpe array<string>, n_tokens). */
+  /** The rank-ordered merge table as a one-row (_ls, _rs) relation —
+    * the broadcast shape every encode route attaches. */
+  private def mergeRow(merges: DataFrame): DataFrame = merges
+    .agg(array_sort(collect_list(struct(col("merge_idx"),
+      col("left"), col("right")))).as("ms"))
+    .select(
+      transform(col("ms"), m => m.getField("left")).as("_ls"),
+      transform(col("ms"), m => m.getField("right")).as("_rs"))
+
   def bpeEncodeChar(df: DataFrame, idCol: Column, textCol: Column,
       merges: DataFrame, eow: String = "</w>"): DataFrame = {
     require(eow.nonEmpty, "bpeEncodeChar: eow marker must be non-empty")
-    val mrow = merges
-      .agg(array_sort(collect_list(struct(col("merge_idx"),
-        col("left"), col("right")))).as("ms"))
-      .select(
-        transform(col("ms"), m => m.getField("left")).as("_ls"),
-        transform(col("ms"), m => m.getField("right")).as("_rs"))
+    val mrow = mergeRow(merges)
     val words = array_remove(split(textCol, "\\s+"), "")
     df.filter(textCol.isNotNull)
       .crossJoin(broadcast(mrow))
@@ -425,14 +429,8 @@ object Vocab {
     * whitespace-normalized document. */
   def bpeEncode(df: DataFrame, idCol: Column, textCol: Column,
       merges: DataFrame, sep: String = " "): DataFrame = {
-    val mrow = merges
-      .agg(array_sort(collect_list(struct(col("merge_idx"),
-        col("left"), col("right")))).as("ms"))
-      .select(
-        transform(col("ms"), m => m.getField("left")).as("_ls"),
-        transform(col("ms"), m => m.getField("right")).as("_rs"))
     df.filter(textCol.isNotNull)
-      .crossJoin(broadcast(mrow))
+      .crossJoin(broadcast(mergeRow(merges)))
       .select(idCol.as("id"),
         BpeExprs.encode(array_remove(split(textCol, "\\s+"), ""),
           col("_ls"), col("_rs"), sep).as("bpe"))
@@ -504,11 +502,37 @@ object Vocab {
 
   /** [[bpeEncodeChar]] to INT token ids — the char-level twin of
     * [[bpeEncodeIds]] with the identical id contract (1-based rank in
-    * the encoded corpus's sorted symbol universe, UNK = -1) and the
-    * identical no-leak scale shape. Output: (id, ids, n_tokens). */
+    * the encoded corpus's sorted symbol universe, UNK = -1).
+    *
+    * Scale shape — BETTER than the word-level route's two corpus
+    * passes: char-level words encode independently, so the encoded
+    * corpus's symbol universe equals the universe of the encoded
+    * DISTINCT-WORD dictionary (every corpus word is a dictionary
+    * entry). The universe pass therefore runs over Zipf-few distinct
+    * words (the [[bpeMergesChar]] training discipline) and the corpus
+    * itself is encoded exactly ONCE, at output materialization. No
+    * persisted relation is left behind. Output: (id, ids, n_tokens). */
   def bpeEncodeIdsChar(df: DataFrame, idCol: Column, textCol: Column,
-      merges: DataFrame, eow: String = "</w>"): DataFrame =
-    idsFromEncoded(bpeEncodeChar(df, idCol, textCol, merges, eow))
+      merges: DataFrame, eow: String = "</w>"): DataFrame = {
+    require(eow.nonEmpty, "bpeEncodeIdsChar: eow marker must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dictEnc = df
+      .select(explode(array_remove(split(textCol, "\\s+"), "")).as("_w"))
+      .distinct()
+      .crossJoin(broadcast(mergeRow(merges)))
+      .select(BpeExprs.encode(charInit(col("_w"), eow),
+        col("_ls"), col("_rs"), "").as("bpe"))
+    val vocabArr = dictEnc.select(explode(col("bpe")).as("t")).distinct()
+      .orderBy(col("t")).as[String].collect().toSeq
+    val vdf = Seq(Tuple1(vocabArr)).toDF("_v")
+    bpeEncodeChar(df, idCol, textCol, merges, eow)
+      .crossJoin(broadcast(vdf))
+      .select(col("id"),
+        graft.functions.SetExprs.sortedLookupIds(col("bpe"), col("_v"))
+          .as("ids"),
+        col("n_tokens"))
+  }
 
   private def idsFromEncoded(enc: DataFrame): DataFrame = {
     val spark = enc.sparkSession

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.BpeExprs
+import graft.operators.Vocab
+
+/** Streaming subword tokenization — the ingestion-time mirror of
+  * [[graft.operators.Vocab.bpeEncodeChar]], the way a training
+  * pipeline actually tokenizes: the vocabulary is TRAINED offline
+  * (batch [[graft.operators.Vocab.bpeMergesChar]]), FROZEN, and every
+  * arriving document is encoded as a PURE PROJECTION (the
+  * [[StreamOovMonitor]] contract) — the rank-ordered merge table rides
+  * the plan as two literal arrays for the doc-local
+  * [[graft.functions.BpeEncodeExpr]] kernel, applied per word inside a
+  * `transform` lambda. No state store, no stream-side shuffle, no
+  * stream-batch join; nothing grows with the stream.
+  *
+  * The merge-table literal is bounded by the trainer's nMerges ≤
+  * 10,000 contract and guarded by a fail-fast cardinality probe
+  * BEFORE anything is collected (the [[StreamOovMonitor.annotate]]
+  * discipline) — a runaway merge relation fails loudly instead of
+  * materializing on the driver.
+  */
+object StreamBpeTokenize {
+
+  /** Add `bpe` (array&lt;string&gt; subword tokens) and `n_tokens`
+    * columns to a (possibly streaming) document frame. Null text
+    * yields a null `bpe` and n_tokens 0. Batch-equivalence:
+    * over a closed corpus, the annotated stream equals
+    * [[graft.operators.Vocab.bpeEncodeChar]] row for row
+    * (StreamBpeTokenizeSpec). */
+  def annotate(docsStream: DataFrame, merges: DataFrame,
+      textCol: String = "text", eow: String = "</w>",
+      maxMerges: Int = 10000): DataFrame = {
+    require(eow.nonEmpty, "StreamBpeTokenize: eow marker must be non-empty")
+    require(maxMerges >= 1 && maxMerges <= 100000,
+      s"StreamBpeTokenize: maxMerges must be in [1, 1e5], got $maxMerges")
+    require(!docsStream.columns.contains("bpe") &&
+      !docsStream.columns.contains("n_tokens"),
+      "StreamBpeTokenize.annotate: input already carries bpe/n_tokens")
+    val m = merges.select(col("merge_idx").cast("long").as("i"),
+      col("left").cast("string").as("l"),
+      col("right").cast("string").as("r"))
+    val probed = m.limit(maxMerges + 1).count()
+    require(probed <= maxMerges,
+      s"StreamBpeTokenize: merge table exceeds the $maxMerges cap " +
+        "(cardinality probe hit the bound before collecting)")
+    val table = m.orderBy(col("i")).collect()
+      .map(row => (row.getString(1), row.getString(2)))
+    val ls = typedlit(table.map(_._1).toSeq)
+    val rs = typedlit(table.map(_._2).toSeq)
+    val words = array_remove(split(col(textCol), "\\s+"), "")
+    val bpe = flatten(transform(words, w =>
+      BpeExprs.encode(Vocab.charInit(w, eow), ls, rs, "")))
+    docsStream
+      .withColumn("bpe", bpe)
+      .withColumn("n_tokens",
+        coalesce(size(col("bpe")).cast("long"), lit(0L)))
+  }
+}
