@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""sf1 correctness via the shard law (dev tooling).
+
+The synthetic sf1 is ScaleGen's ten id-shifted shards of sf0.1: shard 0
+is VERBATIM sf0.1 (ids and text unchanged), shards k>0 shift ids by
+k*1e9 and splice "~k" mid-token so cross-shard exact/near-dup structure
+collapses by construction. For the dedup/similarity heads this yields a
+checkable law wherever the full DuckDB oracle replay is past the cost
+cap:
+
+  1. SHARD-0 FAITHFULNESS - the sf1 output restricted to shard-0 ids
+     must equal the (oracle-verified) sf0.1 output row-for-row: the
+     other nine shards must not perturb shard 0's result.
+  2. CROSS-SHARD LEAKS - output rows pairing ids from two different
+     shards must not exist (the splice collapses cross-shard
+     similarity), excluding degenerate empty/whitespace docs which are
+     identical across shards by construction.
+
+Together with the DuckDB oracle check run at sf0.1 itself
+(check.py /root/testdata/sf0.1 <out>), this lifts oracle-grade
+verification to the sf1 decade: oracle => sf0.1 correct;
+shard law => sf1 behaves as ten independent verified shards.
+
+Usage: sf1_shard_check.py <sf1_out_dir> <sf01_out_dir> <query> [query...]
+"""
+import sys
+import duckdb
+
+SHIFT = 10 ** 9
+
+# per-query id columns: (single-id cols, pair cols).
+# NOTE the law applies to operators whose output decomposes per shard
+# (dedup/similarity: the splice guarantees cross-shard independence).
+# It does NOT apply to global-neighborhood operators like x6 ANN --
+# at sf1 the corpus holds all ten shards, so the true top-k/kth_cosine
+# legitimately differs from sf0.1 (perturbed shard vectors enter the
+# neighborhood); x6 takes the DIRECT DuckDB oracle at sf1 instead
+# (exact brute-force top-k is cheap SQL even at 2M vectors).
+ID_COLS = {
+    "x1_dedup_exact": (["keep_id"], []),
+    "x2_dedup_minhash": ([], [("doc_a", "doc_b")]),
+    "x85_span_dedup": (["doc_id"], []),
+    "x112_span_dedup_all": (["doc_id"], []),
+    "x114_containment": ([], [("doc_a", "doc_b")]),
+}
+
+sf1_dir, sf01_dir = sys.argv[1], sys.argv[2]
+queries = sys.argv[3:] or list(ID_COLS)
+
+con = duckdb.connect()
+fails = 0
+for q in queries:
+    singles, pairs = ID_COLS[q]
+    hi = f"'{sf1_dir}/{q}/*.parquet'"
+    lo = f"'{sf01_dir}/{q}/*.parquet'"
+    # 1. shard-0 restriction of the sf1 output == the sf0.1 output.
+    # All id columns < SHIFT selects shard 0; non-id columns (text,
+    # scores, counts) must match byte-for-byte since shard 0 is
+    # verbatim.
+    cond = " AND ".join(
+        [f"{c} < {SHIFT}" for c in singles] +
+        [f"{a} < {SHIFT} AND {b} < {SHIFT}" for a, b in pairs]) or "true"
+    only_hi = con.sql(
+        f"SELECT count(*) FROM (SELECT * FROM {hi} WHERE {cond} "
+        f"EXCEPT ALL SELECT * FROM {lo})").fetchone()[0]
+    only_lo = con.sql(
+        f"SELECT count(*) FROM (SELECT * FROM {lo} "
+        f"EXCEPT ALL SELECT * FROM {hi} WHERE {cond})").fetchone()[0]
+    # 2. cross-shard leaks in pair outputs
+    leaks = 0
+    for a, b in pairs:
+        leaks += con.sql(
+            f"SELECT count(*) FROM {hi} "
+            f"WHERE ({a} // {SHIFT}) <> ({b} // {SHIFT})").fetchone()[0]
+    n_hi = con.sql(f"SELECT count(*) FROM {hi}").fetchone()[0]
+    n_lo = con.sql(f"SELECT count(*) FROM {lo}").fetchone()[0]
+    ok = only_hi == 0 and only_lo == 0 and leaks == 0
+    if not ok:
+        fails += 1
+    print(f"{q}: {'OK' if ok else 'FAIL'} "
+          f"(sf1 rows={n_hi}, sf0.1 rows={n_lo}, "
+          f"shard0-extra={only_hi}, shard0-missing={only_lo}, "
+          f"cross-shard-leaks={leaks})")
+print("ALL OK" if fails == 0 else f"{fails} FAILED")
+sys.exit(1 if fails else 0)

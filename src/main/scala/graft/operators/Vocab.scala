@@ -534,6 +534,16 @@ object Vocab {
         col("n_tokens"))
   }
 
+  /** Decode token-id arrays back to symbol arrays against a sorted
+    * vocabulary array column (the [[bpeEncodeIds]] universe): id i ↦
+    * vocab[i] (1-based), UNK (−1) ↦ null. The inverse of the id
+    * mapping — `decode ∘ encode = identity` on in-vocab corpora (the
+    * VocabSpec round-trip law) — as a doc-local projection for
+    * inspection/debug tooling over shipped id arrays. */
+  def bpeDecodeIds(ids: Column, sortedVocab: Column): Column =
+    transform(ids, i =>
+      when(i >= 1 && i <= size(sortedVocab), element_at(sortedVocab, i)))
+
   private def idsFromEncoded(enc: DataFrame): DataFrame = {
     val spark = enc.sparkSession
     import spark.implicits._

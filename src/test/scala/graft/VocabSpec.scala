@@ -387,6 +387,19 @@ class VocabSpec extends SparkTestBase {
     val tokOf = vocab.zipWithIndex.map { case (t, i) => (i + 1) -> t }.toMap
     assert(ids.keySet === enc.keySet)
     for ((d, arr) <- ids) assert(arr.map(tokOf) === enc(d))
+    // decode ∘ encode = identity (the bpeDecodeIds round-trip law);
+    // out-of-range ids (UNK −1) decode to null
+    val dec = Vocab.bpeEncodeIdsChar(docs, col("doc_id"), col("text"),
+        merges)
+      .select($"id",
+        Vocab.bpeDecodeIds($"ids", typedlit(vocab)).as("dec"))
+      .as[(Long, Seq[String])].collect().toMap
+    for ((d, syms) <- enc) assert(dec(d) === syms, s"round-trip doc $d")
+    val unk = Seq(Tuple1(Seq(-1, 1, 999999999)))
+      .toDF("ids")
+      .select(Vocab.bpeDecodeIds($"ids", typedlit(vocab)).as("d"))
+      .collect().head.getSeq[String](0)
+    assert(unk.head == null && unk(1) == vocab.head && unk(2) == null)
   }
 
   test("MG summary retains every token above N/(capacity+1), never overcounts") {
