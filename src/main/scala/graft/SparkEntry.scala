@@ -567,6 +567,36 @@ object SparkEntry {
           array_join(transform(col("ids"), _.cast("string")), ",")
             .as("encoded_ids"))
     }),
+    // BYTE-LEVEL BPE train + encode: the GPT-2 byte-fallback
+    // convention — symbols start as the UTF-8 bytes of each word
+    // (uppercase hex pairs, </w> on the word-final byte), so the base
+    // alphabet is bounded at 256+1 and NO character is ever
+    // out-of-alphabet; same weighted-dictionary trainer, same greedy
+    // per-word application, independently replayed by the oracle over
+    // hex(encode(w))
+    "x120_bpe_byte" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Vocab.bpeMergesByte(docs, col("text"),
+        nMerges = 4, minCount = 2)
+      graft.operators.Vocab.bpeEncodeByte(docs, col("doc_id"),
+        col("text"), merges)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          array_join(col("bpe"), "\u0001").as("encoded"))
+    }),
+    // x120's encode as INT token ids (the x115/x119 id contract:
+    // 1-based rank in the sorted encoded-symbol universe) — byte-level
+    // subword id arrays, id assignment via the dictionary-universe
+    // route (one corpus encode, universe pass over distinct words)
+    "x121_bpe_byte_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Vocab.bpeMergesByte(docs, col("text"),
+        nMerges = 4, minCount = 2)
+      graft.operators.Vocab.bpeEncodeIdsByte(docs, col("doc_id"),
+        col("text"), merges)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          array_join(transform(col("ids"), _.cast("string")), ",")
+            .as("encoded_ids"))
+    }),
     // CCNet-style LM quality filter: add-k bigram model self-scored
     // over the corpus; avg negative log-likelihood per doc, the
     // perplexity cut every crawl-curation pipeline applies
@@ -1321,20 +1351,36 @@ object SparkEntry {
     * split) and the per-doc word stream `cd`/`cdw`; appending
     * [[bpeCharRoundCtes]] 1..R and the `csym` flatten yields each
     * doc's final symbol stream in (word, symbol) position order. */
-  private def bpeCharPrefixCtes(rounds: Int): String = {
+  private def bpeCharPrefixCtes(rounds: Int,
+      byteLevel: Boolean = false): String = {
     val roundCtes = (1 to rounds).map(bpeCharRoundCtes).mkString(",\n")
+    // the trainer-round CTEs are symbol-agnostic; char vs BYTE level
+    // (x120) differ only in cs0: code-point chars vs the uppercase
+    // hex pairs of the word's UTF-8 bytes (hex(encode(w)) replays
+    // Spark's byteInit exactly — both engines emit uppercase hex)
+    val cs0 =
+      if (byteLevel)
+        """cs0 AS (
+          |  SELECT w AS wid, n, octet_length(encode(w)) >= 2 AS big,
+          |    list_transform(range(1, octet_length(encode(w))+1),
+          |      i -> substr(hex(encode(w)), (i-1)*2+1, 2) ||
+          |        CASE WHEN i = octet_length(encode(w)) THEN '</w>'
+          |             ELSE '' END) AS s
+          |  FROM cw0),""".stripMargin
+      else
+        """cs0 AS (
+          |  SELECT w AS wid, n, length(w) >= 2 AS big,
+          |    list_transform(range(1, length(w)+1),
+          |      i -> substr(w, i, 1) ||
+          |        CASE WHEN i = length(w) THEN '</w>' ELSE '' END) AS s
+          |  FROM cw0),""".stripMargin
     s"""cw0 AS (
       |  SELECT w, count(*) AS n FROM (
       |    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
       |      x -> x <> '')) AS w
       |    FROM documents WHERE text IS NOT NULL)
       |  GROUP BY 1),
-      |cs0 AS (
-      |  SELECT w AS wid, n, length(w) >= 2 AS big,
-      |    list_transform(range(1, length(w)+1),
-      |      i -> substr(w, i, 1) ||
-      |        CASE WHEN i = length(w) THEN '</w>' ELSE '' END) AS s
-      |  FROM cw0),
+      |$cs0
       |$roundCtes,
       |cd AS (
       |  SELECT doc_id,
@@ -3420,6 +3466,35 @@ object SparkEntry {
         |  coalesce(string_agg(s.tok, chr(1) ORDER BY s.j, s.k), '')
         |    AS encoded
         |FROM cd d LEFT JOIN csym s USING (doc_id)
+        |GROUP BY d.doc_id""".stripMargin,
+    // x120: the x118 replay with cs0 lowered to UTF-8 bytes (hex
+    // pairs) — the byte-fallback trainer + encode, independently
+    // re-derived from hex(encode(w)) in DuckDB
+    "x120_bpe_byte" ->
+      s"""WITH ${bpeCharPrefixCtes(4, byteLevel = true)}
+        |SELECT d.doc_id,
+        |  CAST(count(s.tok) AS BIGINT) AS n_tokens,
+        |  coalesce(string_agg(s.tok, chr(1) ORDER BY s.j, s.k), '')
+        |    AS encoded
+        |FROM cd d LEFT JOIN csym s USING (doc_id)
+        |GROUP BY d.doc_id""".stripMargin,
+    // x121: the x120 byte-level replay, then the x119 id CTEs
+    // verbatim (1-based rank in the sorted symbol universe — hex
+    // symbols are ASCII, so binary and collation order coincide)
+    "x121_bpe_byte_ids" ->
+      s"""WITH ${bpeCharPrefixCtes(4, byteLevel = true)},
+        |cvocab AS (
+        |  SELECT x AS tok,
+        |    CAST(row_number() OVER (ORDER BY x) AS INTEGER) AS id
+        |  FROM (SELECT DISTINCT tok AS x FROM csym)),
+        |cids AS (
+        |  SELECT s.doc_id, s.j, s.k, v.id
+        |  FROM csym s JOIN cvocab v USING (tok))
+        |SELECT d.doc_id,
+        |  CAST(count(i.id) AS BIGINT) AS n_tokens,
+        |  coalesce(string_agg(CAST(i.id AS VARCHAR), ','
+        |    ORDER BY i.j, i.k), '') AS encoded_ids
+        |FROM cd d LEFT JOIN cids i USING (doc_id)
         |GROUP BY d.doc_id""".stripMargin,
     // x119: the x118 replay, then ids = 1-based rank of each symbol in
     // the sorted (binary-order) encoded-symbol universe, reassembled

@@ -408,6 +408,71 @@ object Vocab {
       .withColumn("n_tokens", size(col("bpe")).cast("long"))
   }
 
+  /** BYTE-level symbol initialization of one whitespace word: the
+    * word's UTF-8 BYTES as uppercase two-hex-digit symbols ("E2",
+    * "82", …), with `eow` suffixed on the final byte — the GPT-2
+    * byte-fallback convention re-expressed over a hex alphabet so
+    * symbols stay plain strings (merged symbols concatenate hex
+    * pairs; `unhex` of a symbol minus its marker recovers the bytes).
+    * A base alphabet of ≤ 256 symbols means NO character can ever be
+    * out-of-alphabet — the property byte-level tokenizers exist for —
+    * and for pure-ASCII text the hex pairs are a bijection of the
+    * code points, so byte- and char-level training learn isomorphic
+    * tables (asserted in VocabSpec). */
+  private[graft] def byteInit(word: Column, eow: String): Column = {
+    val bs = regexp_extract_all(hex(encode(word, "UTF-8")),
+      lit("(..)"), lit(1))
+    when(size(bs) > 0,
+      concat(slice(bs, lit(1), size(bs) - 1),
+        array(concat(element_at(bs, lit(-1)), lit(eow)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** BYTE-LEVEL BPE training — [[bpeMergesChar]] with the symbol
+    * alphabet lowered from code points to UTF-8 bytes ([[byteInit]]).
+    * Same weighted word-frequency-dictionary formulation, same batched
+    * rounds, creation bound and concat-collision guards (fixed-width
+    * hex symbols collide exactly like char symbols); same output
+    * contract (merge_idx, left, right, n_occurrences). The trainer
+    * loop is symbol-agnostic — this entry point is initialization
+    * only, which is the whole point of byte fallback: the base
+    * alphabet is bounded at 256+1 regardless of the corpus's Unicode
+    * surface. */
+  def bpeMergesByte(df: DataFrame, textCol: Column, nMerges: Int,
+      minCount: Long = 2L, eow: String = "</w>",
+      sampleFraction: Double = 1.0, batchCap: Int = 32): DataFrame = {
+    require(eow.nonEmpty, "bpeMergesByte: eow marker must be non-empty")
+    val training =
+      if (sampleFraction >= 1.0) df
+      else Corpus.sampleByHash(df, textCol, sampleFraction)
+    val dict = training
+      .select(explode(array_remove(split(textCol, "\\s+"), "")).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("w"))
+      .select(byteInit(col("_w"), eow).as("s"), col("w"))
+    bpeTrain(dict, nMerges, minCount, sep = "", batchCap = batchCap)
+  }
+
+  /** Tokenize with a BYTE-LEVEL merge table from [[bpeMergesByte]] —
+    * [[bpeEncodeChar]] over [[byteInit]] symbols: per-word greedy
+    * rank-order application via the same doc-local kernel, merge
+    * table on a one-row broadcast, no shuffle, no join.
+    * Output: (id, bpe array<string>, n_tokens); symbols are hex-pair
+    * runs (+ `eow` on word-final symbols), so
+    * `unhex(replace(sym, eow, ''))` recovers each token's bytes. */
+  def bpeEncodeByte(df: DataFrame, idCol: Column, textCol: Column,
+      merges: DataFrame, eow: String = "</w>"): DataFrame = {
+    require(eow.nonEmpty, "bpeEncodeByte: eow marker must be non-empty")
+    val mrow = mergeRow(merges)
+    val words = array_remove(split(textCol, "\\s+"), "")
+    df.filter(textCol.isNotNull)
+      .crossJoin(broadcast(mrow))
+      .select(idCol.as("id"),
+        flatten(transform(words, w =>
+          BpeExprs.encode(byteInit(w, eow), col("_ls"), col("_rs"), "")))
+          .as("bpe"))
+      .withColumn("n_tokens", size(col("bpe")).cast("long"))
+  }
+
   /** Tokenize the corpus with a TRAINED merge table — the Sennrich
     * encode that turns [[bpeMerges]] from a statistic into a usable
     * tokenizer: whitespace symbols, then every merge applied in rank
@@ -515,18 +580,46 @@ object Vocab {
   def bpeEncodeIdsChar(df: DataFrame, idCol: Column, textCol: Column,
       merges: DataFrame, eow: String = "</w>"): DataFrame = {
     require(eow.nonEmpty, "bpeEncodeIdsChar: eow marker must be non-empty")
+    encodeIdsViaDict(df, idCol, textCol, merges, eow,
+      charInit, bpeEncodeChar)
+  }
+
+  /** [[bpeEncodeByte]] to INT token ids — the byte-level twin of
+    * [[bpeEncodeIdsChar]] with the identical id contract and the
+    * identical dictionary-universe scale shape (byte-level words also
+    * encode independently, so the encoded distinct-word dictionary's
+    * symbol universe equals the corpus universe — one universe pass
+    * over Zipf-few words, one corpus encode at materialization, no
+    * persisted relation left behind). Output: (id, ids, n_tokens). */
+  def bpeEncodeIdsByte(df: DataFrame, idCol: Column, textCol: Column,
+      merges: DataFrame, eow: String = "</w>"): DataFrame = {
+    require(eow.nonEmpty, "bpeEncodeIdsByte: eow marker must be non-empty")
+    encodeIdsViaDict(df, idCol, textCol, merges, eow,
+      byteInit, bpeEncodeByte)
+  }
+
+  /** Shared dictionary-universe ids route (char/byte level): build the
+    * sorted symbol universe from the encoded DISTINCT-WORD dictionary
+    * (valid because per-word encoding is independent of surrounding
+    * words), then assign ids with the doc-local binary-search kernel
+    * over ONE corpus encode. */
+  private def encodeIdsViaDict(df: DataFrame, idCol: Column,
+      textCol: Column, merges: DataFrame, eow: String,
+      init: (Column, String) => Column,
+      enc: (DataFrame, Column, Column, DataFrame, String) => DataFrame)
+      : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val dictEnc = df
       .select(explode(array_remove(split(textCol, "\\s+"), "")).as("_w"))
       .distinct()
       .crossJoin(broadcast(mergeRow(merges)))
-      .select(BpeExprs.encode(charInit(col("_w"), eow),
+      .select(BpeExprs.encode(init(col("_w"), eow),
         col("_ls"), col("_rs"), "").as("bpe"))
     val vocabArr = dictEnc.select(explode(col("bpe")).as("t")).distinct()
       .orderBy(col("t")).as[String].collect().toSeq
     val vdf = Seq(Tuple1(vocabArr)).toDF("_v")
-    bpeEncodeChar(df, idCol, textCol, merges, eow)
+    enc(df, idCol, textCol, merges, eow)
       .crossJoin(broadcast(vdf))
       .select(col("id"),
         graft.functions.SetExprs.sortedLookupIds(col("bpe"), col("_v"))

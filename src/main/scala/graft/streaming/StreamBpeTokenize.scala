@@ -29,11 +29,12 @@ object StreamBpeTokenize {
     * columns to a (possibly streaming) document frame. Null text
     * yields a null `bpe` and n_tokens 0. Batch-equivalence:
     * over a closed corpus, the annotated stream equals
-    * [[graft.operators.Vocab.bpeEncodeChar]] row for row
-    * (StreamBpeTokenizeSpec). */
+    * [[graft.operators.Vocab.bpeEncodeChar]] (or, with
+    * `byteLevel = true`, [[graft.operators.Vocab.bpeEncodeByte]])
+    * row for row (StreamBpeTokenizeSpec). */
   def annotate(docsStream: DataFrame, merges: DataFrame,
       textCol: String = "text", eow: String = "</w>",
-      maxMerges: Int = 10000): DataFrame = {
+      maxMerges: Int = 10000, byteLevel: Boolean = false): DataFrame = {
     require(eow.nonEmpty, "StreamBpeTokenize: eow marker must be non-empty")
     require(maxMerges >= 1 && maxMerges <= 100000,
       s"StreamBpeTokenize: maxMerges must be in [1, 1e5], got $maxMerges")
@@ -52,8 +53,13 @@ object StreamBpeTokenize {
     val ls = typedlit(table.map(_._1).toSeq)
     val rs = typedlit(table.map(_._2).toSeq)
     val words = array_remove(split(col(textCol), "\\s+"), "")
+    // byteLevel swaps the symbol init (UTF-8 hex pairs, the x120
+    // byte-fallback alphabet) — the kernel and everything else is
+    // symbol-agnostic, exactly as in the batch trainer
+    val init: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (byteLevel) Vocab.byteInit(_, eow) else Vocab.charInit(_, eow)
     val bpe = flatten(transform(words, w =>
-      BpeExprs.encode(Vocab.charInit(w, eow), ls, rs, "")))
+      BpeExprs.encode(init(w), ls, rs, "")))
     docsStream
       .withColumn("bpe", bpe)
       .withColumn("n_tokens",

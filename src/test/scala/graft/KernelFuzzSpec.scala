@@ -188,6 +188,75 @@ class KernelFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("byte-BPE path fuzz: bpeEncodeByte equals the per-word " +
+    "byte-init + merge fold on adversarial unicode text — and the " +
+    "hex alphabet makes literal '</w>' text collision-free") {
+    def refMerge(s: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var j = 0
+      while (j < s.length) {
+        if (j + 1 < s.length && s(j) == l && s(j + 1) == r) {
+          b += (l + r); j += 2
+        } else { b += s(j); j += 1 }
+      }
+      b.result()
+    }
+    def byteInitRef(w: String): Vector[String] = {
+      val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .toVector.map(b => f"${b & 0xff}%02X")
+      if (bs.isEmpty) Vector.empty else bs.init :+ (bs.last + "</w>")
+    }
+    // hex-pair symbols (incl. multibyte fragments) and small
+    // concatenations, some eow-suffixed
+    val symGen: Gen[String] = Gen.oneOf(
+      "61", "62", "74", "68", "65", "C3", "A9", "E6", "97", "A5",
+      "F0", "9D", "84", "9E", "6162", "7468", "65</w>", "9E</w>",
+      "61</w>", "A9</w>")
+    val byteTextGen: Gen[String] = for {
+      toks <- Gen.listOfN(10, Gen.oneOf(
+        "the", "a", "ab", "abab", "éé", "日本", "𝄞𝄞𝄞", "🂡a🂡",
+        "x" * 500, "a</w>b", "</w>", "é"))
+      n <- Gen.chooseNum(0, 10)
+    } yield toks.take(n).mkString(" ")
+    val tableGen = for {
+      m <- Gen.chooseNum(0, 6)
+      ls <- Gen.listOfN(m, symGen)
+      rs <- Gen.listOfN(m, symGen)
+    } yield (ls, rs)
+    val cases = samples(Gen.zip(byteTextGen, tableGen), 100) ++ Seq(
+      ("", (Nil, Nil)), ("   ", (Nil, Nil)),
+      ("aaaa", (List("61"), List("61"))),          // overlap runs
+      ("𝄞𝄞 𝄞", (List("84"), List("9E</w>"))),      // astral tail + eow
+      ("the the", (List("74", "7468"), List("68", "65</w>"))))
+    val rows = cases.zipWithIndex.map { case ((text, (ls, rs)), i) =>
+      (i.toLong, text, ls, rs) }
+    for (((ls, rs), grp) <- rows.groupBy { case (_, _, ls, rs) => (ls, rs) }) {
+      val merges = ls.zip(rs).zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r, 1L) }
+        .toDF("merge_idx", "left", "right", "n_occurrences")
+      val in = grp.map { case (id, t, _, _) => (id, t) }.toDF("doc_id", "text")
+      val got = graft.operators.Vocab.bpeEncodeByte(
+          in, col("doc_id"), col("text"), merges)
+        .select(col("id"), col("bpe"), col("n_tokens"))
+        .as[(Long, Seq[String], Long)].collect()
+        .map { case (k, b, n) => k -> ((b, n)) }.toMap
+      for ((id, text, _, _) <- grp) {
+        val want = text.split("\\s+").filter(_.nonEmpty).toVector.flatMap {
+          w => ls.zip(rs).foldLeft(byteInitRef(w)) {
+            case (acc, (l, r)) => refMerge(acc, l, r)
+          }
+        }
+        val (gb, gn) = got(id)
+        assert(gb === want, s"bpeEncodeByte('$text', $ls, $rs)")
+        assert(gn === want.length.toLong)
+        // the marker appears ONLY as a symbol suffix: literal "</w>"
+        // in text becomes hex 3C2F773E, so no symbol body can contain
+        // the marker string
+        assert(gb.forall(s => !s.dropRight(4).contains("</w>")))
+      }
+    }
+  }
+
   test("Set kernel fuzz: sorted merge kernels equal order-independent " +
     "set arithmetic after sort_array, including astral-plane strings " +
     "(UTF8 binary order ≠ Java UTF-16 order there)") {

@@ -213,6 +213,10 @@ class PlanSpec extends SparkTestBase {
         // table rides a broadcast for the per-word encode kernel, and
         // x119 adds the ONE-row sorted symbol universe (x115's pattern)
         "x118_bpe_char", "x119_bpe_char_ids",
+        // x120/x121 are the byte-level twins of x118/x119 — identical
+        // ONE-row merge-table (and, for x121, symbol-universe)
+        // broadcast attaches
+        "x120_bpe_byte", "x121_bpe_byte_ids",
         // x117 attaches the ONE-row rare-first dictionary twice (index
         // build + frozen-order delta ranking) — x101's delta pattern
         "x117_containment_delta",

@@ -45,6 +45,41 @@ class StreamBpeTokenizeSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("byteLevel annotate over micro-batches equals batch " +
+    "bpeEncodeByte, multibyte text included") {
+    implicit val sql = spark.sqlContext
+    val rows = Seq((1L, "héllo héllo €uro"), (2L, "héllo a😀b a😀b"),
+      (3L, "€uro plain plain"), (4L, null.asInstanceOf[String]))
+    val docs = rows.toDF("doc_id", "text")
+    val merges = Vocab.bpeMergesByte(docs, col("text"), nMerges = 6)
+
+    val in = MemoryStream[(Long, String)]
+    val annotated = StreamBpeTokenize.annotate(
+      in.toDF().toDF("doc_id", "text"), merges, byteLevel = true)
+    val q = annotated
+      .select($"doc_id", concat_ws("", $"bpe").as("enc"), $"n_tokens")
+      .writeStream.format("memory")
+      .queryName("bpe_annotated_byte").outputMode("append").start()
+    try {
+      in.addData(rows.take(2))
+      q.processAllAvailable()
+      in.addData(rows.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("bpe_annotated_byte")
+        .as[(Long, String, Long)].collect().toSet
+      val want = Vocab.bpeEncodeByte(docs, col("doc_id"), col("text"),
+          merges)
+        .select($"id", concat_ws("", $"bpe").as("enc"), $"n_tokens")
+        .as[(Long, String, Long)].collect().toSet
+      // the batch encode drops null-text rows; the stream annotates
+      // them (null bpe → empty concat, 0 tokens)
+      assert(got.filter(_._1 != 4L) === want)
+      assert(got.find(_._1 == 4L).get === ((4L, "", 0L)))
+      // byte alphabet live: some symbol run is longer than one byte
+      assert(want.exists(_._2.contains("</w>")))
+    } finally q.stop()
+  }
+
   test("null text annotates (null bpe, 0 tokens); guards fire") {
     val merges = Seq((0L, "a", "b</w>", 2L))
       .toDF("merge_idx", "left", "right", "n_occurrences")

@@ -271,17 +271,28 @@ class VocabSpec extends SparkTestBase {
     else cps.init :+ (cps.last + eow)
   }
 
+  /** UTF-8 bytes of a word as uppercase hex pairs, `eow` on the last. */
+  private def byteInitRef(w: String, eow: String): Vector[String] = {
+    val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .toVector.map(b => f"${b & 0xff}%02X")
+    if (bs.isEmpty) Vector.empty
+    else bs.init :+ (bs.last + eow)
+  }
+
   /** Independent single-machine CHAR-LEVEL BPE trainer over the word
     * frequency dictionary (Sennrich): weighted overlapping pair
     * counts, argmax by (count desc, left, right), greedy-leftmost
-    * merge with sep = "". */
+    * merge with sep = "". `init` swaps the symbol alphabet (char vs
+    * byte level — the loop is symbol-agnostic, like the operator's). */
   private def refBpeChar(texts: Seq[String], n: Int, minCount: Long,
-      eow: String): Seq[(Long, String, String, Long)] = {
+      eow: String,
+      init: (String, String) => Vector[String] = charInitRef)
+      : Seq[(Long, String, String, Long)] = {
     val dict0 = texts.filter(_ != null)
       .flatMap(_.split("\\s+").filter(_.nonEmpty))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     var seqs = dict0.toSeq
-      .map { case (w, c) => (charInitRef(w, eow), c) }
+      .map { case (w, c) => (init(w, eow), c) }
       .filter(_._1.length >= 2)
     val out = Seq.newBuilder[(Long, String, String, Long)]
     var i = 0
@@ -366,6 +377,59 @@ class VocabSpec extends SparkTestBase {
     }
   }
 
+  test("bpeMergesByte equals the byte-level reference on the sf0.001 " +
+    "corpus (12 merges), batched ≡ batchCap=1; symbols are hex runs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val texts = docs.select($"text").as[String].collect().toSeq
+    val want = refBpeChar(texts, 12, 2L, "</w>", byteInitRef).toList
+    val got = Vocab.bpeMergesByte(docs, col("text"), nMerges = 12)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(got === want)
+    assert(got.length === 12)
+    val seq1 = Vocab.bpeMergesByte(docs, col("text"), nMerges = 12,
+      batchCap = 1)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(seq1 === want)
+    // every merge participant is a run of uppercase hex pairs with an
+    // optional single trailing marker — the byte alphabet is closed
+    val sym = "^(?:[0-9A-F]{2})+(?:</w>)?$".r
+    assert(got.forall(m => sym.matches(m._2) && sym.matches(m._3)))
+  }
+
+  test("bpeEncodeByte: reproduces the byte trainer's dictionary state " +
+    "and unhex round-trips multibyte and astral-plane text") {
+    // multibyte (2-, 3-byte UTF-8) + astral plane (surrogate pair →
+    // 4 bytes) + ASCII: no character is out-of-alphabet at byte level
+    val rows = Seq(
+      (1L, "héllo héllo €uro"),
+      (2L, "héllo a😀b a😀b ascii"),
+      (3L, "€uro ascii ascii"))
+    val docs = rows.toDF("doc_id", "text")
+    val texts = rows.map(_._2)
+    val nMerges = 6
+    val merges = Vocab.bpeMergesByte(docs, col("text"),
+      nMerges = nMerges, minCount = 2L)
+    val mlist = refBpeChar(texts, nMerges, 2L, "</w>", byteInitRef)
+    assert(merges.count() === mlist.length)
+    val got = Vocab.bpeEncodeByte(docs, col("doc_id"), col("text"), merges)
+      .select($"id", $"bpe").as[(Long, Seq[String])].collect().toMap
+    for ((id, text) <- rows) {
+      val words = text.split("\\s+").filter(_.nonEmpty).toVector
+      val want = words.flatMap { w =>
+        var s = byteInitRef(w, "</w>")
+        for ((_, l, r, _) <- mlist) s = refMergeGreedy(s, l, r, "")
+        s
+      }
+      assert(got(id) === want, s"doc $id")
+      // byte round-trip: strip markers, unhex = the word byte stream
+      val hexStream = got(id).mkString("").replace("</w>", "")
+      val bytes = hexStream.grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+      assert(new String(bytes,
+        java.nio.charset.StandardCharsets.UTF_8) === words.mkString(""))
+    }
+  }
+
   test("bpeEncodeIdsChar: ids are 1-based sorted-universe ranks that " +
     "decode back to the char encoding; no persisted relation leaks") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
@@ -400,6 +464,31 @@ class VocabSpec extends SparkTestBase {
       .select(Vocab.bpeDecodeIds($"ids", typedlit(vocab)).as("d"))
       .collect().head.getSeq[String](0)
     assert(unk.head == null && unk(1) == vocab.head && unk(2) == null)
+  }
+
+  test("bpeEncodeIdsByte: the byte-level id contract — sorted-universe " +
+    "ranks over hex symbols, multibyte text, no persisted leaks") {
+    val docs = Seq((1L, "héllo héllo €uro"), (2L, "héllo a😀b a😀b"),
+      (3L, "€uro plain plain")).toDF("doc_id", "text")
+    val merges = Vocab.bpeMergesByte(docs, col("text"), nMerges = 5)
+    val enc = Vocab.bpeEncodeByte(docs, col("doc_id"), col("text"), merges)
+      .select($"id", $"bpe").as[(Long, Seq[String])].collect().toMap
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ids = Vocab.bpeEncodeIdsByte(docs, col("doc_id"), col("text"),
+      merges)
+      .select($"id", $"ids").as[(Long, Seq[Int])].collect().toMap
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"bpeEncodeIdsByte left new persisted RDDs: $leaked")
+    // hex symbols are ASCII, so JVM string sort = the engine's binary
+    // sort — ids must be exactly the 1-based ranks
+    val vocab = enc.values.flatten.toSeq.distinct.sorted
+    val tokOf = vocab.zipWithIndex.map { case (t, i) => (i + 1) -> t }.toMap
+    assert(ids.keySet === enc.keySet)
+    for ((d, arr) <- ids) {
+      assert(arr.forall(_ >= 1))
+      assert(arr.map(tokOf) === enc(d))
+    }
   }
 
   test("MG summary retains every token above N/(capacity+1), never overcounts") {
