@@ -4,22 +4,38 @@
 The synthetic sf1 is ScaleGen's ten id-shifted shards of sf0.1: shard 0
 is VERBATIM sf0.1 (ids and text unchanged), shards k>0 shift ids by
 k*1e9 and splice "~k" mid-token so cross-shard exact/near-dup structure
-collapses by construction. For the dedup/similarity heads this yields a
-checkable law wherever the full DuckDB oracle replay is past the cost
-cap:
+collapses by construction. For operators whose output decomposes per
+shard this yields a checkable law wherever the full DuckDB oracle
+replay is past the cost cap:
 
   1. SHARD-0 FAITHFULNESS - the sf1 output restricted to shard-0 ids
      must equal the (oracle-verified) sf0.1 output row-for-row: the
      other nine shards must not perturb shard 0's result.
-  2. CROSS-SHARD LEAKS - output rows pairing ids from two different
+  2. EXACT 10x ROWS - ten structurally-identical shards produce exactly
+     ten times the sf0.1 row count (asserted, not just printed).
+  3. CROSS-SHARD LEAKS - output rows pairing ids from two different
      shards must not exist (the splice collapses cross-shard
-     similarity), excluding degenerate empty/whitespace docs which are
-     identical across shards by construction.
+     similarity). NO exclusion is applied for degenerate empty/
+     whitespace docs: such docs receive no splice (nothing to splice
+     into) and would legitimately pair across shards, so a generator
+     emitting cross-shard-pairable degenerates would surface here as a
+     FAIL - by construction of the current ScaleGen fixtures none
+     exist (leak count is 0 in every recorded run), and keeping the
+     check unconditional means a fixture regression is caught instead
+     of filtered away.
 
 Together with the DuckDB oracle check run at sf0.1 itself
 (check.py /root/testdata/sf0.1 <out>), this lifts oracle-grade
 verification to the sf1 decade: oracle => sf0.1 correct;
 shard law => sf1 behaves as ten independent verified shards.
+
+SCALED_COLS entries (x63 pagerank) use a VALUE-transformed shard-0
+compare instead of byte equality: pagerank's teleport term and init
+divide by the GLOBAL node count, so ten disjoint identical copies
+solve to exactly (sf0.1 solution)/10 by linearity of the iteration -
+the check joins shard-0 rows on the id, asserts |pr_sf1 * 10 -
+pr_sf0.1| <= tol (tol covers the round(.,6) applied on each side),
+plus the 10x-rows law.
 
 Usage: sf1_shard_check.py <sf1_out_dir> <sf01_out_dir> <query> [query...]
 """
@@ -30,18 +46,33 @@ SHIFT = 10 ** 9
 
 # per-query id columns: (single-id cols, pair cols).
 # NOTE the law applies to operators whose output decomposes per shard
-# (dedup/similarity: the splice guarantees cross-shard independence).
-# It does NOT apply to global-neighborhood operators like x6 ANN --
-# at sf1 the corpus holds all ten shards, so the true top-k/kth_cosine
-# legitimately differs from sf0.1 (perturbed shard vectors enter the
-# neighborhood); x6 takes the DIRECT DuckDB oracle at sf1 instead
-# (exact brute-force top-k is cheap SQL even at 2M vectors).
+# (dedup/similarity: the splice guarantees cross-shard independence;
+# keyed temporal operators: surrogate keys shift per shard, timestamps
+# and values are unchanged, so each shard's sessions/runs/lookups
+# mirror shard 0's). It does NOT apply to global-neighborhood
+# operators like x6 ANN -- at sf1 the corpus holds all ten shards, so
+# the true top-k/kth_cosine legitimately differs from sf0.1 (perturbed
+# shard vectors enter the neighborhood); x6 takes the DIRECT DuckDB
+# oracle at sf1 instead (exact brute-force top-k is cheap SQL even at
+# 2M vectors).
 ID_COLS = {
     "x1_dedup_exact": (["keep_id"], []),
     "x2_dedup_minhash": ([], [("doc_a", "doc_b")]),
     "x85_span_dedup": (["doc_id"], []),
     "x112_span_dedup_all": (["doc_id"], []),
     "x114_containment": ([], [("doc_a", "doc_b")]),
+    # round-10 extension: temporal/keyed heads (sf1 keys shift by
+    # k*1e9, timestamps/values verbatim per shard)
+    "x14_asof_prev_order": (["o_orderkey"], []),
+    "x109_asof_next_order": (["o_orderkey"], []),
+    "x23_sessionize": (["user_id"], []),
+    "x93_scd2_merge": (["key"], []),
+}
+
+# queries with a global-normalization VALUE transform on the shard-0
+# compare: id col, value col, shard-0 scale factor, abs tolerance
+SCALED_COLS = {
+    "x63_pagerank": ("doc_id", "pr", 10.0, 2e-5),
 }
 
 sf1_dir, sf01_dir = sys.argv[1], sys.argv[2]
@@ -50,9 +81,31 @@ queries = sys.argv[3:] or list(ID_COLS)
 con = duckdb.connect()
 fails = 0
 for q in queries:
-    singles, pairs = ID_COLS[q]
     hi = f"'{sf1_dir}/{q}/*.parquet'"
     lo = f"'{sf01_dir}/{q}/*.parquet'"
+    n_hi = con.sql(f"SELECT count(*) FROM {hi}").fetchone()[0]
+    n_lo = con.sql(f"SELECT count(*) FROM {lo}").fetchone()[0]
+    if q in SCALED_COLS:
+        idc, valc, scale, tol = SCALED_COLS[q]
+        bad = con.sql(
+            f"SELECT count(*) FROM {hi} h JOIN {lo} l USING ({idc}) "
+            f"WHERE h.{idc} < {SHIFT} "
+            f"AND abs(h.{valc} * {scale} - l.{valc}) > {tol}").fetchone()[0]
+        matched = con.sql(
+            f"SELECT count(*) FROM {hi} h JOIN {lo} l USING ({idc}) "
+            f"WHERE h.{idc} < {SHIFT}").fetchone()[0]
+        shard0 = con.sql(
+            f"SELECT count(*) FROM {hi} WHERE {idc} < {SHIFT}").fetchone()[0]
+        ok = (bad == 0 and matched == n_lo and shard0 == n_lo
+              and n_hi == 10 * n_lo)
+        if not ok:
+            fails += 1
+        print(f"{q}: {'OK' if ok else 'FAIL'} "
+              f"(sf1 rows={n_hi}, sf0.1 rows={n_lo}, shard0={shard0}, "
+              f"joined={matched}, out-of-tol={bad}, "
+              f"scaled x{scale} tol={tol}, 10x={'yes' if n_hi == 10 * n_lo else 'NO'})")
+        continue
+    singles, pairs = ID_COLS[q]
     # 1. shard-0 restriction of the sf1 output == the sf0.1 output.
     # All id columns < SHIFT selects shard 0; non-id columns (text,
     # scores, counts) must match byte-for-byte since shard 0 is
@@ -66,20 +119,21 @@ for q in queries:
     only_lo = con.sql(
         f"SELECT count(*) FROM (SELECT * FROM {lo} "
         f"EXCEPT ALL SELECT * FROM {hi} WHERE {cond})").fetchone()[0]
-    # 2. cross-shard leaks in pair outputs
+    # 2. cross-shard leaks in pair outputs (unconditional; see module
+    # docstring)
     leaks = 0
     for a, b in pairs:
         leaks += con.sql(
             f"SELECT count(*) FROM {hi} "
             f"WHERE ({a} // {SHIFT}) <> ({b} // {SHIFT})").fetchone()[0]
-    n_hi = con.sql(f"SELECT count(*) FROM {hi}").fetchone()[0]
-    n_lo = con.sql(f"SELECT count(*) FROM {lo}").fetchone()[0]
-    ok = only_hi == 0 and only_lo == 0 and leaks == 0
+    ok = (only_hi == 0 and only_lo == 0 and leaks == 0
+          and n_hi == 10 * n_lo)
     if not ok:
         fails += 1
     print(f"{q}: {'OK' if ok else 'FAIL'} "
           f"(sf1 rows={n_hi}, sf0.1 rows={n_lo}, "
           f"shard0-extra={only_hi}, shard0-missing={only_lo}, "
-          f"cross-shard-leaks={leaks})")
+          f"cross-shard-leaks={leaks}, "
+          f"10x={'yes' if n_hi == 10 * n_lo else 'NO'})")
 print("ALL OK" if fails == 0 else f"{fails} FAILED")
 sys.exit(1 if fails else 0)

@@ -35,10 +35,13 @@ object BpeOps {
     new GenericArrayData(out.toArray(new Array[UTF8String](out.size)))
   }
 
-  /** Apply a whole merge table in rank order (see [[BpeEncodeExpr]]).
-    * `lefts`/`rights` are rank-aligned arrays. */
-  def encodeAll(arr: ArrayData, lefts: ArrayData, rights: ArrayData,
-      sep: UTF8String): ArrayData = {
+  /** The REFERENCE encode: apply a whole merge table in rank order,
+    * one greedy leftmost non-overlapping pass per rank — O(nMerges ·
+    * len) per word. Kept as the semantic ground truth for the
+    * heap≡greedy equivalence law (KernelFuzzSpec); the production
+    * entry point [[encodeAll]] runs the rank-heap encoder below. */
+  def encodeAllGreedy(arr: ArrayData, lefts: ArrayData,
+      rights: ArrayData, sep: UTF8String): ArrayData = {
     var cur = new Array[UTF8String](arr.numElements())
     var i = 0
     while (i < cur.length) { cur(i) = arr.getUTF8String(i); i += 1 }
@@ -62,6 +65,211 @@ object BpeOps {
     }
     new GenericArrayData(cur)
   }
+
+  /** A merge table compiled for the rank-heap encoder: rank-aligned
+    * symbol/merged arrays (UTF8Strings CLONED out of the source
+    * ArrayData so the compiled form never aliases a transient row
+    * buffer) plus a pair → sorted-ranks index. Ranks whose left or
+    * right symbol is null are inert (they can never match — the
+    * greedy reference's `equals(null)` is false) and get no index
+    * entry. */
+  final class CompiledTable(leftsAD: ArrayData, rightsAD: ArrayData,
+      sep: UTF8String) {
+    val n: Int = leftsAD.numElements()
+    val lefts = new Array[UTF8String](n)
+    val rights = new Array[UTF8String](n)
+    val merged = new Array[UTF8String](n)
+    /** left → (right → sorted ranks); nested so a pair probe is two
+      * hash lookups with ZERO key allocation on the encode hot path. */
+    val ranks =
+      new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Array[Int]]]()
+    locally {
+      val tmp = new java.util.HashMap[UTF8String,
+        java.util.HashMap[UTF8String, java.util.ArrayList[Integer]]]()
+      var k = 0
+      while (k < n) {
+        val l = leftsAD.getUTF8String(k)
+        val r = rightsAD.getUTF8String(k)
+        if (l != null && r != null) {
+          val lc = l.clone(); val rc = r.clone()
+          lefts(k) = lc; rights(k) = rc
+          merged(k) = UTF8String.concat(lc, sep, rc)
+          var inner = tmp.get(lc)
+          if (inner == null) {
+            inner =
+              new java.util.HashMap[UTF8String, java.util.ArrayList[Integer]]()
+            tmp.put(lc, inner)
+          }
+          var lst = inner.get(rc)
+          if (lst == null) {
+            lst = new java.util.ArrayList[Integer](1); inner.put(rc, lst)
+          }
+          lst.add(k)
+        }
+        k += 1
+      }
+      val it = tmp.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val inner = new java.util.HashMap[UTF8String, Array[Int]]()
+        val it2 = e.getValue.entrySet().iterator()
+        while (it2.hasNext) {
+          val e2 = it2.next()
+          val a = new Array[Int](e2.getValue.size)
+          var j = 0
+          while (j < a.length) { a(j) = e2.getValue.get(j); j += 1 }
+          inner.put(e2.getKey, a) // insertion order was rank order: sorted
+        }
+        ranks.put(e.getKey, inner)
+      }
+    }
+    /** Content equality against a raw (lefts, rights) pair — the cache
+      * fallback when reference identity misses. */
+    def sameTable(ls: ArrayData, rs: ArrayData): Boolean = {
+      if (ls.numElements() != n || rs.numElements() != n) return false
+      var k = 0
+      while (k < n) {
+        val l = ls.getUTF8String(k); val r = rs.getUTF8String(k)
+        val le = lefts(k); val re = rights(k)
+        if (le == null || re == null) {
+          // inert rank: stored as (null, null) even if only one side was
+          if (l != null && r != null) return false
+        } else if (l == null || r == null || !l.equals(le) || !r.equals(re))
+          return false
+        k += 1
+      }
+      true
+    }
+  }
+
+  /** Per-thread 2-slot compiled-table cache. Keyed by reference
+    * identity of the (lefts, rights) ArrayData first (literal tables —
+    * `typedlit` — return the SAME GenericArrayData every eval, so the
+    * common tokenize routes hit at O(1)), then by content equality
+    * (one O(m) memcmp walk) before recompiling. Two slots so a plan
+    * carrying two tables (e.g. char- and byte-level side by side)
+    * doesn't thrash. */
+  private final class CacheSlot {
+    var leftsRef: AnyRef = null
+    var rightsRef: AnyRef = null
+    var sepRef: UTF8String = null
+    var table: CompiledTable = null
+  }
+  private val cache = new ThreadLocal[Array[CacheSlot]] {
+    override def initialValue(): Array[CacheSlot] =
+      Array(new CacheSlot, new CacheSlot)
+  }
+
+  private def compiled(lefts: ArrayData, rights: ArrayData,
+      sep: UTF8String): CompiledTable = {
+    val slots = cache.get()
+    var s = 0
+    while (s < slots.length) {
+      val c = slots(s)
+      if (c.table != null && c.sepRef.equals(sep) &&
+          (c.leftsRef eq lefts) && (c.rightsRef eq rights))
+        return c.table
+      s += 1
+    }
+    s = 0
+    while (s < slots.length) {
+      val c = slots(s)
+      if (c.table != null && c.sepRef.equals(sep) &&
+          c.table.sameTable(lefts, rights)) {
+        c.leftsRef = lefts; c.rightsRef = rights
+        return c.table
+      }
+      s += 1
+    }
+    // miss: compile into slot 1 after promoting slot 1 -> 0? Keep it
+    // simple: shift slot 0 to slot 1, compile into slot 0 (MRU first).
+    val evicted = slots(1)
+    slots(1) = slots(0)
+    val c = evicted
+    c.leftsRef = lefts; c.rightsRef = rights; c.sepRef = sep
+    c.table = new CompiledTable(lefts, rights, sep)
+    slots(0) = c
+    c.table
+  }
+
+  /** Rank-heap BPE encode — output-identical to [[encodeAllGreedy]]
+    * for ARBITRARY tables, O(len² + len·log len) per word and
+    * independent of table size. The greedy fold's semantics are "for
+    * each rank in order, one greedy pass IF the pair is present at
+    * that point"; this simulates exactly that while skipping absent
+    * ranks: a min-heap seeded with every rank of every pair adjacent
+    * in the initial word, popped in (monotonically increasing) rank
+    * order; each applied pass rescans adjacencies and pushes only
+    * ranks GREATER than the applied rank — a pair created by merge k
+    * must not fire a rank the sequential fold already passed. A popped
+    * rank whose pair was destroyed earlier finds no occurrence and
+    * no-ops, exactly as the fold would. */
+  def encodeHeap(arr: ArrayData, t: CompiledTable): ArrayData = {
+    var cur = new Array[UTF8String](arr.numElements())
+    var i = 0
+    while (i < cur.length) { cur(i) = arr.getUTF8String(i); i += 1 }
+    if (cur.length < 2 || t.ranks.isEmpty) return new GenericArrayData(cur)
+    val pushed = new java.util.HashSet[Integer]()
+    val heap = new java.util.PriorityQueue[Integer]()
+    def pushPresent(minExclusive: Int): Unit = {
+      var j = 0
+      while (j + 1 < cur.length) {
+        val a = cur(j); val b = cur(j + 1)
+        if (a != null && b != null) {
+          val inner = t.ranks.get(a)
+          val rks = if (inner == null) null else inner.get(b)
+          if (rks != null) {
+            var q = 0
+            while (q < rks.length) {
+              val rk = rks(q)
+              if (rk > minExclusive && pushed.add(rk)) heap.add(rk)
+              q += 1
+            }
+          }
+        }
+        j += 1
+      }
+    }
+    pushPresent(-1)
+    while (!heap.isEmpty && cur.length >= 2) {
+      val k: Int = heap.poll()
+      val l = t.lefts(k); val r = t.rights(k); val merged = t.merged(k)
+      val out = new java.util.ArrayList[UTF8String](cur.length)
+      var changed = false
+      i = 0
+      while (i < cur.length) {
+        val isPair = i + 1 < cur.length && cur(i) != null &&
+          cur(i).equals(l) && cur(i + 1) != null && cur(i + 1).equals(r)
+        if (isPair) { out.add(merged); i += 2; changed = true }
+        else { out.add(cur(i)); i += 1 }
+      }
+      if (changed) {
+        cur = out.toArray(new Array[UTF8String](out.size))
+        pushPresent(k)
+      }
+    }
+    new GenericArrayData(cur)
+  }
+
+  /** Below this table size the plain greedy fold wins: m passes over
+    * a short word cost less than the heap path's per-word heap/set
+    * bookkeeping. Crossover measured on the bench corpus; both paths
+    * are output-identical so the constant is purely a speed knob. */
+  private final val HeapThreshold = 48
+
+  /** Apply a whole merge table in rank order (see [[BpeEncodeExpr]]).
+    * `lefts`/`rights` are rank-aligned arrays. Production path: greedy
+    * fold for small tables, cached-compile rank-heap encoder past
+    * [[HeapThreshold]] — O(len² + len·log len) per word, independent
+    * of vocabulary size, which at real nMerges (1k–30k) is the
+    * difference between the kernel constant scaling with the corpus
+    * or with corpus × vocabulary (equivalence with the greedy fold is
+    * a KernelFuzzSpec law). */
+  def encodeAll(arr: ArrayData, lefts: ArrayData, rights: ArrayData,
+      sep: UTF8String): ArrayData =
+    if (lefts.numElements() < HeapThreshold)
+      encodeAllGreedy(arr, lefts, rights, sep)
+    else encodeHeap(arr, compiled(lefts, rights, sep))
 }
 
 /** Codegen column: apply one BPE merge (left, right) to a symbol array.
@@ -112,9 +320,11 @@ case class MergeAdjacentExpr(arr: Expression, left: Expression,
   * rank order, each as one greedy leftmost non-overlapping pass — the
   * Sennrich ENCODE, and exactly the trainer's own application step, so
   * encoding the training corpus reproduces the trainer's final symbol
-  * state. O(nMerges · len) per doc; a rank-heap encoder is the
-  * constant-factor upgrade when nMerges reaches real vocabulary sizes,
-  * but the sequential pass IS the semantics either way. */
+  * state. Executes as the rank-heap encoder ([[BpeOps.encodeHeap]]):
+  * O(len² + len·log len) per word, INDEPENDENT of table size, with the
+  * table compiled once per task via the thread-local cache — but
+  * output-identical to the sequential greedy fold
+  * ([[BpeOps.encodeAllGreedy]], the KernelFuzzSpec equivalence law). */
 case class BpeEncodeExpr(arr: Expression, lefts: Expression,
     rights: Expression, sep: String) extends TernaryExpression {
 

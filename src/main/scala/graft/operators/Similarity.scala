@@ -399,18 +399,39 @@ object Similarity {
     * recovery whose cost is ∝ queries·rerank exact distances, NOT more
     * cell probing. The raw embeddings ARE re-read for shortlist rows
     * in this mode (column-pruned, id-filtered); the score column is
-    * then `cosine` (exact) instead of `pq_cosine`. */
+    * then `cosine` (exact) instead of `pq_cosine`.
+    *
+    * `probeMass > 0` switches probing from a FIXED nearest-cell count
+    * to ADAPTIVE coverage (the re-rank sweep showed residual recall
+    * loss is unprobed-CELL coverage, not scoring): each query walks
+    * its nearest-cell ranking until the probed cells' cumulative
+    * corpus mass reaches `probeMass` of the indexed vectors, bounded
+    * below by `nProbe` and above by `nProbeMax` (0 ⇒ nLists). Cell
+    * masses are the inverted-list LENGTHS — the statistic a prebuilt
+    * IVF index carries for free, here one bounded nLists-row aggregate
+    * collected as a literal — so a query landing near small cells
+    * probes more of them and one near a giant cell stops early: the
+    * scored-candidate budget is ≈ probeMass · corpus for EVERY query,
+    * instead of nProbe/nLists on average with unbounded per-query
+    * variance. */
   def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       nLists: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
       trainSample: Int = 100000, idCol: String = "vec_id",
       embCol: String = "embedding",
-      maxTrainBytes: Long = 64L << 20, rerank: Int = 0): DataFrame = {
+      maxTrainBytes: Long = 64L << 20, rerank: Int = 0,
+      probeMass: Double = 0.0, nProbeMax: Int = 0): DataFrame = {
     require(m >= 1 && ksub >= 2,
       s"ivfPqTopK: need m >= 1 and ksub >= 2, got m=$m ksub=$ksub")
     require(nProbe >= 1 && nProbe <= nLists,
       s"ivfPqTopK: need 1 <= nProbe <= nLists, got $nProbe/$nLists")
     require(rerank == 0 || rerank >= k,
       s"ivfPqTopK: rerank must be 0 (off) or >= k, got $rerank vs k=$k")
+    require(probeMass >= 0.0 && probeMass <= 1.0,
+      s"ivfPqTopK: probeMass must be in [0,1], got $probeMass")
+    val pMax = if (nProbeMax <= 0) nLists else nProbeMax
+    require(pMax >= nProbe && pMax <= nLists,
+      s"ivfPqTopK: need nProbe <= nProbeMax <= nLists, got " +
+        s"$nProbe/$pMax/$nLists")
     val corpus = embeddings
       .select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
@@ -436,14 +457,39 @@ object Similarity {
       .select(col("vec_id"),
         element_at(cellsRankedExpr(vg, centers), 1)("cell").as("cell"),
         PqExprs.encode(vg, cb, m, ksub, dsub).as("codes"))
+    // adaptive probing: the per-cell corpus masses (inverted-list
+    // lengths), one bounded nLists-row aggregate — column pruning drops
+    // the PQ codes from this pass, it reads cells only
+    val probeCol: Column =
+      if (probeMass <= 0.0)
+        slice(cellsRankedExpr(col("q"), centers), 1, nProbe)("cell")
+      else {
+        val counts = assigned.select(col("cell"))
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val massByCell = Array.tabulate(nLists)(i => counts.getOrElse(i, 0L))
+        val target = math.ceil(probeMass * massByCell.sum).toLong
+        val massLit = typedlit(massByCell.toSeq)
+        val rankedCells =
+          slice(cellsRankedExpr(col("q"), centers), 1, pMax)("cell")
+        val masses = transform(rankedCells,
+          c => coalesce(get(massLit, c), lit(0L)))
+        val idxs = sequence(lit(0), size(masses) - 1)
+        // prefix sums over ≤ nLists entries (bounded, per query row)
+        val cums = transform(idxs, i =>
+          aggregate(slice(masses, lit(1), i + 1), lit(0L), (a, x) => a + x))
+        val needed = coalesce(
+          element_at(filter(idxs, i => get(cums, i) >= lit(target)), 1) + 1,
+          size(cums))
+        slice(rankedCells, lit(1), greatest(needed, lit(nProbe)))
+      }
     val qs = queries
       .select(col(idCol).as("query_id"),
         col(embCol).cast("array<double>").as("q"))
       .filter(col("q").isNotNull && !exists(col("q"), _.isNull) &&
         size(col("q")) === dim)
       .select(col("query_id"),
-        explode(slice(cellsRankedExpr(col("q"), centers), 1, nProbe)("cell"))
-          .as("cell"),
+        explode(probeCol).as("cell"),
         PqExprs.table(col("q"), cb, m, ksub, dsub).as("qt"),
         sqrt(VectorExprs.dot(col("q"), col("q"))).as("qnorm"))
     // one cell per corpus vector × distinct probe cells ⇒ each

@@ -281,6 +281,16 @@ object Vocab {
           else {
             accepted += c
             usedSyms += l; usedSyms += r
+            // same-batch duplicate concat (char/byte level: (a,bc) and
+            // (ab,c) both create "abc"; word level via ambiguous sep
+            // joins): creation counts for the shared symbol ADD across
+            // members while `bound` takes the max, so members AFTER the
+            // duplicate could be committed out of sequential rank order
+            // — end the batch at the duplicate, exactly like the
+            // snapshot-presence case below. The duplicate member itself
+            // is safe: at ITS sequential turn only the earlier creator
+            // has fired, which `bound` covers.
+            if (usedConcats(l + sep + r)) collided = true
             usedConcats += (l + sep + r)
             if (presentConcats(l + sep + r)) collided = true
             bound = math.max(bound,
@@ -379,31 +389,53 @@ object Vocab {
     * reproduces the trainer's final dictionary state without any
     * assumption that `eow` never occurs as literal text.
     *
-    * Scale shape: the merge table rides a one-row broadcast (the x91
-    * pattern) and the encode is doc-local — no shuffle, no join;
-    * `concat_ws("", bpe)` minus the markers reconstructs the
-    * whitespace-normalized document.
+    * Scale shape: the merge table rides the plan as two literal
+    * arrays ([[collectMergeTable]] — bounded, cap-probed) and the
+    * encode is doc-local — no shuffle, no join, not even a broadcast
+    * exchange; `concat_ws("", bpe)` minus the markers reconstructs
+    * the whitespace-normalized document.
     *
     * Output: (id, bpe array<string>, n_tokens). */
-  /** The rank-ordered merge table as a one-row (_ls, _rs) relation —
-    * the broadcast shape every encode route attaches. */
-  private def mergeRow(merges: DataFrame): DataFrame = merges
-    .agg(array_sort(collect_list(struct(col("merge_idx"),
-      col("left"), col("right")))).as("ms"))
-    .select(
-      transform(col("ms"), m => m.getField("left")).as("_ls"),
-      transform(col("ms"), m => m.getField("right")).as("_rs"))
+  /** Collect a rank-ordered merge table to the driver as two
+    * rank-aligned symbol sequences — the LITERAL shape every encode
+    * route bakes into its plan (two `typedlit` arrays: one stable
+    * GenericArrayData per eval, so the rank-heap kernel's compiled-
+    * table cache hits by reference identity on every word). Bounded
+    * by the trainer's nMerges ≤ 10,000 contract: the fetch is ONE
+    * `take(cap + 1)` — the driver materializes at most cap + 1 rows
+    * by construction (a stronger form of the
+    * [[graft.streaming.StreamOovMonitor]] probe-before-collect
+    * discipline: a runaway merge relation fails loudly, bounded) —
+    * with the rank sort done driver-side on the numeric merge_idx (no
+    * global-sort exchange job for a bounded table, and no collation
+    * concern on a long key). Collecting is EAGER: passing a
+    * lazily-derived merges frame triggers its (bounded) evaluation at
+    * operator-construction time. */
+  private[graft] def collectMergeTable(merges: DataFrame,
+      cap: Int = 100000): (Seq[String], Seq[String]) = {
+    require(cap >= 1 && cap <= 1000000,
+      s"collectMergeTable: cap must be in [1, 1e6], got $cap")
+    val m = merges.select(col("merge_idx").cast("long").as("i"),
+      col("left").cast("string").as("l"),
+      col("right").cast("string").as("r"))
+    val rows = m.take(cap + 1)
+    require(rows.length <= cap,
+      s"collectMergeTable: merge table exceeds the $cap cap " +
+        "(bounded fetch hit cap + 1 rows)")
+    val sorted = rows.sortBy(_.getLong(0))
+    (sorted.map(_.getString(1)).toSeq, sorted.map(_.getString(2)).toSeq)
+  }
 
   def bpeEncodeChar(df: DataFrame, idCol: Column, textCol: Column,
       merges: DataFrame, eow: String = "</w>"): DataFrame = {
     require(eow.nonEmpty, "bpeEncodeChar: eow marker must be non-empty")
-    val mrow = mergeRow(merges)
+    val (ls0, rs0) = collectMergeTable(merges)
+    val ls = typedlit(ls0); val rs = typedlit(rs0)
     val words = array_remove(split(textCol, "\\s+"), "")
     df.filter(textCol.isNotNull)
-      .crossJoin(broadcast(mrow))
       .select(idCol.as("id"),
         flatten(transform(words, w =>
-          BpeExprs.encode(charInit(w, eow), col("_ls"), col("_rs"), "")))
+          BpeExprs.encode(charInit(w, eow), ls, rs, "")))
           .as("bpe"))
       .withColumn("n_tokens", size(col("bpe")).cast("long"))
   }
@@ -455,20 +487,20 @@ object Vocab {
   /** Tokenize with a BYTE-LEVEL merge table from [[bpeMergesByte]] —
     * [[bpeEncodeChar]] over [[byteInit]] symbols: per-word greedy
     * rank-order application via the same doc-local kernel, merge
-    * table on a one-row broadcast, no shuffle, no join.
+    * table as bounded plan literals, no shuffle, no join.
     * Output: (id, bpe array<string>, n_tokens); symbols are hex-pair
     * runs (+ `eow` on word-final symbols), so
     * `unhex(replace(sym, eow, ''))` recovers each token's bytes. */
   def bpeEncodeByte(df: DataFrame, idCol: Column, textCol: Column,
       merges: DataFrame, eow: String = "</w>"): DataFrame = {
     require(eow.nonEmpty, "bpeEncodeByte: eow marker must be non-empty")
-    val mrow = mergeRow(merges)
+    val (ls0, rs0) = collectMergeTable(merges)
+    val ls = typedlit(ls0); val rs = typedlit(rs0)
     val words = array_remove(split(textCol, "\\s+"), "")
     df.filter(textCol.isNotNull)
-      .crossJoin(broadcast(mrow))
       .select(idCol.as("id"),
         flatten(transform(words, w =>
-          BpeExprs.encode(byteInit(w, eow), col("_ls"), col("_rs"), "")))
+          BpeExprs.encode(byteInit(w, eow), ls, rs, "")))
           .as("bpe"))
       .withColumn("n_tokens", size(col("bpe")).cast("long"))
   }
@@ -482,8 +514,9 @@ object Vocab {
     * become the budget currency for [[Corpus.capTokensGlobal]]-style
     * operators instead of raw whitespace counts).
     *
-    * Scale shape: the merge table rides a ONE-row broadcast (bounded by
-    * the nMerges ≤ 10000 vocabulary contract — the x70 dictionary
+    * Scale shape: the merge table rides the plan as two LITERAL
+    * arrays (bounded by the nMerges ≤ 10000 vocabulary contract,
+    * cap-probed by [[collectMergeTable]] — the x70 dictionary
     * pattern) and the whole encode is a doc-local codegen kernel
     * ([[graft.functions.BpeEncodeExpr]]) — no shuffle, no per-merge
     * projection chain (a 10k-merge table as 10k Catalyst projections
@@ -494,11 +527,11 @@ object Vocab {
     * whitespace-normalized document. */
   def bpeEncode(df: DataFrame, idCol: Column, textCol: Column,
       merges: DataFrame, sep: String = " "): DataFrame = {
+    val (ls0, rs0) = collectMergeTable(merges)
     df.filter(textCol.isNotNull)
-      .crossJoin(broadcast(mergeRow(merges)))
       .select(idCol.as("id"),
         BpeExprs.encode(array_remove(split(textCol, "\\s+"), ""),
-          col("_ls"), col("_rs"), sep).as("bpe"))
+          typedlit(ls0), typedlit(rs0), sep).as("bpe"))
       .withColumn("n_tokens", size(col("bpe")).cast("long"))
   }
 
@@ -610,13 +643,21 @@ object Vocab {
       : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val (ls0, rs0) = collectMergeTable(merges)
     val dictEnc = df
       .select(explode(array_remove(split(textCol, "\\s+"), "")).as("_w"))
       .distinct()
-      .crossJoin(broadcast(mergeRow(merges)))
       .select(BpeExprs.encode(init(col("_w"), eow),
-        col("_ls"), col("_rs"), "").as("bpe"))
-    val vocabArr = dictEnc.select(explode(col("bpe")).as("t")).distinct()
+        typedlit(ls0), typedlit(rs0), "").as("bpe"))
+    // explode_OUTER + isNotNull, not plain explode: InferFiltersFromGenerate
+    // turns explode(bpe) into a `size(bpe) > 0` pre-filter, and with a
+    // fully-literal merge table the encode expression is substitutable all
+    // the way down — the optimizer pushes the HEAVY encode below the
+    // distinct, re-evaluating it per word OCCURRENCE (measured 8× on this
+    // pass). Inference skips outer generates, and the isNotNull on the
+    // generate OUTPUT cannot push below it.
+    val vocabArr = dictEnc.select(explode_outer(col("bpe")).as("t"))
+      .filter(col("t").isNotNull).distinct()
       .orderBy(col("t")).as[String].collect().toSeq
     val vdf = Seq(Tuple1(vocabArr)).toDF("_v")
     enc(df, idCol, textCol, merges, eow)
@@ -637,10 +678,85 @@ object Vocab {
     transform(ids, i =>
       when(i >= 1 && i <= size(sortedVocab), element_at(sortedVocab, i)))
 
+  // ---- tokenizer artifact persistence ----------------------------------
+
+  /** A frozen tokenizer artifact loaded from disk: the rank-ordered
+    * merge table plus the metadata needed to apply it correctly —
+    * `level` ("word" | "char" | "byte", i.e. which symbol init the
+    * table was trained over) and `marker` (the end-of-word marker for
+    * char/byte tables, the separator for word tables). */
+  final case class BpeArtifact(merges: DataFrame, level: String,
+      marker: String)
+
+  private val BpeArtifactVersion = 1
+  private val BpeLevels = Set("word", "char", "byte")
+
+  /** Persist a trained merge table as a versioned on-disk tokenizer —
+    * what a production pipeline actually ships between the offline
+    * trainer and every consumer (batch encode jobs,
+    * [[graft.streaming.StreamBpeTokenize]] ingestion, other clusters):
+    * `<path>/merges` holds the (merge_idx, left, right, n_occurrences)
+    * table as parquet, `<path>/meta` one row of
+    * (version, level, marker, n_merges). The merge table is bounded by
+    * the trainer's vocabulary contract, so both writes are small; the
+    * n_merges stamp lets [[loadBpeTokenizer]] verify the table read
+    * back complete. Overwrites any artifact already at `path`. */
+  def saveBpeTokenizer(merges: DataFrame, path: String, level: String,
+      marker: String): Unit = {
+    require(BpeLevels.contains(level),
+      s"saveBpeTokenizer: level must be one of $BpeLevels, got '$level'")
+    require(level == "word" || marker.nonEmpty,
+      "saveBpeTokenizer: char/byte artifacts need a non-empty marker")
+    val spark = merges.sparkSession
+    import spark.implicits._
+    // bounded collect (cap-probed) both validates the table's shape and
+    // pins the row count for the completeness stamp
+    val (ls, rs) = collectMergeTable(merges)
+    val n = ls.size
+    merges.select(col("merge_idx").cast("long"),
+      col("left").cast("string"), col("right").cast("string"),
+      col("n_occurrences").cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/merges")
+    Seq((BpeArtifactVersion, level, marker, n.toLong))
+      .toDF("version", "level", "marker", "n_merges")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveBpeTokenizer]] artifact, verifying the version and
+    * the completeness stamp. The load-path equality contract (the
+    * VocabSpec gate): `bpeEncodeIds*` from a loaded artifact equals
+    * the same call on the freshly-trained table, byte for byte. */
+  def loadBpeTokenizer(spark: org.apache.spark.sql.SparkSession,
+      path: String): BpeArtifact = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1,
+      s"loadBpeTokenizer: expected 1 meta row at $path/meta, got ${meta.length}")
+    val m = meta(0)
+    val version = m.getAs[Int]("version")
+    require(version == BpeArtifactVersion,
+      s"loadBpeTokenizer: unsupported artifact version $version " +
+        s"(this build reads $BpeArtifactVersion)")
+    val level = m.getAs[String]("level")
+    val marker = m.getAs[String]("marker")
+    require(BpeLevels.contains(level),
+      s"loadBpeTokenizer: corrupt artifact — unknown level '$level'")
+    val merges = spark.read.parquet(s"$path/merges")
+    val n = merges.count()
+    require(n == m.getAs[Long]("n_merges"),
+      s"loadBpeTokenizer: table has $n rows, stamp says " +
+        s"${m.getAs[Long]("n_merges")} — incomplete or mixed artifact")
+    BpeArtifact(merges, level, marker)
+  }
+
   private def idsFromEncoded(enc: DataFrame): DataFrame = {
     val spark = enc.sparkSession
     import spark.implicits._
-    val vocabArr = enc.select(explode(col("bpe")).as("t")).distinct()
+    // explode_outer + isNotNull: see encodeIdsViaDict — keeps the
+    // optimizer from pushing the encode below as an inferred pre-filter
+    val vocabArr = enc.select(explode_outer(col("bpe")).as("t"))
+      .filter(col("t").isNotNull).distinct()
       .orderBy(col("t")).as[String].collect().toSeq
     val vdf = Seq(Tuple1(vocabArr)).toDF("_v")
     enc.crossJoin(broadcast(vdf))

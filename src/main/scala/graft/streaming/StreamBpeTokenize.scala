@@ -41,17 +41,9 @@ object StreamBpeTokenize {
     require(!docsStream.columns.contains("bpe") &&
       !docsStream.columns.contains("n_tokens"),
       "StreamBpeTokenize.annotate: input already carries bpe/n_tokens")
-    val m = merges.select(col("merge_idx").cast("long").as("i"),
-      col("left").cast("string").as("l"),
-      col("right").cast("string").as("r"))
-    val probed = m.limit(maxMerges + 1).count()
-    require(probed <= maxMerges,
-      s"StreamBpeTokenize: merge table exceeds the $maxMerges cap " +
-        "(cardinality probe hit the bound before collecting)")
-    val table = m.orderBy(col("i")).collect()
-      .map(row => (row.getString(1), row.getString(2)))
-    val ls = typedlit(table.map(_._1).toSeq)
-    val rs = typedlit(table.map(_._2).toSeq)
+    val (ls0, rs0) = Vocab.collectMergeTable(merges, maxMerges)
+    val ls = typedlit(ls0)
+    val rs = typedlit(rs0)
     val words = array_remove(split(col(textCol), "\\s+"), "")
     // byteLevel swaps the symbol init (UTF-8 hex pairs, the x120
     // byte-fallback alphabet) — the kernel and everything else is

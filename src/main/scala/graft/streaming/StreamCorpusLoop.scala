@@ -91,8 +91,49 @@ object StreamCorpusLoop {
     else spark.read.schema(schema).parquet(paths: _*)
   }
 
+  /** True when `e` (or anything in its cause chain) is a missing-file
+    * failure — the signature of a read whose file listing predates a
+    * concurrent [[compact]]'s delta pruning. */
+  private[graft] def isMissingFileFailure(e: Throwable): Boolean = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 16) {
+      val msg = if (cur.getMessage == null) "" else cur.getMessage
+      if (cur.isInstanceOf[java.io.FileNotFoundException] ||
+          msg.contains("FileNotFoundException") ||
+          msg.contains("does not exist") ||
+          msg.contains("FAILED_READ_FILE")) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** Run `f` and, if it fails because a listed store path vanished
+    * under it (an out-of-band [[compact]] pruning subsumed deltas
+    * between this batch's file LISTING and its task execution), run it
+    * ONCE more. `f` must construct its plans from fresh [[readStore]]
+    * calls — the retry re-lists, and the post-compaction listing is
+    * content-identical by the [[compact]] watermark contract, so the
+    * retry computes exactly what the first attempt would have. One
+    * retry suffices for one concurrent compaction event; a second
+    * consecutive failure is a real fault and propagates. */
+  private[graft] def withStoreRetry[A](label: String)(f: => A): A =
+    try f catch {
+      case e: Throwable if isMissingFileFailure(e) =>
+        System.err.println(s"[StreamCorpusLoop] $label hit a vanished " +
+          s"store path (concurrent compact?) — rebuilding and retrying " +
+          s"once: ${e.getMessage}")
+        f
+    }
+
   /** Fold one micro-batch of documents through all three artifacts
-    * (the testable core; [[sink]] adapts it to `foreachBatch`). */
+    * (the testable core; [[sink]] adapts it to `foreachBatch`). Each
+    * store-consuming step builds its plan AND runs its action inside
+    * [[withStoreRetry]], so an out-of-band [[compact]] racing this
+    * batch degrades to one transparent re-list instead of a batch
+    * failure (the foreachBatch route never races by construction —
+    * see [[sink]]). */
   def foldBatch(dir: String, batch: DataFrame, batchId: Long,
       idCol: String = "doc_id", textCol: String = "text",
       maxHamming: Int = 3): Unit = {
@@ -102,32 +143,42 @@ object StreamCorpusLoop {
 
     // 1. exact dedup against the growing hash index, then append the
     // batch's NEW hashes (left_anti keeps the index a set across deltas)
-    val idx = readStore(spark, hashDir(dir), hashSchema, Some(batchId))
-    Dedup.exactDelta(b, idx, idCol, textCol)
-      .write.mode("overwrite")
-      .parquet(s"${acceptedDir(dir)}/delta=$batchId")
-    Dedup.hashIndex(b, textCol).join(idx, Seq("h"), "left_anti")
-      .write.mode("overwrite")
-      .parquet(s"${hashDir(dir)}/delta=$batchId")
+    withStoreRetry("accepted delta") {
+      val idx = readStore(spark, hashDir(dir), hashSchema, Some(batchId))
+      Dedup.exactDelta(b, idx, idCol, textCol)
+        .write.mode("overwrite")
+        .parquet(s"${acceptedDir(dir)}/delta=$batchId")
+    }
+    withStoreRetry("hash delta") {
+      val idx = readStore(spark, hashDir(dir), hashSchema, Some(batchId))
+      Dedup.hashIndex(b, textCol).join(idx, Seq("h"), "left_anti")
+        .write.mode("overwrite")
+        .parquet(s"${hashDir(dir)}/delta=$batchId")
+    }
 
     // 2. near-dup pairs against corpus + batch fingerprints (delta
     // probes; corpus×corpus pairs structurally cannot form), then
     // append the batch's fingerprints
-    val corpusFps = readStore(spark, fpDir(dir), fpSchema, Some(batchId))
-    val dFps = Dedup.simhash(b, idCol, textCol, poly = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = Dedup
-      .simhashPairsDeltaFps(dFps, corpusFps, maxHamming)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
     // 3. fold the batch's pairs into the labels store (StreamClusters'
     // generation protocol is itself replay-idempotent)
-    StreamClusters.foldBatch(labelsDir(dir),
-      pairs.select(col("doc_a"), col("doc_b")), batchId)
-    dFps.write.mode("overwrite").parquet(s"${fpDir(dir)}/delta=$batchId")
-
-    pairs.unpersist(false)
-    dFps.unpersist(false)
+    withStoreRetry("simhash pairs + labels + fps delta") {
+      val corpusFps = readStore(spark, fpDir(dir), fpSchema, Some(batchId))
+      val dFps = Dedup.simhash(b, idCol, textCol, poly = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pairs = Dedup
+        .simhashPairsDeltaFps(dFps, corpusFps, maxHamming)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        StreamClusters.foldBatch(labelsDir(dir),
+          pairs.select(col("doc_a"), col("doc_b")), batchId)
+        dFps.write.mode("overwrite").parquet(s"${fpDir(dir)}/delta=$batchId")
+      } finally {
+        // unpersist THIS attempt's handles even on failure, so a retry
+        // starts from fresh plans with no cached partial state behind
+        pairs.unpersist(false)
+        dFps.unpersist(false)
+      }
+    }
     b.unpersist(false)
   }
 
@@ -171,17 +222,18 @@ object StreamCorpusLoop {
     * deletion; a re-run that finds a complete `base=<below>` skips the
     * rewrite and only re-prunes.
     *
-    * CONCURRENCY: that contract covers committed-batch REPLAY, not a
-    * micro-batch executing concurrently with the deletion — a batch
-    * whose lazy [[readStore]] already listed a subsumed delta path
-    * will fail with FileNotFoundException when its parquet read
-    * executes (Structured Streaming then retries the batch, which
-    * re-lists and heals — a transient failure, not corruption). To
-    * avoid even the transient retry, either quiesce the stream before
-    * an EXTERNAL compact call, or let the sink compact for you
-    * (`sink(..., compactEvery = K)` runs the compaction inside the
-    * serialized foreachBatch callback, where no batch of this stream
-    * can be in flight). */
+    * CONCURRENCY: that contract covers committed-batch REPLAY; a
+    * micro-batch executing concurrently with the deletion is handled
+    * by [[foldBatch]]'s [[withStoreRetry]] wrappers — a read whose
+    * file listing predates the pruning fails with a missing-file
+    * error, and the step rebuilds its plans (re-listing the store)
+    * and retries once; the post-compaction listing is content-
+    * identical by this method's watermark contract, so the retry is
+    * exact, never lossy (StreamCorpusLoopSpec races an external
+    * compact against an in-flight foldBatch). The foreachBatch route
+    * (`sink(..., compactEvery = K)`) never races at all: compaction
+    * runs inside the serialized callback, where no batch of this
+    * stream can be in flight. */
   def compact(spark: SparkSession, dir: String, below: Long,
       idCol: String = "doc_id"): Unit = {
     def one(sub: String, schema: StructType): Unit = {

@@ -121,6 +121,62 @@ class KernelFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("BPE rank-heap encoder ≡ greedy fold (heap≡greedy law) on " +
+    "small-alphabet adversarial tables: duplicate ranks, null symbols, " +
+    "later merges creating earlier-rank pairs, heavy concat collisions") {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.BpeOps
+    def ad(xs: Seq[String]): ArrayData = new GenericArrayData(
+      xs.map(x => if (x == null) null else UTF8String.fromString(x)).toArray)
+    def strs(a: ArrayData): Seq[String] = (0 until a.numElements()).map { i =>
+      val u = a.getUTF8String(i); if (u == null) null else u.toString
+    }
+    def check(arr: Seq[String], ls: Seq[String], rs: Seq[String],
+        sep: String, label: String): Unit = {
+      val sepU = UTF8String.fromString(sep)
+      val greedy = strs(BpeOps.encodeAllGreedy(ad(arr), ad(ls), ad(rs), sepU))
+      val heap = strs(BpeOps.encodeHeap(ad(arr),
+        new BpeOps.CompiledTable(ad(ls), ad(rs), sepU)))
+      assert(heap === greedy, s"$label arr=$arr ls=$ls rs=$rs sep='$sep'")
+    }
+    // explicit adversarial constructions
+    // (1) rank0's pair only EXISTS after rank1 fires — the sequential
+    // fold never applies rank0 (already passed); a naive min-rank
+    // re-check encoder would. The heap must match the fold.
+    check(Seq("x", "a", "b"), Seq("x", "a"), Seq("ab", "b"), "", "earlier-rank")
+    // (2) duplicate pair at two ranks with an interleaved destroyer
+    check(Seq("a", "a", "a", "b", "b"), Seq("a", "b", "a"),
+      Seq("a", "b", "a"), "", "dup-rank")
+    // (3) pair destroyed before its rank is reached
+    check(Seq("a", "b", "c"), Seq("a", "b"), Seq("b", "c"), "", "destroyed")
+    // (4) nulls in table and in the word
+    check(Seq("a", null, "b", "a", "b"), Seq(null, "a", "b"),
+      Seq("b", null, "a"), "", "nulls")
+    check(Seq.empty, Seq("a"), Seq("b"), "", "empty-word")
+    check(Seq("a", "b"), Seq.empty, Seq.empty, "", "empty-table")
+    // (5) randomized small-alphabet storm: sep="" makes merged symbols
+    // collide with base/later symbols constantly — the regime where the
+    // skip-rank bookkeeping could diverge from the fold if wrong
+    val pool = Vector("a", "b", "aa", "ab", "ba", "bb", "aab", "aba", "abb")
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 600) {
+      val arr = Seq.fill(rnd.nextInt(12))(pool(rnd.nextInt(3)))
+      val m = rnd.nextInt(10)
+      val ls = Seq.fill(m)(pool(rnd.nextInt(pool.size)))
+      val rs = Seq.fill(m)(pool(rnd.nextInt(pool.size)))
+      check(arr, ls, rs, "", s"storm-$trial")
+    }
+    // (6) same storm with a non-empty separator (word-level regime)
+    for (trial <- 1 to 200) {
+      val arr = Seq.fill(rnd.nextInt(10))(pool(rnd.nextInt(4)))
+      val m = rnd.nextInt(8)
+      val ls = Seq.fill(m)(pool(rnd.nextInt(pool.size)))
+      val rs = Seq.fill(m)(pool(rnd.nextInt(pool.size)))
+      check(arr, ls, rs, " ", s"sep-storm-$trial")
+    }
+  }
+
   test("char-BPE path fuzz: bpeEncodeChar equals the per-word " +
     "char-init + merge fold on adversarial unicode text (astral " +
     "plane, combining marks, huge words, words containing '</w>')") {

@@ -82,6 +82,16 @@ object RecallSweep {
       println(f"| IVF+PQ+rerank | nLists=$nLists nProbe=$nProbe m=32 " +
         f"ksub=256 rerank=$rr | $mn%.2f | $mean%.2f | $dt%.1f |")
     }
+    // adaptive mass-based probing + re-rank: probe until the covered
+    // corpus mass reaches tau — the probe ratio IS tau, so the row
+    // reads as recall-at-coverage
+    for (nLists <- Seq(16, 32, 64); tau <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val (mn, mean, dt) = recalls(Similarity.ivfPqTopK(emb, qs, k = 10,
+        nLists = nLists, nProbe = 1, m = 32, ksub = 256, rerank = 50,
+        probeMass = tau))
+      println(f"| IVF+PQ+mass | nLists=$nLists tau=$tau m=32 ksub=256 " +
+        f"rerank=50 | $mn%.2f | $mean%.2f | $dt%.1f |")
+    }
     spark.stop()
   }
 }

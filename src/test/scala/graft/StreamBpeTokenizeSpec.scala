@@ -104,6 +104,39 @@ class StreamBpeTokenizeSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException] {
       StreamBpeTokenize.annotate(df, huge, maxMerges = 100)
     }
-    assert(e.getMessage.contains("cardinality probe"))
+    assert(e.getMessage.contains("bounded fetch hit cap"))
+  }
+
+  test("annotate from a LOADED tokenizer artifact equals annotate from " +
+    "the trained table (the shipped-artifact path end to end)") {
+    implicit val sql = spark.sqlContext
+    val rows = Seq((1L, "héllo héllo €uro"), (2L, "héllo a😀b a😀b"),
+      (3L, "€uro plain plain"))
+    val docs = rows.toDF("doc_id", "text")
+    val trained = Vocab.bpeMergesByte(docs, col("text"), nMerges = 6)
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe-artifact-stream-").toString
+    Vocab.saveBpeTokenizer(trained, dir, "byte", "</w>")
+    val art = Vocab.loadBpeTokenizer(spark, dir)
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamBpeTokenize.annotate(
+        in.toDF().toDF("doc_id", "text"), art.merges,
+        eow = art.marker, byteLevel = art.level == "byte")
+      .select($"doc_id", concat_ws("", $"bpe").as("enc"), $"n_tokens")
+      .writeStream.format("memory")
+      .queryName("bpe_annotated_artifact").outputMode("append").start()
+    try {
+      in.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("bpe_annotated_artifact")
+        .as[(Long, String, Long)].collect().toSet
+      val want = Vocab.bpeEncodeByte(docs, col("doc_id"), col("text"),
+          trained)
+        .select($"id", concat_ws("", $"bpe").as("enc"), $"n_tokens")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
   }
 }

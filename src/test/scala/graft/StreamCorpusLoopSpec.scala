@@ -196,4 +196,85 @@ class StreamCorpusLoopSpec extends SparkTestBase {
       closed.unpersist()
     } finally q.stop()
   }
+
+  test("compact vs a concurrent reader: a pre-compaction file listing " +
+    "fails with a missing-file error, withStoreRetry heals it exactly, " +
+    "and an EXTERNAL compact racing an in-flight foldBatch never fails " +
+    "the batch or corrupts the artifacts") {
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val dir = Files.createTempDirectory("stream-corpus-race-").toString
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val slices = all.grouped(math.max(1, all.size / 7 + 1)).toSeq
+    require(slices.size >= 7, s"fixture too small: ${slices.size} slices")
+
+    // seed batches 0..3
+    for (i <- 0 to 3)
+      StreamCorpusLoop.foldBatch(dir, slices(i).toDF("doc_id", "text"),
+        batchId = i.toLong)
+
+    // 1. the hazard is REAL: a df whose file listing predates the
+    // compaction fails once its tasks read the pruned delta files
+    val hashSchema = StructType(Seq(StructField("h", BinaryType)))
+    val staleDeltas = (0 to 3).map(i => s"$dir/hash/delta=$i")
+    val stale = spark.read.schema(hashSchema).parquet(staleDeltas: _*)
+    val expectedHashes = stale.count() // listing + a successful read
+    StreamCorpusLoop.compact(spark, dir, below = 4L)
+    val e = intercept[Throwable] { stale.count() }
+    assert(StreamCorpusLoop.isMissingFileFailure(e),
+      s"expected a missing-file failure, got: $e")
+
+    // 2. withStoreRetry heals it EXACTLY: first attempt reads the stale
+    // plan and fails, the retry rebuilds from a fresh listing and
+    // returns the content the first attempt would have
+    var attempts = 0
+    val healed = StreamCorpusLoop.withStoreRetry("spec") {
+      attempts += 1
+      if (attempts == 1) stale.count()
+      else StreamCorpusLoop.hashIndex(spark, dir).count()
+    }
+    assert(attempts === 2, "retry must fire exactly once")
+    assert(healed === expectedHashes,
+      "post-compaction content must equal the pre-compaction union")
+    // a non-missing-file failure propagates without a retry
+    var attempts2 = 0
+    val e2 = intercept[IllegalStateException] {
+      StreamCorpusLoop.withStoreRetry("spec2") {
+        attempts2 += 1
+        throw new IllegalStateException("real fault")
+      }
+    }
+    assert(attempts2 === 1 && e2.getMessage === "real fault")
+
+    // 3. end-to-end: an external compact racing an in-flight foldBatch,
+    // at several interleavings — the batch must never fail, and the
+    // final artifacts must equal the closed-corpus batch recompute
+    for ((delayMs, i) <- Seq(0L, 15L, 40L).zipWithIndex) {
+      val batchId = 4L + i
+      val compactor = new Thread(() => {
+        if (delayMs > 0) Thread.sleep(delayMs)
+        StreamCorpusLoop.compact(spark, dir, below = batchId)
+      })
+      compactor.start()
+      StreamCorpusLoop.foldBatch(dir,
+        slices(4 + i).toDF("doc_id", "text"), batchId = batchId)
+      compactor.join()
+    }
+    val closed = slices.take(7).flatten.toDF("doc_id", "text").persist()
+    assert(StreamCorpusLoop.acceptedIds(spark, dir)
+      .as[Long].collect().toSet ===
+      Dedup.exact(closed).select($"keep_id").as[Long].collect().toSet,
+      "accepted after race")
+    assert(StreamCorpusLoop.fps(spark, dir)
+      .as[(Long, Long)].collect().toSet ===
+      Dedup.simhash(closed, poly = true).as[(Long, Long)].collect().toSet,
+      "fps after race")
+    assert(StreamCorpusLoop.labels(spark, dir)
+      .as[(Long, Long)].collect().toSet ===
+      Graph.connectedComponents(
+        Dedup.simhashPairs(closed, maxHamming = 3, poly = true))
+        .as[(Long, Long)].collect().toSet,
+      "labels after race")
+    closed.unpersist()
+  }
 }

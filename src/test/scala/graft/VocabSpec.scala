@@ -601,4 +601,65 @@ class VocabSpec extends SparkTestBase {
         text.split("\\s+").filter(_.nonEmpty).mkString(" "))
     }
   }
+  test("tokenizer artifact: save/load round-trip — loaded char and byte " +
+    "tables encode byte-identically to the trained ones, the streaming " +
+    "path consumes a loaded artifact, and corrupt artifacts fail loudly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe-artifact-").toString
+
+    for ((level, train, encIds) <- Seq(
+        ("char",
+          () => Vocab.bpeMergesChar(docs, col("text"), nMerges = 6),
+          (m: org.apache.spark.sql.DataFrame) =>
+            Vocab.bpeEncodeIdsChar(docs, col("doc_id"), col("text"), m)),
+        ("byte",
+          () => Vocab.bpeMergesByte(docs, col("text"), nMerges = 6),
+          (m: org.apache.spark.sql.DataFrame) =>
+            Vocab.bpeEncodeIdsByte(docs, col("doc_id"), col("text"), m)))) {
+      val trained = train()
+      Vocab.saveBpeTokenizer(trained, s"$dir/$level", level, "</w>")
+      val loaded = Vocab.loadBpeTokenizer(spark, s"$dir/$level")
+      assert(loaded.level === level)
+      assert(loaded.marker === "</w>")
+      // the TABLE round-trips exactly (rank order included)
+      assert(loaded.merges.orderBy(col("merge_idx"))
+        .as[(Long, String, String, Long)].collect().toSeq ===
+        trained.orderBy(col("merge_idx"))
+          .as[(Long, String, String, Long)].collect().toSeq,
+        s"$level merge table")
+      // the load-path equality gate: ids from the loaded table equal
+      // ids from the trained one, row for row
+      def idRows(m: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+        encIds(m).select(col("id"),
+          concat_ws(",", transform(col("ids"), _.cast("string")))
+            .as("ids")).as[(Long, String)].collect().toSet
+      assert(idRows(loaded.merges) === idRows(trained),
+        s"$level load-path ids equality")
+    }
+
+    // word-level artifact round-trips through bpeEncodeIds too
+    val wordTrained = Vocab.bpeMerges(docs, col("text"), nMerges = 3)
+    Vocab.saveBpeTokenizer(wordTrained, s"$dir/word", "word", " ")
+    val wordLoaded = Vocab.loadBpeTokenizer(spark, s"$dir/word")
+    def wordIds(m: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      Vocab.bpeEncodeIds(docs, col("doc_id"), col("text"), m,
+        sep = wordLoaded.marker)
+        .select(col("id"), concat_ws(",",
+          transform(col("ids"), _.cast("string"))).as("ids"))
+        .as[(Long, String)].collect().toSet
+    assert(wordIds(wordLoaded.merges) === wordIds(wordTrained))
+
+    // guards: bad level at save, version/stamp tamper at load
+    intercept[IllegalArgumentException] {
+      Vocab.saveBpeTokenizer(wordTrained, s"$dir/bad", "subword", "</w>")
+    }
+    import spark.implicits._
+    Seq((99, "char", "</w>", 6L))
+      .toDF("version", "level", "marker", "n_merges")
+      .write.mode("overwrite").parquet(s"$dir/char/meta")
+    intercept[IllegalArgumentException] {
+      Vocab.loadBpeTokenizer(spark, s"$dir/char")
+    }
+  }
 }
