@@ -29,13 +29,16 @@ Together with the DuckDB oracle check run at sf0.1 itself
 verification to the sf1 decade: oracle => sf0.1 correct;
 shard law => sf1 behaves as ten independent verified shards.
 
-SCALED_COLS entries (x63 pagerank) use a VALUE-transformed shard-0
-compare instead of byte equality: pagerank's teleport term and init
-divide by the GLOBAL node count, so ten disjoint identical copies
-solve to exactly (sf0.1 solution)/10 by linearity of the iteration -
-the check joins shard-0 rows on the id, asserts |pr_sf1 * 10 -
-pr_sf0.1| <= tol (tol covers the round(.,6) applied on each side),
-plus the 10x-rows law.
+x63 pagerank is NOT in the table, by measurement as well as by
+construction: its edge set is simhashPairs, and simhash fingerprints
+are hashes OF the tokens - the splice rewrites every token, so a
+within-shard pair's hamming distance differs from shard 0's and the
+shard-k graphs are legitimately different (measured: sf1 has 12,461
+pagerank nodes vs 10 x 947). Contrast x2 MinHash, where candidates
+pass an exact-Jaccard VERIFY that the splice preserves pair-locally,
+so its output obeys the law. x63 takes the DIRECT DuckDB oracle at
+sf1 instead (the poly-simhash variant is exactly replayable; OK at
+12,461 rows) - strictly stronger than the law it cannot use.
 
 Usage: sf1_shard_check.py <sf1_out_dir> <sf01_out_dir> <query> [query...]
 """
@@ -70,10 +73,11 @@ ID_COLS = {
 }
 
 # queries with a global-normalization VALUE transform on the shard-0
-# compare: id col, value col, shard-0 scale factor, abs tolerance
-SCALED_COLS = {
-    "x63_pagerank": ("doc_id", "pr", 10.0, 2e-5),
-}
+# compare: id col, value col, shard-0 scale factor, abs tolerance.
+# (Empty since x63 was measured shard-law-inapplicable - see module
+# docstring - but the mechanism stays for future global-normalized
+# per-shard-decomposable outputs.)
+SCALED_COLS = {}
 
 sf1_dir, sf01_dir = sys.argv[1], sys.argv[2]
 queries = sys.argv[3:] or list(ID_COLS)

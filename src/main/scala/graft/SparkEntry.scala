@@ -33,7 +33,7 @@ object SparkEntry {
   val AnnLshRecallFloor = 0.6 // nBits=6 nTables=4 probe=2: min 0.90 at every SF
   val AnnIvfRecallFloor = 0.6 // nLists=16 nProbe=12: min 0.90/0.80/0.70
   val AnnPqRecallFloor = 0.6 // m=32 ksub=256: min 0.90/0.90/0.80
-  val AnnIvfPqRecallFloor = 0.6 // nLists=8 nProbe=6 m=32 ksub=256 rerank=50: min 0.80/0.90/0.70 (the IVFADC re-rank recovers ALL quantization loss — min equals pure IVF's coverage ceiling at the same probes)
+  val AnnIvfPqRecallFloor = 0.8 // nLists=16 probeMass=0.9 m=32 ksub=256 rerank=50: min 0.90/1.00/0.90 at sf0.001/0.01/0.1 (adaptive mass probing closed the unprobed-cell coverage gap the r9 re-rank sweep isolated; floor raised 0.6 → 0.8 with ≥ 0.1 margin)
 
   /** Exact, order-independent sum of a double column: cast each value to
     * DECIMAL(18,6) (exact for this corpus's ≤2-decimal doubles), sum
@@ -811,14 +811,17 @@ object SparkEntry {
         Similarity.cosineTopK(emb, qs, k = 10), floor = AnnPqRecallFloor)
     }),
     // the composed billion-scale index: IVF cuts candidates, PQ cuts
-    // bytes, and the IVFADC re-rank stage (exact cosine over the ADC
-    // top-50 shortlist) buys the recall back — recall-gated
+    // bytes, the IVFADC re-rank stage (exact cosine over the ADC
+    // top-50 shortlist) buys back scoring loss, and ADAPTIVE MASS
+    // PROBING (walk the nearest-cell ranking until 90% of the corpus
+    // mass is covered) closes the residual unprobed-cell coverage gap
+    // — recall-gated at the raised 0.8 floor
     "x84_ann_ivfpq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)
       Similarity.recallGate(
-        Similarity.ivfPqTopK(emb, qs, k = 10, nLists = 8, nProbe = 6,
-          m = 32, ksub = 256, rerank = 50),
+        Similarity.ivfPqTopK(emb, qs, k = 10, nLists = 16, nProbe = 1,
+          m = 32, ksub = 256, rerank = 50, probeMass = 0.9),
         Similarity.cosineTopK(emb, qs, k = 10),
         floor = AnnIvfPqRecallFloor)
     }),

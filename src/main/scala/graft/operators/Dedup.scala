@@ -787,7 +787,15 @@ object Dedup {
     // ride the CacheManager (a Dataset.persist here is unreleasable by
     // the caller — the round-8 advisory finding); a checkpoint-style
     // materialization serves the same reuse and is released by the
-    // context cleaner once the returned plan is garbage-collected
+    // context cleaner once the returned plan is garbage-collected.
+    // TRADE (the no-checkpoint-dir path): localCheckpoint blocks are
+    // unreplicated AND non-recomputable, so losing an executor mid-job
+    // fails the query instead of recomputing, and eager=true runs a
+    // job at operator-construction time even if the result is never
+    // consumed. On a real cluster set a checkpoint dir (the reliable
+    // branch above — recomputable from durable storage); local mode
+    // has one JVM, where executor loss IS driver loss and the trade
+    // is free.
     val g0 = docs
       .select(col(idCol).as("id"),
         ShingleExprs.shingleSetChars(col(textCol), n).as("ng"))
@@ -880,7 +888,9 @@ object Dedup {
     // checkpoint-style reuse, NOT Dataset.persist: this operator runs
     // once per micro-batch in streaming compositions, and a
     // CacheManager entry per trigger would accumulate forever (the
-    // containmentPairs lifecycle discipline)
+    // containmentPairs lifecycle discipline; see there for the
+    // localCheckpoint executor-loss trade — on a cluster, set a
+    // checkpoint dir for the recomputable branch)
     val d0 = delta
       .select(col(idCol).as("id"),
         ShingleExprs.shingleSetChars(col(textCol), index.n).as("ng"))

@@ -43,31 +43,32 @@ object RecallSweep {
     // --rerank-only: skip the other families (fast iteration on the
     // IVFADC refinement frontier)
     val rerankOnly = args.contains("--rerank-only")
+    val massOnly = args.contains("--mass-only")
 
     println(s"# ANN recall sweep @ $sfDir ($n vectors, 5 queries, k=10)")
     println("| family | config | min recall | mean recall | sec |")
     println("|---|---|---|---|---|")
     for (nBits <- Seq(6, 8, 10); nTables <- Seq(2, 4, 8);
-         probe <- Seq(1, 2) if !rerankOnly) {
+         probe <- Seq(1, 2) if !rerankOnly && !massOnly) {
       val (mn, mean, dt) = recalls(Similarity.annTopK(emb, qs, k = 10,
         nBits = nBits, nTables = nTables, probeHamming = probe))
       println(f"| LSH | nBits=$nBits nTables=$nTables probe=$probe " +
         f"| $mn%.2f | $mean%.2f | $dt%.1f |")
     }
     for (nLists <- Seq(8, 16, 32); nProbe <- Seq(4, 6, 8, 12)
-         if nProbe <= nLists && !rerankOnly) {
+         if nProbe <= nLists && !rerankOnly && !massOnly) {
       val (mn, mean, dt) = recalls(Similarity.ivfTopK(emb, qs, k = 10,
         nLists = nLists, nProbe = nProbe))
       println(f"| IVF | nLists=$nLists nProbe=$nProbe " +
         f"| $mn%.2f | $mean%.2f | $dt%.1f |")
     }
-    for (m <- Seq(8, 16, 32); ksub <- Seq(16, 64, 256) if !rerankOnly) {
+    for (m <- Seq(8, 16, 32); ksub <- Seq(16, 64, 256) if !rerankOnly && !massOnly) {
       val (mn, mean, dt) = recalls(Similarity.pqTopK(emb, qs, k = 10,
         m = m, ksub = ksub))
       println(f"| PQ | m=$m ksub=$ksub | $mn%.2f | $mean%.2f | $dt%.1f |")
     }
     for (nLists <- Seq(8, 16); nProbe <- Seq(4, 6, 8)
-         if nProbe <= nLists && !rerankOnly; m <- Seq(16, 32);
+         if nProbe <= nLists && !rerankOnly && !massOnly; m <- Seq(16, 32);
          ksub <- Seq(64, 256)) {
       val (mn, mean, dt) = recalls(Similarity.ivfPqTopK(emb, qs, k = 10,
         nLists = nLists, nProbe = nProbe, m = m, ksub = ksub))
@@ -76,7 +77,7 @@ object RecallSweep {
     }
     // the IVFADC refinement stage: exact re-rank of the ADC shortlist
     for ((nLists, nProbe) <- Seq((8, 4), (8, 6), (16, 8), (16, 10),
-           (16, 12)); rr <- Seq(20, 50, 100)) {
+           (16, 12)); rr <- Seq(20, 50, 100) if !massOnly) {
       val (mn, mean, dt) = recalls(Similarity.ivfPqTopK(emb, qs, k = 10,
         nLists = nLists, nProbe = nProbe, m = 32, ksub = 256, rerank = rr))
       println(f"| IVF+PQ+rerank | nLists=$nLists nProbe=$nProbe m=32 " +
