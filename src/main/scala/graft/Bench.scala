@@ -131,9 +131,15 @@ object Bench {
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           }
         }
-        val qs = section("queries"); val sp = section("spreads")
-        qs.keySet.intersect(sp.keySet)
-          .map(k => k -> (qs(k), sp(k))).toMap
+        // only compare a SAME-SF record: a multi-SF bench sequence
+        // leaves the previous SF's record on disk, and a cross-SF
+        // "drift" would force a spurious 5-run sample on every query
+        if (!s.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        else {
+          val qs = section("queries"); val sp = section("spreads")
+          qs.keySet.intersect(sp.keySet)
+            .map(k => k -> (qs(k), sp(k))).toMap
+        }
       }
     } catch { case _: Throwable => Map.empty }
 

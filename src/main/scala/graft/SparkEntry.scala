@@ -567,6 +567,27 @@ object SparkEntry {
           array_join(transform(col("ids"), _.cast("string")), ",")
             .as("encoded_ids"))
     }),
+    // x119's id contract THROUGH the on-disk artifact seam: train →
+    // saveBpeTokenizer → loadBpeTokenizer → encode ids from the
+    // LOADED table — the production offline-trainer/consumer
+    // exchange (a versioned parquet artifact, not a live DataFrame),
+    // now oracle-gated: the oracle replays the TRAINED path, so a
+    // hash match proves load-path ≡ trained-path on the full corpus
+    "x122_bpe_artifact_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Vocab.bpeMergesChar(docs, col("text"),
+        nMerges = 4, minCount = 2)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_x122_artifact_" +
+          Integer.toHexString(dir.hashCode)).toString
+      graft.operators.Vocab.saveBpeTokenizer(merges, path, "char", "</w>")
+      val art = graft.operators.Vocab.loadBpeTokenizer(s, path)
+      graft.operators.Vocab.bpeEncodeIdsChar(docs, col("doc_id"),
+        col("text"), art.merges)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          array_join(transform(col("ids"), _.cast("string")), ",")
+            .as("encoded_ids"))
+    }),
     // BYTE-LEVEL BPE train + encode: the GPT-2 byte-fallback
     // convention — symbols start as the UTF-8 bytes of each word
     // (uppercase hex pairs, </w> on the word-final byte), so the base
@@ -3503,6 +3524,25 @@ object SparkEntry {
     // the sorted (binary-order) encoded-symbol universe, reassembled
     // per doc in (word, symbol) position order
     "x119_bpe_char_ids" ->
+      s"""WITH ${bpeCharPrefixCtes(4)},
+        |cvocab AS (
+        |  SELECT x AS tok,
+        |    CAST(row_number() OVER (ORDER BY x) AS INTEGER) AS id
+        |  FROM (SELECT DISTINCT tok AS x FROM csym)),
+        |cids AS (
+        |  SELECT s.doc_id, s.j, s.k, v.id
+        |  FROM csym s JOIN cvocab v USING (tok))
+        |SELECT d.doc_id,
+        |  CAST(count(i.id) AS BIGINT) AS n_tokens,
+        |  coalesce(string_agg(CAST(i.id AS VARCHAR), ','
+        |    ORDER BY i.j, i.k), '') AS encoded_ids
+        |FROM cd d LEFT JOIN cids i USING (doc_id)
+        |GROUP BY d.doc_id""".stripMargin,
+    // x122: the artifact round-trip is engine-side plumbing with NO
+    // value-level effect — the oracle is x119's trained-path replay
+    // verbatim, so the hash gate proves the loaded artifact encodes
+    // identically to the freshly-trained table on the full corpus
+    "x122_bpe_artifact_ids" ->
       s"""WITH ${bpeCharPrefixCtes(4)},
         |cvocab AS (
         |  SELECT x AS tok,

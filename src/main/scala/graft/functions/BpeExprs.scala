@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -270,6 +270,56 @@ object BpeOps {
     if (lefts.numElements() < HeapThreshold)
       encodeAllGreedy(arr, lefts, rights, sep)
     else encodeHeap(arr, compiled(lefts, rights, sep))
+
+  private final val HexDigits = "0123456789ABCDEF".getBytes(
+    java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** BPE symbol initialization of one whitespace word, both alphabet
+    * levels: CHAR level = the word's code-point characters; BYTE level
+    * = its UTF-8 bytes as uppercase two-hex-digit symbols; either way
+    * `eow` is concatenated onto the FINAL symbol (the Sennrich
+    * end-of-word convention). Empty word → empty array.
+    *
+    * Output-identical (on valid UTF-8 — all symbols the split-based
+    * routes can ever see) to the declarative columns it replaces
+    * (`array_remove(split(w, ""), "")` / `regexp_extract_all(hex(
+    * encode(w, "UTF-8")), "(..)", 1)` + slice/concat), proven as a
+    * KernelFuzzSpec law. The point is the per-OCCURRENCE constant: the
+    * encode routes run init once per word occurrence of the corpus,
+    * and the regex engine + intermediate hex string dominated the
+    * byte-level encode's wall time; this is one bounded byte walk. */
+  def initSymbols(word: UTF8String, eow: UTF8String,
+      byteLevel: Boolean): ArrayData = {
+    val n = word.numBytes
+    if (n == 0) return new GenericArrayData(new Array[UTF8String](0))
+    val bytes = word.getBytes
+    if (byteLevel) {
+      val out = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) {
+        val b = bytes(i) & 0xff
+        val sb = new Array[Byte](2)
+        sb(0) = HexDigits(b >>> 4)
+        sb(1) = HexDigits(b & 0xf)
+        out(i) = UTF8String.fromBytes(sb)
+        i += 1
+      }
+      out(n - 1) = UTF8String.concat(out(n - 1), eow)
+      new GenericArrayData(out)
+    } else {
+      val out = new java.util.ArrayList[UTF8String](n)
+      var i = 0
+      while (i < n) {
+        val w = UTF8String.numBytesForFirstByte(bytes(i))
+        val end = if (i + w > n) n else i + w
+        out.add(UTF8String.fromBytes(bytes, i, end - i))
+        i = end
+      }
+      val last = out.size - 1
+      out.set(last, UTF8String.concat(out.get(last), eow))
+      new GenericArrayData(out.toArray(new Array[UTF8String](out.size)))
+    }
+  }
 }
 
 /** Codegen column: apply one BPE merge (left, right) to a symbol array.
@@ -366,7 +416,44 @@ case class BpeEncodeExpr(arr: Expression, lefts: Expression,
     copy(arr = f, lefts = s, rights = t)
 }
 
+/** Codegen column: BPE symbol initialization of one word — char- or
+  * byte-level alphabet, `eow` suffixed on the final symbol (see
+  * [[BpeOps.initSymbols]]). Null word → null (unreachable from the
+  * Vocab routes: init is applied to whitespace-split products, which
+  * are never null). */
+case class BpeInitExpr(child: Expression, eow: String,
+    byteLevel: Boolean) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_init"
+
+  private val eowU = UTF8String.fromString(eow)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    BpeOps.initSymbols(v.asInstanceOf[UTF8String], eowU, byteLevel)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val eowRef = ctx.addReferenceObj("eow", eowU,
+      classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeOps.initSymbols($c, $eowRef, $byteLevel)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeInitExpr =
+    copy(child = c)
+}
+
 object BpeExprs {
+  def initSymbols(word: Column, eow: String, byteLevel: Boolean): Column =
+    GraftColumnBridge.column(BpeInitExpr(
+      GraftColumnBridge.expression(word), eow, byteLevel))
+
   def mergeAdjacent(arr: Column, left: Column, right: Column,
       sep: String): Column =
     GraftColumnBridge.column(MergeAdjacentExpr(

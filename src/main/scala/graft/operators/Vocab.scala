@@ -323,16 +323,14 @@ object Vocab {
     * end-of-word marker `eow` suffixed onto the FINAL character — so
     * word-final symbols are distinguishable from word-internal ones
     * and a learned vocabulary can reconstruct word boundaries.
-    * `split(w, "")` splits between code points (surrogate pairs stay
-    * whole — Java regex zero-width matches never land inside a pair),
-    * matching char-indexed `substr` replay in ANSI engines. */
-  private[graft] def charInit(word: Column, eow: String): Column = {
-    val cs = array_remove(split(word, ""), "")
-    when(size(cs) > 0,
-      concat(slice(cs, lit(1), size(cs) - 1),
-        array(concat(element_at(cs, lit(-1)), lit(eow)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * Runs as the [[graft.functions.BpeOps.initSymbols]] byte-walk
+    * kernel — output-identical (KernelFuzzSpec law) to the declarative
+    * `array_remove(split(w, ""), "")` route it replaces (code-point
+    * splits, surrogate pairs whole), matching char-indexed `substr`
+    * replay in ANSI engines, at a fraction of the per-word-occurrence
+    * cost in the encode hot path. */
+  private[graft] def charInit(word: Column, eow: String): Column =
+    BpeExprs.initSymbols(word, eow, byteLevel = false)
 
   /** CHAR-LEVEL (subword) BPE training — the Sennrich tokenizer a
     * production pipeline actually ships, vs [[bpeMerges]]' phrase
@@ -450,15 +448,14 @@ object Vocab {
     * out-of-alphabet — the property byte-level tokenizers exist for —
     * and for pure-ASCII text the hex pairs are a bijection of the
     * code points, so byte- and char-level training learn isomorphic
-    * tables (asserted in VocabSpec). */
-  private[graft] def byteInit(word: Column, eow: String): Column = {
-    val bs = regexp_extract_all(hex(encode(word, "UTF-8")),
-      lit("(..)"), lit(1))
-    when(size(bs) > 0,
-      concat(slice(bs, lit(1), size(bs) - 1),
-        array(concat(element_at(bs, lit(-1)), lit(eow)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * tables (asserted in VocabSpec). Runs as the
+    * [[graft.functions.BpeOps.initSymbols]] byte-walk kernel —
+    * output-identical (KernelFuzzSpec law) to the declarative
+    * `regexp_extract_all(hex(encode(w, "UTF-8")), "(..)", 1)` route it
+    * replaces; that regex-per-word-occurrence was the measured
+    * dominant constant of the byte-level encode (x120/x121). */
+  private[graft] def byteInit(word: Column, eow: String): Column =
+    BpeExprs.initSymbols(word, eow, byteLevel = true)
 
   /** BYTE-LEVEL BPE training — [[bpeMergesChar]] with the symbol
     * alphabet lowered from code points to UTF-8 bytes ([[byteInit]]).

@@ -244,6 +244,42 @@ class KernelFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("BPE init kernel ≡ declarative route: initSymbols (char & byte) " +
+    "equals the split/hex/regexp column formulas it replaced, per word") {
+    // the exact columns charInit/byteInit used before the kernel swap
+    def charDecl(w: org.apache.spark.sql.Column) = {
+      val cs = array_remove(split(w, ""), "")
+      when(size(cs) > 0,
+        concat(slice(cs, lit(1), size(cs) - 1),
+          array(concat(element_at(cs, lit(-1)), lit("</w>")))))
+        .otherwise(array().cast("array<string>"))
+    }
+    def byteDecl(w: org.apache.spark.sql.Column) = {
+      val bs = regexp_extract_all(hex(encode(w, "UTF-8")),
+        lit("(..)"), lit(1))
+      when(size(bs) > 0,
+        concat(slice(bs, lit(1), size(bs) - 1),
+          array(concat(element_at(bs, lit(-1)), lit("</w>")))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val words = samples(tokenGen, 120) ++
+      Seq("", "é", "日本", "𝄞", "🂡", "a</w>b", "</w>", "x" * 2000,
+        "é", "é", "𝕏" * 80)
+    val df = words.distinct.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("i", "w")
+    val rows = df.select(col("i"),
+        BpeExprs.initSymbols(col("w"), "</w>", byteLevel = false).as("kc"),
+        charDecl(col("w")).as("dc"),
+        BpeExprs.initSymbols(col("w"), "</w>", byteLevel = true).as("kb"),
+        byteDecl(col("w")).as("db"))
+      .as[(Long, Seq[String], Seq[String], Seq[String], Seq[String])]
+      .collect()
+    for ((i, kc, dc, kb, db) <- rows) {
+      assert(kc === dc, s"char init mismatch on word #$i")
+      assert(kb === db, s"byte init mismatch on word #$i")
+    }
+  }
+
   test("byte-BPE path fuzz: bpeEncodeByte equals the per-word " +
     "byte-init + merge fold on adversarial unicode text — and the " +
     "hex alphabet makes literal '</w>' text collision-free") {

@@ -217,6 +217,9 @@ class PlanSpec extends SparkTestBase {
         // ONE-row merge-table (and, for x121, symbol-universe)
         // broadcast attaches
         "x120_bpe_byte", "x121_bpe_byte_ids",
+        // x122 is x119 through the saved-artifact seam — same ONE-row
+        // sorted-symbol-universe attach on the id assignment
+        "x122_bpe_artifact_ids",
         // x117 attaches the ONE-row rare-first dictionary twice (index
         // build + frozen-order delta ranking) — x101's delta pattern
         "x117_containment_delta",
