@@ -588,6 +588,53 @@ object SparkEntry {
           array_join(transform(col("ids"), _.cast("string")), ",")
             .as("encoded_ids"))
     }),
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // bucket models of the TARGET slice (lang='en' — the CCNet-style
+    // clean-reference convention) vs the raw corpus; per-doc log
+    // importance ratio folds doc-locally against a dim-double literal
+    // lookup — model pass is one bounded-key aggregate, scoring pass
+    // shuffles nothing doc-keyed
+    "x123_dsir_weights" -> ((s, dir) =>
+      graft.operators.Relevance.dsirWeights(
+        Tables.documents(s, dir), col("lang") === "en", dim = 1024)),
+    // DSIR's selection step: Gumbel-top-k resampling on the x123
+    // weights with derandomized noise from the portable poly hash of
+    // "dsir:"+doc_id — sample-without-replacement ∝ exp(weight),
+    // deterministic and oracle-replayable
+    "x124_dsir_resample" -> ((s, dir) =>
+      graft.operators.Relevance.dsirResample(
+        Tables.documents(s, dir), col("lang") === "en", k = 100,
+        dim = 1024)),
+    // interpolated Kneser–Ney bigram LM (D=0.75, add-½ smoothed
+    // continuation) self-scored over the corpus — the published
+    // upgrade of x92's add-k model; same (id, n_bigrams, avg_nll)
+    // contract, so it drops into the x94 bucketing pipeline
+    "x125_kn_lm" -> ((s, dir) =>
+      graft.operators.Relevance.knLmScore(Tables.documents(s, dir))),
+    // subword-tokenizer fertility per language: tokens/word and
+    // chars/token from the x118 char-BPE encode — the tokenizer-QA
+    // metric multilingual pipelines track (a high-fertility language
+    // is being over-fragmented and over-billed in training compute)
+    "x126_token_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Vocab.bpeMergesChar(docs, col("text"),
+        nMerges = 4, minCount = 2)
+      val enc = graft.operators.Vocab.bpeEncodeChar(docs, col("doc_id"),
+        col("text"), merges)
+      enc.join(docs.select(col("doc_id").as("id"), col("lang"),
+          size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+            .cast("bigint").as("_w"),
+          length(col("text")).cast("bigint").as("_c")), Seq("id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("n_tokens"),
+          sum(col("_w")).as("n_words"),
+          sum(col("_c")).as("n_chars"))
+        .select(col("lang"), col("n_tokens"), col("n_words"),
+          round(col("n_tokens") / nullif(col("n_words"), lit(0L)), 6)
+            .as("tokens_per_word"),
+          round(col("n_chars") / nullif(col("n_tokens"), lit(0L)), 6)
+            .as("chars_per_token"))
+    }),
     // BYTE-LEVEL BPE train + encode: the GPT-2 byte-fallback
     // convention — symbols start as the UTF-8 bytes of each word
     // (uppercase hex pairs, </w> on the word-final byte), so the base
@@ -3557,6 +3604,144 @@ object SparkEntry {
         |    ORDER BY i.j, i.k), '') AS encoded_ids
         |FROM cd d LEFT JOIN cids i USING (doc_id)
         |GROUP BY d.doc_id""".stripMargin,
+    // x123: replay DSIR end to end — hashed unigram+bigram buckets via
+    // the portable poly fold (the x54 hash), add-1 smoothed target/raw
+    // bucket models, per-doc sum of log ratios (order-free at the
+    // 6-decimal round)
+    "x123_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+        |    list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, tgt, unnest(
+        |    list_transform(t, w -> CAST(list_reduce([0::BIGINT] ||
+        |        list_transform(range(1, length(w)+1),
+        |          i -> ord(substr(w, i, 1))::BIGINT),
+        |        (a,x) -> (a*131 + x) % 1000000007) % 1024 AS INT)) ||
+        |    CASE WHEN len(t) >= 2 THEN
+        |      list_transform(range(1, len(t)),
+        |        j -> CAST(list_reduce([0::BIGINT] ||
+        |          list_transform(range(1, length(t[j] || ' ' || t[j+1])+1),
+        |            i -> ord(substr(t[j] || ' ' || t[j+1], i, 1))::BIGINT),
+        |          (a,x) -> (a*131 + x) % 1000000007) % 1024 AS INT))
+        |    ELSE CAST([] AS INT[]) END) AS b
+        |  FROM toks),
+        |cnts AS (
+        |  SELECT b, count(*) AS raw, sum(tgt) AS tg FROM feats GROUP BY 1),
+        |tot AS (SELECT count(*) AS nr, sum(tgt) AS nt FROM feats),
+        |lut AS (
+        |  SELECT b, ln((tg + 1.0) / (nt + 1024.0)) -
+        |    ln((raw + 1.0) / (nr + 1024.0)) AS lw
+        |  FROM cnts CROSS JOIN tot),
+        |docw AS (
+        |  SELECT f.doc_id, count(*) AS nf, sum(l.lw) AS s
+        |  FROM feats f JOIN lut l USING (b) GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(d.nf, 0) AS BIGINT) AS n_features,
+        |  round(coalesce(d.s, 0.0), 6) AS log_weight
+        |FROM toks t LEFT JOIN docw d USING (doc_id)""".stripMargin,
+    // x124: x123's weights + the derandomized Gumbel key — noise from
+    // the poly hash of 'dsir:'||doc_id, u = (h+½)/P, G = −ln(−ln u);
+    // keys round to 6 decimals BEFORE ranking so the cross-engine
+    // order (key desc, doc_id asc) is exactly reproducible
+    "x124_dsir_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+        |    list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, tgt, unnest(
+        |    list_transform(t, w -> CAST(list_reduce([0::BIGINT] ||
+        |        list_transform(range(1, length(w)+1),
+        |          i -> ord(substr(w, i, 1))::BIGINT),
+        |        (a,x) -> (a*131 + x) % 1000000007) % 1024 AS INT)) ||
+        |    CASE WHEN len(t) >= 2 THEN
+        |      list_transform(range(1, len(t)),
+        |        j -> CAST(list_reduce([0::BIGINT] ||
+        |          list_transform(range(1, length(t[j] || ' ' || t[j+1])+1),
+        |            i -> ord(substr(t[j] || ' ' || t[j+1], i, 1))::BIGINT),
+        |          (a,x) -> (a*131 + x) % 1000000007) % 1024 AS INT))
+        |    ELSE CAST([] AS INT[]) END) AS b
+        |  FROM toks),
+        |cnts AS (
+        |  SELECT b, count(*) AS raw, sum(tgt) AS tg FROM feats GROUP BY 1),
+        |tot AS (SELECT count(*) AS nr, sum(tgt) AS nt FROM feats),
+        |lut AS (
+        |  SELECT b, ln((tg + 1.0) / (nt + 1024.0)) -
+        |    ln((raw + 1.0) / (nr + 1024.0)) AS lw
+        |  FROM cnts CROSS JOIN tot),
+        |docw AS (
+        |  SELECT f.doc_id, sum(l.lw) AS s
+        |  FROM feats f JOIN lut l USING (b) GROUP BY 1),
+        |keyed AS (
+        |  SELECT t.doc_id, round(coalesce(d.s, 0.0), 6) AS log_weight,
+        |    round(round(coalesce(d.s, 0.0), 6) - ln(-ln(
+        |      (list_reduce([0::BIGINT] || list_transform(
+        |        range(1, length('dsir:' || CAST(t.doc_id AS VARCHAR)) + 1),
+        |        i -> ord(substr('dsir:' || CAST(t.doc_id AS VARCHAR),
+        |          i, 1))::BIGINT),
+        |        (a,x) -> (a*131 + x) % 1000000007) + 0.5) / 1000000007.0)),
+        |      6) AS sample_key
+        |  FROM toks t LEFT JOIN docw d USING (doc_id))
+        |SELECT doc_id, log_weight, sample_key FROM keyed
+        |ORDER BY sample_key DESC, doc_id ASC LIMIT 100""".stripMargin,
+    // x125: replay interpolated Kneser–Ney — c1/N1+fwd per prefix and
+    // N1+bwd per continuation all derive from the bigram-TYPE relation
+    // c2; P_cont is add-½ smoothed over (T types, V unigrams);
+    // self-scoring makes every probe a model hit, but the formula
+    // carries the unseen-context backoff all the same
+    "x125_kn_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |db AS (
+        |  SELECT doc_id, t[u.i] AS w1, t[u.i+1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM db GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(n2) AS n1, count(*) AS n1f
+        |       FROM c2 GROUP BY 1),
+        |cb AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
+        |tv AS (SELECT (SELECT count(*) FROM c2) AS tt,
+        |              (SELECT count(DISTINCT x)
+        |               FROM (SELECT unnest(t) AS x FROM toks)) AS v),
+        |p AS (
+        |  SELECT d.doc_id, ln(
+        |    greatest(c2.n2 - 0.75, 0) / c1.n1 +
+        |    0.75 * c1.n1f / c1.n1 *
+        |      ((cb.n1b + 0.5) / (tv.tt + 0.5 * tv.v))) AS lp
+        |  FROM db d JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  JOIN cb USING (w2) CROSS JOIN tv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(-avg(lp), 6) AS avg_nll
+        |FROM p GROUP BY 1""".stripMargin,
+    // x126: fertility from the x118 token stream (csym) — per-language
+    // token/word/char sums and their ratios; the 1.0 factors force
+    // double division against the engine's long/long → double
+    "x126_token_fertility" ->
+      s"""WITH ${bpeCharPrefixCtes(4)},
+        |tokc AS (SELECT doc_id, count(*) AS nt FROM csym GROUP BY 1),
+        |base AS (
+        |  SELECT d.doc_id, d.lang, length(d.text) AS nc,
+        |    len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+        |      x -> x <> '')) AS nw
+        |  FROM documents d WHERE d.text IS NOT NULL)
+        |SELECT b.lang,
+        |  CAST(sum(coalesce(t.nt, 0)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(b.nw) AS BIGINT) AS n_words,
+        |  round(sum(coalesce(t.nt, 0)) * 1.0 / nullif(sum(b.nw), 0), 6)
+        |    AS tokens_per_word,
+        |  round(sum(b.nc) * 1.0 / nullif(sum(coalesce(t.nt, 0)), 0), 6)
+        |    AS chars_per_token
+        |FROM base b LEFT JOIN tokc t USING (doc_id)
+        |GROUP BY 1""".stripMargin,
     // x92: replay the add-k bigram model — continuation counts c1 are
     // the per-prefix sums of bigram-type counts c2, V is the distinct
     // token count, and self-scoring makes every probe bigram an inner

@@ -280,4 +280,187 @@ object Relevance {
       .groupBy(col(idCol), col("pos"))
       .agg(sum(col("_sign")).as("fval"))
   }
+
+  /** Hashed unigram+bigram feature buckets of one document's token
+    * array, doc-local: each token (and each adjacent token pair,
+    * joined by one space) is bucketed by the oracle-replayable
+    * polynomial fingerprint mod `dim`. The shared feature map of
+    * [[dsirWeights]]' model and scoring passes. */
+  private def featureBuckets(tk: Column, dim: Int): Column = {
+    def b(s: Column): Column = pmod(graft.functions.ShingleExprs
+      .polyFingerprint(s), lit(dim.toLong)).cast("int")
+    val uni = transform(tk, w => b(w))
+    val bi = when(size(tk) >= 2,
+      zip_with(slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1),
+        (a, c) => b(concat(a, lit(" "), c))))
+      .otherwise(array().cast("array<int>"))
+    concat(uni, bi)
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed-n-gram features are under the
+    * TARGET distribution (documents where `isTarget` holds — the
+    * clean/in-domain slice) than under the RAW corpus distribution.
+    * Features are unigrams and adjacent bigrams bucketed to `dim`
+    * hash buckets; both bag-of-buckets models are Laplace-smoothed
+    * (add-1 over `dim` buckets), and a document's log-weight is the
+    * sum over its FEATURE OCCURRENCES of log p̂_target(b) − log
+    * p̂_raw(b) — the paper's log importance ratio. High weight =
+    * looks like the target slice; threshold or resample on it
+    * ([[dsirResample]]) to curate.
+    *
+    * Output: (idCol, n_features, log_weight rounded to 6 decimals);
+    * documents with no tokens score 0.0 with n_features = 0.
+    *
+    * Scale shape: the model pass is ONE corpus scan aggregating into
+    * at most `dim` keys (map-side combinable; raw and target counts
+    * ride the same aggregate as a conditional sum — the target slice
+    * is NOT rescanned), collected as ONE bounded `dim`-row relation.
+    * The scoring pass is a second corpus scan with ZERO shuffle of
+    * document data: the bucket → log-ratio table rides the plan as a
+    * `dim`-double literal array and each document folds its own
+    * feature buckets locally (the BM25 "query constants fold into the
+    * plan" discipline). Two scans, one bounded exchange, nothing
+    * doc-keyed ever moves. The generate-side projection follows the
+    * explode_outer + isNotNull pattern (see `encodeIdsViaDict`) so
+    * the inferred non-empty filter cannot duplicate the hash work
+    * below the aggregate. */
+  def dsirWeights(docs: DataFrame, isTarget: Column, dim: Int = 1024,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dim >= 2 && dim <= 65536,
+      s"dsirWeights: dim must be in [2, 65536], got $dim")
+    val tk = tokens(textCol)
+    val counts = docs
+      .select(isTarget.as("_t"),
+        explode_outer(featureBuckets(tk, dim)).as("_b"))
+      .filter(col("_b").isNotNull)
+      .groupBy(col("_b"))
+      .agg(count(lit(1)).as("_raw"),
+        sum(when(col("_t"), 1L).otherwise(0L)).as("_tgt"))
+      .collect()
+    val raw = new Array[Long](dim); val tgt = new Array[Long](dim)
+    counts.foreach { r =>
+      raw(r.getInt(0)) = r.getLong(1); tgt(r.getInt(0)) = r.getLong(2)
+    }
+    val nRaw = raw.sum.toDouble; val nTgt = tgt.sum.toDouble
+    val lut = Array.tabulate(dim) { b =>
+      math.log((tgt(b) + 1.0) / (nTgt + dim)) -
+        math.log((raw(b) + 1.0) / (nRaw + dim))
+    }
+    val lutLit = typedlit(lut)
+    // aliased intermediate: the bucket array is NOT cheap, so
+    // CollapseProject keeps it single-evaluation across its two uses
+    docs.select(col(idCol), featureBuckets(tk, dim).as("_bs"))
+      .select(col(idCol),
+        size(col("_bs")).cast("bigint").as("n_features"),
+        round(aggregate(col("_bs"), lit(0.0),
+          (acc, b) => acc + element_at(lutLit, b + 1)), 6)
+          .as("log_weight"))
+  }
+
+  /** DSIR's selection step: sample `k` documents WITHOUT replacement
+    * with probability proportional to exp(log_weight), via the
+    * Gumbel-top-k trick (Vieira 2014; the DSIR paper's resampling
+    * procedure) — rank by log_weight + Gumbel noise and take the top
+    * k. The noise is DERANDOMIZED through the oracle-replayable
+    * polynomial fingerprint of `"dsir:" + id`: u = (h + ½)/P ∈ (0,1),
+    * G = −ln(−ln u) — deterministic, reproducible across engines and
+    * re-runs (the x40/x113 seeded-sampling discipline; the fractional
+    * offset keeps u strictly inside (0,1) so G is always finite).
+    *
+    * Output: the k selected (idCol, log_weight, sample_key), both
+    * rounded to 6 decimals. Selection is a distributed top-k
+    * (TakeOrdered — per-partition heaps, never a global sort) on
+    * (sample_key desc, id asc).
+    *
+    * Scale shape: [[dsirWeights]]' two scans + a top-k; the noise and
+    * key are doc-local projections, so still nothing doc-keyed is
+    * exchanged before the bounded k-row result. */
+  def dsirResample(docs: DataFrame, isTarget: Column, k: Int,
+      dim: Int = 1024, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"dsirResample: k must be >= 1, got $k")
+    val h = graft.functions.ShingleExprs.polyFingerprint(
+      concat(lit("dsir:"), col(idCol).cast("string")))
+    val u = (h + lit(0.5)) / lit(graft.functions.ShingleOps.PolyP2.toDouble)
+    dsirWeights(docs, isTarget, dim, idCol, textCol)
+      .withColumn("sample_key",
+        round(col("log_weight") - log(-log(u)), 6))
+      .orderBy(col("sample_key").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("log_weight"), col("sample_key"))
+  }
+
+  /** Interpolated Kneser–Ney bigram language-model scoring — the
+    * published standard for n-gram LM quality filters (Kneser & Ney
+    * 1995; Chen & Goodman 1999), upgrading [[lmQualityScore]]'s add-k
+    * smoothing: P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁) +
+    * D·N₁₊(w₁·)/c(w₁) · P_cont(w₂), where N₁₊(w₁·) is the number of
+    * distinct continuations of w₁ and the continuation probability
+    * P_cont(w₂) = (N₁₊(·w₂) + ½)/(T + ½V) is add-½ smoothed over the
+    * T bigram types and V unigram types so unseen words keep positive
+    * mass. A document's score is its average bigram negative
+    * log-likelihood — low = fluent under the reference, exactly the
+    * [[perplexityBuckets]] consumption contract. Train on `reference`,
+    * score `docs`; an UNSEEN context w₁ backs off to P_cont(w₂) alone
+    * (the standard zero-count backoff). The single-argument overload
+    * self-scores, where every probe bigram is a model hit.
+    *
+    * Output: (idCol, n_bigrams, avg_nll) in natural-log units, rounded
+    * to 6 decimals; documents with fewer than 2 tokens are omitted
+    * (the [[lmQualityScore]] contract).
+    *
+    * Scale shape: identical to [[lmQualityScore]] — the model is
+    * map-side-combinable count aggregates over the reference's bigram
+    * types (c(w₁)/N₁₊(w₁·) and N₁₊(·w₂) both derive from the cached
+    * type relation, never from a second corpus pass), scoring joins
+    * the document bigram stream on gram keys (AQE-skew-splittable),
+    * and the only broadcast is the ONE-row (T, V) scalar. */
+  def knLmScore(docs: DataFrame): DataFrame = knLmScore(docs, docs)
+
+  def knLmScore(docs: DataFrame, reference: DataFrame,
+      discount: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"knLmScore: discount must be in (0,1), got $discount")
+    val t = tokens(textCol)
+    def bigrams(df: DataFrame, cols: Seq[Column]): DataFrame =
+      df.select(cols :+ explode(when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("_b"): _*)
+        .select(cols :+ col("_b.w1").as("w1") :+ col("_b.w2").as("w2"): _*)
+    // bigram-type relation: c1/N1+fwd/N1+bwd/T all derive from it and
+    // the scoring stream joins it — cache with the lmQualityScore
+    // input-lifetime contract
+    val c2 = bigrams(reference, Seq.empty)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_n2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c1 = c2.groupBy(col("w1"))
+      .agg(sum(col("_n2")).as("_n1"), count(lit(1)).as("_n1f"))
+    val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("_n1b"))
+    val scalars = c2.agg(count(lit(1)).as("_tt")).crossJoin(
+      reference.select(explode(t).as("_u"))
+        .agg(countDistinct(col("_u")).as("_v")))
+    val d = lit(discount)
+    bigrams(docs, Seq(col(idCol)))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("_pc",
+        (coalesce(col("_n1b"), lit(0L)) + lit(0.5)) /
+          (col("_tt") + lit(0.5) * col("_v")))
+      .withColumn("_lp", log(when(col("_n1").isNotNull,
+        greatest(coalesce(col("_n2"), lit(0L)) - d, lit(0.0)) / col("_n1") +
+          d * col("_n1f") / col("_n1") * col("_pc"))
+        .otherwise(col("_pc"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(col("_lp")), 6).as("avg_nll"))
+  }
 }

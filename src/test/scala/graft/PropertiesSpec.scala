@@ -137,4 +137,29 @@ class PropertiesSpec extends SparkTestBase {
       assert(ShingleOps.simhash(a, ca) === ShingleOps.simhash(b, cb))
     }
   }
+
+  test("SparkEntry contract: queries and oracleSql keys align exactly, " +
+    "and no Map literal silently swallowed a duplicate key") {
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet,
+      "queries/oracleSql key sets differ: " +
+        (SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet) +
+        " / " +
+        (SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet))
+    // a Scala Map(...) literal DEDUPS duplicate keys (last wins) — a
+    // bulk edit that clobbers a sibling entry is invisible at the Map
+    // level, so count the `"name" ->` entry markers in the SOURCE:
+    // each key must appear exactly twice (once per map)
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val marker = """"([a-z0-9_]+)"\s*->""".r
+    val counts = marker.findAllMatchIn(src).map(_.group(1)).toSeq
+      .filter(SparkEntry.queries.keySet)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val bad = counts.filter(_._2 != 2)
+    assert(bad.isEmpty,
+      s"entry markers not appearing exactly twice in source: $bad")
+    for (k <- SparkEntry.queries.keySet)
+      assert(counts.contains(k), s"no source marker found for $k")
+  }
 }
