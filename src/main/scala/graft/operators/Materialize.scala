@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Checkpoint-style materialization for multi-consumer intermediate
+  * relations inside operators that RETURN a plan referencing them.
+  *
+  * `Dataset.persist` is the wrong tool there: the caller receives only
+  * the final plan, has no handle to the persisted child, and therefore
+  * can never `unpersist` it — CacheManager entries accumulate across
+  * repeated calls (per micro-batch, per trainer round, per Bench
+  * iteration). A checkpoint cuts lineage and materializes blocks that
+  * the ContextCleaner releases once the returned plan is
+  * garbage-collected — the cache-lifecycle discipline adopted in
+  * [[Dedup.containmentPairs]] (round-8 advisory) and extended here.
+  *
+  * TRADE (the no-checkpoint-dir branch): `localCheckpoint` blocks are
+  * unreplicated and non-recomputable, so losing an executor mid-job
+  * fails the query instead of recomputing. On a real cluster set a
+  * checkpoint dir (`sparkContext.setCheckpointDir`) and the reliable
+  * branch persists to durable storage; in local mode the trade is free
+  * (one JVM — executor loss IS driver loss).
+  */
+object Materialize {
+
+  /** Materialize `df` eagerly (one job now) and cut its lineage.
+    * Eager is the multi-consumer contract: every consumer — including
+    * driver-side `collect`s that must agree with the returned plan on
+    * nondeterministic physical properties like `spark_partition_id` —
+    * reads the SAME materialized blocks. */
+  def eager(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Lazy variant: the caller's next action materializes the
+    * checkpoint, sharing one job instead of paying an eager extra
+    * pass — right when the first consumer runs before any other. */
+  def lazily(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+}

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Retrieval-side relevance primitives over a document corpus: BM25
   * scoring against a query and a df-capped inverted index. These are
@@ -85,9 +84,10 @@ object Relevance {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxDfFraction > 0 && maxDfFraction <= 1,
       s"invertedIndex: maxDfFraction must be in (0,1], got $maxDfFraction")
-    val occ = docs
-      .select(col(idCol), explode(array_distinct(tokens(textCol))).as("token"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialized checkpoint-style, not persist: occ rides into the
+    // returned plan, so a cache entry here would be caller-unreleasable
+    val occ = Materialize.eager(docs
+      .select(col(idCol), explode(array_distinct(tokens(textCol))).as("token")))
     val dfs = occ.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // the cap is one routing scalar — collected, not joined (a
     // constant-key scalar join constant-folds into a nested-loop join)
@@ -120,10 +120,10 @@ object Relevance {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxDfFraction > 0 && maxDfFraction <= 1,
       s"tfidf: maxDfFraction must be in (0,1], got $maxDfFraction")
-    val tf = docs
+    // materialized checkpoint-style (the invertedIndex rationale)
+    val tf = Materialize.eager(docs
       .select(col(idCol), explode(tokens(textCol)).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf")))
     val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.count()
     val cap = n * maxDfFraction
@@ -191,14 +191,18 @@ object Relevance {
         .as("_b"): _*)
         .select(cols :+ col("_b.w1").as("w1") :+ col("_b.w2").as("w2"): _*)
     }
-    // persist the bigram-type counts: c1 derives from c2 and the
-    // scoring stream joins c2 — without the cache the reference corpus
-    // is re-bigrammed and re-aggregated once per consumer (model
-    // relations are type-bounded, far smaller than the corpus; input-
-    // lifetime cache, caller/Bench-released)
-    val c2 = bigrams(reference, Seq.empty)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_n2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the bigram-type counts: c1 derives from c2 and the
+    // scoring stream joins c2 — without reuse the reference corpus is
+    // re-bigrammed and re-aggregated once per consumer (model
+    // relations are type-bounded, far smaller than the corpus).
+    // Checkpoint-style, NOT Dataset.persist: the caller has no handle
+    // to unpersist, so a cache entry here is unreleasable and
+    // accumulates across repeated calls (e.g. per micro-batch); the
+    // checkpoint blocks are dropped by the context cleaner once the
+    // returned plan is garbage-collected. Executor-loss trade as in
+    // Dedup.containmentPairs — set a checkpoint dir on a real cluster.
+    val c2 = Materialize.eager(bigrams(reference, Seq.empty)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_n2")))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("_n2")).as("_n1"))
     val v = reference.select(explode(tokens(textCol)).as("_t"))
       .agg(countDistinct(col("_t")).as("_v"))
@@ -242,14 +246,14 @@ object Relevance {
       s"perplexityBuckets: nBuckets must be in [2, 1000], got $nBuckets")
     val scores = lmQualityScore(docs, docs, k, idCol, textCol)
       .select(col(idCol), col("avg_nll"))
-    // persist the scored relation: it feeds BOTH the grouped rank and
-    // the per-lang counts, and recomputing it means re-running the
+    // materialize the scored relation: it feeds BOTH the grouped rank
+    // and the per-lang counts, and recomputing it means re-running the
     // whole LM-scoring pipeline (model join + per-doc NLL aggregate)
-    // per consumer — measured 2× the query's cost at sf0.1. Input-
-    // lifetime cache, caller/Bench-released (the rankInGroup contract).
-    val joined = scores
-      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per consumer — measured 2× the query's cost at sf0.1.
+    // Checkpoint-style, not persist: it rides into the returned plan,
+    // so a cache entry would be caller-unreleasable.
+    val joined = Materialize.eager(scores
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol)))
     val ranked = graft.operators.GroupedRank.rankInGroup(
       joined, col(langCol),
       Seq(col("avg_nll").asc, col(idCol).asc), "_rn")
@@ -435,11 +439,11 @@ object Relevance {
         .as("_b"): _*)
         .select(cols :+ col("_b.w1").as("w1") :+ col("_b.w2").as("w2"): _*)
     // bigram-type relation: c1/N1+fwd/N1+bwd/T all derive from it and
-    // the scoring stream joins it — cache with the lmQualityScore
-    // input-lifetime contract
-    val c2 = bigrams(reference, Seq.empty)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_n2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the scoring stream joins it — materialized checkpoint-style (see
+    // [[lmQualityScore]]: a Dataset.persist here is unreleasable by
+    // the caller and leaks a CacheManager entry per call)
+    val c2 = Materialize.eager(bigrams(reference, Seq.empty)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_n2")))
     val c1 = c2.groupBy(col("w1"))
       .agg(sum(col("_n2")).as("_n1"), count(lit(1)).as("_n1f"))
     val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("_n1b"))

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Token-level exact-substring deduplication with SPAN REMOVAL: find
   * every duplicated run of >= `windowTokens` consecutive tokens anywhere
@@ -86,14 +85,15 @@ object SpanDedup {
     require(windowTokens >= 2,
       s"SpanDedup.excise: windowTokens must be >= 2, got $windowTokens")
     val L = windowTokens
-    // persist both reused relations (the minhashLsh cache-lifecycle
-    // contract — caller releases): `b` feeds fingerprinting AND the
-    // final rewrite join; `occ` feeds the canonical aggregate AND the
-    // span join-back. Without these, the tokenize+hash projection and
-    // the triple explode re-execute once per referencing branch.
-    val b = tokenBase(docs, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val occ = winOcc(b, L).persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize both reused relations checkpoint-style: `b` feeds
+    // fingerprinting AND the final rewrite join; `occ` feeds the
+    // canonical aggregate AND the span join-back. Without reuse, the
+    // tokenize+hash projection and the triple explode re-execute once
+    // per referencing branch. Not Dataset.persist — both ride into the
+    // returned plan, so a cache entry would be caller-unreleasable
+    // (the [[Materialize]] discipline).
+    val b = Materialize.eager(tokenBase(docs, idCol, textCol))
+    val occ = Materialize.eager(winOcc(b, L))
 
     // the ONLY corpus-wide exchange: 20-byte (fp, id, pos) triples
     // keyed on fp; first occurrence in (doc_id, pos) order is canonical,
@@ -180,10 +180,9 @@ object SpanDedup {
     require(windowTokens >= 2,
       s"SpanDedup.exciseDelta: windowTokens must be >= 2, got $windowTokens")
     val L = windowTokens
-    // same cache-lifecycle contract as [[excise]] (delta-sized here)
-    val b = tokenBase(delta, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val occ = winOcc(b, L).persist(StorageLevel.MEMORY_AND_DISK)
+    // same materialization contract as [[excise]] (delta-sized here)
+    val b = Materialize.eager(tokenBase(delta, idCol, textCol))
+    val occ = Materialize.eager(winOcc(b, L))
 
     // per-fp delta metadata (skew-safe hash agg), then one left join to
     // the index's fp column: indexed fps remove ALL delta occurrences;

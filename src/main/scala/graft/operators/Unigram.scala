@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.UnigramExprs
+
+/** Unigram-LM (SentencePiece-style, Kudo ACL'18) tokenization — the
+  * OTHER production tokenizer family next to BPE ([[Vocab]]): a
+  * vocabulary of variable-length pieces with frequencies, and encode =
+  * Viterbi argmax segmentation under the induced unigram likelihood.
+  * Three surfaces:
+  *
+  *   - [[seedVocab]]: the standard seed — every substring of the
+  *     word-frequency dictionary up to `maxPieceLen`, counted with
+  *     within-word multiplicity and weighted by word frequency; all
+  *     single characters are kept unconditionally (coverage floor),
+  *     multi-char pieces keep the `vocabSize` most frequent above
+  *     `minCount` ((freq DESC, piece ASC) — a total order, so the cut
+  *     is deterministic).
+  *   - [[encode]] / [[encodeIds]]: Viterbi segmentation per word
+  *     ([[graft.functions.UnigramOps]] — see its determinism
+  *     contract), doc-local, vocabulary baked into the plan as bounded
+  *     literals. Ids are the 1-based rank in the piece-ascending
+  *     sorted vocabulary (the x115 id contract; 0 = UNK single char).
+  *   - [[reestimate]]: one hard-EM (Viterbi-EM) count step — piece
+  *     usage frequencies under the current model's argmax
+  *     segmentation, the re-estimation half of the SentencePiece
+  *     trainer loop with the E-step's expectation replaced by the
+  *     Viterbi path (the standard deterministic variant).
+  *
+  * Scale shape (the [[Vocab.bpeMergesChar]] dictionary discipline):
+  * every corpus-sized pass is ONE whitespace-word aggregate; substring
+  * explosion, vocabulary ranking and re-estimation all run over the
+  * Zipf-few DISTINCT words weighted by multiplicity — provably equal
+  * to occurrence-stream counting since words segment independently of
+  * context. Encode is a doc-local projection: no shuffle, no join.
+  * The vocabulary itself is driver-bounded (`collectVocab` cap) —
+  * production vocabularies are ≤ a few hundred thousand rows.
+  */
+object Unigram {
+
+  private def words(textCol: Column): Column =
+    array_remove(split(textCol, "\\s+"), "")
+
+  /** Word-frequency dictionary: one corpus pass, distinct-word-sized
+    * shuffle (map-side combined). */
+  private def wordFreqs(docs: DataFrame, textCol: Column): DataFrame =
+    docs.filter(textCol.isNotNull)
+      .select(explode(words(textCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+
+  /** Seed (piece, freq) vocabulary — see the object doc. Output:
+    * `piece` string, `freq` long. */
+  def seedVocab(docs: DataFrame, textCol: Column, maxPieceLen: Int = 4,
+      minCount: Long = 2, vocabSize: Int = 512): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"seedVocab: maxPieceLen must be in [1, 16], got $maxPieceLen")
+    require(minCount >= 1, s"seedVocab: minCount must be >= 1, got $minCount")
+    require(vocabSize >= 0, s"seedVocab: vocabSize must be >= 0, got $vocabSize")
+    val wf = wordFreqs(docs, textCol)
+    // all substrings up to maxPieceLen WITH within-word multiplicity
+    // ("aaa" contributes "a"×3, "aa"×2), weighted by word frequency.
+    // The substring generator is the INLINE child of the explode —
+    // SPARK-36715 keeps filter inference off inline generator
+    // children, so the expensive projection cannot be pushed anywhere
+    // (and wf is distinct-word-sized anyway).
+    val subs = wf.select(col("wf"), explode(flatten(transform(
+        filter(sequence(lit(1), lit(maxPieceLen)),
+          l => l <= length(col("w"))),
+        l => transform(sequence(lit(1), length(col("w")) - l + 1),
+          s => col("w").substr(s, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wf")).as("freq"))
+    val chars = subs.filter(length(col("piece")) === 1)
+    val multi = subs
+      .filter(length(col("piece")) > 1 && col("freq") >= minCount)
+      .orderBy(col("freq").desc, col("piece").asc)
+      .limit(vocabSize)
+    chars.unionAll(multi)
+      .select(col("piece"), col("freq").cast("long").as("freq"))
+  }
+
+  /** Bounded driver collect of a (piece, freq) vocabulary, sorted by
+    * piece in UTF8 binary order (the id contract), validated the
+    * [[Vocab.collectMergeTable]] way: a null/duplicate piece or a
+    * non-positive/null freq fails loudly with the table named, instead
+    * of an opaque NPE or a silent arbitrary alignment. */
+  private[graft] def collectVocab(vocab: DataFrame,
+      cap: Int = 100000): (Seq[String], Seq[Long]) = {
+    require(cap >= 1 && cap <= 1000000,
+      s"collectVocab: cap must be in [1, 1e6], got $cap")
+    val rows = vocab.select(col("piece").cast("string"),
+      col("freq").cast("long")).take(cap + 1)
+    require(rows.length <= cap,
+      s"collectVocab: vocabulary exceeds the $cap cap " +
+        "(bounded fetch hit cap + 1 rows)")
+    require(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "collectVocab: vocabulary has a null piece or freq — the " +
+        "relation/artifact is corrupt")
+    require(rows.forall(_.getLong(1) > 0),
+      "collectVocab: vocabulary has a non-positive freq — the " +
+        "relation/artifact is corrupt")
+    val sorted = rows.sortBy(r => UTF8String.fromString(r.getString(0)))
+    require(sorted.iterator.map(_.getString(0)).toSet.size == sorted.length,
+      "collectVocab: vocabulary has duplicate pieces — the " +
+        "relation/artifact is corrupt")
+    (sorted.map(_.getString(0)).toSeq, sorted.map(_.getLong(1)).toSeq)
+  }
+
+  /** Viterbi-encode every document: output (`id`, `pieces`,
+    * `n_tokens`). Doc-local projection — the vocabulary rides the plan
+    * as two bounded literal arrays. */
+  def encode(docs: DataFrame, idCol: Column, textCol: Column,
+      vocab: DataFrame): DataFrame = {
+    val (ps, fs) = collectVocab(vocab)
+    val pl = typedlit(ps); val fl = typedlit(fs)
+    docs.filter(textCol.isNotNull)
+      .select(idCol.as("id"),
+        flatten(transform(words(textCol),
+          w => UnigramExprs.encode(w, pl, fl))).as("pieces"))
+      .withColumn("n_tokens", size(col("pieces")).cast("long"))
+  }
+
+  /** [[encode]] as 1-based sorted-vocabulary ids (0 = UNK single
+    * char): output (`id`, `ids`, `n_tokens`). */
+  def encodeIds(docs: DataFrame, idCol: Column, textCol: Column,
+      vocab: DataFrame): DataFrame = {
+    val (ps, fs) = collectVocab(vocab)
+    val pl = typedlit(ps); val fl = typedlit(fs)
+    docs.filter(textCol.isNotNull)
+      .select(idCol.as("id"),
+        flatten(transform(words(textCol),
+          w => UnigramExprs.encodeIds(w, pl, fl))).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
+
+  /** One hard-EM re-estimation step: corpus piece-usage counts under
+    * the current vocabulary's Viterbi segmentation. Output (`piece`,
+    * `usage`) for every USED piece — including UNK single chars, which
+    * is what tells the trainer loop its coverage floor is being hit.
+    *
+    * Dictionary route: each DISTINCT word segments once and its usage
+    * weights by word frequency — ≡ occurrence counting (words segment
+    * context-free). The encode feeds an explode across the aggregate
+    * boundary, exactly the InferFiltersFromGenerate hazard shape —
+    * explode_outer + an isNotNull filter ON THE GENERATE OUTPUT is the
+    * pushdown barrier (the [[Vocab]] round-10 discipline). */
+  def reestimate(docs: DataFrame, textCol: Column,
+      vocab: DataFrame): DataFrame = {
+    val (ps, fs) = collectVocab(vocab)
+    val pl = typedlit(ps); val fl = typedlit(fs)
+    wordFreqs(docs, textCol)
+      .select(col("wf"),
+        explode_outer(UnigramExprs.encode(col("w"), pl, fl)).as("piece"))
+      .filter(col("piece").isNotNull)
+      .groupBy(col("piece")).agg(sum(col("wf")).as("usage"))
+  }
+}

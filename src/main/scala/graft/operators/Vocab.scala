@@ -420,6 +420,18 @@ object Vocab {
     require(rows.length <= cap,
       s"collectMergeTable: merge table exceeds the $cap cap " +
         "(bounded fetch hit cap + 1 rows)")
+    // validate merge_idx before sorting: a null NPEs opaquely inside
+    // Row.getLong, and duplicates would silently produce an arbitrary
+    // rank alignment — both real hazards for a hand-built or corrupted
+    // artifact loaded via loadBpeTokenizer
+    require(rows.forall(!_.isNullAt(0)),
+      "collectMergeTable: merge table has a null merge_idx — the " +
+        "merges relation/artifact is corrupt (every rank must be a " +
+        "non-null integer)")
+    require(rows.iterator.map(_.getLong(0)).toSet.size == rows.length,
+      "collectMergeTable: merge table has duplicate merge_idx values " +
+        "— rank order is ambiguous; the merges relation/artifact is " +
+        "corrupt (ranks must be distinct)")
     val sorted = rows.sortBy(_.getLong(0))
     (sorted.map(_.getString(1)).toSeq, sorted.map(_.getString(2)).toSeq)
   }
