@@ -635,6 +635,51 @@ object SparkEntry {
           round(col("n_chars") / nullif(col("n_tokens"), lit(0L)), 6)
             .as("chars_per_token"))
     }),
+    // unigram-LM (SentencePiece, Kudo ACL'18) tokenizer family — the
+    // OTHER production tokenizer next to BPE. x127: the seed
+    // vocabulary over the word-frequency dictionary — every substring
+    // up to 4 chars with within-word multiplicity, weighted by word
+    // frequency; single chars kept unconditionally (coverage floor),
+    // top-64 multi-char pieces above minCount 2 by the total order
+    // (freq DESC, piece ASC)
+    "x127_unigram_vocab" -> ((s, dir) =>
+      graft.operators.Unigram.seedVocab(Tables.documents(s, dir),
+        col("text"), maxPieceLen = 4, minCount = 2, vocabSize = 64)),
+    // Viterbi argmax segmentation under the x127 vocabulary's unigram
+    // likelihood — exact-integer freqs, IEEE-replayable DP score (see
+    // the UnigramOps determinism contract); x118's output shape
+    "x128_unigram_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Unigram.seedVocab(docs, col("text"),
+        maxPieceLen = 4, minCount = 2, vocabSize = 64)
+      graft.operators.Unigram.encode(docs, col("doc_id"), col("text"),
+          vocab)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          array_join(col("pieces"), "\u0001").as("encoded"))
+    }),
+    // one hard-EM (Viterbi-EM) re-estimation step: corpus piece-usage
+    // counts under the x128 segmentation — the M-step counts of the
+    // SentencePiece trainer loop with the E-step expectation replaced
+    // by the argmax path (the standard deterministic variant)
+    "x129_unigram_em" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Unigram.seedVocab(docs, col("text"),
+        maxPieceLen = 4, minCount = 2, vocabSize = 64)
+      graft.operators.Unigram.reestimate(docs, col("text"), vocab)
+        .select(col("piece"), col("usage").as("n_used"))
+    }),
+    // x128 as INT token ids (the x115/x119 contract: 1-based rank in
+    // the piece-ascending vocabulary; 0 = UNK single char)
+    "x130_unigram_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Unigram.seedVocab(docs, col("text"),
+        maxPieceLen = 4, minCount = 2, vocabSize = 64)
+      graft.operators.Unigram.encodeIds(docs, col("doc_id"),
+          col("text"), vocab)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          array_join(transform(col("ids"), i => i.cast("string")), ",")
+            .as("encoded_ids"))
+    }),
     // BYTE-LEVEL BPE train + encode: the GPT-2 byte-fallback
     // convention — symbols start as the UTF-8 bytes of each word
     // (uppercase hex pairs, </w> on the word-final byte), so the base
@@ -1422,6 +1467,79 @@ object SparkEntry {
     * split) and the per-doc word stream `cd`/`cdw`; appending
     * [[bpeCharRoundCtes]] 1..R and the `csym` flatten yields each
     * doc's final symbol stream in (word, symbol) position order. */
+  /** CTE chain replaying the unigram-LM tokenizer (x127–x130) in
+    * DuckDB: seed-vocabulary substring counting over the word
+    * dictionary, then per-distinct-word Viterbi as a RECURSIVE CTE
+    * carrying the DP score list and the best path per position (the
+    * caller must open with WITH RECURSIVE). Scores replay the kernel's
+    * exact IEEE shape — best[i] * (CAST(freq AS DOUBLE) / total) —
+    * and ties break (score DESC, i ASC), matching the kernel's
+    * ascending-i strict-improvement loop. */
+  private def unigramCtes(maxPieceLen: Int, minCount: Int,
+      vocabSize: Int): String =
+    s"""uw AS (
+      |  SELECT t.doc_id, u.j, t.ws[u.j] AS w
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(text, '\\s+'),
+      |            x -> x <> '') AS ws
+      |        FROM documents WHERE text IS NOT NULL) t,
+      |    unnest(generate_series(1, len(t.ws))) AS u(j)),
+      |ud AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+      |uwf AS (SELECT w, count(*) AS wf FROM uw GROUP BY 1),
+      |usub AS (
+      |  SELECT unnest(flatten(list_transform(
+      |           generate_series(1, $maxPieceLen),
+      |           l -> list_transform(generate_series(1, len(w) - l + 1),
+      |                  s -> substr(w, s, l))))) AS piece,
+      |         wf
+      |  FROM uwf),
+      |usubf AS (SELECT piece, sum(wf) AS f FROM usub GROUP BY 1),
+      |uvocab AS (
+      |  SELECT piece, f FROM usubf WHERE len(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, f FROM (
+      |    SELECT piece, f FROM usubf
+      |    WHERE len(piece) > 1 AND f >= $minCount
+      |    ORDER BY f DESC, piece ASC LIMIT $vocabSize)),
+      |utotal AS (SELECT CAST(sum(f) AS DOUBLE) AS tot FROM uvocab),
+      |udw AS (SELECT DISTINCT w FROM uw),
+      |ucand0 AS (
+      |  SELECT w, unnest(flatten(list_transform(
+      |      generate_series(1, len(w)),
+      |      j -> list_transform(
+      |             generate_series(greatest(0, j - $maxPieceLen), j - 1),
+      |             i -> struct_pack(i := i, j := j))))) AS c
+      |  FROM udw),
+      |ucand AS (
+      |  SELECT w, c.i AS i, c.j AS j,
+      |         coalesce(v.f, CASE WHEN c.j - c.i = 1 THEN 1 END) AS fv
+      |  FROM ucand0
+      |  LEFT JOIN uvocab v ON v.piece = substr(w, c.i + 1, c.j - c.i)
+      |  WHERE coalesce(v.f, CASE WHEN c.j - c.i = 1 THEN 1 END)
+      |    IS NOT NULL),
+      |uvit AS (
+      |  SELECT w, len(w) AS n, 0 AS j,
+      |         [CAST(1.0 AS DOUBLE)] AS bests,
+      |         [CAST([] AS VARCHAR[])] AS paths
+      |  FROM udw
+      |  UNION ALL
+      |  SELECT r.w, r.n, r.j + 1,
+      |         list_append(r.bests, c.s),
+      |         list_append(r.paths, c.p)
+      |  FROM uvit r, LATERAL (
+      |    SELECT r.bests[q.i + 1] *
+      |             (CAST(q.fv AS DOUBLE) / (SELECT tot FROM utotal)) AS s,
+      |           list_append(r.paths[q.i + 1],
+      |             substr(r.w, q.i + 1, q.j - q.i)) AS p,
+      |           q.i AS i
+      |    FROM ucand q
+      |    WHERE q.w = r.w AND q.j = r.j + 1
+      |    ORDER BY s DESC, i ASC
+      |    LIMIT 1) c
+      |  WHERE r.j < r.n),
+      |useg AS (SELECT w, paths[n + 1] AS pieces FROM uvit WHERE j = n)"""
+      .stripMargin
+
   private def bpeCharPrefixCtes(rounds: Int,
       byteLevel: Boolean = false): String = {
     val roundCtes = (1 to rounds).map(bpeCharRoundCtes).mkString(",\n")
@@ -3742,6 +3860,48 @@ object SparkEntry {
         |    AS chars_per_token
         |FROM base b LEFT JOIN tokc t USING (doc_id)
         |GROUP BY 1""".stripMargin,
+    // x127–x130: unigram-LM tokenizer replay (WITH RECURSIVE — the
+    // Viterbi DP runs as a recursive CTE; see unigramCtes)
+    "x127_unigram_vocab" ->
+      s"""WITH RECURSIVE ${unigramCtes(4, 2, 64)}
+        |SELECT piece, CAST(f AS BIGINT) AS freq FROM uvocab"""
+        .stripMargin,
+    "x128_unigram_encode" ->
+      s"""WITH RECURSIVE ${unigramCtes(4, 2, 64)},
+        |px AS (SELECT w, unnest(pieces) AS piece,
+        |         generate_subscripts(pieces, 1) AS k FROM useg)
+        |SELECT d.doc_id,
+        |  CAST(count(p.piece) AS BIGINT) AS n_tokens,
+        |  coalesce(string_agg(p.piece, chr(1) ORDER BY u.j, p.k), '')
+        |    AS encoded
+        |FROM ud d
+        |LEFT JOIN uw u USING (doc_id)
+        |LEFT JOIN px p USING (w)
+        |GROUP BY d.doc_id""".stripMargin,
+    "x129_unigram_em" ->
+      s"""WITH RECURSIVE ${unigramCtes(4, 2, 64)},
+        |px AS (SELECT w, unnest(pieces) AS piece FROM useg)
+        |SELECT p.piece, CAST(count(*) AS BIGINT) AS n_used
+        |FROM uw u JOIN px p USING (w)
+        |GROUP BY 1""".stripMargin,
+    "x130_unigram_ids" ->
+      s"""WITH RECURSIVE ${unigramCtes(4, 2, 64)},
+        |uvid AS (SELECT piece,
+        |    CAST(row_number() OVER (ORDER BY piece) AS INTEGER) AS vid
+        |  FROM uvocab),
+        |px AS (SELECT w, unnest(pieces) AS piece,
+        |         generate_subscripts(pieces, 1) AS k FROM useg)
+        |SELECT d.doc_id,
+        |  CAST(count(p.piece) AS BIGINT) AS n_tokens,
+        |  coalesce(string_agg(
+        |    CASE WHEN p.piece IS NULL THEN NULL
+        |         ELSE CAST(coalesce(v.vid, 0) AS VARCHAR) END,
+        |    ',' ORDER BY u.j, p.k), '') AS encoded_ids
+        |FROM ud d
+        |LEFT JOIN uw u USING (doc_id)
+        |LEFT JOIN px p USING (w)
+        |LEFT JOIN uvid v ON v.piece = p.piece
+        |GROUP BY d.doc_id""".stripMargin,
     // x92: replay the add-k bigram model — continuation counts c1 are
     // the per-prefix sums of bigram-type counts c2, V is the distinct
     // token count, and self-scoring makes every probe bigram an inner
