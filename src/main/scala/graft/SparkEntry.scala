@@ -680,6 +680,26 @@ object SparkEntry {
           array_join(transform(col("ids"), i => i.cast("string")), ",")
             .as("encoded_ids"))
     }),
+    // distributed Lloyd's k-means over the embeddings table — the
+    // semantic-diversity clustering stage of a curation pipeline.
+    // Deterministic by construction: power-of-two quantization, exact
+    // integer centroid sums, left-folded IEEE distances (see KMeans);
+    // k=4 seeds from the 4 smallest vec_ids, 3 iterations
+    "x131_kmeans" -> ((s, dir) =>
+      graft.operators.KMeans.lloyd(Tables.embeddings(s, dir),
+        k = 4, iters = 3)),
+    // per-cluster size + inertia (exact DECIMAL sum of d2)
+    "x132_kmeans_summary" -> ((s, dir) =>
+      graft.operators.KMeans.summary(
+        graft.operators.KMeans.lloyd(Tables.embeddings(s, dir),
+          k = 4, iters = 3))),
+    // cluster-balanced exemplar sample: 5 closest-to-centroid vectors
+    // per cluster via the bounded-heap grouped top-k (map-side
+    // combinable — never a single-task window over a cluster)
+    "x133_kmeans_sample" -> ((s, dir) =>
+      graft.operators.KMeans.balancedSample(
+        graft.operators.KMeans.lloyd(Tables.embeddings(s, dir),
+          k = 4, iters = 3), m = 5)),
     // BYTE-LEVEL BPE train + encode: the GPT-2 byte-fallback
     // convention — symbols start as the UTF-8 bytes of each word
     // (uppercase hex pairs, </w> on the word-final byte), so the base
@@ -1475,6 +1495,63 @@ object SparkEntry {
     * exact IEEE shape — best[i] * (CAST(freq AS DOUBLE) / total) —
     * and ties break (score DESC, i ASC), matching the kernel's
     * ascending-i strict-improvement loop. */
+  /** CTE chain replaying [[graft.operators.KMeans.lloyd]] in DuckDB:
+    * power-of-two quantization, seed = k smallest vec_ids, then per
+    * iteration one assignment CTE (left-folded IEEE distances via
+    * list_reduce — seedless fold equals the kernel's 0.0-seeded fold
+    * because 0.0 + v1 is exact) and one centroid-update CTE (exact
+    * integer sums / count; an emptied cluster keeps its previous
+    * centroid via the coalesce). Exposes `fa` = final assignments
+    * (vec_id, x, d, cl). */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    def assign(name: String, cs: String): String =
+      s"""$name AS (
+        |  SELECT vec_id, x, d,
+        |         list_position(d, list_aggregate(d, 'min')) - 1 AS cl
+        |  FROM (
+        |    SELECT e.vec_id, e.x,
+        |      list_transform(s.cs, c ->
+        |        list_reduce(list_transform(range(1, len(e.x) + 1),
+        |          i -> (e.x[i] - c[i]) * (e.x[i] - c[i])),
+        |          (a, b) -> a + b)) AS d
+        |    FROM km e, $cs s))""".stripMargin
+    def update(aName: String, cName: String, csName: String,
+        prevCs: String): String =
+      s"""$cName AS (
+        |  SELECT cl, list(m ORDER BY pos) AS cv
+        |  FROM (
+        |    SELECT cl, pos, CAST(sum(xv) AS DOUBLE) / count(*) AS m
+        |    FROM (SELECT cl, unnest(x) AS xv,
+        |            generate_subscripts(x, 1) AS pos FROM $aName)
+        |    GROUP BY cl, pos)
+        |  GROUP BY cl),
+        |$csName AS (
+        |  SELECT list(coalesce(c.cv, s.cs[t.c + 1]) ORDER BY t.c) AS cs
+        |  FROM range(0, $k) t(c)
+        |  LEFT JOIN $cName c ON c.cl = t.c
+        |  CROSS JOIN $prevCs s)""".stripMargin
+    // one (assign, update) pair per Lloyd round — the kernel runs
+    // `iters` UPDATES and then assigns once more for the output
+    val rounds = (1 to iters).map { t =>
+      val prev = if (t == 1) "kseed" else s"kcs${t - 1}"
+      assign(s"ka$t", prev) + ",\n" +
+        update(s"ka$t", s"kc$t", s"kcs$t", prev)
+    }.mkString(",\n")
+    val lastCs = s"kcs$iters"
+    s"""km AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS x
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) >= 1
+      |    AND len(list_filter(embedding, v -> v IS NULL)) = 0),
+      |kseed AS (
+      |  SELECT list(x ORDER BY vec_id) AS cs
+      |  FROM (SELECT vec_id, x FROM km ORDER BY vec_id LIMIT $k)),
+      |$rounds,
+      |${assign("fa", lastCs)}""".stripMargin
+  }
+
   private def unigramCtes(maxPieceLen: Int, minCount: Int,
       vocabSize: Int): String =
     s"""uw AS (
@@ -3860,6 +3937,33 @@ object SparkEntry {
         |    AS chars_per_token
         |FROM base b LEFT JOIN tokc t USING (doc_id)
         |GROUP BY 1""".stripMargin,
+    // x131–x133: the k-means replay (see kmeansCtes)
+    "x131_kmeans" ->
+      s"""WITH ${kmeansCtes(4, 3)}
+        |SELECT vec_id, CAST(cl AS INT) AS cluster,
+        |       round(list_aggregate(d, 'min') / 1099511627776.0, 6)
+        |         AS d2
+        |FROM fa""".stripMargin,
+    "x132_kmeans_summary" ->
+      s"""WITH ${kmeansCtes(4, 3)}
+        |SELECT CAST(cl AS INT) AS cluster,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(list_aggregate(d, 'min')
+        |    / 1099511627776.0, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS inertia
+        |FROM fa GROUP BY 1""".stripMargin,
+    "x133_kmeans_sample" ->
+      s"""WITH ${kmeansCtes(4, 3)},
+        |fd AS (
+        |  SELECT vec_id, CAST(cl AS INT) AS cluster,
+        |    round(list_aggregate(d, 'min') / 1099511627776.0, 6) AS d2
+        |  FROM fa)
+        |SELECT cluster, rnk, vec_id, d2 FROM (
+        |  SELECT cluster, vec_id, d2,
+        |    CAST(row_number() OVER (PARTITION BY cluster
+        |         ORDER BY d2 ASC, vec_id ASC) AS INT) AS rnk
+        |  FROM fd)
+        |WHERE rnk <= 5""".stripMargin,
     // x127–x130: unigram-LM tokenizer replay (WITH RECURSIVE — the
     // Viterbi DP runs as a recursive CTE; see unigramCtes)
     "x127_unigram_vocab" ->
