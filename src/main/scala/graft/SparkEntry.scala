@@ -680,6 +680,26 @@ object SparkEntry {
           array_join(transform(col("ids"), i => i.cast("string")), ",")
             .as("encoded_ids"))
     }),
+    // the x130 ids THROUGH the tokenizer-artifact seam: train, save,
+    // load (version + completeness stamp verified), encode from the
+    // loaded vocabulary — the gate that the shipped file, not the live
+    // DataFrame, is what consumers replay (the x122 contract for the
+    // unigram family)
+    "x134_unigram_artifact_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Unigram.seedVocab(docs, col("text"),
+        maxPieceLen = 4, minCount = 2, vocabSize = 64)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_x134_artifact_" +
+          Integer.toHexString(dir.hashCode)).toString
+      graft.operators.Unigram.saveUnigramTokenizer(vocab, path)
+      val loaded = graft.operators.Unigram.loadUnigramTokenizer(s, path)
+      graft.operators.Unigram.encodeIds(docs, col("doc_id"),
+          col("text"), loaded)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          array_join(transform(col("ids"), i => i.cast("string")), ",")
+            .as("encoded_ids"))
+    }),
     // distributed Lloyd's k-means over the embeddings table — the
     // semantic-diversity clustering stage of a curation pipeline.
     // Deterministic by construction: power-of-two quantization, exact
@@ -3937,6 +3957,26 @@ object SparkEntry {
         |    AS chars_per_token
         |FROM base b LEFT JOIN tokc t USING (doc_id)
         |GROUP BY 1""".stripMargin,
+    // x134: the artifact round trip must be invisible — same replay
+    // as x130
+    "x134_unigram_artifact_ids" ->
+      s"""WITH RECURSIVE ${unigramCtes(4, 2, 64)},
+        |uvid AS (SELECT piece,
+        |    CAST(row_number() OVER (ORDER BY piece) AS INTEGER) AS vid
+        |  FROM uvocab),
+        |px AS (SELECT w, unnest(pieces) AS piece,
+        |         generate_subscripts(pieces, 1) AS k FROM useg)
+        |SELECT d.doc_id,
+        |  CAST(count(p.piece) AS BIGINT) AS n_tokens,
+        |  coalesce(string_agg(
+        |    CASE WHEN p.piece IS NULL THEN NULL
+        |         ELSE CAST(coalesce(v.vid, 0) AS VARCHAR) END,
+        |    ',' ORDER BY u.j, p.k), '') AS encoded_ids
+        |FROM ud d
+        |LEFT JOIN uw u USING (doc_id)
+        |LEFT JOIN px p USING (w)
+        |LEFT JOIN uvid v ON v.piece = p.piece
+        |GROUP BY d.doc_id""".stripMargin,
     // x131–x133: the k-means replay (see kmeansCtes)
     "x131_kmeans" ->
       s"""WITH ${kmeansCtes(4, 3)}

@@ -156,4 +156,51 @@ object Unigram {
       .filter(col("piece").isNotNull)
       .groupBy(col("piece")).agg(sum(col("wf")).as("usage"))
   }
+
+  // ---- tokenizer artifact (the Vocab.saveBpeTokenizer seam) ---------
+
+  private val UnigramArtifactVersion = 1
+
+  /** Persist a (piece, freq) vocabulary as a versioned on-disk
+    * tokenizer — the production seam between the offline trainer and
+    * every consumer (batch encode jobs,
+    * [[graft.streaming.StreamUnigramTokenize]] ingestion, other
+    * clusters): `<path>/vocab` holds the table as parquet,
+    * `<path>/meta` one row of (version, n_pieces). The bounded
+    * validating collect runs FIRST, so a corrupt vocabulary fails
+    * loudly before anything is written. Overwrites `path`. */
+  def saveUnigramTokenizer(vocab: DataFrame, path: String): Unit = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val n = collectVocab(vocab)._1.size // validates shape + bound
+    vocab.select(col("piece").cast("string"), col("freq").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    Seq((UnigramArtifactVersion, n.toLong))
+      .toDF("version", "n_pieces")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveUnigramTokenizer]] artifact, verifying the version
+    * and the completeness stamp. Load-path equality contract (the
+    * UnigramSpec gate): [[encode]]/[[encodeIds]] from a loaded
+    * artifact equal the same call on the freshly-trained vocabulary,
+    * byte for byte. */
+  def loadUnigramTokenizer(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1,
+      s"loadUnigramTokenizer: expected 1 meta row at $path/meta, " +
+        s"got ${meta.length}")
+    val m = meta(0)
+    val version = m.getAs[Int]("version")
+    require(version == UnigramArtifactVersion,
+      s"loadUnigramTokenizer: unsupported artifact version $version " +
+        s"(this build reads $UnigramArtifactVersion)")
+    val vocab = spark.read.parquet(s"$path/vocab")
+    val n = vocab.count()
+    require(n == m.getAs[Long]("n_pieces"),
+      s"loadUnigramTokenizer: table has $n rows, stamp says " +
+        s"${m.getAs[Long]("n_pieces")} — incomplete or mixed artifact")
+    vocab
+  }
 }
