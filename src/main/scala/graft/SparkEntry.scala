@@ -680,6 +680,20 @@ object SparkEntry {
           array_join(transform(col("ids"), i => i.cast("string")), ",")
             .as("encoded_ids"))
     }),
+    // the x131 assignments THROUGH the centroid-artifact seam: train,
+    // save, load (version + k stamp verified), assign from the loaded
+    // model — the x122/x134 shipped-file contract for clustering
+    "x135_kmeans_artifact" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val cents = graft.operators.KMeans.trainCentroids(embs,
+        k = 4, iters = 3)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_x135_artifact_" +
+          Integer.toHexString(dir.hashCode)).toString
+      graft.operators.KMeans.saveCentroids(cents, path)
+      graft.operators.KMeans.assign(embs,
+        graft.operators.KMeans.loadCentroids(s, path))
+    }),
     // the x130 ids THROUGH the tokenizer-artifact seam: train, save,
     // load (version + completeness stamp verified), encode from the
     // loaded vocabulary — the gate that the shipped file, not the live
@@ -3957,6 +3971,14 @@ object SparkEntry {
         |    AS chars_per_token
         |FROM base b LEFT JOIN tokc t USING (doc_id)
         |GROUP BY 1""".stripMargin,
+    // x135: the centroid-artifact round trip must be invisible — same
+    // replay as x131
+    "x135_kmeans_artifact" ->
+      s"""WITH ${kmeansCtes(4, 3)}
+        |SELECT vec_id, CAST(cl AS INT) AS cluster,
+        |       round(list_aggregate(d, 'min') / 1099511627776.0, 6)
+        |         AS d2
+        |FROM fa""".stripMargin,
     // x134: the artifact round trip must be invisible — same replay
     // as x130
     "x134_unigram_artifact_ids" ->

@@ -39,10 +39,10 @@ object KMeans {
   /** 2^20 — the quantization scale (exact in binary). */
   private val Scale = 1048576.0
   /** 2^40 — distance renormalization back to input units². */
-  private val Scale2 = Scale * Scale
+  private[graft] val Scale2 = Scale * Scale
 
   /** Integer-valued quantized copy of the embedding, as doubles. */
-  private def quantized(embCol: Column): Column =
+  private[graft] def quantized(embCol: Column): Column =
     // floor on DoubleType returns BIGINT in Spark — cast back so the
     // whole pipeline stays in (integer-valued) doubles, the oracle's
     // arithmetic domain
@@ -50,26 +50,29 @@ object KMeans {
       v => floor(v.cast("double") * lit(Scale)).cast("double"))
 
   /** Valid-vector filter: non-null, no null elements, length ≥ 1. */
-  private def valid(embCol: Column): Column =
+  private[graft] def valid(embCol: Column): Column =
     embCol.isNotNull && size(embCol) >= 1 &&
       size(filter(embCol, v => v.isNull)) === 0
 
   /** Distances of quantized vector `x` to every centroid in `cents`
     * (literal array-of-arrays), folded left-to-right per dimension. */
-  private def distances(x: Column, cents: Column): Column =
+  private[graft] def distances(x: Column, cents: Column): Column =
     transform(cents, c =>
       aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, v) => acc + v))
 
-  /** Lloyd assignments after `iters` rounds of k-means with the
-    * determinism contract above. Output: (idCol, `cluster` int,
-    * `d2` = round(distance / 2^40, 6) — squared distance in input
-    * units). Rows failing [[valid]] are dropped. */
-  def lloyd(embs: DataFrame, k: Int, iters: Int,
+  /** Train centroids: `iters` Lloyd rounds with the determinism
+    * contract above. Output: (`cluster` int, `centroid`
+    * array&lt;double&gt; — QUANTIZED-unit components, the exact values
+    * the assignment kernel consumes). */
+  def trainCentroids(embs: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    require(k >= 1 && k <= 65536, s"lloyd: k must be in [1, 65536], got $k")
+    require(k >= 1 && k <= 65536,
+      s"trainCentroids: k must be in [1, 65536], got $k")
     require(iters >= 1 && iters <= 100,
-      s"lloyd: iters must be in [1, 100], got $iters")
+      s"trainCentroids: iters must be in [1, 100], got $iters")
+    val spark = embs.sparkSession
+    import spark.implicits._
     val base = embs
       .filter(valid(col(embCol)))
       .select(col(idCol).as("_id"), quantized(col(embCol)).as("_x"))
@@ -77,12 +80,13 @@ object KMeans {
     val seedRows = base.orderBy(col("_id")).limit(k)
       .select(col("_x")).collect()
     require(seedRows.length == k,
-      s"lloyd: corpus has ${seedRows.length} valid vectors, need >= $k")
+      s"trainCentroids: corpus has ${seedRows.length} valid vectors, " +
+        s"need >= $k")
     var cents: Seq[Seq[Double]] =
       seedRows.map(_.getSeq[Double](0).toSeq).toSeq
     val dim = cents.head.length
     require(cents.forall(_.length == dim),
-      "lloyd: seed vectors must share one dimensionality")
+      "trainCentroids: seed vectors must share one dimensionality")
     var it = 0
     while (it < iters) {
       val cl = typedlit(cents)
@@ -107,13 +111,95 @@ object KMeans {
       cents = next.map(_.toSeq).toSeq
       it += 1
     }
-    val cl = typedlit(cents)
-    base
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cluster", "centroid")
+  }
+
+  /** Bounded validating collect of a (cluster, centroid) relation:
+    * clusters must be exactly 0..k−1 and centroids one non-null
+    * dimensionality — a corrupt or truncated artifact fails loudly. */
+  private[graft] def collectCentroids(
+      centroids: DataFrame): Seq[Seq[Double]] = {
+    val rows = centroids
+      .select(col("cluster").cast("int"), col("centroid")).take(65537)
+    require(rows.length <= 65536,
+      "collectCentroids: centroid table exceeds the 65536 cap")
+    require(rows.nonEmpty, "collectCentroids: empty centroid table")
+    require(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "collectCentroids: null cluster or centroid — the relation/" +
+        "artifact is corrupt")
+    val byCl = rows.map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+    require(byCl.map(_._1).sorted.toSeq == byCl.indices.toSeq,
+      "collectCentroids: cluster ids must be exactly 0..k-1 — the " +
+        "relation/artifact is corrupt")
+    val dim = byCl.head._2.length
+    require(dim >= 1 && byCl.forall(_._2.length == dim),
+      "collectCentroids: centroids must share one dimensionality >= 1")
+    byCl.sortBy(_._1).map(_._2)
+  }
+
+  /** Assignment under FROZEN centroids — one pure projection (usable
+    * verbatim on a stream: [[graft.streaming.StreamKMeansAssign]]).
+    * Output: (idCol, `cluster`, `d2`) as in [[lloyd]]. */
+  def assign(embs: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cl = typedlit(collectCentroids(centroids))
+    embs
+      .filter(valid(col(embCol)))
+      .select(col(idCol).as("_id"), quantized(col(embCol)).as("_x"))
       .withColumn("_d", distances(col("_x"), cl))
       .select(col("_id").as(idCol),
         (array_position(col("_d"), array_min(col("_d"))) - 1)
           .cast("int").as("cluster"),
         round(array_min(col("_d")) / lit(Scale2), 6).as("d2"))
+  }
+
+  /** Train + assign: `iters` Lloyd rounds, then one assignment pass
+    * under the final centroids. Output: (idCol, `cluster` int,
+    * `d2` = round(distance / 2^40, 6) — squared distance in input
+    * units). Rows failing [[valid]] are dropped. */
+  def lloyd(embs: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    assign(embs, trainCentroids(embs, k, iters, idCol, embCol),
+      idCol, embCol)
+
+  // ---- centroid artifact (the tokenizer-seam discipline) ------------
+
+  private val CentroidArtifactVersion = 1
+
+  /** Persist trained centroids as a versioned on-disk model:
+    * `<path>/centroids` parquet plus a one-row `<path>/meta`
+    * (version, k completeness stamp). Validates before writing. */
+  def saveCentroids(centroids: DataFrame, path: String): Unit = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    val k = collectCentroids(centroids).size
+    centroids.select(col("cluster").cast("int"), col("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((CentroidArtifactVersion, k.toLong)).toDF("version", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveCentroids]] artifact, verifying version and stamp.
+    * Load-path equality: [[assign]] from a loaded artifact equals
+    * [[assign]] from the freshly-trained relation (KMeansSpec). */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1,
+      s"loadCentroids: expected 1 meta row at $path/meta, " +
+        s"got ${meta.length}")
+    val m = meta(0)
+    val version = m.getAs[Int]("version")
+    require(version == CentroidArtifactVersion,
+      s"loadCentroids: unsupported artifact version $version " +
+        s"(this build reads $CentroidArtifactVersion)")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val n = cents.count()
+    require(n == m.getAs[Long]("k"),
+      s"loadCentroids: table has $n rows, stamp says " +
+        s"${m.getAs[Long]("k")} — incomplete or mixed artifact")
+    cents
   }
 
   /** Per-cluster summary of a [[lloyd]] assignment: size and inertia
