@@ -179,6 +179,9 @@ class PlanSpec extends SparkTestBase {
         // x94 scores through the x92 LM plan, so it carries the same
         // ONE-row vocabulary scalar attach
         "x94_ppl_buckets",
+        // x125 is the Kneser–Ney upgrade of x92: the same ONE-row
+        // (T, V) scalar attach on the scoring stream
+        "x125_kn_lm",
         // x97 is x13's probe against the persisted quantizer — the
         // same recall-gate exact-scan broadcast shape
         "x97_ann_delta",
@@ -233,6 +236,25 @@ class PlanSpec extends SparkTestBase {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join")
     }
+  }
+
+  test("x128 unigram encode and x131 k-means assignment are pure " +
+    "projections: ZERO exchanges, zero joins — vocab/centroids ride " +
+    "the plan as literals") {
+    for (name <- Seq("x128_unigram_encode", "x131_kmeans")) {
+      val p = plan(name)
+      assert(p.linesIterator.count(_.contains("Exchange")) === 0,
+        s"$name: $p")
+      assert(!p.contains("Join"), s"$name: $p")
+    }
+  }
+
+  test("x133 balanced sample: one exchange, map-side-combined heap " +
+    "aggregate — never a per-cluster window sort") {
+    val p = plan("x133_kmeans_sample")
+    assert(p.linesIterator.count(_.contains("Exchange")) === 1, p)
+    assert(!p.contains("WindowExec") && !p.contains("Window "), p)
+    assert(p.contains("partial"), p) // map-side combine of the heap
   }
 
   test("no query plans a partition-less WindowExec (the single-task " +
