@@ -694,6 +694,20 @@ object SparkEntry {
       graft.operators.KMeans.assign(embs,
         graft.operators.KMeans.loadCentroids(s, path))
     }),
+    // WordPiece max-munch encode over the x127 vocabulary — the BERT
+    // inference rule (greedy longest-match-first), completing the
+    // tokenizer-inference trio (BPE merge replay / unigram Viterbi /
+    // WordPiece) over one artifact format; pure string matching, no
+    // arithmetic, trivially oracle-replayable
+    "x136_wordpiece" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Unigram.seedVocab(docs, col("text"),
+        maxPieceLen = 4, minCount = 2, vocabSize = 64)
+      graft.operators.Unigram.wordpieceEncode(docs, col("doc_id"),
+          col("text"), vocab)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          array_join(col("pieces"), "\u0001").as("encoded"))
+    }),
     // the x130 ids THROUGH the tokenizer-artifact seam: train, save,
     // load (version + completeness stamp verified), encode from the
     // loaded vocabulary — the gate that the shipped file, not the live
@@ -3998,6 +4012,43 @@ object SparkEntry {
         |LEFT JOIN uw u USING (doc_id)
         |LEFT JOIN px p USING (w)
         |LEFT JOIN uvid v ON v.piece = p.piece
+        |GROUP BY d.doc_id""".stripMargin,
+    // x136: greedy longest-match replay — a forward recursive walk
+    // (position += taken length), longest vocabulary match at each
+    // position, the single char as UNK fallback
+    "x136_wordpiece" ->
+      s"""WITH RECURSIVE ${unigramCtes(4, 2, 64)},
+        |wc0 AS (
+        |  SELECT w, pos, l, substr(w, pos + 1, l) AS cand
+        |  FROM (SELECT w, unnest(generate_series(0, len(w) - 1)) AS pos
+        |        FROM udw) a,
+        |       (SELECT unnest(generate_series(1, 4)) AS l) t
+        |  WHERE pos + l <= len(w)),
+        |wchoice AS (
+        |  SELECT c.w, c.pos, max(c.l) AS l
+        |  FROM wc0 c LEFT JOIN uvocab v ON v.piece = c.cand
+        |  WHERE v.piece IS NOT NULL OR c.l = 1
+        |  GROUP BY c.w, c.pos),
+        |wch AS (SELECT w, pos, l, substr(w, pos + 1, l) AS piece
+        |        FROM wchoice),
+        |wvit AS (
+        |  SELECT w, len(w) AS n, 0 AS pos,
+        |         CAST([] AS VARCHAR[]) AS pieces
+        |  FROM udw
+        |  UNION ALL
+        |  SELECT r.w, r.n, r.pos + c.l, list_append(r.pieces, c.piece)
+        |  FROM wvit r JOIN wch c ON c.w = r.w AND c.pos = r.pos
+        |  WHERE r.pos < r.n),
+        |wseg AS (SELECT w, pieces FROM wvit WHERE pos = n),
+        |wx AS (SELECT w, unnest(pieces) AS piece,
+        |         generate_subscripts(pieces, 1) AS k FROM wseg)
+        |SELECT d.doc_id,
+        |  CAST(count(p.piece) AS BIGINT) AS n_tokens,
+        |  coalesce(string_agg(p.piece, chr(1) ORDER BY u.j, p.k), '')
+        |    AS encoded
+        |FROM ud d
+        |LEFT JOIN uw u USING (doc_id)
+        |LEFT JOIN wx p USING (w)
         |GROUP BY d.doc_id""".stripMargin,
     // x131–x133: the k-means replay (see kmeansCtes)
     "x131_kmeans" ->

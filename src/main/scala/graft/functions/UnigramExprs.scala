@@ -203,6 +203,48 @@ object UnigramOps {
     new GenericArrayData(out)
   }
 
+  /** WordPiece-style greedy longest-match-first ("max-munch")
+    * segmentation — the BERT inference rule: at each position take the
+    * LONGEST vocabulary piece matching; if none matches (not even the
+    * single character), the character itself is emitted as an UNK
+    * piece. Deterministic by construction (string matching only — no
+    * arithmetic at all), so oracle replay is trivial. */
+  def maxMunch(word: UTF8String, pieces: ArrayData,
+      freqs: ArrayData): ArrayData = {
+    val v = compiled(pieces, freqs)
+    val n = word.numChars()
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < n) {
+      var l = math.min(v.maxPieceLen, n - i)
+      var hit = 0
+      while (l >= 1 && hit == 0) {
+        if (v.map.containsKey(word.substring(i, i + l))) hit = l
+        l -= 1
+      }
+      val take = if (hit > 0) hit else 1
+      out.add(word.substring(i, i + take))
+      i += take
+    }
+    new GenericArrayData(out.toArray(new Array[UTF8String](out.size)))
+  }
+
+  /** [[maxMunch]] as 1-based vocabulary ids (0 = UNK single char). */
+  def maxMunchIds(word: UTF8String, pieces: ArrayData,
+      freqs: ArrayData): ArrayData = {
+    val v = compiled(pieces, freqs)
+    val seg = maxMunch(word, pieces, freqs)
+    val k = seg.numElements()
+    val out = new Array[Int](k)
+    var t = 0
+    while (t < k) {
+      val idx = v.map.get(seg.getUTF8String(t))
+      out(t) = if (idx != null) idx.intValue() + 1 else 0
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Viterbi segmentation as 1-based vocabulary ids (0 = piece not in
     * the vocabulary — only possible for an UNK single character). */
   def viterbiIds(word: UTF8String, pieces: ArrayData,
@@ -225,10 +267,13 @@ object UnigramOps {
   }
 }
 
-/** Codegen column: unigram-LM Viterbi segmentation of one word against
-  * a literal (pieces, freqs) vocabulary. Null word → null. */
+/** Codegen column: segmentation of one word against a literal
+  * (pieces, freqs) vocabulary — Viterbi argmax (`greedy = false`, the
+  * unigram-LM rule) or WordPiece max-munch (`greedy = true`). Null
+  * word → null. */
 case class UnigramEncodeExpr(word: Expression, pieces: Expression,
-    freqs: Expression, asIds: Boolean) extends TernaryExpression {
+    freqs: Expression, asIds: Boolean,
+    greedy: Boolean = false) extends TernaryExpression {
 
   override def first: Expression = word
   override def second: Expression = pieces
@@ -256,20 +301,30 @@ case class UnigramEncodeExpr(word: Expression, pieces: Expression,
         "got " + children.map(_.dataType.sql).mkString(", "))
   }
 
-  override def nullSafeEval(w: Any, p: Any, f: Any): Any =
-    if (asIds)
-      UnigramOps.viterbiIds(w.asInstanceOf[UTF8String],
-        p.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData])
-    else
-      UnigramOps.viterbi(w.asInstanceOf[UTF8String],
-        p.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData])
+  private def fnName: String =
+    (asIds, greedy) match {
+      case (false, false) => "viterbi"
+      case (true, false) => "viterbiIds"
+      case (false, true) => "maxMunch"
+      case (true, true) => "maxMunchIds"
+    }
+
+  override def nullSafeEval(w: Any, p: Any, f: Any): Any = {
+    val wu = w.asInstanceOf[UTF8String]
+    val pa = p.asInstanceOf[ArrayData]
+    val fa = f.asInstanceOf[ArrayData]
+    fnName match {
+      case "viterbi" => UnigramOps.viterbi(wu, pa, fa)
+      case "viterbiIds" => UnigramOps.viterbiIds(wu, pa, fa)
+      case "maxMunch" => UnigramOps.maxMunch(wu, pa, fa)
+      case "maxMunchIds" => UnigramOps.maxMunchIds(wu, pa, fa)
+    }
+  }
 
   override protected def doGenCode(
-      ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fn = if (asIds) "viterbiIds" else "viterbi"
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (w, p, f) =>
-      s"graft.functions.UnigramOps.$fn($w, $p, $f)")
-  }
+      s"graft.functions.UnigramOps.$fnName($w, $p, $f)")
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): UnigramEncodeExpr =
@@ -288,4 +343,16 @@ object UnigramExprs {
       GraftColumnBridge.expression(word),
       GraftColumnBridge.expression(pieces),
       GraftColumnBridge.expression(freqs), asIds = true))
+
+  def wordpiece(word: Column, pieces: Column, freqs: Column): Column =
+    GraftColumnBridge.column(UnigramEncodeExpr(
+      GraftColumnBridge.expression(word),
+      GraftColumnBridge.expression(pieces),
+      GraftColumnBridge.expression(freqs), asIds = false, greedy = true))
+
+  def wordpieceIds(word: Column, pieces: Column, freqs: Column): Column =
+    GraftColumnBridge.column(UnigramEncodeExpr(
+      GraftColumnBridge.expression(word),
+      GraftColumnBridge.expression(pieces),
+      GraftColumnBridge.expression(freqs), asIds = true, greedy = true))
 }

@@ -135,6 +135,22 @@ object Unigram {
       .withColumn("n_tokens", size(col("ids")).cast("long"))
   }
 
+  /** WordPiece-style greedy longest-match ("max-munch") encode — the
+    * BERT inference rule over the same vocabulary artifact: output
+    * (`id`, `pieces`, `n_tokens`), doc-local projection like
+    * [[encode]]. Completes the tokenizer-inference trio (BPE merges /
+    * unigram Viterbi / WordPiece max-munch) over one artifact format. */
+  def wordpieceEncode(docs: DataFrame, idCol: Column, textCol: Column,
+      vocab: DataFrame): DataFrame = {
+    val (ps, fs) = collectVocab(vocab)
+    val pl = typedlit(ps); val fl = typedlit(fs)
+    docs.filter(textCol.isNotNull)
+      .select(idCol.as("id"),
+        flatten(transform(words(textCol),
+          w => UnigramExprs.wordpiece(w, pl, fl))).as("pieces"))
+      .withColumn("n_tokens", size(col("pieces")).cast("long"))
+  }
+
   /** One hard-EM re-estimation step: corpus piece-usage counts under
     * the current vocabulary's Viterbi segmentation. Output (`piece`,
     * `usage`) for every USED piece — including UNK single chars, which

@@ -173,6 +173,60 @@ class UnigramSpec extends SparkTestBase {
     assert(got === perOcc)
   }
 
+  // --- WordPiece max-munch --------------------------------------------
+
+  test("maxMunch: greedy longest-match law — every piece is the " +
+    "longest vocab match at its position (or an UNK single char)") {
+    val vocabGen: Gen[Map[String, Long]] = for {
+      ps <- Gen.listOfN(8, Gen.oneOf("a", "b", "ab", "ba", "aab",
+        "bb", "aa", "bab", "abab"))
+    } yield ps.distinct.map(_ -> 1L).toMap
+    val wordGen: Gen[String] = for {
+      n <- Gen.chooseNum(1, 10)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    (0 until 60).foreach { i =>
+      val vocab = vocabGen(Gen.Parameters.default, Seed(2000L + i)).get
+      val w = wordGen(Gen.Parameters.default, Seed(3000L + i)).get
+      val maxLen = vocab.keys.map(_.length).max
+      val sorted = vocab.toSeq.sortBy(_._1)
+      val got = Seq(w).toDF("w")
+        .select(UnigramExprs.wordpiece(col("w"),
+          typedlit(sorted.map(_._1)), typedlit(sorted.map(_._2))))
+        .as[Seq[String]].head()
+      assert(got.mkString === w)
+      // replay greedily on the driver
+      var pos = 0
+      val ref = scala.collection.mutable.Buffer.empty[String]
+      while (pos < w.length) {
+        val l = (math.min(maxLen, w.length - pos) to 1 by -1)
+          .find(l => vocab.contains(w.substring(pos, pos + l)))
+          .getOrElse(1)
+        ref += w.substring(pos, pos + l)
+        pos += l
+      }
+      assert(got === ref.toSeq, s"word=$w vocab=$vocab")
+    }
+  }
+
+  test("wordpiece vs viterbi differ where greed is suboptimal, and " +
+    "wordpieceIds aligns with pieces") {
+    // vocab: ab, bc, c, a, b — word "abc": max-munch takes [ab, c];
+    // viterbi with freq(bc) >> others takes [a, bc]
+    val vocab = Seq(("ab", 1L), ("bc", 100L), ("a", 1L), ("b", 1L),
+      ("c", 1L)).sortBy(_._1)
+    val pl = typedlit(vocab.map(_._1)); val fl = typedlit(vocab.map(_._2))
+    val (wp, vit, ids) = Seq("abc").toDF("w")
+      .select(UnigramExprs.wordpiece(col("w"), pl, fl).as("wp"),
+        UnigramExprs.encode(col("w"), pl, fl).as("vit"),
+        UnigramExprs.wordpieceIds(col("w"), pl, fl).as("ids"))
+      .as[(Seq[String], Seq[String], Seq[Int])].head()
+    assert(wp === Seq("ab", "c"))
+    assert(vit === Seq("a", "bc"))
+    // sorted vocab: a=1, ab=2, b=3, bc=4, c=5 -> [ab, c] = [2, 5]
+    assert(ids === Seq(2, 5))
+  }
+
   // --- collectVocab validation ---------------------------------------
 
   test("collectVocab rejects corrupt vocabularies with named errors") {
@@ -194,26 +248,37 @@ class UnigramSpec extends SparkTestBase {
     assert(over.getMessage.contains("cap"))
   }
 
-  test("interpreted eval equals codegen for encode and encodeIds") {
+  test("interpreted eval equals the dataframe (codegen) result for " +
+    "encode and encodeIds") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.UnigramEncodeExpr
     val vocab = Seq(("ab", 5L), ("a", 3L), ("b", 2L)).sorted
+    val pLit = Literal.create(
+      new GenericArrayData(vocab.map(v => UTF8String.fromString(v._1))
+        .toArray[Any]),
+      ArrayType(StringType, containsNull = false))
+    val fLit = Literal.create(
+      new GenericArrayData(vocab.map(_._2).toArray[Any]),
+      ArrayType(LongType, containsNull = false))
     val pl = typedlit(vocab.map(_._1)); val fl = typedlit(vocab.map(_._2))
     val words = Seq("abab", "ba", "z", "", "aabba")
     val viaDf = words.toDF("w")
       .select(UnigramExprs.encode(col("w"), pl, fl).as("p"),
         UnigramExprs.encodeIds(col("w"), pl, fl).as("i"))
-      .as[(Seq[String], Seq[Int])].collect()
-    // force the interpreted path through a filter on the expression
-    // (FilterExec falls back to eval for non-codegen contexts is not
-    // guaranteed; instead compare against a driver-side re-run via
-    // Dataset.head on a 1-row plan per word — both paths share the
-    // kernel, so this pins plan-shape stability rather than eval ≡
-    // codegen, which ExpressionsSpec-style coverage handles via the
-    // shared static kernel function)
-    val oneByOne = words.map(w => (
-      Seq(w).toDF("w").select(UnigramExprs.encode(col("w"), pl, fl))
-        .as[Seq[String]].head(),
-      Seq(w).toDF("w").select(UnigramExprs.encodeIds(col("w"), pl, fl))
-        .as[Seq[Int]].head()))
-    assert(viaDf.toSeq === oneByOne)
+      .as[(Seq[String], Seq[Int])].collect().toSeq
+    val viaEval = words.map { w =>
+      val wl = Literal.create(UTF8String.fromString(w), StringType)
+      val ps = UnigramEncodeExpr(wl, pLit, fLit, asIds = false)
+        .eval(InternalRow.empty).asInstanceOf[ArrayData]
+      val ids = UnigramEncodeExpr(wl, pLit, fLit, asIds = true)
+        .eval(InternalRow.empty).asInstanceOf[ArrayData]
+      (ps.toArray[UTF8String](StringType).map(_.toString).toSeq,
+        ids.toIntArray().toSeq)
+    }
+    assert(viaDf === viaEval)
   }
 }
