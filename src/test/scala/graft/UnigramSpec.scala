@@ -227,6 +227,35 @@ class UnigramSpec extends SparkTestBase {
     assert(ids === Seq(2, 5))
   }
 
+  test("multibyte text: positions are CODE POINTS for both viterbi " +
+    "and max-munch (UTF8String.substring ≡ SQL substr semantics)") {
+    // pieces mix 1-, 2- and 3-byte chars and an astral-plane char;
+    // lengths below are code-point counts, not bytes or UTF-16 units
+    val vocab = Seq(("éa", 5L), ("é", 3L), ("a", 2L), ("日本", 4L),
+      ("日", 1L), ("本", 1L), ("𝄞", 2L))
+    val sorted = vocab.sortBy(v => new String(v._1))
+    val pl = typedlit(sorted.map(_._1)); val fl = typedlit(sorted.map(_._2))
+    val rows = Seq("éaé", "日本日", "𝄞a𝄞", "é日𝄞z")
+    val got = rows.toDF("w")
+      .select(col("w"), UnigramExprs.encode(col("w"), pl, fl).as("v"),
+        UnigramExprs.wordpiece(col("w"), pl, fl).as("g"))
+      .as[(String, Seq[String], Seq[String])].collect().toMap2
+    // every segmentation must concatenate back (code-point soundness)
+    rows.foreach { w =>
+      assert(got(w)._1.mkString === w, s"viterbi concat: $w")
+      assert(got(w)._2.mkString === w, s"greedy concat: $w")
+    }
+    // max-munch takes the longest piece at each position
+    assert(got("éaé")._2 === Seq("éa", "é"))
+    assert(got("日本日")._2 === Seq("日本", "日"))
+    assert(got("𝄞a𝄞")._2 === Seq("𝄞", "a", "𝄞"))
+    assert(got("é日𝄞z")._2 === Seq("é", "日", "𝄞", "z")) // z = UNK char
+  }
+
+  private implicit class ToMap2[A, B, C](s: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = s.map(t => t._1 -> ((t._2, t._3))).toMap
+  }
+
   // --- collectVocab validation ---------------------------------------
 
   test("collectVocab rejects corrupt vocabularies with named errors") {
