@@ -35,6 +35,11 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // reliable checkpoints (the Materialize discipline) must be
+      // garbage-collected with their plans — Spark's default (false)
+      // would retain every checkpoint directory forever on a cluster
+      // with a checkpoint dir configured
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", broadcastThreshold)
       // streaming state off-heap: HDFSBackedStateStore keeps every key
       // on the JVM heap (executor OOM once keyed state outgrows

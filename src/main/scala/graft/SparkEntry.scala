@@ -579,7 +579,8 @@ object SparkEntry {
         nMerges = 4, minCount = 2)
       val path = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_x122_artifact_" +
-          Integer.toHexString(dir.hashCode)).toString
+          Integer.toHexString(dir.hashCode) + "_" +
+          ProcessHandle.current().pid()).toString
       graft.operators.Vocab.saveBpeTokenizer(merges, path, "char", "</w>")
       val art = graft.operators.Vocab.loadBpeTokenizer(s, path)
       graft.operators.Vocab.bpeEncodeIdsChar(docs, col("doc_id"),
@@ -689,7 +690,8 @@ object SparkEntry {
         k = 4, iters = 3)
       val path = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_x135_artifact_" +
-          Integer.toHexString(dir.hashCode)).toString
+          Integer.toHexString(dir.hashCode) + "_" +
+          ProcessHandle.current().pid()).toString
       graft.operators.KMeans.saveCentroids(cents, path)
       graft.operators.KMeans.assign(embs,
         graft.operators.KMeans.loadCentroids(s, path))
@@ -719,7 +721,8 @@ object SparkEntry {
         maxPieceLen = 4, minCount = 2, vocabSize = 64)
       val path = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_x134_artifact_" +
-          Integer.toHexString(dir.hashCode)).toString
+          Integer.toHexString(dir.hashCode) + "_" +
+          ProcessHandle.current().pid()).toString
       graft.operators.Unigram.saveUnigramTokenizer(vocab, path)
       val loaded = graft.operators.Unigram.loadUnigramTokenizer(s, path)
       graft.operators.Unigram.encodeIds(docs, col("doc_id"),
@@ -1600,6 +1603,12 @@ object SparkEntry {
       |${assign("fa", lastCs)}""".stripMargin
   }
 
+  /** 2^512 as an exact decimal double literal (representable, so the
+    * nearest-double parse is exact on both engines) — the Viterbi
+    * underflow-rescale factor; the trigger threshold is the exact
+    * 1.0 / 2^512. Mirrors UnigramOps.RescaleBy/RescaleAt. */
+  private val Pow2_512: String = BigInt(2).pow(512).toString + ".0"
+
   private def unigramCtes(maxPieceLen: Int, minCount: Int,
       vocabSize: Int): String =
     s"""uw AS (
@@ -1649,7 +1658,10 @@ object SparkEntry {
       |  FROM udw
       |  UNION ALL
       |  SELECT r.w, r.n, r.j + 1,
-      |         list_append(r.bests, c.s),
+      |         CASE WHEN c.s > 0 AND c.s < 1.0 / $Pow2_512
+      |              THEN list_transform(list_append(r.bests, c.s),
+      |                     b -> b * $Pow2_512)
+      |              ELSE list_append(r.bests, c.s) END,
       |         list_append(r.paths, c.p)
       |  FROM uvit r, LATERAL (
       |    SELECT r.bests[q.i + 1] *

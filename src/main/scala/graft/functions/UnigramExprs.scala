@@ -142,6 +142,18 @@ object UnigramOps {
     c.vocab
   }
 
+  /** 2^-512 / 2^512 — the exact power-of-two rescale that keeps the
+    * DP likelihood products out of the subnormal range for arbitrarily
+    * long words WITHOUT perturbing any comparison: scaling every live
+    * entry by the same power of two is an exact float operation, so
+    * relative order (and exact ties) are preserved bit-for-bit, and
+    * the oracle replays the identical trigger and factor. One rescale
+    * per step always suffices: the per-step shrink is ≥ 1/total ≥
+    * 2^-63, so from the ≥ 2^-512 invariant the new best is ≥ 2^-575,
+    * far above the 2^-1022 normal floor. */
+  private val RescaleAt = java.lang.Math.scalb(1.0, -512)
+  private val RescaleBy = java.lang.Math.scalb(1.0, 512)
+
   /** Viterbi backpointers for `word` under `v`: back(j) = chosen start
     * of the piece ending at code-point position j (1-based j). */
   private def viterbiBack(word: UTF8String, v: CompiledVocab): Array[Int] = {
@@ -172,6 +184,14 @@ object UnigramOps {
       }
       best(j) = bj
       back(j) = bi
+      // underflow guard: rescale the WHOLE state by an exact 2^512 —
+      // without this, products hit 0.0 around 35-100 pieces and every
+      // later candidate ties at zero (the argmax silently degrades to
+      // greedy-longest); the oracle applies the identical rule
+      if (bj > 0 && bj < RescaleAt) {
+        var t = 0
+        while (t <= j) { best(t) *= RescaleBy; t += 1 }
+      }
       j += 1
     }
     back

@@ -54,6 +54,14 @@ object KMeans {
     embCol.isNotNull && size(embCol) >= 1 &&
       size(filter(embCol, v => v.isNull)) === 0
 
+  /** [[valid]] plus the model's dimensionality: a vector of a
+    * DIFFERENT length than the centroids would null-pad through
+    * zip_with into an all-null distance array — an opaque NPE in the
+    * trainer and a silent NULL cluster in assign. Mismatched rows are
+    * dropped (batch) or NULL-annotated (stream), by contract. */
+  private[graft] def validDim(embCol: Column, dim: Int): Column =
+    valid(embCol) && size(embCol) === dim
+
   /** Distances of quantized vector `x` to every centroid in `cents`
     * (literal array-of-arrays), folded left-to-right per dimension. */
   private[graft] def distances(x: Column, cents: Column): Column =
@@ -87,12 +95,15 @@ object KMeans {
     val dim = cents.head.length
     require(cents.forall(_.length == dim),
       "trainCentroids: seed vectors must share one dimensionality")
+    // rows of a different dimensionality than the seeds are dropped
+    // (the validDim contract — they cannot score against the model)
+    val baseD = base.filter(size(col("_x")) === dim)
     var it = 0
     while (it < iters) {
       val cl = typedlit(cents)
       // one (cluster, dim)-keyed aggregate of exact integer sums;
       // k·dim rows collected — bounded by construction
-      val sums = base
+      val sums = baseD
         .withColumn("_d", distances(col("_x"), cl))
         .select((array_position(col("_d"), array_min(col("_d"))) - 1)
           .as("_cl"), posexplode(col("_x")).as(Seq("_pos", "_v")))
@@ -143,9 +154,10 @@ object KMeans {
     * Output: (idCol, `cluster`, `d2`) as in [[lloyd]]. */
   def assign(embs: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val cl = typedlit(collectCentroids(centroids))
+    val cents = collectCentroids(centroids)
+    val cl = typedlit(cents)
     embs
-      .filter(valid(col(embCol)))
+      .filter(validDim(col(embCol), cents.head.length))
       .select(col(idCol).as("_id"), quantized(col(embCol)).as("_x"))
       .withColumn("_d", distances(col("_x"), cl))
       .select(col("_id").as(idCol),

@@ -13,6 +13,12 @@ import org.apache.spark.sql.DataFrame
   * the ContextCleaner releases once the returned plan is
   * garbage-collected — the cache-lifecycle discipline adopted in
   * [[Dedup.containmentPairs]] (round-8 advisory) and extended here.
+  * NOTE on the reliable branch: the ContextCleaner deletes RELIABLE
+  * checkpoint files only when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints` is true (Spark's
+  * default is false) — [[graft.Engine.session]] sets it, so sessions
+  * built there release both branches; a foreign session with a
+  * checkpoint dir but without that flag retains the files.
   *
   * TRADE (the no-checkpoint-dir branch): `localCheckpoint` blocks are
   * unreplicated and non-recomputable, so losing an executor mid-job
@@ -33,11 +39,4 @@ object Materialize {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
-  /** Lazy variant: the caller's next action materializes the
-    * checkpoint, sharing one job instead of paying an eager extra
-    * pass — right when the first consumer runs before any other. */
-  def lazily(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = false)
-    else df.localCheckpoint(eager = false)
 }

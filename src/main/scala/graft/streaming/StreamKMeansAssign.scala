@@ -33,13 +33,21 @@ object StreamKMeansAssign {
     require(!stream.columns.contains("cluster") &&
       !stream.columns.contains("d2"),
       "StreamKMeansAssign.annotate: input already carries cluster/d2")
-    val cl = typedlit(KMeans.collectCentroids(centroids))
-    val ok = KMeans.valid(col(embCol))
-    val d = KMeans.distances(KMeans.quantized(col(embCol)), cl)
+    val cents = KMeans.collectCentroids(centroids)
+    val cl = typedlit(cents)
+    // dimension mismatches annotate NULL like every other invalid row
+    val ok = KMeans.validDim(col(embCol), cents.head.length)
+    // _d materializes as its own projection so the k·dim distance fold
+    // evaluates ONCE per row (CollapseProject keeps a multiply-
+    // referenced non-cheap expression in its own Project; inlining the
+    // fold into cluster AND d2 would evaluate it three times)
     stream
+      .withColumn("_d",
+        when(ok, KMeans.distances(KMeans.quantized(col(embCol)), cl)))
       .withColumn("cluster",
-        when(ok, (array_position(d, array_min(d)) - 1).cast("int")))
+        (array_position(col("_d"), array_min(col("_d"))) - 1).cast("int"))
       .withColumn("d2",
-        when(ok, round(array_min(d) / lit(KMeans.Scale2), 6)))
+        round(array_min(col("_d")) / lit(KMeans.Scale2), 6))
+      .drop("_d")
   }
 }

@@ -60,6 +60,20 @@ class KMeansSpec extends SparkTestBase {
     assert(a.find(_._1 == 5L).get._2 === 0)
   }
 
+  test("a vector of a different dimensionality than the model is " +
+    "dropped (batch) — no NPE in the trainer, no NULL cluster") {
+    val d = embs(
+      0L -> Seq(0.0f, 0.0f), 1L -> Seq(1.0f, 1.0f),
+      2L -> Seq(0.1f, 0.1f),
+      3L -> Seq(0.5f, 0.5f, 0.5f)) // corrupt: dim 3 among dim-2 seeds
+    val a = KMeans.lloyd(d, k = 2, iters = 2)
+      .orderBy("vec_id").as[(Long, Int, Double)].collect()
+    assert(a.map(_._1).toSeq === Seq(0L, 1L, 2L)) // 3 dropped
+    // and assign() against trained centroids drops it too
+    val cents = KMeans.trainCentroids(d, k = 2, iters = 2)
+    assert(KMeans.assign(d, cents).count() === 3)
+  }
+
   test("an emptied cluster keeps its previous centroid") {
     // k=3 but only two blobs: seed 2's cluster empties after round 1
     // (everything near seeds 0/1); it must keep the seed centroid, so

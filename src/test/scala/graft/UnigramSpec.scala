@@ -173,6 +173,24 @@ class UnigramSpec extends SparkTestBase {
     assert(got === perOcc)
   }
 
+  test("Viterbi underflow rescale: a 60-piece product (~2^-600) keeps " +
+    "the exact argmax instead of degenerating at 0.0") {
+    // p(a) = 2^40/T, p(aaa) = 1/T with T ≈ 2^50: three singles score
+    // (2^-10)^3 = 2^-30 >> 2^-50, so the argmax is ALL SINGLES — but
+    // 60 of them multiply to ~2^-600, far below the double floor.
+    // Without the exact 2^512 rescale every candidate ties at 0.0 and
+    // the tie rule (longest last piece) would emit "aaa" chunks.
+    val vocab = Map("a" -> (1L << 40), "aaa" -> 1L,
+      "zfill" -> ((1L << 50) - (1L << 40) - 1L))
+    val got = encodeOne("a" * 60, vocab)
+    assert(got === Seq.fill(60)("a"))
+    // sanity: the same vocabulary still picks "aaa" when it SHOULD —
+    // flip the frequencies so the triple dominates
+    val v2 = Map("a" -> 1L, "aaa" -> (1L << 40),
+      "zfill" -> ((1L << 50) - (1L << 40) - 1L))
+    assert(encodeOne("a" * 60, v2) === Seq.fill(20)("aaa"))
+  }
+
   // --- WordPiece max-munch --------------------------------------------
 
   test("maxMunch: greedy longest-match law — every piece is the " +
