@@ -240,13 +240,25 @@ object Bench {
     }
     val streamRecPerSec: Double =
       (0 until 3).map(streamOnce).max
+    // throughput FLOOR (round-11 advisory): steady-state best-of-3 has
+    // measured 31-55k across SFs with the GC-depressed cold sample at
+    // 17k — a conservative 10k floor catches a 10× streaming
+    // regression that per-query wall times would never see, without
+    // tripping on JVM-state noise. A reading below the floor counts as
+    // a FAILURE (the same visible penalty as a failed query).
+    val StreamFloor = 10000.0
+    val streamFloorOk = streamRecPerSec >= StreamFloor
+    if (!streamFloorOk)
+      System.err.println(s"[bench] STREAM THROUGHPUT FLOOR VIOLATED: " +
+        s"best-of-3 ${streamRecPerSec.round} rec/s < $StreamFloor")
     def jmap[A](f: QResult => A): String = results
       .map { case (k, r) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
     val qs = jmap(_.best)
     val spreads = jmap(_.spread)
     val shufReads = jmap(_.shufRead)
     val shufWrites = jmap(_.shufWrite)
-    val failures = results.count(_._2.best < 0)
+    val failures = results.count(_._2.best < 0) +
+      (if (streamFloorOk) 0 else 1)
     // a failed query must not shrink the headline number: each failure
     // contributes a visible penalty instead of silently dropping out
     val total = results.map(_._2.best).filter(_ >= 0).sum + failures * 600.0
@@ -257,7 +269,7 @@ object Bench {
     // per-query sample size actually taken.
     val runsTaken = jmap(_.nRuns)
     val driftJson = driftFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"base_runs":$Runs,"max_runs":$MaxRuns,"retry_rule":"rerun while spread(best3) > 0.5*min or tight-spread >15% drift vs previous BENCH_FULL; best/spread over 3 fastest","agg":"min","stream_rec_per_sec":${streamRecPerSec.round},"sf":"$sfDir","drift_flags":$driftJson,"runs":$runsTaken,"spreads":$spreads,"shuffle_read_bytes":$shufReads,"shuffle_write_bytes":$shufWrites,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"base_runs":$Runs,"max_runs":$MaxRuns,"retry_rule":"rerun while spread(best3) > 0.5*min or tight-spread >15% drift vs previous BENCH_FULL; best/spread over 3 fastest","agg":"min","stream_rec_per_sec":${streamRecPerSec.round},"stream_floor":${StreamFloor.round},"stream_floor_ok":$streamFloorOk,"sf":"$sfDir","drift_flags":$driftJson,"runs":$runsTaken,"spreads":$spreads,"shuffle_read_bytes":$shufReads,"shuffle_write_bytes":$shufWrites,"queries":$qs}"""
     // STDOUT gets a COMPACT line, the full record goes to the files:
     // the harness keeps only the last ~2000 chars of output, and the
     // full per-query record (~5 KB at 141 queries) can never fit — it
@@ -274,7 +286,7 @@ object Bench {
       .sortBy(-_._2.best).take(5)
       .map { case (k, r) => "\"" + k + "\":" + r.best }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n_queries":${results.size},"agg":"min","base_runs":$Runs,"max_runs":$MaxRuns,"stream_rec_per_sec":${streamRecPerSec.round},"sf":"$sfDir","drift_flags_n":${driftFlags.size},"full_record":"BENCH_FULL.json","queries":$headline,"slowest_ext":$slowest}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n_queries":${results.size},"agg":"min","base_runs":$Runs,"max_runs":$MaxRuns,"stream_rec_per_sec":${streamRecPerSec.round},"stream_floor":${StreamFloor.round},"stream_floor_ok":$streamFloorOk,"sf":"$sfDir","drift_flags_n":${driftFlags.size},"full_record":"BENCH_FULL.json","queries":$headline,"slowest_ext":$slowest}"""
     println(compact)
     // two mirrors of the FULL record: target/bench.json (untracked
     // scratch) and BENCH_FULL.json (repo root, COMMITTED) — the round

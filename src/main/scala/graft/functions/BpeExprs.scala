@@ -205,13 +205,19 @@ object BpeOps {
     }
     // miss: compile into slot 1 after promoting slot 1 -> 0? Keep it
     // simple: shift slot 0 to slot 1, compile into slot 0 (MRU first).
+    // Construct BEFORE touching the slot: if the constructor throws
+    // (corrupt table via the raw Column API), the evicted slot must
+    // not be left holding its OLD compiled table paired with the NEW
+    // array refs — that pairing could later satisfy the identity fast
+    // path and silently encode with a stale table.
+    val built = new CompiledTable(lefts, rights, sep)
     val evicted = slots(1)
     slots(1) = slots(0)
     val c = evicted
     c.leftsRef = lefts; c.rightsRef = rights; c.sepRef = sep
-    c.table = new CompiledTable(lefts, rights, sep)
+    c.table = built
     slots(0) = c
-    c.table
+    built
   }
 
   /** Rank-heap BPE encode — output-identical to [[encodeAllGreedy]]

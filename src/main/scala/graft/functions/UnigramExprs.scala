@@ -133,13 +133,20 @@ object UnigramOps {
       }
       s += 1
     }
+    // Construct BEFORE touching the slot (the BpeOps discipline): if
+    // the constructor throws (corrupt vocab via the raw Column API,
+    // which bypasses collectVocab validation), the evicted slot must
+    // not be left holding its OLD compiled vocab paired with the NEW
+    // array refs — that pairing could later satisfy the identity fast
+    // path and silently segment with a stale vocabulary.
+    val built = new CompiledVocab(pieces, freqs)
     val evicted = slots(1)
     slots(1) = slots(0)
     val c = evicted
     c.piecesRef = pieces; c.freqsRef = freqs
-    c.vocab = new CompiledVocab(pieces, freqs)
+    c.vocab = built
     slots(0) = c
-    c.vocab
+    built
   }
 
   /** 2^-512 / 2^512 — the exact power-of-two rescale that keeps the

@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
 object KMeans {
 
   /** 2^20 — the quantization scale (exact in binary). */
-  private val Scale = 1048576.0
+  private[graft] val Scale = 1048576.0
   /** 2^40 — distance renormalization back to input units². */
   private[graft] val Scale2 = Scale * Scale
 
@@ -69,16 +69,128 @@ object KMeans {
       aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, v) => acc + v))
 
+  /** THE Lloyd iteration — the one distributed k-means loop every
+    * trainer in the library runs on (this operator's [[trainCentroids]],
+    * [[Similarity]]'s IVF coarse quantizer and PQ sub-space codebooks).
+    * Generalized to GROUPS so that many quantizers train together in
+    * ONE aggregate job per iteration regardless of the group count
+    * (IVF+PQ trains the coarse quantizer and all m codebooks in the
+    * same 10 passes): `base` carries (`_g` int group id 0..G−1, `_id`,
+    * `_x` QUANTIZED integer-valued doubles, uniform length per group),
+    * `seeds` one centroid matrix per group in the same quantized
+    * units. Per iteration: each row scores against ITS group's
+    * centroids (the group matrix selected by `element_at` from one
+    * bounded plan literal), argmin ties to the smallest cluster id,
+    * then one (group, cluster, dim)-keyed aggregate of exact integer
+    * sums — Σ k_g·dim_g bounded rows collected. An emptied cluster
+    * keeps its previous centroid. The determinism contract is the
+    * object doc's: all arithmetic before the ONE per-component
+    * division is exact. */
+  private[graft] def lloydIterate(base: DataFrame,
+      seeds: Seq[Seq[Seq[Double]]], iters: Int): Seq[Seq[Seq[Double]]] = {
+    require(iters >= 1 && iters <= 100,
+      s"lloydIterate: iters must be in [1, 100], got $iters")
+    require(seeds.nonEmpty && seeds.forall(_.nonEmpty),
+      "lloydIterate: every group needs at least one seed centroid")
+    var cents = seeds
+    var it = 0
+    while (it < iters) {
+      // assignment through the codegen kernel
+      // ([[graft.functions.KMeansOps.nearest]]) — bit-identical to the
+      // aggregate(zip_with)/array_position SQL shape the oracle
+      // replays (see its determinism contract), ~30× faster than the
+      // interpreted higher-order chain at PQ codebook scale
+      val sums = base
+        .select(col("_g"),
+          graft.functions.KMeansExprs.nearest(col("_g"), col("_x"), cents)
+            .as("_cl"), posexplode(col("_x")).as(Seq("_pos", "_v")))
+        .groupBy(col("_g"), col("_cl"), col("_pos"))
+        .agg(sum(col("_v")).as("_s"), count(lit(1)).as("_n"))
+        .collect()
+      val next = cents.map(_.toArray).toArray
+      sums.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+        case ((g, c), rows) =>
+          val arr = new Array[Double](cents(g)(c).length)
+          rows.foreach { r =>
+            // exact integer sum (read back as double), ONE division
+            arr(r.getInt(2)) = r.getDouble(3) / r.getLong(4).toDouble
+          }
+          next(g)(c) = arr.toSeq
+      }
+      cents = next.map(_.toSeq).toSeq
+      it += 1
+    }
+    cents
+  }
+
+  /** [[lloydIterate]] over a DRIVER-RESIDENT sample — the index-build
+    * regime ([[Similarity]]'s quantizer training collects a bounded,
+    * byte-budgeted sample; iterating on it locally replaces 10
+    * aggregate jobs with 10 in-memory passes). PROVABLY BIT-IDENTICAL
+    * to the distributed route on the same rows: the assignment kernel
+    * is the same [[graft.functions.KMeansOps.nearest]] the expression
+    * runs, the per-cluster sums are sums of INTEGER-VALUED doubles
+    * (exact at any summation order while below 2^53 — which k·dim
+    * bounded quantized corpora are by construction), and the one
+    * division per component is the same IEEE op. `vecs` carries
+    * (group id, quantized vector) pairs; groups and lengths must match
+    * `seeds` (the kernel fails loudly otherwise). */
+  private[graft] def lloydIterateLocal(vecs: Array[(Int, Array[Double])],
+      seeds: Seq[Seq[Seq[Double]]], iters: Int): Seq[Seq[Seq[Double]]] = {
+    require(iters >= 1 && iters <= 100,
+      s"lloydIterateLocal: iters must be in [1, 100], got $iters")
+    require(seeds.nonEmpty && seeds.forall(_.nonEmpty),
+      "lloydIterateLocal: every group needs at least one seed centroid")
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    val ads = vecs.map { case (g, x) =>
+      (g, UnsafeArrayData.fromPrimitiveArray(x))
+    }
+    var cents = seeds
+    var it = 0
+    while (it < iters) {
+      val (flat, off, ks, dims) = graft.functions.KMeansOps.compile(cents)
+      val sums = cents.map(g =>
+        Array.ofDim[Double](g.length, g.head.length)).toArray
+      val counts = cents.map(g => new Array[Long](g.length)).toArray
+      var i = 0
+      while (i < ads.length) {
+        val (g, ad) = ads(i)
+        val c = graft.functions.KMeansOps.nearest(g, ad, flat, off, ks, dims)
+        val s = sums(g)(c)
+        val x = vecs(i)._2
+        var d = 0
+        while (d < x.length) { s(d) += x(d); d += 1 }
+        counts(g)(c) += 1
+        i += 1
+      }
+      val next = cents.map(_.toArray).toArray
+      var g = 0
+      while (g < next.length) {
+        var c = 0
+        while (c < next(g).length) {
+          if (counts(g)(c) > 0) {
+            val n = counts(g)(c).toDouble
+            // exact integer sum, ONE division — the shared contract
+            next(g)(c) = sums(g)(c).map(_ / n).toSeq
+          }
+          c += 1
+        }
+        g += 1
+      }
+      cents = next.map(_.toSeq).toSeq
+      it += 1
+    }
+    cents
+  }
+
   /** Train centroids: `iters` Lloyd rounds with the determinism
-    * contract above. Output: (`cluster` int, `centroid`
-    * array&lt;double&gt; — QUANTIZED-unit components, the exact values
-    * the assignment kernel consumes). */
+    * contract above ([[lloydIterate]] with a single group). Output:
+    * (`cluster` int, `centroid` array&lt;double&gt; — QUANTIZED-unit
+    * components, the exact values the assignment kernel consumes). */
   def trainCentroids(embs: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(k >= 1 && k <= 65536,
       s"trainCentroids: k must be in [1, 65536], got $k")
-    require(iters >= 1 && iters <= 100,
-      s"trainCentroids: iters must be in [1, 100], got $iters")
     val spark = embs.sparkSession
     import spark.implicits._
     val base = embs
@@ -90,7 +202,7 @@ object KMeans {
     require(seedRows.length == k,
       s"trainCentroids: corpus has ${seedRows.length} valid vectors, " +
         s"need >= $k")
-    var cents: Seq[Seq[Double]] =
+    val cents: Seq[Seq[Double]] =
       seedRows.map(_.getSeq[Double](0).toSeq).toSeq
     val dim = cents.head.length
     require(cents.forall(_.length == dim),
@@ -98,31 +210,9 @@ object KMeans {
     // rows of a different dimensionality than the seeds are dropped
     // (the validDim contract — they cannot score against the model)
     val baseD = base.filter(size(col("_x")) === dim)
-    var it = 0
-    while (it < iters) {
-      val cl = typedlit(cents)
-      // one (cluster, dim)-keyed aggregate of exact integer sums;
-      // k·dim rows collected — bounded by construction
-      val sums = baseD
-        .withColumn("_d", distances(col("_x"), cl))
-        .select((array_position(col("_d"), array_min(col("_d"))) - 1)
-          .as("_cl"), posexplode(col("_x")).as(Seq("_pos", "_v")))
-        .groupBy(col("_cl"), col("_pos"))
-        .agg(sum(col("_v")).as("_s"), count(lit(1)).as("_n"))
-        .collect()
-      val next = Array.tabulate(k)(c => cents(c).toArray)
-      sums.groupBy(_.getLong(0).toInt).foreach { case (c, rows) =>
-        val arr = new Array[Double](dim)
-        rows.foreach { r =>
-          // exact integer sum (read back as double), ONE division
-          arr(r.getInt(1)) = r.getDouble(2) / r.getLong(3).toDouble
-        }
-        next(c) = arr
-      }
-      cents = next.map(_.toSeq).toSeq
-      it += 1
-    }
-    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .select(lit(0).cast("int").as("_g"), col("_id"), col("_x"))
+    val out = lloydIterate(baseD, Seq(cents), iters).head
+    out.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cluster", "centroid")
   }
 

@@ -35,8 +35,18 @@ object Materialize {
     * nondeterministic physical properties like `spark_partition_id` —
     * reads the SAME materialized blocks. */
   def eager(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // persist-then-checkpoint (the idiom from the RDD.checkpoint
+      // scaladoc): without it the reliable branch computes the child
+      // TWICE — the eager action materializes the lineage once, then
+      // ReliableCheckpointRDD's write job recomputes the unpersisted
+      // lineage to produce the checkpoint files. Persist first so the
+      // write job reads the cached blocks; unpersist after — the
+      // returned plan reads the checkpoint files, not the cache, so
+      // nothing is left registered in the CacheManager.
+      val cached = df.persist()
+      try cached.checkpoint(eager = true)
+      finally cached.unpersist(blocking = false)
+    } else df.localCheckpoint(eager = true)
 
 }

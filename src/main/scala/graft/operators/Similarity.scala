@@ -277,16 +277,13 @@ object Similarity {
     val corpus = embeddings
       .select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
-    val sample = collectTrainSample(
-      corpus.select(col("v").cast("array<float>")),
-      trainSample, maxTrainBytes, "pqTopK")
-    require(sample.nonEmpty, "pqTopK: cannot train on an empty corpus")
-    require(sample.length >= ksub,
-      s"pqTopK: sample ${sample.length} smaller than ksub=$ksub")
-    val dim = sample(0).length
+    val (sample, dim) = trainFrame(corpus, trainSample, maxTrainBytes,
+      "pqTopK")
     require(dim % m == 0, s"pqTopK: dim $dim is not divisible by m=$m")
     val dsub = dim / m
-    val cb = pqTrain(sample, m, ksub, dsub)
+    val cb = flattenCodebooks(
+      trainCenters(sample, pqSpecs(m, ksub, dsub), "pqTopK"),
+      m, ksub, dsub)
     pqSearch(corpus, queries, cb, m, ksub, dsub, k, idCol, embCol)
   }
 
@@ -302,25 +299,17 @@ object Similarity {
       maxTrainBytes: Long = 64L << 20): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val sample = collectTrainSample(
-      embeddings
-        .select(col(embCol).cast("array<float>").as("v"))
-        .filter(col("v").isNotNull && !exists(col("v"), _.isNull)),
-      trainSample, maxTrainBytes, "pqCodebooks")
-    require(sample.nonEmpty, "pqCodebooks: cannot train on an empty corpus")
-    require(sample.length >= ksub,
-      s"pqCodebooks: sample ${sample.length} smaller than ksub=$ksub")
-    val dim = sample(0).length
+    val corpus = embeddings
+      .select(col(idCol).as("vec_id"), col(embCol).as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+    val (sample, dim) = trainFrame(corpus, trainSample, maxTrainBytes,
+      "pqCodebooks")
     require(dim % m == 0, s"pqCodebooks: dim $dim is not divisible by m=$m")
     val dsub = dim / m
+    val subs = trainCenters(sample, pqSpecs(m, ksub, dsub), "pqCodebooks")
     val rows = for {
-      j <- 0 until m
-      sub = sample.map(v =>
-        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
-      centers = lloyds(sub, ksub)
-      c <- 0 until ksub
-      d <- 0 until dsub
-    } yield (j, c, d, centers(c)(d))
+      j <- 0 until m; c <- 0 until ksub; d <- 0 until dsub
+    } yield (j, c, d, subs(j)(c)(d))
     rows.toDF("j", "c", "pos", "cval")
   }
 
@@ -362,21 +351,6 @@ object Similarity {
       sqn(j * ksub + c) = s
     }
     sqn
-  }
-
-  /** Train per-subspace PQ codebooks on a float sample → flattened
-    * [j][c][d] array. */
-  private def pqTrain(sample: Array[Array[Float]], m: Int, ksub: Int,
-      dsub: Int): Array[Double] = {
-    val cb = new Array[Double](m * ksub * dsub)
-    for (j <- 0 until m) {
-      val sub = sample.map(v =>
-        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
-      val centers = lloyds(sub, ksub)
-      for (c <- 0 until ksub; d <- 0 until dsub)
-        cb((j * ksub + c) * dsub + d) = centers(c)(d)
-    }
-    cb
   }
 
   /** IVF + PQ composed index — the standard billion-scale ANN layout:
@@ -435,17 +409,16 @@ object Similarity {
     val corpus = embeddings
       .select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
-    val sample = collectTrainSample(
-      corpus.select(col("v").cast("array<float>")),
-      trainSample, maxTrainBytes, "ivfPqTopK")
-    require(sample.nonEmpty, "ivfPqTopK: cannot train on an empty corpus")
-    require(sample.length >= math.max(ksub, nLists),
-      s"ivfPqTopK: sample ${sample.length} smaller than ksub/nLists")
-    val dim = sample(0).length
+    val (sample, dim) = trainFrame(corpus, trainSample, maxTrainBytes,
+      "ivfPqTopK")
     require(dim % m == 0, s"ivfPqTopK: dim $dim is not divisible by m=$m")
     val dsub = dim / m
-    val centers = lloyds(sample, nLists)
-    val cb = pqTrain(sample, m, ksub, dsub)
+    // the coarse quantizer and ALL m codebooks train in ONE grouped
+    // Lloyd run — one aggregate job per iteration, not 1 + m trainers
+    val all = trainCenters(sample,
+      (0, dim, nLists) +: pqSpecs(m, ksub, dsub), "ivfPqTopK")
+    val centers = all.head
+    val cb = flattenCodebooks(all.tail, m, ksub, dsub)
     val sqn = pqSqNorms(cb, m, ksub, dsub)
 
     // guard BEFORE encode: PqOps.encode reads dim doubles unchecked, so
@@ -624,108 +597,120 @@ object Similarity {
 
   // ---- IVF (inverted-file, k-means coarse quantizer) ANN ---------------
 
-  /** Driver-local Lloyd's k-means with k-means++ seeding (fixed seed,
-    * deterministic). IVF quantizer training is a bounded-sample
-    * computation (FAISS trains the same way): at the default cap the
-    * sample is ~25 MB, while distributed k-means pays ~10 scheduler
-    * round-trips to fit 16 centroids. The *corpus* is never collected. */
-  private[graft] def lloyds(sample: Array[Array[Float]], k: Int,
-      iters: Int = 10): Array[Array[Double]] = {
-    require(sample.nonEmpty,
-      "ivfTopK: cannot train the IVF quantizer on an empty corpus")
-    val n = sample.length
-    val dim = sample(0).length
-    val rnd = new scala.util.Random(42)
-    def d2(v: Array[Float], c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < dim) { val d = v(i) - c(i); s += d * d; i += 1 }
-      s
-    }
-    // k-means++: each next seed drawn ∝ distance² to the nearest seed
-    val centers = Array.ofDim[Array[Double]](k)
-    centers(0) = sample(rnd.nextInt(n)).map(_.toDouble)
-    val nearest = Array.fill(n)(Double.MaxValue)
-    for (c <- 1 until k) {
-      var i = 0
-      while (i < n) {
-        val d = d2(sample(i), centers(c - 1))
-        if (d < nearest(i)) nearest(i) = d
-        i += 1
-      }
-      val total = nearest.sum
-      var pick = rnd.nextDouble() * total
-      var j = 0
-      while (j < n - 1 && pick > nearest(j)) { pick -= nearest(j); j += 1 }
-      centers(c) = sample(j).map(_.toDouble)
-    }
-    val sums = Array.ofDim[Double](k, dim)
-    val counts = new Array[Int](k)
-    for (_ <- 0 until iters) {
-      java.util.Arrays.fill(counts, 0)
-      sums.foreach(java.util.Arrays.fill(_, 0.0))
-      var i = 0
-      while (i < n) {
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < k) {
-          val d = d2(sample(i), centers(c))
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        counts(best) += 1
-        val s = sums(best); val v = sample(i)
-        var j = 0
-        while (j < dim) { s(j) += v(j); j += 1 }
-        i += 1
-      }
-      var c = 0
-      while (c < k) {
-        // empty cell keeps its previous centroid (no reseeding: keeps
-        // the run deterministic; probes simply never select it)
-        if (counts(c) > 0) {
-          var j = 0
-          while (j < dim) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
-        }
-        c += 1
-      }
-    }
-    centers
-  }
-
-  /** Bounded training-sample collect shared by every index-build path:
-    * the row cap is the MIN of `trainSample` and however many rows fit
-    * the `maxTrainBytes` byte budget at the corpus's embedding width
-    * (probed from one row), so the "bounded driver collect" contract is
-    * robust to WIDE embeddings, not just long corpora — 100k rows of
-    * dim-1024 floats would otherwise be ~400 MB on the driver. `vecs`
-    * must be a single `array<float>` column with nulls already
-    * excluded. */
-  private def collectTrainSample(vecs: DataFrame, trainSample: Int,
-      maxTrainBytes: Long, what: String): Array[Array[Float]] = {
+  /** Bounded, DETERMINISTIC training sample shared by every index-build
+    * path — the index-build step every IVF/PQ system has. The row cap
+    * is the MIN of `trainSample` and however many rows fit the
+    * `maxTrainBytes` byte budget at the corpus's embedding width
+    * (probed from one row), so index-build cost is robust to WIDE
+    * embeddings, not just long corpora. Sample = the cap smallest-id
+    * rows of the dominant (first-row) dimensionality — a total order,
+    * so retraining on the same corpus reproduces the index bit for
+    * bit. Returns the sample PLAN (`_id`, `_v` array&lt;double&gt;,
+    * id-ascending — a distributed TakeOrdered, one corpus pass) and
+    * the dim; [[trainCenters]] collects it exactly once (driver
+    * footprint ≤ 2× the float-unit byte budget: doubles in flight).
+    * `corpus` must carry (vec_id, v) with nulls excluded. */
+  private def trainFrame(corpus: DataFrame, trainSample: Int,
+      maxTrainBytes: Long, what: String): (DataFrame, Int) = {
     require(trainSample >= 1,
       s"$what: trainSample must be >= 1, got $trainSample")
-    val head = vecs.limit(1).collect()
-    if (head.isEmpty) return Array.empty
-    val dim = math.max(head(0).getSeq[Float](0).length, 1)
+    val vecs = corpus.select(col("vec_id").as("_id"),
+      col("v").cast("array<double>").as("_v"))
+    val head = vecs.select(col("_v")).limit(1).collect()
+    require(head.nonEmpty, s"$what: cannot train on an empty corpus")
+    val dim = math.max(head(0).getSeq[Double](0).length, 1)
     val rowsInBudget = maxTrainBytes / (4L * dim)
     require(rowsInBudget >= 1,
       s"$what: maxTrainBytes=$maxTrainBytes holds zero dim-$dim vectors " +
         s"(${4L * dim} bytes each) — raise maxTrainBytes to at least " +
         s"${4L * dim}")
     val cap = math.min(trainSample.toLong, rowsInBudget).toInt
-    vecs.limit(cap).collect().map(_.getSeq[Float](0).toArray)
+    (vecs.filter(size(col("_v")) === dim)
+      .orderBy(col("_id")).limit(cap), dim)
   }
+
+  /** Train one or more quantizers over a [[trainFrame]] sample through
+    * the ONE Lloyd implementation ([[KMeans.lloydIterateLocal]] — the
+    * driver-resident face of [[KMeans.lloydIterate]], provably
+    * bit-identical; see its doc). Each spec is an (offset, length, k)
+    * SLICE of the embedding (offset 0 / full length = a coarse
+    * quantizer; the m dsub-wide slices = PQ codebooks), all advancing
+    * together — the sample is collected ONCE (bounded, byte-budgeted)
+    * and 10 in-memory passes replace 10 aggregate jobs. Seeds are the
+    * k smallest-id sample rows, sliced per spec and quantized exactly
+    * as [[KMeans.quantized]] does — the [[KMeans.trainCentroids]] seed
+    * rule, so ANN quantizers and the k-means operator share one
+    * deterministic training path. Returns per-spec centroid matrices
+    * DEQUANTIZED to input units (÷2^20 — exact, a power of two), the
+    * domain the search expressions score in. */
+  private def trainCenters(sample: DataFrame, specs: Seq[(Int, Int, Int)],
+      what: String, iters: Int = 10): Seq[Array[Array[Double]]] = {
+    val kMax = specs.map(_._3).max
+    // ONE bounded collect: rows arrive id-ascending (the trainFrame
+    // TakeOrdered), so the seed prefix is just the first kMax rows
+    val rows = sample.select(col("_v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.length >= kMax,
+      s"$what: sample ${rows.length} smaller than the largest " +
+        s"quantizer k=$kMax")
+    def quantSlice(r: Array[Double], off: Int, len: Int): Array[Double] = {
+      // floor(v · 2^20) on doubles — the exact IEEE sequence of
+      // KMeans.quantized, JVM-side
+      val out = new Array[Double](len)
+      var d = 0
+      while (d < len) {
+        out(d) = math.floor(r(off + d) * KMeans.Scale)
+        d += 1
+      }
+      out
+    }
+    val seeds: Seq[Seq[Seq[Double]]] = specs.map { case (off, len, k) =>
+      rows.take(k).map(r => quantSlice(r, off, len).toSeq).toSeq
+    }
+    val vecs = new Array[(Int, Array[Double])](rows.length * specs.length)
+    var i = 0
+    var t = 0
+    while (i < rows.length) {
+      var g = 0
+      while (g < specs.length) {
+        val (off, len, _) = specs(g)
+        vecs(t) = (g, quantSlice(rows(i), off, len))
+        t += 1
+        g += 1
+      }
+      i += 1
+    }
+    KMeans.lloydIterateLocal(vecs, seeds, iters)
+      .map(_.map(_.map(_ / KMeans.Scale).toArray).toArray)
+  }
+
+  /** Flatten per-subspace centroid matrices into the [j][c][d] codebook
+    * array the PQ kernels consume. */
+  private def flattenCodebooks(subs: Seq[Array[Array[Double]]], m: Int,
+      ksub: Int, dsub: Int): Array[Double] = {
+    val cb = new Array[Double](m * ksub * dsub)
+    for (j <- 0 until m; c <- 0 until ksub; d <- 0 until dsub)
+      cb((j * ksub + c) * dsub + d) = subs(j)(c)(d)
+    cb
+  }
+
+  /** PQ sub-space training specs: m contiguous dsub-wide slices. */
+  private def pqSpecs(m: Int, ksub: Int, dsub: Int): Seq[(Int, Int, Int)] =
+    (0 until m).map(j => (j * dsub, dsub, ksub))
 
   /** Approximate top-k via an IVF index: a k-means coarse quantizer
     * partitions the corpus into `nLists` cells; each query probes its
     * `nProbe` nearest cells and ranks candidates by exact cosine.
     *
-    * Scale shape: training collects a bounded sample to the driver
-    * (~25 MB at the default cap — the index-build step every IVF system
-    * has); after that the driver holds only the nLists×dim centroid
-    * matrix, assignment is one codegen projection over the corpus, and
-    * the probe is a key-equality join on the cell id. Expected
-    * candidates per query ≈ |corpus|·nProbe/nLists. Deterministic
-    * (fixed seed). */
+    * Scale shape: training aggregates over a bounded materialized
+    * sample ([[trainFrame]] — the index-build step every IVF system
+    * has, here through the ONE Lloyd implementation,
+    * [[KMeans.lloydIterate]]); after that the driver holds only the
+    * nLists×dim centroid matrix, assignment is one codegen projection
+    * over the corpus, and the probe is a key-equality join on the cell
+    * id. Expected candidates per query ≈ |corpus|·nProbe/nLists.
+    * Deterministic (smallest-id sample + seed rule — no random
+    * state). */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       nLists: Int = 16, nProbe: Int = 4, trainSample: Int = 100000,
       idCol: String = "vec_id", embCol: String = "embedding",
@@ -738,57 +723,59 @@ object Similarity {
     val corpus = embeddings.select(col(idCol).as("vec_id"),
       col(embCol).as("v"))
       .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
-    // cast to array<float> first: embeddings may arrive as array<double>
-    // (the pre-rework MLlib path accepted both), and a raw getSeq[Float]
-    // on doubles would throw ClassCastException. The corpus filter above
-    // already dropped null vectors / null elements.
-    val sample = collectTrainSample(
-      corpus.select(col("v").cast("array<float>")),
-      trainSample, maxTrainBytes, "ivfTopK")
-    val centers = lloyds(sample, nLists)
+    val (sample, dim) = trainFrame(corpus, trainSample, maxTrainBytes,
+      "ivfTopK")
+    val centers = trainCenters(sample, Seq((0, dim, nLists)), "ivfTopK").head
     ivfSearch(corpus, queries, centers, k, nProbe, idCol, embCol)
   }
 
-  /** The trained IVF coarse quantizer as a PERSISTABLE relation — one
-    * row per (cell, dimension): `cell`, `pos`, `cval`. Write it out
-    * once and feed it to [[ivfTopKWithCentroids]]: a growing corpus
-    * then reuses the index instead of retraining per query batch (the
-    * same index-is-a-relation contract as the dedup signature tables).
-    * Training is the [[ivfTopK]] path: a capped driver sample through
-    * [[lloyds]]. */
+  /** The trained IVF coarse quantizer as a PERSISTABLE relation in the
+    * [[KMeans.trainCentroids]] format — (`cluster` int, `centroid`
+    * array&lt;double&gt;, QUANTIZED units), trained through the same
+    * [[KMeans]] path (bounded deterministic [[trainFrame]] sample, k
+    * smallest-id seeds, exact-integer Lloyd updates), so
+    * [[KMeans.saveCentroids]]/[[KMeans.loadCentroids]] persist it
+    * verbatim — ONE artifact format for clustering models and ANN
+    * coarse quantizers. Feed it to [[ivfTopKWithCentroids]]: a growing
+    * corpus then reuses the index instead of retraining per query
+    * batch (the same index-is-a-relation contract as the dedup
+    * signature tables). */
   def ivfCentroids(embeddings: DataFrame, nLists: Int = 16,
       trainSample: Int = 100000, embCol: String = "embedding",
-      maxTrainBytes: Long = 64L << 20): DataFrame = {
-    val corpus = embeddings.select(col(embCol).as("v"))
-      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
-    val sample = collectTrainSample(
-      corpus.select(col("v").cast("array<float>")),
-      trainSample, maxTrainBytes, "ivfCentroids")
-    val centers = lloyds(sample, nLists)
+      maxTrainBytes: Long = 64L << 20, idCol: String = "vec_id",
+      iters: Int = 10): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    centers.zipWithIndex.flatMap { case (c, cell) =>
-      c.zipWithIndex.map { case (x, pos) => (cell, pos, x) }
-    }.toSeq.toDF("cell", "pos", "cval")
+    val corpus = embeddings.select(col(idCol).as("vec_id"),
+      col(embCol).as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+    val (sample, dim) = trainFrame(corpus, trainSample, maxTrainBytes,
+      "ivfCentroids")
+    val centers = trainCenters(sample, Seq((0, dim, nLists)),
+      "ivfCentroids", iters).head
+    // requantize (×2^20 — exact inverse of trainCenters' dequantize):
+    // the relation carries the KMeans quantized-unit contract, equal
+    // bit for bit to KMeans.trainCentroids on the same sample
+    centers.zipWithIndex.map { case (c, i) =>
+      (i, c.map(_ * KMeans.Scale).toSeq)
+    }.toSeq.toDF("cluster", "centroid")
   }
 
-  /** [[ivfTopK]] against a PERSISTED quantizer from [[ivfCentroids]]:
-    * the centroid relation (nLists × dim rows — bounded by index
-    * geometry, never by corpus size) is collected back into plan
-    * literals and the search runs identically; no training sample is
-    * read, so query batches against a stable corpus skip the k-means
-    * entirely and produce assignments consistent with every previous
-    * batch — the incremental-ANN contract. */
+  /** [[ivfTopK]] against a PERSISTED quantizer from [[ivfCentroids]]
+    * (or [[KMeans.loadCentroids]]): the centroid relation (nLists rows
+    * — bounded by index geometry, never by corpus size) is collected
+    * back into plan literals (validated by [[KMeans.collectCentroids]],
+    * dequantized to input units) and the search runs identically; no
+    * training sample is read, so query batches against a stable corpus
+    * skip the k-means entirely and produce assignments consistent with
+    * every previous batch — the incremental-ANN contract. Training and
+    * probing agree EXACTLY: [[ivfTopK]] on the same corpus equals this
+    * route on the [[ivfCentroids]] relation, row for row. */
   def ivfTopKWithCentroids(centroids: DataFrame, embeddings: DataFrame,
       queries: DataFrame, k: Int = 10, nProbe: Int = 4,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val rows = centroids.select(col("cell").cast("int"),
-        col("pos").cast("int"), col("cval").cast("double"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-    require(rows.nonEmpty, "ivfTopKWithCentroids: empty centroid relation")
-    val centers = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cs) =>
-      cs.sortBy(_._2).map(_._3).toArray
-    }.toArray
+    val centers = KMeans.collectCentroids(centroids)
+      .map(_.map(_ / KMeans.Scale).toArray).toArray
     val corpus = embeddings.select(col(idCol).as("vec_id"),
       col(embCol).as("v"))
       .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
@@ -944,11 +931,10 @@ object Similarity {
     val corpus = embeddings.select(col(idCol).as("vec_id"),
         col(embCol).as("v"))
       .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
-    val sample = collectTrainSample(
-      corpus.select(col("v").cast("array<float>")),
-      trainSample, maxTrainBytes, "semanticDedup")
-    val centers = lloyds(sample, nLists)
-    val dim = centers(0).length
+    val (sample, dim) = trainFrame(corpus, trainSample, maxTrainBytes,
+      "semanticDedup")
+    val centers = trainCenters(sample, Seq((0, dim, nLists)),
+      "semanticDedup").head
     def dist2(v: Column, c: Array[Double]): Column =
       VectorExprs.dot(v, v) - lit(2.0) * VectorExprs.dot(v, typedlit(c.toSeq)) +
         lit(c.map(x => x * x).sum)

@@ -151,6 +151,24 @@ object Unigram {
       .withColumn("n_tokens", size(col("pieces")).cast("long"))
   }
 
+  /** [[wordpieceEncode]] as 1-based sorted-vocabulary ids (0 = UNK
+    * single char — the x130 id contract shared by the whole tokenizer
+    * trio): output (`id`, `ids`, `n_tokens`). Doc-local projection
+    * like [[encodeIds]] — the vocabulary rides the plan as bounded
+    * literals; ids are positions in the piece-ascending sorted
+    * vocabulary, so a BPE / unigram / WordPiece consumer reads one id
+    * space per artifact. */
+  def wordpieceEncodeIds(docs: DataFrame, idCol: Column, textCol: Column,
+      vocab: DataFrame): DataFrame = {
+    val (ps, fs) = collectVocab(vocab)
+    val pl = typedlit(ps); val fl = typedlit(fs)
+    docs.filter(textCol.isNotNull)
+      .select(idCol.as("id"),
+        flatten(transform(words(textCol),
+          w => UnigramExprs.wordpieceIds(w, pl, fl))).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
+
   /** One hard-EM re-estimation step: corpus piece-usage counts under
     * the current vocabulary's Viterbi segmentation. Output (`piece`,
     * `usage`) for every USED piece — including UNK single chars, which
@@ -171,6 +189,71 @@ object Unigram {
         explode_outer(UnigramExprs.encode(col("w"), pl, fl)).as("piece"))
       .filter(col("piece").isNotNull)
       .groupBy(col("piece")).agg(sum(col("wf")).as("usage"))
+  }
+
+  /** One EM + prune round of the SentencePiece trainer loop: usage
+    * counts under the CURRENT vocabulary's Viterbi segmentation
+    * ([[reestimate]] — the hard-EM E/M step), then the prune rule:
+    *
+    *   - every single-char piece of the current vocabulary survives
+    *     with `freq = coalesce(usage, 1)` — the coverage floor, freq
+    *     1 mirroring the encode kernel's UNK-single-char rule so an
+    *     unused char keeps a positive (minimal) mass;
+    *   - multi-char pieces keep the `keepMulti` most USED, ranked by
+    *     the total order (usage DESC, piece ASC) — unused multi-char
+    *     pieces are dropped unconditionally (zero-mass pieces cannot
+    *     be ranked and would never win a Viterbi path again).
+    *
+    * Output (`piece`, `freq`) — the next round's model, freqs = usage
+    * counts (exact integers, so the next Viterbi stays in the
+    * [[graft.functions.UnigramOps]] determinism contract). */
+  def emRound(docs: DataFrame, textCol: Column, vocab: DataFrame,
+      keepMulti: Int): DataFrame = {
+    require(keepMulti >= 0,
+      s"emRound: keepMulti must be >= 0, got $keepMulti")
+    val usage = reestimate(docs, textCol, vocab)
+    val joined = vocab.select(col("piece"))
+      .join(usage, Seq("piece"), "left")
+    val chars = joined.filter(length(col("piece")) === 1)
+      .select(col("piece"),
+        coalesce(col("usage"), lit(1L)).cast("long").as("freq"))
+    val multi = joined
+      .filter(length(col("piece")) > 1 && col("usage").isNotNull)
+      .orderBy(col("usage").desc, col("piece").asc)
+      .limit(keepMulti)
+      .select(col("piece"), col("usage").cast("long").as("freq"))
+    chars.unionAll(multi)
+  }
+
+  /** The deterministic SentencePiece training loop (Kudo ACL'18 §3.2,
+    * hard-EM variant): seed with [[seedVocab]], then `rounds` ×
+    * [[emRound]], the multi-char budget shrinking geometrically by 3/4
+    * per round (the SentencePiece shrinking-factor discipline) but
+    * never below `targetMulti`. Every step is a deterministic total
+    * order over exact integer counts, so the whole loop replays
+    * hash-exactly on another engine (the x139 oracle runs 2 full
+    * rounds in recursive SQL). Each round's vocabulary materializes
+    * eagerly ([[Materialize.eager]]) — it is consumed twice (collected
+    * as the next round's model literal AND joined by the prune), and
+    * the rounds would otherwise recompute the whole chain per
+    * consumer. Output (`piece`, `freq`) — feed [[saveUnigramTokenizer]]
+    * / [[encode]] / [[encodeIds]]. */
+  def trainUnigram(docs: DataFrame, textCol: Column,
+      maxPieceLen: Int = 4, minCount: Long = 2, vocabSize: Int = 512,
+      rounds: Int = 2, targetMulti: Int = 0): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"trainUnigram: rounds must be in [1, 16], got $rounds")
+    require(targetMulti >= 0,
+      s"trainUnigram: targetMulti must be >= 0, got $targetMulti")
+    var vocab = seedVocab(docs, textCol, maxPieceLen, minCount, vocabSize)
+    var keep = vocabSize
+    var r = 0
+    while (r < rounds) {
+      keep = math.max(targetMulti, keep * 3 / 4)
+      vocab = Materialize.eager(emRound(docs, textCol, vocab, keep))
+      r += 1
+    }
+    vocab
   }
 
   // ---- tokenizer artifact (the Vocab.saveBpeTokenizer seam) ---------

@@ -104,6 +104,27 @@ class KMeansSpec extends SparkTestBase {
     }
   }
 
+  test("distributed and driver-local Lloyd agree bit for bit: " +
+    "ivfCentroids (lloydIterateLocal on the collected sample) equals " +
+    "trainCentroids (lloydIterate aggregates) on the same corpus") {
+    // mildly irregular values so sums/divisions exercise real doubles
+    val rnd = new scala.util.Random(7)
+    val d = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(6)((rnd.nextDouble() * 4 - 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dist = KMeans.trainCentroids(d, k = 4, iters = 5)
+      .select($"cluster", $"centroid").as[(Int, Seq[Double])]
+      .collect().toMap
+    val local = graft.operators.Similarity.ivfCentroids(
+        d, nLists = 4, iters = 5)
+      .select($"cluster", $"centroid").as[(Int, Seq[Double])]
+      .collect().toMap
+    assert(local.keySet === dist.keySet)
+    // BIT-exact, not approximately equal: integer-valued quantized
+    // sums are order-free and the one division is shared
+    dist.foreach { case (c, cent) => assert(local(c) === cent) }
+  }
+
   test("balancedSample: m closest per cluster, (d2 ASC, id ASC) order, " +
     "agrees with a window-rank reference") {
     val base = (0 until 90).map(i =>

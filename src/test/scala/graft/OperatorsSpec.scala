@@ -706,15 +706,21 @@ class OperatorsSpec extends SparkTestBase {
       .toSet === Set((1L, 2L)))
   }
 
-  test("lloyds k-means separates well-separated clusters") {
+  test("IVF coarse-quantizer training (the shared KMeans Lloyd path) " +
+    "separates well-separated clusters") {
     val rnd = new scala.util.Random(3)
     val centersTrue = Array(Array.fill(8)(0f), Array.fill(8)(10f),
       Array.tabulate(8)(i => if (i % 2 == 0) -10f else 10f))
-    val sample = Array.tabulate(300) { i =>
+    val emb = (0 until 300).map { i =>
       val c = centersTrue(i % 3)
-      c.map(x => x + rnd.nextGaussian().toFloat * 0.1f)
-    }
-    val centers = Similarity.lloyds(sample, k = 3)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }.toDF("vec_id", "embedding")
+    // centroids come back in the KMeans QUANTIZED-unit relation —
+    // dequantize (/2^20) to compare in input units
+    val centers = Similarity.ivfCentroids(emb, nLists = 3)
+      .select($"centroid").as[Seq[Double]].collect()
+      .map(_.map(_ / 1048576.0))
+    assert(centers.length === 3)
     // each true center has a learned centroid within noise distance
     centersTrue.foreach { t =>
       val best = centers.map(c =>
@@ -1705,8 +1711,9 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
-  test("ivf with persisted centroids: relation has nLists x dim rows, " +
-    "search works without retraining, assignments are reusable") {
+  test("ivf with persisted centroids: KMeans-format relation, search " +
+    "works without retraining, equals the inline-trained path, and " +
+    "survives the saveCentroids/loadCentroids artifact round trip") {
     val dim = 64
     def unit(axis: Int): Array[Float] =
       Array.tabulate(dim)(i => if (i == axis) 1f else 0f)
@@ -1714,8 +1721,8 @@ class OperatorsSpec extends SparkTestBase {
     val emb = ((0L, unit(0)) +: (1L, near) +:
       (2 until 40).map(i => (i.toLong, unit(i % dim)))).toDF("vec_id", "embedding")
     val cents = Similarity.ivfCentroids(emb, nLists = 4)
-    assert(cents.count() === 4L * dim)
-    assert(cents.select("cell").distinct().count() === 4)
+    assert(cents.count() === 4L)
+    assert(cents.select("cluster").distinct().count() === 4)
     // the persisted relation drives the same search (no training here:
     // the query batch reads centroids, not a sample)
     val got = Similarity.ivfTopKWithCentroids(cents,
@@ -1726,6 +1733,20 @@ class OperatorsSpec extends SparkTestBase {
     val again = Similarity.ivfTopKWithCentroids(cents,
       emb, emb.filter($"vec_id" === 0), k = 5, nProbe = 2)
     assert(got.collect().toSet === again.collect().toSet)
+    // training consolidation law: the persisted-quantizer route equals
+    // the inline ivfTopK (same deterministic KMeans training path)
+    val inline = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 0),
+      k = 5, nLists = 4, nProbe = 2)
+    assert(inline.collect().toSet === got.collect().toSet)
+    // load-path equality: the on-disk IVF index artifact (the KMeans
+    // centroid-artifact seam, verbatim) drives an identical search
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_index_").toString
+    graft.operators.KMeans.saveCentroids(cents, dir)
+    val loaded = graft.operators.KMeans.loadCentroids(spark, dir)
+    val fromDisk = Similarity.ivfTopKWithCentroids(loaded,
+      emb, emb.filter($"vec_id" === 0), k = 5, nProbe = 2)
+    assert(fromDisk.collect().toSet === got.collect().toSet)
   }
 
   test("byte-capped ANN training: a budget too small for one vector " +
@@ -1745,7 +1766,7 @@ class OperatorsSpec extends SparkTestBase {
     // a budget of 8 vectors truncates the sample but still trains
     val cents = Similarity.ivfCentroids(emb, nLists = 4,
       maxTrainBytes = 8L * 256)
-    assert(cents.select("cell").distinct().count() === 4)
+    assert(cents.select("cluster").distinct().count() === 4)
     // same guard on the PQ trainer
     val e2 = intercept[IllegalArgumentException] {
       Similarity.pqCodebooks(emb, m = 16, ksub = 8, maxTrainBytes = 100L)

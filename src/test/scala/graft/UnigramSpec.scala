@@ -276,6 +276,43 @@ class UnigramSpec extends SparkTestBase {
 
   // --- collectVocab validation ---------------------------------------
 
+  test("trainUnigram loop: usage becomes the next round's freq, " +
+    "unused multi-char pieces are pruned, chars keep the floor, and " +
+    "a stable model is a fixed point across rounds") {
+    // words: aab×2 — seed (maxPieceLen 3, minCount 2): chars a:4 b:2,
+    // multi aa:2 ab:2 aab:2. Viterbi picks the whole 'aab' (2/12 beats
+    // every split), so aa/ab go UNUSED and must be pruned; chars drop
+    // to the coalesce(usage, 1) floor
+    val d1 = docs(1L -> "aab aab")
+    val v1 = Unigram.trainUnigram(d1, col("text"), maxPieceLen = 3,
+      minCount = 2, vocabSize = 10, rounds = 1, targetMulti = 1)
+      .as[(String, Long)].collect().toMap
+    assert(v1 === Map("a" -> 1L, "b" -> 1L, "aab" -> 2L))
+
+    // words: ab×3, b×1 — 'ab' survives with usage 3; a second round
+    // under {a:1, b:1, ab:3} re-derives the same model (fixed point)
+    val d2 = docs(1L -> "ab ab b", 2L -> "ab")
+    val one = Unigram.trainUnigram(d2, col("text"), maxPieceLen = 2,
+      minCount = 2, vocabSize = 10, rounds = 1, targetMulti = 1)
+      .as[(String, Long)].collect().toMap
+    val two = Unigram.trainUnigram(d2, col("text"), maxPieceLen = 2,
+      minCount = 2, vocabSize = 10, rounds = 2, targetMulti = 1)
+      .as[(String, Long)].collect().toMap
+    assert(one === Map("a" -> 1L, "b" -> 1L, "ab" -> 3L))
+    assert(two === one)
+
+    // the trained model is a valid tokenizer artifact: encodeIds
+    // consumes it through the same collectVocab validation
+    val ids = Unigram.encodeIds(d2, col("doc_id"), col("text"),
+        Unigram.trainUnigram(d2, col("text"), maxPieceLen = 2,
+          minCount = 2, vocabSize = 10, rounds = 2, targetMulti = 1))
+      .select($"id", concat_ws(",", $"ids")).as[(Long, String)]
+      .collect().toMap
+    // sorted vocab: a=1, ab=2, b=3
+    assert(ids(1L) === "2,2,3")
+    assert(ids(2L) === "2")
+  }
+
   test("collectVocab rejects corrupt vocabularies with named errors") {
     def coll(rows: Seq[(String, java.lang.Long)]) =
       Unigram.collectVocab(rows.toDF("piece", "freq"))
