@@ -779,6 +779,46 @@ object SparkEntry {
       graft.operators.Unigram.trainUnigram(Tables.documents(s, dir),
         col("text"), maxPieceLen = 4, minCount = 2, vocabSize = 64,
         rounds = 2, targetMulti = 32)),
+    // BERT WordPiece proper (Devlin et al. 2019): the vocabulary
+    // distinguishes word-initial pieces from ##-prefixed CONTINUATION
+    // pieces with separate counts — the published layout, trained with
+    // the same dictionary discipline (one corpus pass, then
+    // distinct-word-sized)
+    "x140_wpbert_vocab" -> ((s, dir) =>
+      graft.operators.Unigram.wordpieceVocab(Tables.documents(s, dir),
+        col("text"), maxPieceLen = 4, minCount = 2, vocabSize = 64)),
+    // BERT WordPiece encode as ids: greedy longest match with ##
+    // continuation lookups and whole-word [UNK] (id 0) when a visited
+    // position has no vocabulary match — there is NO automatic
+    // single-char fallback, unlike the plain max-munch x137
+    "x141_wpbert_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Unigram.wordpieceVocab(docs,
+        col("text"), maxPieceLen = 4, minCount = 2, vocabSize = 64)
+      graft.operators.Unigram.wordpieceBertEncodeIds(docs,
+          col("doc_id"), col("text"), vocab)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          array_join(transform(col("ids"), i => i.cast("string")), ",")
+            .as("encoded_ids"))
+    }),
+    // the x141 ids THROUGH the shared tokenizer-artifact seam (the
+    // tagged ## vocabulary persists in the same (piece, freq) format)
+    "x142_wpbert_artifact_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Unigram.wordpieceVocab(docs,
+        col("text"), maxPieceLen = 4, minCount = 2, vocabSize = 64)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_x142_artifact_" +
+          Integer.toHexString(dir.hashCode) + "_" +
+          ProcessHandle.current().pid()).toString
+      graft.operators.Unigram.saveUnigramTokenizer(vocab, path)
+      val loaded = graft.operators.Unigram.loadUnigramTokenizer(s, path)
+      graft.operators.Unigram.wordpieceBertEncodeIds(docs,
+          col("doc_id"), col("text"), loaded)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          array_join(transform(col("ids"), i => i.cast("string")), ",")
+            .as("encoded_ids"))
+    }),
     // the x130 ids THROUGH the tokenizer-artifact seam: train, save,
     // load (version + completeness stamp verified), encode from the
     // loaded vocabulary — the gate that the shipped file, not the live
@@ -1815,6 +1855,99 @@ object SparkEntry {
       |wx AS (SELECT w, unnest(pieces) AS piece,
       |         generate_subscripts(pieces, 1) AS k FROM wseg)"""
       .stripMargin
+
+  /** CTE chain for the BERT WordPiece family (x140/x141): word
+    * dictionary, positionally-TAGGED substring counts (word-initial
+    * plain, word-internal `##`-prefixed — distinct entries with
+    * separate counts), and the char-floor + top-K vocabulary cut.
+    * Exposes `uw`/`ud`/`udw` (the unigram-family word spine) and
+    * `wpvocab` (piece, f). */
+  private def wpBertCtes(maxPieceLen: Int, minCount: Int,
+      vocabSize: Int): String =
+    s"""uw AS (
+      |  SELECT t.doc_id, u.j, t.ws[u.j] AS w
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(text, '\\s+'),
+      |            x -> x <> '') AS ws
+      |        FROM documents WHERE text IS NOT NULL) t,
+      |    unnest(generate_series(1, len(t.ws))) AS u(j)),
+      |ud AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+      |udw AS (SELECT DISTINCT w FROM uw),
+      |uwf AS (SELECT w, count(*) AS wf FROM uw GROUP BY 1),
+      |wpsub AS (
+      |  SELECT unnest(flatten(list_transform(
+      |           generate_series(1, $maxPieceLen),
+      |           l -> list_transform(generate_series(1, len(w) - l + 1),
+      |                  s -> CASE WHEN s = 1 THEN substr(w, s, l)
+      |                            ELSE '##' || substr(w, s, l)
+      |                       END)))) AS piece,
+      |         wf
+      |  FROM uwf),
+      |wpsubf AS (SELECT piece, sum(wf) AS f FROM wpsub GROUP BY 1),
+      |wpvocab AS (
+      |  SELECT piece, f FROM wpsubf
+      |  WHERE (CASE WHEN piece LIKE '##%' THEN len(piece) - 2
+      |              ELSE len(piece) END) = 1
+      |  UNION ALL
+      |  SELECT piece, f FROM (
+      |    SELECT piece, f FROM wpsubf
+      |    WHERE (CASE WHEN piece LIKE '##%' THEN len(piece) - 2
+      |                ELSE len(piece) END) > 1 AND f >= $minCount
+      |    ORDER BY f DESC, piece ASC LIMIT $vocabSize))"""
+      .stripMargin
+
+  /** BERT greedy longest-match replay (shared by x141 and its
+    * artifact twin x142 — the round trip must be invisible):
+    * per-position longest TAGGED vocabulary match (no single-char
+    * fallback), a forward recursive walk, and words whose walk stalls
+    * collapse to one `[UNK]` (id 0). */
+  private lazy val WpBertIdsOracle: String =
+    s"""WITH RECURSIVE ${wpBertCtes(4, 2, 64)},
+      |bc0 AS (
+      |  SELECT w, pos, l, substr(w, pos + 1, l) AS cand
+      |  FROM (SELECT w, unnest(generate_series(0, len(w) - 1)) AS pos
+      |        FROM udw) a,
+      |       (SELECT unnest(generate_series(1, 4)) AS l) t
+      |  WHERE pos + l <= len(w)),
+      |bch AS (
+      |  SELECT w, pos, l,
+      |         CASE WHEN pos = 0 THEN substr(w, pos + 1, l)
+      |              ELSE '##' || substr(w, pos + 1, l) END AS piece
+      |  FROM (
+      |    SELECT c.w, c.pos, max(c.l) AS l
+      |    FROM bc0 c JOIN wpvocab v
+      |      ON v.piece = CASE WHEN c.pos = 0 THEN c.cand
+      |                        ELSE '##' || c.cand END
+      |    GROUP BY c.w, c.pos)),
+      |bvit AS (
+      |  SELECT w, len(w) AS n, 0 AS pos,
+      |         CAST([] AS VARCHAR[]) AS pieces
+      |  FROM udw
+      |  UNION ALL
+      |  SELECT r.w, r.n, r.pos + c.l, list_append(r.pieces, c.piece)
+      |  FROM bvit r JOIN bch c ON c.w = r.w AND c.pos = r.pos
+      |  WHERE r.pos < r.n),
+      |bseg AS (
+      |  SELECT dw.w, coalesce(s.pieces, ['[UNK]']) AS pieces
+      |  FROM udw dw
+      |  LEFT JOIN (SELECT w, pieces FROM bvit WHERE pos = n) s
+      |    ON s.w = dw.w),
+      |bx AS (SELECT w, unnest(pieces) AS piece,
+      |         generate_subscripts(pieces, 1) AS k FROM bseg),
+      |bvid AS (SELECT piece,
+      |    CAST(row_number() OVER (ORDER BY piece) AS INTEGER) AS vid
+      |  FROM wpvocab)
+      |SELECT d.doc_id,
+      |  CAST(count(p.piece) AS BIGINT) AS n_tokens,
+      |  coalesce(string_agg(
+      |    CASE WHEN p.piece IS NULL THEN NULL
+      |         ELSE CAST(coalesce(v.vid, 0) AS VARCHAR) END,
+      |    ',' ORDER BY u.j, p.k), '') AS encoded_ids
+      |FROM ud d
+      |LEFT JOIN uw u USING (doc_id)
+      |LEFT JOIN bx p USING (w)
+      |LEFT JOIN bvid v ON v.piece = p.piece
+      |GROUP BY d.doc_id""".stripMargin
 
   private def bpeCharPrefixCtes(rounds: Int,
       byteLevel: Boolean = false): String = {
@@ -4267,6 +4400,20 @@ object SparkEntry {
         |SELECT p.piece, CAST(count(*) AS BIGINT) AS n_used
         |FROM uw u JOIN px p USING (w)
         |GROUP BY 1""".stripMargin,
+    // x140: the tagged BERT vocabulary — initial vs ## continuation
+    // pieces counted separately, char floor on the RAW (untagged)
+    // length, top-64 multi by the (freq DESC, piece ASC) total order
+    "x140_wpbert_vocab" ->
+      s"""WITH ${wpBertCtes(4, 2, 64)}
+        |SELECT piece, CAST(f AS BIGINT) AS freq FROM wpvocab"""
+        .stripMargin,
+    // x141: BERT greedy longest-match replay — per-position longest
+    // TAGGED vocabulary match (no single-char fallback), a forward
+    // recursive walk, and words whose walk stalls (some visited
+    // position matches nothing) collapse to one [UNK] (id 0).
+    // x142: the artifact round trip must be invisible — same replay
+    "x141_wpbert_ids" -> WpBertIdsOracle,
+    "x142_wpbert_artifact_ids" -> WpBertIdsOracle,
     // x139: the 2-round trainer loop — round 1 segments under the
     // seed (useg), prunes to 48 multi (uvoc); round 2 re-segments
     // under uvoc (useg2, a second recursive Viterbi), prunes to 36

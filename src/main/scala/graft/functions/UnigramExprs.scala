@@ -256,6 +256,61 @@ object UnigramOps {
     new GenericArrayData(out.toArray(new Array[UTF8String](out.size)))
   }
 
+  private val ContPrefix = UTF8String.fromString("##")
+  private val UnkPiece = UTF8String.fromString("[UNK]")
+
+  /** BERT WordPiece segmentation [Devlin et al., NAACL 2019; the
+    * tokenization.py greedy longest-match algorithm]: continuation
+    * pieces carry the `##` prefix (position > 0 looks up `##` +
+    * substring), and a word with NO matching piece at some visited
+    * position — there is no automatic single-char fallback — becomes
+    * ONE `[UNK]` token, whole-word. Pure string matching, no
+    * arithmetic; `v.maxPieceLen` (which counts the `##` of
+    * continuation pieces) is a safe candidate-window upper bound —
+    * over-long candidates just miss. */
+  def maxMunchBert(word: UTF8String, pieces: ArrayData,
+      freqs: ArrayData): ArrayData = {
+    val v = compiled(pieces, freqs)
+    val n = word.numChars()
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    var dead = false
+    while (i < n && !dead) {
+      var l = math.min(v.maxPieceLen, n - i)
+      var hit = 0
+      while (l >= 1 && hit == 0) {
+        val raw = word.substring(i, i + l)
+        val key = if (i == 0) raw else UTF8String.concat(ContPrefix, raw)
+        if (v.map.containsKey(key)) hit = l
+        l -= 1
+      }
+      if (hit == 0) dead = true
+      else {
+        val raw = word.substring(i, i + hit)
+        out.add(if (i == 0) raw else UTF8String.concat(ContPrefix, raw))
+        i += hit
+      }
+    }
+    if (dead) new GenericArrayData(Array[UTF8String](UnkPiece))
+    else new GenericArrayData(out.toArray(new Array[UTF8String](out.size)))
+  }
+
+  /** [[maxMunchBert]] as 1-based vocabulary ids (0 = `[UNK]`). */
+  def maxMunchBertIds(word: UTF8String, pieces: ArrayData,
+      freqs: ArrayData): ArrayData = {
+    val v = compiled(pieces, freqs)
+    val seg = maxMunchBert(word, pieces, freqs)
+    val k = seg.numElements()
+    val out = new Array[Int](k)
+    var t = 0
+    while (t < k) {
+      val idx = v.map.get(seg.getUTF8String(t))
+      out(t) = if (idx != null) idx.intValue() + 1 else 0
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[maxMunch]] as 1-based vocabulary ids (0 = UNK single char). */
   def maxMunchIds(word: UTF8String, pieces: ArrayData,
       freqs: ArrayData): ArrayData = {
@@ -296,11 +351,13 @@ object UnigramOps {
 
 /** Codegen column: segmentation of one word against a literal
   * (pieces, freqs) vocabulary — Viterbi argmax (`greedy = false`, the
-  * unigram-LM rule) or WordPiece max-munch (`greedy = true`). Null
-  * word → null. */
+  * unigram-LM rule), plain WordPiece max-munch (`greedy = true`), or
+  * BERT WordPiece with `##` continuation prefixes and whole-word
+  * `[UNK]` (`bert = true`). Null word → null. */
 case class UnigramEncodeExpr(word: Expression, pieces: Expression,
     freqs: Expression, asIds: Boolean,
-    greedy: Boolean = false) extends TernaryExpression {
+    greedy: Boolean = false, bert: Boolean = false)
+    extends TernaryExpression {
 
   override def first: Expression = word
   override def second: Expression = pieces
@@ -329,7 +386,8 @@ case class UnigramEncodeExpr(word: Expression, pieces: Expression,
   }
 
   private def fnName: String =
-    (asIds, greedy) match {
+    if (bert) { if (asIds) "maxMunchBertIds" else "maxMunchBert" }
+    else (asIds, greedy) match {
       case (false, false) => "viterbi"
       case (true, false) => "viterbiIds"
       case (false, true) => "maxMunch"
@@ -345,6 +403,8 @@ case class UnigramEncodeExpr(word: Expression, pieces: Expression,
       case "viterbiIds" => UnigramOps.viterbiIds(wu, pa, fa)
       case "maxMunch" => UnigramOps.maxMunch(wu, pa, fa)
       case "maxMunchIds" => UnigramOps.maxMunchIds(wu, pa, fa)
+      case "maxMunchBert" => UnigramOps.maxMunchBert(wu, pa, fa)
+      case "maxMunchBertIds" => UnigramOps.maxMunchBertIds(wu, pa, fa)
     }
   }
 
@@ -382,4 +442,19 @@ object UnigramExprs {
       GraftColumnBridge.expression(word),
       GraftColumnBridge.expression(pieces),
       GraftColumnBridge.expression(freqs), asIds = true, greedy = true))
+
+  def wordpieceBert(word: Column, pieces: Column, freqs: Column): Column =
+    GraftColumnBridge.column(UnigramEncodeExpr(
+      GraftColumnBridge.expression(word),
+      GraftColumnBridge.expression(pieces),
+      GraftColumnBridge.expression(freqs), asIds = false, greedy = true,
+      bert = true))
+
+  def wordpieceBertIds(word: Column, pieces: Column,
+      freqs: Column): Column =
+    GraftColumnBridge.column(UnigramEncodeExpr(
+      GraftColumnBridge.expression(word),
+      GraftColumnBridge.expression(pieces),
+      GraftColumnBridge.expression(freqs), asIds = true, greedy = true,
+      bert = true))
 }

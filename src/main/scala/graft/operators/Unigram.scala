@@ -169,6 +169,78 @@ object Unigram {
       .withColumn("n_tokens", size(col("ids")).cast("long"))
   }
 
+  /** BERT-style WordPiece vocabulary [Devlin et al., NAACL 2019]:
+    * word-INITIAL substrings count as plain pieces, word-INTERNAL
+    * substrings as `##`-prefixed continuation pieces — the two forms
+    * are distinct vocabulary entries with separate counts, exactly the
+    * published layout. All single characters (both forms) are kept
+    * unconditionally (the coverage floor that keeps `[UNK]` rare);
+    * multi-char pieces keep the `vocabSize` most frequent above
+    * `minCount` by the (freq DESC, piece ASC) total order. Same
+    * dictionary discipline as [[seedVocab]]: one corpus pass, then
+    * everything is distinct-word-sized. Output (`piece`, `freq`). */
+  def wordpieceVocab(docs: DataFrame, textCol: Column,
+      maxPieceLen: Int = 4, minCount: Long = 2,
+      vocabSize: Int = 512): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"wordpieceVocab: maxPieceLen must be in [1, 16], got $maxPieceLen")
+    require(minCount >= 1,
+      s"wordpieceVocab: minCount must be >= 1, got $minCount")
+    require(vocabSize >= 0,
+      s"wordpieceVocab: vocabSize must be >= 0, got $vocabSize")
+    val wf = wordFreqs(docs, textCol)
+    val subs = wf.select(col("wf"), explode(flatten(transform(
+        filter(sequence(lit(1), lit(maxPieceLen)),
+          l => l <= length(col("w"))),
+        l => transform(sequence(lit(1), length(col("w")) - l + 1),
+          s => when(s === 1, col("w").substr(s, l))
+            .otherwise(concat(lit("##"), col("w").substr(s, l)))))))
+        .as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wf")).as("freq"))
+    // raw length = piece length minus the tag; a word-initial literal
+    // "##x" is indistinguishable from a continuation "x" — the
+    // published format has the same collision and the oracle mirrors
+    // the same concat, so both engines agree
+    val rawLen = when(col("piece").startsWith("##"),
+      length(col("piece")) - 2).otherwise(length(col("piece")))
+    val chars = subs.filter(rawLen === 1)
+    val multi = subs.filter(rawLen > 1 && col("freq") >= minCount)
+      .orderBy(col("freq").desc, col("piece").asc)
+      .limit(vocabSize)
+    chars.unionAll(multi)
+      .select(col("piece"), col("freq").cast("long").as("freq"))
+  }
+
+  /** BERT WordPiece encode over a [[wordpieceVocab]]-shaped (tagged)
+    * vocabulary: greedy longest match with `##` continuation lookups,
+    * whole-word `[UNK]` when a visited position has no match (see
+    * [[graft.functions.UnigramOps.maxMunchBert]]). Output (`id`,
+    * `pieces`, `n_tokens`) — doc-local projection like every encode
+    * route. */
+  def wordpieceBertEncode(docs: DataFrame, idCol: Column,
+      textCol: Column, vocab: DataFrame): DataFrame = {
+    val (ps, fs) = collectVocab(vocab)
+    val pl = typedlit(ps); val fl = typedlit(fs)
+    docs.filter(textCol.isNotNull)
+      .select(idCol.as("id"),
+        flatten(transform(words(textCol),
+          w => UnigramExprs.wordpieceBert(w, pl, fl))).as("pieces"))
+      .withColumn("n_tokens", size(col("pieces")).cast("long"))
+  }
+
+  /** [[wordpieceBertEncode]] as 1-based sorted-vocabulary ids
+    * (0 = `[UNK]`): output (`id`, `ids`, `n_tokens`). */
+  def wordpieceBertEncodeIds(docs: DataFrame, idCol: Column,
+      textCol: Column, vocab: DataFrame): DataFrame = {
+    val (ps, fs) = collectVocab(vocab)
+    val pl = typedlit(ps); val fl = typedlit(fs)
+    docs.filter(textCol.isNotNull)
+      .select(idCol.as("id"),
+        flatten(transform(words(textCol),
+          w => UnigramExprs.wordpieceBertIds(w, pl, fl))).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
+
   /** One hard-EM re-estimation step: corpus piece-usage counts under
     * the current vocabulary's Viterbi segmentation. Output (`piece`,
     * `usage`) for every USED piece — including UNK single chars, which

@@ -36,9 +36,14 @@ object StreamWordpieceTokenize {
     * [[graft.operators.Unigram.wordpieceEncode]] /
     * [[graft.operators.Unigram.wordpieceEncodeIds]] row for row
     * (StreamWordpieceTokenizeSpec). */
+  /** With `bert = true` the max-munch rule is the full BERT one
+    * ([[graft.functions.UnigramOps.maxMunchBert]]): `##` continuation
+    * lookups against a [[graft.operators.Unigram.wordpieceVocab]]
+    * tagged vocabulary, whole-word `[UNK]` (id 0) on a stalled walk —
+    * still a pure projection. */
   def annotate(docsStream: DataFrame, vocab: DataFrame,
       textCol: String = "text", maxPieces: Int = 100000,
-      asIds: Boolean = false): DataFrame = {
+      asIds: Boolean = false, bert: Boolean = false): DataFrame = {
     require(maxPieces >= 1 && maxPieces <= 1000000,
       s"StreamWordpieceTokenize: maxPieces must be in [1, 1e6], " +
         s"got $maxPieces")
@@ -51,11 +56,17 @@ object StreamWordpieceTokenize {
     val pl = typedlit(ps)
     val fl = typedlit(fs)
     val words = array_remove(split(col(textCol), "\\s+"), "")
-    val enc =
-      if (asIds)
-        flatten(transform(words, w => UnigramExprs.wordpieceIds(w, pl, fl)))
-      else
+    val enc = (asIds, bert) match {
+      case (false, false) =>
         flatten(transform(words, w => UnigramExprs.wordpiece(w, pl, fl)))
+      case (true, false) =>
+        flatten(transform(words, w => UnigramExprs.wordpieceIds(w, pl, fl)))
+      case (false, true) =>
+        flatten(transform(words, w => UnigramExprs.wordpieceBert(w, pl, fl)))
+      case (true, true) =>
+        flatten(transform(words,
+          w => UnigramExprs.wordpieceBertIds(w, pl, fl)))
+    }
     docsStream
       .withColumn(outCol, enc)
       .withColumn("n_tokens",

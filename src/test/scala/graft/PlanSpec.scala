@@ -240,8 +240,10 @@ class PlanSpec extends SparkTestBase {
 
   test("x128 unigram encode and x131 k-means assignment are pure " +
     "projections: ZERO exchanges, zero joins — vocab/centroids ride " +
-    "the plan as literals") {
-    for (name <- Seq("x128_unigram_encode", "x131_kmeans")) {
+    "the plan as literals (and the WordPiece encode routes x137/x141 " +
+    "inherit the same shape)") {
+    for (name <- Seq("x128_unigram_encode", "x131_kmeans",
+        "x137_wordpiece_ids", "x141_wpbert_ids")) {
       val p = plan(name)
       assert(p.linesIterator.count(_.contains("Exchange")) === 0,
         s"$name: $p")

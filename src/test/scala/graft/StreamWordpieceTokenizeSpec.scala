@@ -112,4 +112,33 @@ class StreamWordpieceTokenizeSpec extends SparkTestBase {
       assert(got(2L) === (("", 0L)))
     } finally q.stop()
   }
+
+  test("bert mode streams the full BERT rule: ## continuation ids " +
+    "and whole-word [UNK]=0, stream equals batch") {
+    implicit val sql = spark.sqlContext
+    val vocab = Seq(("ab", 5L), ("a", 3L), ("##b", 2L), ("##cd", 2L))
+      .toDF("piece", "freq")
+    val docs = Seq((1L, "abcd abb ab"), (2L, "ba abq"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val want = Unigram.wordpieceBertEncodeIds(docs, col("doc_id"),
+        col("text"), vocab)
+      .select($"id", concat_ws(",", $"ids"), $"n_tokens")
+      .as[(Long, String, Long)].collect().toSet
+    val in = MemoryStream[(Long, String)]
+    val q = StreamWordpieceTokenize.annotate(
+        in.toDF().toDF("doc_id", "text"), vocab, asIds = true,
+        bert = true)
+      .select($"doc_id", concat_ws(",", $"ids").as("enc"), $"n_tokens")
+      .writeStream.format("memory")
+      .queryName("wp_bert_ids").outputMode("append").start()
+    try {
+      in.addData(Seq((1L, "abcd abb ab"), (2L, "ba abq"), (3L, "a")))
+      q.processAllAvailable()
+      val got = spark.table("wp_bert_ids")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === want)
+      // the [UNK] collapse is live: doc 2 is two zero ids
+      assert(got.exists(t => t._1 === 2L && t._2 === "0,0"))
+    } finally q.stop()
+  }
 }

@@ -332,6 +332,55 @@ class UnigramSpec extends SparkTestBase {
     assert(over.getMessage.contains("cap"))
   }
 
+  test("BERT WordPiece: ## continuation lookups, whole-word [UNK] " +
+    "with no single-char fallback, ids with [UNK] = 0") {
+    // tagged vocab — initial pieces {a, ab}, continuations {##b, ##cd}
+    val vocab = Seq(("ab", 5L), ("a", 3L), ("##b", 2L), ("##cd", 2L))
+      .toDF("piece", "freq")
+    val docs = Seq(
+      (1L, "abcd abb ab"),   // ab+##cd | ab+##b | ab
+      (2L, "ba abq"),        // 'b' has no INITIAL entry -> [UNK];
+                             // 'q' has no continuation -> [UNK]
+      (3L, "a"))
+      .toDF("doc_id", "text")
+    val got = Unigram.wordpieceBertEncode(docs, col("doc_id"),
+        col("text"), vocab)
+      .select($"id", concat_ws(" ", $"pieces"), $"n_tokens")
+      .as[(Long, String, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L) === (("ab ##cd ab ##b ab", 5L)))
+    assert(got(2L) === (("[UNK] [UNK]", 2L)))
+    assert(got(3L) === (("a", 1L)))
+    // ids: sorted vocab ##b=1, ##cd=2, a=3, ab=4; [UNK] -> 0
+    val ids = Unigram.wordpieceBertEncodeIds(docs, col("doc_id"),
+        col("text"), vocab)
+      .select($"id", concat_ws(",", $"ids")).as[(Long, String)]
+      .collect().toMap
+    assert(ids(1L) === "4,2,4,1,4")
+    assert(ids(2L) === "0,0")
+    assert(ids(3L) === "3")
+  }
+
+  test("wordpieceVocab counts initial and continuation forms " +
+    "separately with the char floor on raw length") {
+    // words: abab×2, ba×1
+    // initial subs of abab (wf 2): a, ab, aba, abab... maxPieceLen 2:
+    //   a:2, ab:2; continuations: ##b(pos2):2, ##a(pos3):2, ##b(pos4)
+    //   -> ##b total 2+2=4? positions 2,4 of abab: b,b -> ##b:2×2=4;
+    //   ##a: 1 per word ×2 = 2; ##ba:2, ##ab:2
+    // ba (wf 1): initial b:1, ba:1; continuation ##a:1
+    val d = docs(1L -> "abab abab ba")
+    val v = Unigram.wordpieceVocab(d, col("text"), maxPieceLen = 2,
+      minCount = 2, vocabSize = 10)
+      .as[(String, Long)].collect().toMap
+    // chars (raw len 1, unconditional): a:2, b:1, ##a:3, ##b:4
+    assert(v("a") === 2L && v("b") === 1L)
+    assert(v("##a") === 3L && v("##b") === 4L)
+    // multi >= minCount 2: ab:2, ##ab:2, ##ba:2 (ba:1 drops)
+    assert(v("ab") === 2L && v("##ab") === 2L && v("##ba") === 2L)
+    assert(!v.contains("ba"))
+  }
+
   test("interpreted eval equals the dataframe (codegen) result for " +
     "encode and encodeIds") {
     import org.apache.spark.sql.catalyst.InternalRow
@@ -352,16 +401,27 @@ class UnigramSpec extends SparkTestBase {
     val words = Seq("abab", "ba", "z", "", "aabba")
     val viaDf = words.toDF("w")
       .select(UnigramExprs.encode(col("w"), pl, fl).as("p"),
-        UnigramExprs.encodeIds(col("w"), pl, fl).as("i"))
-      .as[(Seq[String], Seq[Int])].collect().toSeq
+        UnigramExprs.encodeIds(col("w"), pl, fl).as("i"),
+        UnigramExprs.wordpieceBert(col("w"), pl, fl).as("bp"),
+        UnigramExprs.wordpieceBertIds(col("w"), pl, fl).as("bi"))
+      .as[(Seq[String], Seq[Int], Seq[String], Seq[Int])]
+      .collect().toSeq
     val viaEval = words.map { w =>
       val wl = Literal.create(UTF8String.fromString(w), StringType)
       val ps = UnigramEncodeExpr(wl, pLit, fLit, asIds = false)
         .eval(InternalRow.empty).asInstanceOf[ArrayData]
       val ids = UnigramEncodeExpr(wl, pLit, fLit, asIds = true)
         .eval(InternalRow.empty).asInstanceOf[ArrayData]
+      val bps = UnigramEncodeExpr(wl, pLit, fLit, asIds = false,
+          greedy = true, bert = true)
+        .eval(InternalRow.empty).asInstanceOf[ArrayData]
+      val bids = UnigramEncodeExpr(wl, pLit, fLit, asIds = true,
+          greedy = true, bert = true)
+        .eval(InternalRow.empty).asInstanceOf[ArrayData]
       (ps.toArray[UTF8String](StringType).map(_.toString).toSeq,
-        ids.toIntArray().toSeq)
+        ids.toIntArray().toSeq,
+        bps.toArray[UTF8String](StringType).map(_.toString).toSeq,
+        bids.toIntArray().toSeq)
     }
     assert(viaDf === viaEval)
   }
