@@ -608,7 +608,9 @@ object Similarity {
     * bit. Returns the sample PLAN (`_id`, `_v` array&lt;double&gt;,
     * id-ascending — a distributed TakeOrdered, one corpus pass) and
     * the dim; [[trainCenters]] collects it exactly once (driver
-    * footprint ≤ 2× the float-unit byte budget: doubles in flight).
+    * footprint: ~2× the float-unit byte budget for the collected
+    * doubles, plus one quantized copy per training spec — ≤ ~4× for
+    * an IVF+PQ build; size maxTrainBytes accordingly).
     * `corpus` must carry (vec_id, v) with nulls excluded. */
   private def trainFrame(corpus: DataFrame, trainSample: Int,
       maxTrainBytes: Long, what: String): (DataFrame, Int) = {
