@@ -21,6 +21,10 @@ class MaterializeSpec extends SparkTestBase {
     assert(sc.getCheckpointDir.isEmpty,
       "precondition: the shared context must start without a " +
         "checkpoint dir (other suites rely on the local branch)")
+    // earlier suites in the shared JVM may have left cache entries
+    // (operators persist internally); start from a clean CacheManager
+    // so the leak assert below sees only THIS call's residue
+    spark.sharedState.cacheManager.clearCache()
     val dir = java.nio.file.Files
       .createTempDirectory("graft_materialize_spec_").toString
     sc.setCheckpointDir(dir)
