@@ -107,6 +107,15 @@ object KMeans {
         .groupBy(col("_g"), col("_cl"), col("_pos"))
         .agg(sum(col("_v")).as("_s"), count(lit(1)).as("_n"))
         .collect()
+      // fail-loudly contract of the private API: a null group/cluster/
+      // position (possible only if a caller fed null groups or vectors
+      // past the valid() filters) must raise here, not silently decode
+      // as 0 and corrupt cluster 0's sums
+      sums.foreach { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+          "lloydIterate: null group/cluster/position in the assignment " +
+            "aggregate — the input carries null groups or vectors")
+      }
       val next = cents.map(_.toArray).toArray
       sums.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
         case ((g, c), rows) =>

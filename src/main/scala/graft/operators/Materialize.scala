@@ -43,10 +43,21 @@ object Materialize {
       // lineage to produce the checkpoint files. Persist first so the
       // write job reads the cached blocks; unpersist after — the
       // returned plan reads the checkpoint files, not the cache, so
-      // nothing is left registered in the CacheManager.
-      val cached = df.persist()
-      try cached.checkpoint(eager = true)
-      finally cached.unpersist(blocking = false)
+      // nothing is left registered in the CacheManager. EXCEPT when the
+      // caller already cached this very plan: persist() would then be a
+      // no-op on the caller's CacheManager entry and the unpersist in
+      // finally would silently evict THEIR cache — skip the pair and
+      // let the write job read the pre-existing blocks directly.
+      val alreadyCached = df.sparkSession.sharedState.cacheManager
+        .lookupCachedData(
+          df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+        .isDefined
+      if (alreadyCached) df.checkpoint(eager = true)
+      else {
+        val cached = df.persist()
+        try cached.checkpoint(eager = true)
+        finally cached.unpersist(blocking = false)
+      }
     } else df.localCheckpoint(eager = true)
 
 }

@@ -319,28 +319,43 @@ object Similarity {
   def pqTopKWithCodebooks(codebooks: DataFrame, embeddings: DataFrame,
       queries: DataFrame, k: Int = 10, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val rows = codebooks.select(col("j").cast("int"), col("c").cast("int"),
-      col("pos").cast("int"), col("cval").cast("double")).collect()
-    require(rows.nonEmpty, "pqTopKWithCodebooks: empty codebook relation")
-    val m = rows.map(_.getInt(0)).max + 1
-    val ksub = rows.map(_.getInt(1)).max + 1
-    val dsub = rows.map(_.getInt(2)).max + 1
-    require(rows.length == m * ksub * dsub,
-      s"pqTopKWithCodebooks: ${rows.length} rows != $m*$ksub*$dsub — " +
-        "not a dense codebook relation")
-    val cb = new Array[Double](m * ksub * dsub)
-    rows.foreach { r =>
-      cb((r.getInt(0) * ksub + r.getInt(1)) * dsub + r.getInt(2)) =
-        r.getDouble(3)
-    }
+    val (cb, m, ksub, dsub) = collectCodebooks(codebooks,
+      "pqTopKWithCodebooks")
     val corpus = embeddings
       .select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
     pqSearch(corpus, queries, cb, m, ksub, dsub, k, idCol, embCol)
   }
 
+  /** Bounded validating collect of a (j, c, pos, cval) codebook
+    * relation ([[pqCodebooks]] format): the relation must be DENSE
+    * (exactly m·ksub·dsub rows) — a truncated or mixed artifact fails
+    * loudly. Returns the flattened [j][c][d] array plus the inferred
+    * (m, ksub, dsub) geometry. */
+  private[operators] def collectCodebooks(codebooks: DataFrame,
+      what: String): (Array[Double], Int, Int, Int) = {
+    val rows = codebooks.select(col("j").cast("int"), col("c").cast("int"),
+      col("pos").cast("int"), col("cval").cast("double")).collect()
+    require(rows.nonEmpty, s"$what: empty codebook relation")
+    require(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1) &&
+        !r.isNullAt(2) && !r.isNullAt(3)),
+      s"$what: null codebook component — the relation/artifact is corrupt")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val dsub = rows.map(_.getInt(2)).max + 1
+    require(rows.length == m * ksub * dsub,
+      s"$what: ${rows.length} rows != $m*$ksub*$dsub — " +
+        "not a dense codebook relation")
+    val cb = new Array[Double](m * ksub * dsub)
+    rows.foreach { r =>
+      cb((r.getInt(0) * ksub + r.getInt(1)) * dsub + r.getInt(2)) =
+        r.getDouble(3)
+    }
+    (cb, m, ksub, dsub)
+  }
+
   /** Per-centroid squared norms of a flattened codebook. */
-  private def pqSqNorms(cb: Array[Double], m: Int, ksub: Int,
+  private[operators] def pqSqNorms(cb: Array[Double], m: Int, ksub: Int,
       dsub: Int): Array[Double] = {
     val sqn = new Array[Double](m * ksub)
     for (j <- 0 until m; c <- 0 until ksub) {
@@ -510,7 +525,8 @@ object Similarity {
     * as [[cellsRankedExpr]] / [[lshBucket]]) — a vector whose width
     * disagrees with the trained dimension fails loudly instead of
     * being silently dropped or read out of bounds. */
-  private def dimGuarded(v: Column, dim: Int, what: String): Column =
+  private[operators] def dimGuarded(v: Column, dim: Int,
+      what: String): Column =
     when(size(v) === dim, v).otherwise(raise_error(concat(
       lit(s"$what: embedding dim mismatch, expected $dim got "),
       size(v).cast("string"))).cast("array<double>"))
@@ -607,25 +623,30 @@ object Similarity {
     * so retraining on the same corpus reproduces the index bit for
     * bit. Returns the sample PLAN (`_id`, `_v` array&lt;double&gt;,
     * id-ascending — a distributed TakeOrdered, one corpus pass) and
-    * the dim; [[trainCenters]] collects it exactly once (driver
-    * footprint: ~2× the float-unit byte budget for the collected
-    * doubles, plus one quantized copy per training spec — ≤ ~4× for
-    * an IVF+PQ build; size maxTrainBytes accordingly).
-    * `corpus` must carry (vec_id, v) with nulls excluded. */
-  private def trainFrame(corpus: DataFrame, trainSample: Int,
+    * the dim; [[trainCenters]] collects it exactly once. The byte
+    * budget is honest: rows are costed at their collected width
+    * (8 bytes/component double), so the driver holds ≤ maxTrainBytes
+    * of sample plus one quantized copy per training spec — ≤ ~2× the
+    * budget even for an IVF+PQ build. The dominant dimensionality is
+    * probed from the SMALLEST-id row — the same total order the
+    * sample itself uses — so a mixed-dimensionality corpus trains a
+    * deterministic index, not one keyed to whichever row a scan
+    * returns first. `corpus` must carry (vec_id, v) with nulls
+    * excluded. */
+  private[operators] def trainFrame(corpus: DataFrame, trainSample: Int,
       maxTrainBytes: Long, what: String): (DataFrame, Int) = {
     require(trainSample >= 1,
       s"$what: trainSample must be >= 1, got $trainSample")
     val vecs = corpus.select(col("vec_id").as("_id"),
       col("v").cast("array<double>").as("_v"))
-    val head = vecs.select(col("_v")).limit(1).collect()
+    val head = vecs.orderBy(col("_id")).limit(1).select(col("_v")).collect()
     require(head.nonEmpty, s"$what: cannot train on an empty corpus")
     val dim = math.max(head(0).getSeq[Double](0).length, 1)
-    val rowsInBudget = maxTrainBytes / (4L * dim)
+    val rowsInBudget = maxTrainBytes / (8L * dim)
     require(rowsInBudget >= 1,
       s"$what: maxTrainBytes=$maxTrainBytes holds zero dim-$dim vectors " +
-        s"(${4L * dim} bytes each) — raise maxTrainBytes to at least " +
-        s"${4L * dim}")
+        s"(${8L * dim} bytes each) — raise maxTrainBytes to at least " +
+        s"${8L * dim}")
     val cap = math.min(trainSample.toLong, rowsInBudget).toInt
     (vecs.filter(size(col("_v")) === dim)
       .orderBy(col("_id")).limit(cap), dim)
@@ -645,8 +666,9 @@ object Similarity {
     * deterministic training path. Returns per-spec centroid matrices
     * DEQUANTIZED to input units (÷2^20 — exact, a power of two), the
     * domain the search expressions score in. */
-  private def trainCenters(sample: DataFrame, specs: Seq[(Int, Int, Int)],
-      what: String, iters: Int = 10): Seq[Array[Array[Double]]] = {
+  private[operators] def trainCenters(sample: DataFrame,
+      specs: Seq[(Int, Int, Int)], what: String,
+      iters: Int = 10): Seq[Array[Array[Double]]] = {
     val kMax = specs.map(_._3).max
     // ONE bounded collect: rows arrive id-ascending (the trainFrame
     // TakeOrdered), so the seed prefix is just the first kMax rows
@@ -688,8 +710,8 @@ object Similarity {
 
   /** Flatten per-subspace centroid matrices into the [j][c][d] codebook
     * array the PQ kernels consume. */
-  private def flattenCodebooks(subs: Seq[Array[Array[Double]]], m: Int,
-      ksub: Int, dsub: Int): Array[Double] = {
+  private[operators] def flattenCodebooks(subs: Seq[Array[Array[Double]]],
+      m: Int, ksub: Int, dsub: Int): Array[Double] = {
     val cb = new Array[Double](m * ksub * dsub)
     for (j <- 0 until m; c <- 0 until ksub; d <- 0 until dsub)
       cb((j * ksub + c) * dsub + d) = subs(j)(c)(d)
@@ -697,7 +719,8 @@ object Similarity {
   }
 
   /** PQ sub-space training specs: m contiguous dsub-wide slices. */
-  private def pqSpecs(m: Int, ksub: Int, dsub: Int): Seq[(Int, Int, Int)] =
+  private[operators] def pqSpecs(m: Int, ksub: Int,
+      dsub: Int): Seq[(Int, Int, Int)] =
     (0 until m).map(j => (j * dsub, dsub, ksub))
 
   /** Approximate top-k via an IVF index: a k-means coarse quantizer
@@ -794,7 +817,7 @@ object Similarity {
     * embedding width disagrees with the trained dimension fails loudly
     * instead of silently collapsing into one cell (a null dot product
     * would rank every centroid equal). */
-  private def cellsRankedExpr(v: Column,
+  private[operators] def cellsRankedExpr(v: Column,
       centers: Array[Array[Double]]): Column = {
     val dim = centers(0).length
     def dist2(c: Array[Double]): Column =

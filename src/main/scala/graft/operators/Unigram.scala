@@ -211,6 +211,145 @@ object Unigram {
       .select(col("piece"), col("freq").cast("long").as("freq"))
   }
 
+  /** Internal word-initial tag for the likelihood trainer's symbol
+    * space: marking the FIRST symbol (instead of `##` on every
+    * continuation) makes a merge a PLAIN CONCATENATION — l ⊕ r stays
+    * correctly tagged for both initial and continuation results — so
+    * the proven greedy merge-application kernel
+    * ([[graft.functions.BpeExprs.encode]], sep = "") applies
+    * unchanged, and the published `##` layout is recovered by one
+    * rendering projection at the end. */
+  private val InitMarker = "\u0001"
+
+  /** LIKELIHOOD-scored WordPiece trainer — the published objective
+    * [Schuster & Nakajima 2012; Wu et al. 2016 §4.1, as shipped by
+    * BERT]: starting from single characters, iteratively merge the
+    * adjacent symbol pair maximizing
+    *
+    *   score(l, r) = freq(l ⊕ r) / (freq(l) · freq(r))
+    *
+    * — the pair whose merge most increases the corpus likelihood
+    * under a unigram model — instead of raw pair frequency (BPE).
+    * Selection is SEQUENTIAL (one merge per round — the likelihood
+    * ranking re-weights with every merge, so the BPE batching proof
+    * does not carry over) with the deterministic total order
+    * (score DESC, l ASC, r ASC over the tagged symbols) and a
+    * weighted pair-occurrence floor `minCount`; scores are exact
+    * integer counts with exactly two IEEE roundings (the product and
+    * the division), so every round replays bit-exactly on any IEEE
+    * engine (the x143 oracle chains one CTE group per round).
+    *
+    * Scale shape — the dictionary discipline: ONE corpus pass builds
+    * the word-frequency dictionary; every round's pair count, symbol
+    * count and merge application run over Zipf-few DISTINCT words
+    * weighted by multiplicity (lineage-truncated between rounds).
+    * Symbol counts include single-symbol words (they hold no pairs
+    * but DO deflate their symbol's score — the published objective
+    * counts the whole corpus).
+    *
+    * Output: the [[wordpieceVocab]] tagged (piece, freq) contract —
+    * single-character coverage entries (both forms, seed counts)
+    * plus one entry per committed merge (freq = its weighted
+    * occurrence count at merge time; re-created pieces dedup by
+    * summing) — so [[wordpieceBertEncode]]/[[wordpieceBertEncodeIds]]
+    * consume it directly and the encode kernels are untouched. A word
+    * containing the internal tag character U+0001 fails loudly (out
+    * of contract, like the published format's literal-`##`
+    * collision). */
+  def wordpieceVocabLikelihood(docs: DataFrame, textCol: Column,
+      nMerges: Int, minCount: Long = 2): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 256,
+      s"wordpieceVocabLikelihood: nMerges must be in [1, 256], " +
+        s"got $nMerges")
+    require(minCount >= 1,
+      s"wordpieceVocabLikelihood: minCount must be >= 1, got $minCount")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def truncated(d: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        d.checkpoint(eager = false)
+      else d.localCheckpoint(eager = false)
+    // word-frequency dictionary with tagged single-char symbols:
+    // ["" + c1, c2, ..., cn] — one corpus pass, then every
+    // round is distinct-word-sized
+    val guarded = when(col("w").contains(InitMarker),
+      raise_error(lit("wordpieceVocabLikelihood: a word contains the " +
+        "internal tag character U+0001 — out of contract")))
+      .otherwise(col("w"))
+    var dict = wordFreqs(docs, textCol)
+      .select(col("wf").as("n"), transform(
+        sequence(lit(1), length(guarded)),
+        i => when(i === 1,
+            concat(lit(InitMarker), guarded.substr(i, lit(1))))
+          .otherwise(guarded.substr(i, lit(1)))).as("s"))
+    // seed coverage entries: every initial single-char symbol (both
+    // forms), rendered, with its seed count
+    val charEntries = dict
+      .select(col("n"), explode(col("s")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("n")).as("freq"))
+      .select(renderTagged(col("sym")).as("piece"), col("freq"))
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val pairs = dict
+        .select(col("n").as("_wt"), explode(when(size(col("s")) >= 2,
+          zip_with(
+            slice(col("s"), lit(1), size(col("s")) - 1),
+            slice(col("s"), lit(2), size(col("s")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>")))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("_wt")).as("n"))
+        .filter(col("n") >= minCount)
+      val syms = dict
+        .select(col("n"), explode(col("s")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("n")).as("c"))
+      // score = n / (c(l)·c(r)): exact integers, the double product
+      // and division are the only roundings — bit-identical in any
+      // IEEE engine, so the (score DESC, l, r) pick replays exactly
+      val best = pairs
+        .join(syms.select(col("sym").as("l"), col("c").as("cl")), Seq("l"))
+        .join(syms.select(col("sym").as("r"), col("c").as("cr")), Seq("r"))
+        .select(col("l"), col("r"), col("n"),
+          (col("n").cast("double") /
+            (col("cl").cast("double") * col("cr").cast("double")))
+            .as("score"))
+        .orderBy(col("score").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .as[(String, String, Long, Double)]
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, n, _) = best.head
+        merges += ((l, r, n))
+        dict = truncated(dict.select(col("n"),
+          graft.functions.BpeExprs.encode(col("s"),
+            typedlit(Seq(l)), typedlit(Seq(r)), "").as("s")))
+      }
+      round += 1
+    }
+    val mergeEntries = merges.result()
+      .map { case (l, r, n) => (renderRaw(l + r), n) }
+      .toDF("piece", "freq")
+    // re-created pieces (a later merge can rebuild an earlier output
+    // symbol via a different split) dedup by summing — deterministic
+    // and order-free
+    charEntries.unionAll(mergeEntries)
+      .groupBy(col("piece"))
+      .agg(sum(col("freq")).cast("long").as("freq"))
+  }
+
+  /** Render one internally-tagged symbol to the published layout:
+    * strip the initial marker, or `##`-prefix a continuation. */
+  private def renderTagged(sym: Column): Column =
+    when(sym.startsWith(InitMarker), sym.substr(lit(2), length(sym)))
+      .otherwise(concat(lit("##"), sym))
+
+  private def renderRaw(sym: String): String =
+    if (sym.startsWith(InitMarker)) sym.substring(1) else "##" + sym
+
   /** BERT WordPiece encode over a [[wordpieceVocab]]-shaped (tagged)
     * vocabulary: greedy longest match with `##` continuation lookups,
     * whole-word `[UNK]` when a visited position has no match (see
@@ -239,6 +378,46 @@ object Unigram {
         flatten(transform(words(textCol),
           w => UnigramExprs.wordpieceBertIds(w, pl, fl))).as("ids"))
       .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
+
+  /** Decode unigram token-id arrays back to TEXT against the sorted
+    * vocabulary array (the [[encodeIds]] id space: 1-based rank,
+    * 0 = UNK): piece concatenation — the standard detokenization for
+    * a flat unigram piece stream, which carries no word-boundary
+    * markers, so `decode ∘ encode` reproduces the input with
+    * WHITESPACE REMOVED (the UnigramSpec round-trip law). UNK (0) and
+    * out-of-range ids decode to U+FFFD (REPLACEMENT CHARACTER) — a
+    * visible placeholder instead of silently vanishing characters
+    * (the documented placeholder policy; an UNK'd char is not
+    * recoverable from id 0 by construction). Doc-local projection —
+    * the inspection surface over shipped id shards. */
+  def unigramDecodeIds(ids: Column, sortedVocab: Column): Column =
+    concat_ws("", transform(ids, i =>
+      coalesce(
+        when(i >= 1 && i <= size(sortedVocab),
+          element_at(sortedVocab, i.cast("int"))),
+        lit("�"))))
+
+  /** Decode BERT WordPiece id arrays back to TEXT against the sorted
+    * TAGGED vocabulary (the [[wordpieceBertEncodeIds]] id space): the
+    * published detokenization — a `##`-prefixed piece strips its tag
+    * and joins the current word, any other piece starts a NEW word
+    * (single-space separated). Word boundaries ARE recoverable here
+    * (word-initial pieces are never `##`-tagged), so
+    * `decode ∘ encode` reproduces the whitespace-normalized input
+    * exactly wherever no word collapsed to `[UNK]`; id 0 and
+    * out-of-range ids decode to the literal `[UNK]` (the placeholder
+    * policy — BERT's own rendering). Doc-local left fold. */
+  def wordpieceBertDecodeIds(ids: Column, sortedVocab: Column): Column = {
+    val pieces = transform(ids, i =>
+      coalesce(
+        when(i >= 1 && i <= size(sortedVocab),
+          element_at(sortedVocab, i.cast("int"))),
+        lit("[UNK]")))
+    aggregate(pieces, lit(""), (acc, p) =>
+      when(p.startsWith("##"), concat(acc, substring(p, 3, 1 << 30)))
+        .otherwise(when(acc === "", p)
+          .otherwise(concat(acc, lit(" "), p))))
   }
 
   /** One hard-EM re-estimation step: corpus piece-usage counts under

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.functions.{BpeExprs, SetExprs, TokenWindowExprs, VectorExprs}
+import graft.functions.{BpeExprs, SetExprs, TokenWindowExprs, UnigramExprs, VectorExprs}
 
 /** Adversarial property fuzzing for the codegen expression kernels
   * (TokenWindowExprs, BpeExprs, SetExprs, VectorExprs): empty / huge /
@@ -405,6 +405,83 @@ class KernelFuzzSpec extends SparkTestBase {
             (v.isNaN && want.isNaN), s"dot $a $b: got $v want $want")
         case None => fail(s"dot $a $b returned null")
       }
+    }
+  }
+
+  test("BERT WordPiece kernel fuzz: maxMunchBert and maxMunchBertIds " +
+    "equal a straightforward code-point reference (greedy longest " +
+    "tagged match, whole-word [UNK], ids = 1-based sorted rank) on " +
+    "random tagged vocabularies and adversarial words") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // code-point substring, matching UTF8String.substring semantics
+    def cpSub(w: String, i: Int, j: Int): String = {
+      val a = w.offsetByCodePoints(0, i)
+      val b = w.offsetByCodePoints(0, j)
+      w.substring(a, b)
+    }
+    def cpLen(w: String): Int = w.codePointCount(0, w.length)
+    def refBert(word: String, vocab: Set[String]): Vector[String] = {
+      val n = cpLen(word)
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < n) {
+        var l = n - i
+        var hit = 0
+        while (l >= 1 && hit == 0) {
+          val key =
+            if (i == 0) cpSub(word, i, i + l)
+            else "##" + cpSub(word, i, i + l)
+          if (vocab(key)) hit = l
+          l -= 1
+        }
+        if (hit == 0) return Vector("[UNK]")
+        out += (if (i == 0) cpSub(word, i, i + hit)
+                else "##" + cpSub(word, i, i + hit))
+        i += hit
+      }
+      out.result()
+    }
+    val rawPiece: Gen[String] = for {
+      n <- Gen.chooseNum(1, 3)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "\u00e9", "\ud834\udd1e"))
+    } yield cs.mkString
+    val taggedPiece: Gen[String] = for {
+      p <- rawPiece
+      cont <- Gen.oneOf(true, false)
+    } yield if (cont) "##" + p else p
+    val vocabGen: Gen[Seq[String]] = for {
+      n <- Gen.chooseNum(1, 14)
+      ps <- Gen.listOfN(n, taggedPiece)
+      unk <- Gen.oneOf(true, false) // "[UNK]" itself in-vocab is legal
+    } yield (ps ++ (if (unk) Seq("[UNK]") else Nil)).distinct
+    val wordGen: Gen[String] = for {
+      n <- Gen.chooseNum(0, 9)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "\u00e9", "\ud834\udd1e", "z"))
+    } yield cs.mkString
+    val cases = samples(Gen.zip(vocabGen, wordGen), 200) ++ Seq(
+      (Seq("a", "##a"), "aaaa"),
+      (Seq("ab", "##ab", "a", "##b"), "abab"),
+      (Seq("[UNK]", "a"), "az"), // stall with [UNK] in-vocab
+      (Seq("\ud834\udd1e", "##\ud834\udd1e"), "\ud834\udd1e\ud834\udd1e"))
+      .filter(_._2 != null)
+    for ((vocabRaw, word) <- cases if word.nonEmpty) {
+      // sorted by UTF8 binary order with positive freqs — the
+      // collectVocab contract the routes feed the kernel
+      val sorted = vocabRaw.distinct
+        .sortBy(UTF8String.fromString)
+      val freqs = sorted.map(_ => 1L)
+      val (gotP, gotI) = Seq(Tuple1(word)).toDF("w")
+        .select(
+          UnigramExprs.wordpieceBert(col("w"), typedlit(sorted),
+            typedlit(freqs)).as("p"),
+          UnigramExprs.wordpieceBertIds(col("w"), typedlit(sorted),
+            typedlit(freqs)).as("i"))
+        .as[(Seq[String], Seq[Int])].collect()(0)
+      val want = refBert(word, sorted.toSet)
+      assert(gotP === want, s"pieces for '$word' over $sorted")
+      val idOf = sorted.zipWithIndex.toMap
+      val wantIds = want.map(p => idOf.get(p).map(_ + 1).getOrElse(0))
+      assert(gotI === wantIds, s"ids for '$word' over $sorted")
     }
   }
 }

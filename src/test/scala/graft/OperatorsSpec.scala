@@ -1757,15 +1757,17 @@ class OperatorsSpec extends SparkTestBase {
       Array.tabulate(dim)(i => if (i == axis) 1f else 0f)
     val emb = (0 until 40).map(i => (i.toLong, unit(i % dim)))
       .toDF("vec_id", "embedding")
-    // dim-64 floats = 256 bytes/vector: a 100-byte budget holds none
+    // dim-64 COLLECTED doubles = 512 bytes/vector (the budget costs
+    // rows at their collected width — the round-12 advisory fix): a
+    // 100-byte budget holds none
     val e = intercept[IllegalArgumentException] {
       Similarity.ivfCentroids(emb, nLists = 4, maxTrainBytes = 100L)
     }
     assert(e.getMessage.contains("maxTrainBytes") &&
-      e.getMessage.contains("256"))
+      e.getMessage.contains("512"))
     // a budget of 8 vectors truncates the sample but still trains
     val cents = Similarity.ivfCentroids(emb, nLists = 4,
-      maxTrainBytes = 8L * 256)
+      maxTrainBytes = 8L * 512)
     assert(cents.select("cluster").distinct().count() === 4)
     // same guard on the PQ trainer
     val e2 = intercept[IllegalArgumentException] {

@@ -190,6 +190,11 @@ class PlanSpec extends SparkTestBase {
         // own search is a cell-equality join, but its recall gate
         // embeds the same exact brute-force baseline as x6/x13
         "x83_ann_pq", "x84_ann_ivfpq",
+        // x146 is x84 through the persisted IvfIndex — its own search
+        // is a pruned cell-equality join (IvfIndexSpec asserts the
+        // partition-pruned scan), but its recall gate embeds the same
+        // exact brute-force baseline as x6/x13/x84
+        "x146_ann_ivfpq_index",
         // x100 rides x20's broadcast route verbatim — the same ONE-row
         // benchmark-gram-array attach (1×N dimension attach, never a
         // quadratic pair scan)

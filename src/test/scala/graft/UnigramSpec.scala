@@ -425,4 +425,62 @@ class UnigramSpec extends SparkTestBase {
     }
     assert(viaDf === viaEval)
   }
+
+  // --- decode / round-trip (the x144 detokenization surface) ---------
+
+  test("wordpieceBertDecodeIds round trip: decode(encode(text)) equals " +
+    "the whitespace-normalized input wherever no word collapsed to " +
+    "[UNK]; stalled words render the literal [UNK] placeholder") {
+    val d = docs(1L -> "abab ab ba", 2L -> "  ab   abab ", 3L -> "")
+    val vocab = Unigram.wordpieceVocab(d, col("text"), maxPieceLen = 4,
+      minCount = 1, vocabSize = 64)
+    val (ps, _) = Unigram.collectVocab(vocab)
+    val out = Unigram.wordpieceBertEncodeIds(d, col("doc_id"),
+        col("text"), vocab)
+      .select(col("id"),
+        Unigram.wordpieceBertDecodeIds(col("ids"), typedlit(ps))
+          .as("decoded"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "abab ab ba")
+    assert(out(2L) === "ab abab") // whitespace-normalized
+    assert(out(3L) === "")
+    // a word with an uncovered char collapses to [UNK] and renders so
+    val d2 = docs(1L -> "ab zq ab")
+    val out2 = Unigram.wordpieceBertEncodeIds(d2, col("doc_id"),
+        col("text"), vocab)
+      .select(Unigram.wordpieceBertDecodeIds(col("ids"), typedlit(ps))
+        .as("decoded")).collect()(0).getString(0)
+    assert(out2 === "ab [UNK] ab")
+  }
+
+  test("wordpieceBertDecodeIds out-of-range ids decode as [UNK] (the " +
+    "placeholder policy) instead of failing or vanishing") {
+    val v = Seq("##b", "a", "ab")
+    val got = Seq(Tuple1(Seq(3, 0, 99, 1)))
+      .toDF("ids")
+      .select(Unigram.wordpieceBertDecodeIds(col("ids"), typedlit(v))
+        .as("d")).collect()(0).getString(0)
+    // 3 -> "ab" (new word), 0/99 -> [UNK] (new words), 1 -> "##b" joins
+    assert(got === "ab [UNK] [UNK]b")
+  }
+
+  test("unigramDecodeIds round trip: piece concatenation reproduces " +
+    "the input with whitespace removed on a fully-covered corpus; " +
+    "UNK ids render U+FFFD") {
+    val d = docs(1L -> "abab ab", 2L -> "ba  baa")
+    val vocab = Unigram.seedVocab(d, col("text"), maxPieceLen = 4,
+      minCount = 1, vocabSize = 64)
+    val (ps, _) = Unigram.collectVocab(vocab)
+    val out = Unigram.encodeIds(d, col("doc_id"), col("text"), vocab)
+      .select(col("id"),
+        Unigram.unigramDecodeIds(col("ids"), typedlit(ps)).as("decoded"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "ababab")
+    assert(out(2L) === "babaa")
+    val unk = Seq(Tuple1(Seq(0)))
+      .toDF("ids")
+      .select(Unigram.unigramDecodeIds(col("ids"), typedlit(ps)).as("d"))
+      .collect()(0).getString(0)
+    assert(unk === "\ufffd")
+  }
 }
