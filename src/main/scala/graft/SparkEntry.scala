@@ -807,6 +807,19 @@ object SparkEntry {
           array_join(transform(col("ids"), i => i.cast("string")), ",")
             .as("encoded_ids"))
     }),
+    // SOFT-EM E-step (the SentencePiece paper's expectation proper):
+    // forward–backward expected piece counts over each word's full
+    // segmentation lattice under the x127 seed vocabulary — the
+    // fidelity upgrade over x129's Viterbi (hard-EM) counts. Every
+    // float op is order-pinned (see UnigramOps.softCounts), so the
+    // oracle's list-carrying recursive CTEs replay each expectation
+    // bit for bit; corpus sums ride exact DECIMAL(28,10)
+    "x145_unigram_soft_em" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Unigram.seedVocab(docs, col("text"),
+        maxPieceLen = 4, minCount = 2, vocabSize = 64)
+      graft.operators.Unigram.softReestimate(docs, col("text"), vocab)
+    }),
     // LIKELIHOOD-scored WordPiece trainer (Schuster & Nakajima 2012 /
     // Wu et al. 2016 — the published objective): sequential merges by
     // score = freq(l⊕r)/(freq(l)·freq(r)) over the initial-tagged
@@ -4668,6 +4681,57 @@ object SparkEntry {
         |LEFT JOIN uw u USING (doc_id)
         |LEFT JOIN bwt t USING (w)
         |GROUP BY d.doc_id""".stripMargin,
+    // x145: forward–backward replay — two list-carrying recursive
+    // walks per distinct word (α ascending, β descending, both sums
+    // left-folded from 0.0 in the kernel's exact order over the same
+    // ucand lattice), arc expectations α(i)·(f/tot)·β(j)/α(n) folded
+    // per piece in (i, j) order, then the DECIMAL(28,10) corpus sum
+    "x145_unigram_soft_em" ->
+      s"""WITH RECURSIVE ${unigramCtes(4, 2, 64)},
+        |ufwd AS (
+        |  SELECT w, len(w) AS n, 0 AS j, [CAST(1.0 AS DOUBLE)] AS al
+        |  FROM udw
+        |  UNION ALL
+        |  SELECT r.w, r.n, r.j + 1, list_append(r.al, c.s)
+        |  FROM ufwd r, LATERAL (
+        |    SELECT list_reduce([CAST(0.0 AS DOUBLE)] ||
+        |        list(r.al[q.i + 1] * (CAST(q.fv AS DOUBLE) /
+        |          (SELECT tot FROM utotal)) ORDER BY q.i),
+        |      (a, b) -> a + b) AS s
+        |    FROM ucand q WHERE q.w = r.w AND q.j = r.j + 1) c
+        |  WHERE r.j < r.n),
+        |ubwd AS (
+        |  SELECT w, len(w) AS n, len(w) AS i, [CAST(1.0 AS DOUBLE)] AS bl
+        |  FROM udw
+        |  UNION ALL
+        |  SELECT r.w, r.n, r.i - 1, [c.s] || r.bl
+        |  FROM ubwd r, LATERAL (
+        |    SELECT list_reduce([CAST(0.0 AS DOUBLE)] ||
+        |        list((CAST(q.fv AS DOUBLE) /
+        |            (SELECT tot FROM utotal)) *
+        |          r.bl[q.j - r.i + 1] ORDER BY q.j),
+        |      (a, b) -> a + b) AS s
+        |    FROM ucand q WHERE q.w = r.w AND q.i = r.i - 1) c
+        |  WHERE r.i > 0),
+        |ufz AS (SELECT w, al, al[n + 1] AS z FROM ufwd WHERE j = n),
+        |ubz AS (SELECT w, bl FROM ubwd WHERE i = 0),
+        |uocc AS (
+        |  SELECT q.w, substr(q.w, q.i + 1, q.j - q.i) AS piece,
+        |    q.i, q.j,
+        |    ((f.al[q.i + 1] * (CAST(q.fv AS DOUBLE) /
+        |        (SELECT tot FROM utotal))) * b.bl[q.j + 1]) / f.z AS e
+        |  FROM ucand q JOIN ufz f USING (w) JOIN ubz b USING (w)),
+        |upc AS (
+        |  SELECT w, piece,
+        |    list_reduce([CAST(0.0 AS DOUBLE)] ||
+        |      list(e ORDER BY i, j), (a, b) -> a + b) AS ew
+        |  FROM uocc GROUP BY w, piece),
+        |uwcon AS (
+        |  SELECT p.piece,
+        |    CAST(CAST(f.wf AS DOUBLE) * p.ew AS DECIMAL(28,10)) AS c
+        |  FROM upc p JOIN uwf f USING (w))
+        |SELECT piece, round(CAST(sum(c) AS DOUBLE), 6) AS exp_usage
+        |FROM uwcon GROUP BY piece""".stripMargin,
     // x143: full sequential replay of the likelihood-scored WordPiece
     // trainer — 6 chained round-CTE groups (pair counts, symbol
     // counts, the two-rounding IEEE score pick, greedy application)

@@ -327,6 +327,109 @@ object UnigramOps {
     new GenericArrayData(out)
   }
 
+  /** Candidate arc value at (i, j): the piece frequency, the UNK
+    * single-char floor 1, or −1 for a multi-char miss (skip) — the
+    * shared lattice rule of [[viterbiBack]] and [[softCounts]]. */
+  private def fvAt(word: UTF8String, i: Int, j: Int,
+      v: CompiledVocab): Double = {
+    val idx = v.map.get(word.substring(i, j))
+    if (idx != null) v.freqs(idx.intValue()).toDouble
+    else if (j - i == 1) 1.0
+    else -1.0
+  }
+
+  /** SOFT-EM expected piece counts for one word — the SentencePiece
+    * paper's E-step proper (forward–backward over the segmentation
+    * lattice) instead of the Viterbi argmax counts of the hard-EM
+    * variant: α(j) = Σᵢ α(i)·p(w[i..j]), β mirrored, and the expected
+    * count of the arc (i, j) is α(i)·p·β(j)/α(n). Returns one
+    * (piece, e) struct per DISTINCT piece string of the word's
+    * lattice (UNK single chars included, like [[viterbi]]'s usage
+    * counts), e = the sum of its arc expectations.
+    *
+    * DETERMINISM CONTRACT (the [[viterbiBack]] discipline, extended
+    * to sums): frequencies and the total are exact integers; every
+    * float op is pinned — per-arc value `α(i) * (f / total)` (forward)
+    * and `(f / total) * β(j)` (backward), sums accumulate LEFT TO
+    * RIGHT from 0.0 in ascending-(i) / ascending-(j) order, arc
+    * expectations fold per piece in ascending (i, j) order, and the
+    * one normalization is the final division by α(n) — so an IEEE
+    * engine replaying the same shapes (the x145 oracle's
+    * list-carrying recursive CTEs) reproduces every double bit for
+    * bit, subnormals included. NO underflow rescaling (unlike
+    * Viterbi, expectations are cross-scale ratios, so a prefix
+    * rescale is not order-transparent): a word so long that the total
+    * likelihood underflows to exact 0.0 (≈ hundreds of code points at
+    * realistic totals) fails loudly instead of returning NaNs. */
+  def softCounts(word: UTF8String, pieces: ArrayData,
+      freqs: ArrayData): ArrayData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val v = compiled(pieces, freqs)
+    val n = word.numChars()
+    val L = v.maxPieceLen
+    val al = new Array[Double](n + 1)
+    al(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var acc = 0.0
+      var i = math.max(0, j - L)
+      while (i < j) {
+        val f = fvAt(word, i, j, v)
+        if (f > 0) acc += al(i) * (f / v.total)
+        i += 1
+      }
+      al(j) = acc
+      j += 1
+    }
+    val z = al(n)
+    if (n > 0 && z <= 0.0)
+      throw new IllegalArgumentException(
+        "unigram softCounts: total likelihood underflowed to zero — " +
+          s"the $n-code-point word exceeds the no-rescale contract")
+    val bl = new Array[Double](n + 1)
+    if (n >= 0) bl(n) = 1.0
+    var i2 = n - 1
+    while (i2 >= 0) {
+      var acc = 0.0
+      var jj = i2 + 1
+      val jmax = math.min(n, i2 + L)
+      while (jj <= jmax) {
+        val f = fvAt(word, i2, jj, v)
+        if (f > 0) acc += (f / v.total) * bl(jj)
+        jj += 1
+      }
+      bl(i2) = acc
+      i2 -= 1
+    }
+    val sums = new java.util.LinkedHashMap[UTF8String, java.lang.Double]()
+    var i = 0
+    while (i < n) {
+      var jj = i + 1
+      val jmax = math.min(n, i + L)
+      while (jj <= jmax) {
+        val f = fvAt(word, i, jj, v)
+        if (f > 0) {
+          val e = ((al(i) * (f / v.total)) * bl(jj)) / z
+          val p = word.substring(i, jj)
+          val prev = sums.get(p)
+          sums.put(p,
+            if (prev == null) 0.0 + e else prev.doubleValue() + e)
+        }
+        jj += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](sums.size())
+    val it = sums.entrySet().iterator()
+    var t = 0
+    while (it.hasNext) {
+      val kv = it.next()
+      out(t) = InternalRow(kv.getKey, kv.getValue.doubleValue())
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Viterbi segmentation as 1-based vocabulary ids (0 = piece not in
     * the vocabulary — only possible for an UNK single character). */
   def viterbiIds(word: UTF8String, pieces: ArrayData,
@@ -418,6 +521,56 @@ case class UnigramEncodeExpr(word: Expression, pieces: Expression,
     copy(word = f, pieces = s, freqs = t)
 }
 
+/** Codegen column: [[UnigramOps.softCounts]] — soft-EM expected piece
+  * counts of one word as array&lt;struct&lt;piece, e&gt;&gt;. Null word →
+  * null. */
+case class UnigramSoftCountsExpr(word: Expression, pieces: Expression,
+    freqs: Expression) extends TernaryExpression {
+
+  override def first: Expression = word
+  override def second: Expression = pieces
+  override def third: Expression = freqs
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("piece", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("e",
+        org.apache.spark.sql.types.DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_unigram_soft_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = word.dataType == StringType &&
+      (pieces.dataType match {
+        case ArrayType(StringType, _) => true
+        case _ => false
+      }) &&
+      (freqs.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, array<string>, array<bigint>), " +
+        "got " + children.map(_.dataType.sql).mkString(", "))
+  }
+
+  override def nullSafeEval(w: Any, p: Any, f: Any): Any =
+    UnigramOps.softCounts(w.asInstanceOf[UTF8String],
+      p.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, p, f) =>
+      s"graft.functions.UnigramOps.softCounts($w, $p, $f)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): UnigramSoftCountsExpr =
+    copy(word = f, pieces = s, freqs = t)
+}
+
 object UnigramExprs {
   def encode(word: Column, pieces: Column, freqs: Column): Column =
     GraftColumnBridge.column(UnigramEncodeExpr(
@@ -457,4 +610,10 @@ object UnigramExprs {
       GraftColumnBridge.expression(pieces),
       GraftColumnBridge.expression(freqs), asIds = true, greedy = true,
       bert = true))
+
+  def softCounts(word: Column, pieces: Column, freqs: Column): Column =
+    GraftColumnBridge.column(UnigramSoftCountsExpr(
+      GraftColumnBridge.expression(word),
+      GraftColumnBridge.expression(pieces),
+      GraftColumnBridge.expression(freqs)))
 }

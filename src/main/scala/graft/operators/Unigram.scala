@@ -442,6 +442,44 @@ object Unigram {
       .groupBy(col("piece")).agg(sum(col("wf")).as("usage"))
   }
 
+  /** One SOFT-EM re-estimation step — the SentencePiece paper's
+    * E-step proper (Kudo ACL'18 §3.2): expected piece counts from a
+    * FORWARD–BACKWARD pass over each word's full segmentation lattice
+    * ([[graft.functions.UnigramOps.softCounts]] and its determinism
+    * contract), instead of [[reestimate]]'s Viterbi argmax counts
+    * (the hard-EM variant). Output (`piece`, `exp_usage` double,
+    * rounded 6dp) for every piece with lattice mass — UNK single
+    * chars included.
+    *
+    * Engine-portable corpus sum: the per-(word, piece) expectation is
+    * a deterministic IEEE double on both engines, but a corpus SUM of
+    * doubles is summation-order-dependent — so each word's weighted
+    * contribution `wf · E` rounds ONCE to DECIMAL(28,10) and the
+    * corpus total is an exact decimal sum (order-free, the repo's
+    * dsum convention), cast back to double at the end.
+    *
+    * Scale shape: the dictionary discipline of [[reestimate]] — one
+    * corpus word aggregate, then the lattice pass runs per DISTINCT
+    * word (explode_outer + isNotNull as the InferFiltersFromGenerate
+    * pushdown barrier), and the result aggregate is vocabulary-sized
+    * with map-side combine. */
+  def softReestimate(docs: DataFrame, textCol: Column,
+      vocab: DataFrame): DataFrame = {
+    val (ps, fs) = collectVocab(vocab)
+    val pl = typedlit(ps); val fl = typedlit(fs)
+    wordFreqs(docs, textCol)
+      .select(col("wf"),
+        explode_outer(UnigramExprs.softCounts(col("w"), pl, fl))
+          .as("pc"))
+      .filter(col("pc").isNotNull)
+      .select(col("pc.piece").as("piece"),
+        (col("wf").cast("double") * col("pc.e"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10))
+          .as("_c"))
+      .groupBy(col("piece"))
+      .agg(round(sum(col("_c")).cast("double"), 6).as("exp_usage"))
+  }
+
   /** One EM + prune round of the SentencePiece trainer loop: usage
     * counts under the CURRENT vocabulary's Viterbi segmentation
     * ([[reestimate]] — the hard-EM E/M step), then the prune rule:

@@ -713,4 +713,43 @@ class ExpressionsSpec extends SparkTestBase {
     assert(rows(1L).getSeq[Long](1) === fpsA.toSeq)
     assert(rows(2L).isNullAt(1))
   }
+
+  test("UnigramSoftCountsExpr: interpreted eval agrees with the " +
+    "dataframe (codegen) result bit for bit, and null word yields null") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val ps = Seq("a", "ab", "b")
+    val fs = Seq(3L, 2L, 5L)
+    val viaDf = Seq(Tuple1("abab")).toDF("w")
+      .select(graft.functions.UnigramExprs.softCounts(
+        col("w"), typedlit(ps), typedlit(fs)).as("c"))
+      .selectExpr("explode(c) AS pc").selectExpr("pc.piece", "pc.e")
+      .as[(String, Double)].collect().toMap
+    val plit = Literal.create(
+      new GenericArrayData(ps.map(UTF8String.fromString).toArray),
+      ArrayType(StringType, containsNull = false))
+    val flit = Literal.create(new GenericArrayData(fs.toArray),
+      ArrayType(LongType, containsNull = false))
+    val viaEval = graft.functions.UnigramSoftCountsExpr(
+      Literal.create(UTF8String.fromString("abab"), StringType),
+      plit, flit)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val evalMap = (0 until viaEval.numElements()).map { k =>
+      val r = viaEval.getStruct(k, 2)
+      r.getUTF8String(0).toString -> r.getDouble(1)
+    }.toMap
+    assert(evalMap === viaDf) // exact double equality — bit-for-bit
+    assert(viaDf.keySet === Set("a", "ab", "b"))
+    // expectations of a word's arcs total the expected token count:
+    // for "abab" every segmentation has >= 2 pieces, <= 4
+    val tot = viaDf.values.sum
+    assert(tot >= 2.0 - 1e-9 && tot <= 4.0 + 1e-9)
+    val nullOut = graft.functions.UnigramSoftCountsExpr(
+      Literal.create(null, StringType), plit, flit)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    assert(nullOut == null)
+  }
 }

@@ -426,6 +426,72 @@ class UnigramSpec extends SparkTestBase {
     assert(viaDf === viaEval)
   }
 
+  // --- soft-EM expected counts (the x145 E-step) ----------------------
+
+  test("softReestimate equals brute-force lattice enumeration: for " +
+    "every piece, the expected count matches sum over ALL " +
+    "segmentations of P(seg)*count(piece), within fp tolerance") {
+    val d = docs(1L -> "abab ab", 2L -> "ba aab aab")
+    val vocab = Unigram.seedVocab(d, col("text"), maxPieceLen = 4,
+      minCount = 1, vocabSize = 64)
+    val (ps, fs) = Unigram.collectVocab(vocab)
+    val freqOf = ps.zip(fs).toMap
+    val total = fs.sum.toDouble
+    // brute force: enumerate every segmentation of a word under the
+    // lattice rule (vocab pieces any length, UNK floor 1 for single
+    // chars), accumulate P(seg) and per-piece counts
+    def segs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to w.length).flatMap { l =>
+        val piece = w.take(l)
+        val f = freqOf.get(piece) match {
+          case Some(x) => x.toDouble
+          case None => if (l == 1) 1.0 else -1.0
+        }
+        if (f > 0) segs(w.drop(l)).map(piece +: _) else Seq.empty
+      }
+    def pSeg(seg: Seq[String]): Double =
+      seg.map { p =>
+        freqOf.get(p).map(_.toDouble).getOrElse(1.0) / total
+      }.product
+    val words = Map("abab" -> 1L, "ab" -> 1L, "ba" -> 1L, "aab" -> 2L)
+    val want = scala.collection.mutable.Map.empty[String, Double]
+    for ((w, wf) <- words) {
+      val all = segs(w)
+      val z = all.map(pSeg).sum
+      for (seg <- all; p <- seg)
+        want(p) = want.getOrElse(p, 0.0) + wf * pSeg(seg) / z
+    }
+    val got = Unigram.softReestimate(d, col("text"), vocab)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === want.keySet)
+    for ((p, w) <- want)
+      assert(math.abs(got(p) - w) <= 1e-6 * math.max(1.0, w.abs),
+        s"piece '$p': got ${got(p)}, want $w")
+  }
+
+  test("softCounts fails loudly when the lattice likelihood " +
+    "underflows to zero (the no-rescale contract) and handles " +
+    "single-char and fully-UNK words") {
+    val v = Seq("a")
+    val f = Seq(1000000L) // 1/total = 1e-6: alpha underflows ~55 arcs in
+
+    // a 1-char UNK word: one arc, expectation exactly 1
+    val one = Seq(Tuple1("z")).toDF("w")
+      .select(UnigramExprs.softCounts(col("w"), typedlit(v),
+        typedlit(f)).as("c"))
+      .selectExpr("c[0].piece", "c[0].e").collect()(0)
+    assert(one.getString(0) === "z" && one.getDouble(1) === 1.0)
+    // a word far past the underflow horizon raises, not NaN
+    val long = "z" * 400
+    val e = intercept[Exception] {
+      Seq(Tuple1(long)).toDF("w")
+        .select(UnigramExprs.softCounts(col("w"), typedlit(v),
+          typedlit(f)).as("c")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   // --- decode / round-trip (the x144 detokenization surface) ---------
 
   test("wordpieceBertDecodeIds round trip: decode(encode(text)) equals " +
