@@ -426,6 +426,99 @@ class UnigramSpec extends SparkTestBase {
     assert(viaDf === viaEval)
   }
 
+  // --- likelihood-scored WordPiece trainer (x143) ---------------------
+
+  test("wordpieceVocabLikelihood equals an independent sequential " +
+    "reference: score ranking n/(c(l)*c(r)), (score DESC, l, r) " +
+    "tie-break, minCount floor, greedy application, rendered " +
+    "char-floor + merge vocabulary with dedup-by-sum") {
+    def reference(words: Map[String, Long], nMerges: Int,
+        minCount: Long): Map[String, Long] = {
+      val M = "\u0001"
+      var dict: Map[Vector[String], Long] = words.map { case (w, n) =>
+        (w.toVector.zipWithIndex.map { case (c, i) =>
+          if (i == 0) M + c else c.toString
+        }, n)
+      }
+      def mergeOnce(s: Vector[String], l: String,
+          r: String): Vector[String] = {
+        val b = Vector.newBuilder[String]
+        var j = 0
+        while (j < s.length) {
+          if (j + 1 < s.length && s(j) == l && s(j + 1) == r) {
+            b += (l + r); j += 2
+          } else { b += s(j); j += 1 }
+        }
+        b.result()
+      }
+      val seedCounts = dict.toSeq
+        .flatMap { case (s, n) => s.map(_ -> n) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      val merges = Seq.newBuilder[(String, Long)]
+      var round = 0
+      var done = false
+      while (round < nMerges && !done) {
+        val pairs = dict.toSeq.flatMap { case (s, n) =>
+          s.zip(s.drop(1)).map(p => p -> n)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+          .filter(_._2 >= minCount)
+        val syms = dict.toSeq
+          .flatMap { case (s, n) => s.map(_ -> n) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        if (pairs.isEmpty) done = true
+        else {
+          val best = pairs.toSeq.map { case ((l, r), n) =>
+            (l, r, n, n.toDouble / (syms(l).toDouble * syms(r).toDouble))
+          }.minBy { case (l, r, _, sc) => (-sc, l, r) }
+          merges += ((best._1 + best._2, best._3))
+          dict = dict.toSeq.map { case (s, n) =>
+            (mergeOnce(s, best._1, best._2), n)
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+        }
+        round += 1
+      }
+      def render(sym: String): String =
+        if (sym.startsWith(M)) sym.substring(1) else "##" + sym
+      (seedCounts.toSeq.map { case (s, n) => render(s) -> n } ++
+        merges.result().map { case (s, n) => render(s) -> n })
+        .groupMapReduce(_._1)(_._2)(_ + _)
+    }
+    // corpus chosen to exercise: score vs raw-count divergence (a
+    // frequent pair of very frequent symbols must LOSE to a rarer pair
+    // of rare symbols), ties, and multi-round chains
+    val d = docs(
+      1L -> "aaaa aaaa aaaa xy xy",
+      2L -> "aaaa ax ya xy")
+    val got = Unigram.wordpieceVocabLikelihood(d, col("text"),
+        nMerges = 4, minCount = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val words = Map("aaaa" -> 4L, "xy" -> 3L, "ax" -> 1L, "ya" -> 1L)
+    assert(got === reference(words, 4, 2))
+    // likelihood ranking beats raw count here: pair (x, ##y) has
+    // n=3 and c(x)=3, c(##y)=3 -> score 1/3, while (##a, ##a) has
+    // n=8 and c(##a)=13 -> score 8/169 ~ 0.047 - the first merge
+    // must be x+##y despite its lower raw count
+    assert(got.contains("xy"))
+  }
+
+  test("wordpieceVocabLikelihood vocabulary feeds the BERT encode " +
+    "directly (the x147 composition) and a word with the internal " +
+    "tag char fails loudly") {
+    val d = docs(1L -> "abc abc ab")
+    val vocab = Unigram.wordpieceVocabLikelihood(d, col("text"),
+      nMerges = 3, minCount = 2)
+    val enc = Unigram.wordpieceBertEncodeIds(d, col("doc_id"),
+      col("text"), vocab)
+    assert(enc.collect().forall(_.getLong(2) > 0))
+    val bad = docs(1L -> ("a\u0001b ok"))
+    val e = intercept[Exception] {
+      Unigram.wordpieceVocabLikelihood(bad, col("text"),
+        nMerges = 1, minCount = 1).collect()
+    }
+    assert(e.getMessage.contains("U+0001") ||
+      (e.getCause != null && e.getCause.getMessage.contains("U+0001")))
+  }
+
   // --- soft-EM expected counts (the x145 E-step) ----------------------
 
   test("softReestimate equals brute-force lattice enumeration: for " +
