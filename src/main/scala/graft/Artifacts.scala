@@ -58,19 +58,38 @@ object Artifacts {
     * again — a second failure propagates. `load` must validate
     * EAGERLY (all artifact loaders here collect their meta/stamps at
     * call time), otherwise a torn artifact would surface after this
-    * call returns. */
+    * call returns.
+    *
+    * Builds are ATOMIC regardless of the builder: `build` writes into
+    * a sibling temp directory that is renamed into place only on
+    * success, so a crash mid-build leaves the committed path empty
+    * (next caller rebuilds) instead of a partial directory that must
+    * round-trip through the self-heal path — and a concurrent builder
+    * losing the rename race simply adopts the winner's (identical,
+    * deterministic) artifact. */
   def cached[T](s: SparkSession, name: String, key: String)(
       build: String => Unit)(load: String => T): T = {
     val dir = new java.io.File(root(s), s"${name}_$key")
     dir.getParentFile.mkdirs()
-    val path = dir.toString
-    if (!dir.isDirectory) build(path)
-    try load(path)
+    def buildAtomically(): Unit = {
+      val tmp = new java.io.File(dir.getParentFile,
+        dir.getName + ".build-" + ProcessHandle.current().pid())
+      delete(tmp)
+      try {
+        build(tmp.toString)
+        if (!tmp.renameTo(dir))
+          require(dir.isDirectory,
+            s"Artifacts.cached: rename to $dir failed and no artifact " +
+              "exists (concurrent loser would have found the winner's)")
+      } finally delete(tmp)
+    }
+    if (!dir.isDirectory) buildAtomically()
+    try load(dir.toString)
     catch {
       case scala.util.control.NonFatal(_) =>
         delete(dir)
-        build(path)
-        load(path)
+        buildAtomically()
+        load(dir.toString)
     }
   }
 

@@ -186,6 +186,33 @@ object SparkEntry {
         Similarity.cosineTopK(corpus, delta, k = 10),
         floor = AnnIvfRecallFloor)
     }),
+    // incremental index MAINTENANCE (the other half of the delta
+    // story next to x97's pruned probe): the index is built on the
+    // base corpus, the delta batch is APPENDED under the frozen
+    // quantizer (assigned + written into a new epoch of its cell
+    // partitions — cost ∝ |delta|, no training, no corpus pass; meta
+    // commits the epoch count last, so a torn append is invisible),
+    // and queries then search the appended index — gate = recall vs
+    // the exact scan over the UNION, so the appended vectors must be
+    // first-class neighbors
+    "x148_ann_index_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val delta = emb.filter(col("vec_id") % 10 === 0)
+      val queries = emb.filter(col("vec_id") % 10 === 0 &&
+        col("vec_id") < 50)
+      val approx = Artifacts.cached(s, "x148_ivf_appended",
+          Artifacts.tableFingerprint(dir, "embeddings")) { p =>
+        graft.operators.IvfIndex.build(base, p, nLists = 16)
+        graft.operators.IvfIndex.append(s, p, delta)
+      } { p =>
+        graft.operators.IvfIndex.searchTopK(s, p, queries,
+          k = 10, nProbe = 12)
+      }
+      Similarity.recallGate(approx,
+        Similarity.cosineTopK(emb, queries, k = 10),
+        floor = AnnIvfRecallFloor)
+    }),
     // Extensions: point-in-time (as-of) lookup — strictly-previous order
     // date per order, the inter-purchase-interval primitive
     "x14_asof_prev_order" -> ((s, dir) => {
@@ -2871,6 +2898,30 @@ object SparkEntry {
         |FROM topk WHERE rnk <= 10 GROUP BY 1""".stripMargin,
     "x83_ann_pq" -> AnnExactTopkOracle,
     "x84_ann_ivfpq" -> AnnExactTopkOracle,
+    // x148: exact top-k over the UNION (base ∪ appended delta) — the
+    // x97 oracle without the corpus exclusion; queries are the same
+    // first-five delta vectors (self excluded on both sides)
+    "x148_ann_index_append" ->
+      """WITH n0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |n AS (SELECT * FROM n0 WHERE nrm > 0),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n0
+        |      WHERE nrm > 0 AND vec_id % 10 = 0 AND vec_id < 50),
+        |s AS (
+        |  SELECT query_id, vec_id,
+        |         round(list_sum(list_transform(generate_series(1, len(v)),
+        |                 i -> qv[i] * v[i])) / (qnrm * nrm), 6) AS cosine
+        |  FROM n, q WHERE vec_id <> query_id),
+        |topk AS (
+        |  SELECT query_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cosine DESC, vec_id) AS INT) AS rnk
+        |  FROM s)
+        |SELECT query_id, min(cosine) AS kth_cosine, true AS recall_ok
+        |FROM topk WHERE rnk <= 10 GROUP BY 1""".stripMargin,
     // x146 is x84 through the persisted IvfIndex — row-for-row equal
     // to the recompute route (IvfIndexSpec law), so the same exact
     // top-k recall-gate oracle applies verbatim

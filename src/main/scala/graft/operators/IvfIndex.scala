@@ -22,8 +22,8 @@ import graft.functions.{PqExprs, VectorExprs}
   * sibling temp directory and renamed into place, so a torn build can
   * never be mistaken for an index):
   *
-  *   - `meta/`      one row: (version, n_lists, dim, n_vecs, m, ksub)
-  *                  — m = 0 marks a plain (non-PQ) index;
+  *   - `meta/`      one row: (version, n_lists, dim, n_vecs, m, ksub,
+  *                  n_epochs) — m = 0 marks a plain (non-PQ) index;
   *   - `quantizer/` a [[KMeans.saveCentroids]] artifact (quantized
   *                  units, version + k stamp) — ONE artifact format
   *                  for clustering models and coarse quantizers;
@@ -32,8 +32,11 @@ import graft.functions.{PqExprs, VectorExprs}
   *                  the index for free instead of recomputed per batch
   *                  (the Σn == n_vecs stamp also validates the lists
   *                  without scanning them at load);
-  *   - `lists/`     parquet `partitionBy("cell")`: (vec_id, v) plus,
-  *                  when m > 0, the PQ `codes`;
+  *   - `lists/`     parquet `partitionBy("epoch", "cell")`: (vec_id,
+  *                  v) plus, when m > 0, the PQ `codes`. The epoch
+  *                  level makes [[append]] crash-safe: meta commits
+  *                  the epoch COUNT last, so files of a torn append
+  *                  sit in an epoch the readers never select;
   *   - `codebooks/` (m > 0 only) the [[Similarity.pqCodebooks]]
   *                  relation (j, c, pos, cval).
   *
@@ -57,7 +60,8 @@ import graft.functions.{PqExprs, VectorExprs}
   */
 object IvfIndex {
 
-  private val IndexVersion = 1
+  // v2: epoch-partitioned lists + the n_epochs commit stamp ([[append]])
+  private val IndexVersion = 2
 
   /** Build and atomically persist the index at `path` (overwrites any
     * complete index already there only if the final rename wins; a
@@ -89,18 +93,11 @@ object IvfIndex {
     val all = Similarity.trainCenters(sample, specs, "IvfIndex.build")
     val centers = all.head
 
-    val cellCol = element_at(
-      Similarity.cellsRankedExpr(col("v"), centers), 1)("cell")
-    val assigned =
-      if (m == 0) corpus.select(col("vec_id"), col("v"), cellCol.as("cell"))
-      else {
-        val cb = Similarity.flattenCodebooks(all.tail, m, ksub, dsub)
-        corpus.select(col("vec_id"), col("v"),
-          PqExprs.encode(
-            Similarity.dimGuarded(col("v").cast("array<double>"), dim,
-              "IvfIndex.build"), cb, m, ksub, dsub).as("codes"),
-          cellCol.as("cell"))
-      }
+    val cbOpt =
+      if (m == 0) None
+      else Some(Similarity.flattenCodebooks(all.tail, m, ksub, dsub))
+    val assigned = assignRelation(corpus, centers, cbOpt, dim, m, ksub,
+      dsub, epoch = 0, what = "IvfIndex.build")
 
     // build in a sibling temp dir, rename into place: the committed
     // path either holds a COMPLETE index or nothing — a crash between
@@ -113,27 +110,19 @@ object IvfIndex {
         (i, c.map(_ * KMeans.Scale).toSeq)
       }.toSeq.toDF("cluster", "centroid")
       KMeans.saveCentroids(centRel, s"$tmp/quantizer")
-      assigned.write.mode("overwrite").partitionBy("cell")
+      assigned.write.mode("overwrite").partitionBy("epoch", "cell")
         .parquet(s"$tmp/lists")
       // stats from the WRITTEN lists — a stamp of what is on disk, not
       // of what the plan intended (column-pruned: reads cell only)
-      val stats = spark.read.parquet(s"$tmp/lists")
-        .groupBy(col("cell").cast("int").as("cell"))
-        .agg(count(lit(1)).as("n"))
-      stats.coalesce(1).write.mode("overwrite").parquet(s"$tmp/cellstats")
-      val nVecs = spark.read.parquet(s"$tmp/cellstats")
-        .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
-      if (m > 0) {
-        val cb = Similarity.flattenCodebooks(all.tail, m, ksub, dsub)
+      val nVecs = writeCellStats(spark, tmp)
+      cbOpt.foreach { cb =>
         val rows = for {
           j <- 0 until m; c <- 0 until ksub; d <- 0 until dsub
         } yield (j, c, d, cb((j * ksub + c) * dsub + d))
         rows.toDF("j", "c", "pos", "cval")
           .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebooks")
       }
-      Seq((IndexVersion, nLists, dim, nVecs, m, ksub))
-        .toDF("version", "n_lists", "dim", "n_vecs", "m", "ksub")
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+      writeMeta(spark, tmp, nLists, dim, nVecs, m, ksub, nEpochs = 1)
 
       val target = new java.io.File(path)
       deleteRecursively(target)
@@ -151,8 +140,59 @@ object IvfIndex {
     f.delete(): Unit
   }
 
+  /** The shared assignment/encode projection of [[build]] and
+    * [[append]]: (vec_id, v[, codes], epoch, cell), one codegen pass. */
+  private def assignRelation(corpus: DataFrame,
+      centers: Array[Array[Double]], cbOpt: Option[Array[Double]],
+      dim: Int, m: Int, ksub: Int, dsub: Int, epoch: Int,
+      what: String): DataFrame = {
+    val cellCol = element_at(
+      Similarity.cellsRankedExpr(col("v"), centers), 1)("cell")
+    cbOpt match {
+      case None =>
+        corpus.select(col("vec_id"), col("v"),
+          lit(epoch).as("epoch"), cellCol.as("cell"))
+      case Some(cb) =>
+        corpus.select(col("vec_id"), col("v"),
+          PqExprs.encode(
+            Similarity.dimGuarded(col("v").cast("array<double>"), dim,
+              what), cb, m, ksub, dsub).as("codes"),
+          lit(epoch).as("epoch"), cellCol.as("cell"))
+    }
+  }
+
+  /** Recompute `cellstats` from the WRITTEN lists (all epochs present
+    * on disk — callers stamp the committed epoch count in meta
+    * afterwards) and return the total row count. */
+  private def writeCellStats(spark: SparkSession, path: String): Long = {
+    val stats = spark.read.parquet(s"$path/lists")
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n"))
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/cellstats_next")
+    // overwrite-in-place via the staged copy: the stats job READS the
+    // old cellstats' sibling lists only, so this is safe; the staged
+    // dir then replaces cellstats atomically (local-fs rename)
+    val next = new java.io.File(s"$path/cellstats_next")
+    val cur = new java.io.File(s"$path/cellstats")
+    deleteRecursively(cur)
+    require(next.renameTo(cur),
+      s"IvfIndex: could not move cellstats into place at $path")
+    spark.read.parquet(s"$path/cellstats")
+      .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
+  }
+
+  private def writeMeta(spark: SparkSession, path: String, nLists: Int,
+      dim: Int, nVecs: Long, m: Int, ksub: Int, nEpochs: Int): Unit = {
+    import spark.implicits._
+    Seq((IndexVersion, nLists, dim, nVecs, m, ksub, nEpochs))
+      .toDF("version", "n_lists", "dim", "n_vecs", "m", "ksub",
+        "n_epochs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   private case class Meta(nLists: Int, dim: Int, nVecs: Long, m: Int,
-      ksub: Int)
+      ksub: Int, nEpochs: Int)
 
   private def loadMeta(spark: SparkSession, path: String): Meta = {
     val rows = spark.read.parquet(s"$path/meta").collect()
@@ -164,7 +204,66 @@ object IvfIndex {
       s"IvfIndex: unsupported index version $version (this build " +
         s"reads $IndexVersion)")
     Meta(r.getAs[Int]("n_lists"), r.getAs[Int]("dim"),
-      r.getAs[Long]("n_vecs"), r.getAs[Int]("m"), r.getAs[Int]("ksub"))
+      r.getAs[Long]("n_vecs"), r.getAs[Int]("m"), r.getAs[Int]("ksub"),
+      r.getAs[Int]("n_epochs"))
+  }
+
+  /** Append a delta batch under the FROZEN quantizer — incremental
+    * index maintenance, the other half of the delta story next to the
+    * pruned probe: new vectors are assigned (and, on a PQ index,
+    * encoded) with the artifact's own centroids/codebooks — so
+    * assignments stay consistent with every previous batch by
+    * construction — and land in a NEW epoch under their cell
+    * partitions. Commit order makes the append crash-safe: list files
+    * first, then the cellstats restamp, then meta with the bumped
+    * epoch count LAST — a crash before the meta write leaves the new
+    * epoch's files invisible to every reader (epoch ≥ n_epochs is
+    * never selected), and a crash between cellstats and meta is a
+    * stamp mismatch that fails loudly at load (and self-heals through
+    * [[graft.Artifacts.cached]]).
+    *
+    * Equality law (IvfIndexSpec): searching an appended index ≡
+    * [[Similarity.ivfTopKWithCentroids]] over (corpus ∪ delta) under
+    * the same frozen quantizer, row for row.
+    *
+    * Scale shape: one assignment/encode projection over the DELTA
+    * only plus a cell-keyed write — cost ∝ |delta|; the restamp is a
+    * column-pruned cell read. No training, no corpus pass. */
+  def append(spark: SparkSession, path: String, embeddings: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val meta = loadMeta(spark, path)
+    val centers = loadCenters(spark, path, meta)
+    val cbOpt =
+      if (meta.m == 0) None
+      else {
+        val (cb, m, ksub, dsub) = Similarity.collectCodebooks(
+          spark.read.parquet(s"$path/codebooks"), "IvfIndex.append")
+        require(m == meta.m && ksub == meta.ksub && m * dsub == meta.dim,
+          s"IvfIndex.append: codebooks are m=$m ksub=$ksub dsub=$dsub, " +
+            s"meta says m=${meta.m} ksub=${meta.ksub} dim=${meta.dim}")
+        Some(cb)
+      }
+    // sweep uncommitted epochs from a previously crashed append: their
+    // files share the epoch number this append is about to write and
+    // would otherwise be adopted (possibly duplicating the delta)
+    val listsDir = new java.io.File(s"$path/lists")
+    if (listsDir.isDirectory)
+      listsDir.listFiles()
+        .filter(f => f.getName.startsWith("epoch=") &&
+          f.getName.drop("epoch=".length).toIntOption
+            .exists(_ >= meta.nEpochs))
+        .foreach(deleteRecursively)
+    val corpus = embeddings
+      .select(col(idCol).as("vec_id"), col(embCol).as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+    val dsub = if (meta.m > 0) meta.dim / meta.m else 0
+    assignRelation(corpus, centers, cbOpt, meta.dim, meta.m, meta.ksub,
+      dsub, epoch = meta.nEpochs, what = "IvfIndex.append")
+      .write.mode("append").partitionBy("epoch", "cell")
+      .parquet(s"$path/lists")
+    val nVecs = writeCellStats(spark, path)
+    writeMeta(spark, path, meta.nLists, meta.dim, nVecs, meta.m,
+      meta.ksub, meta.nEpochs + 1)
   }
 
   /** Dequantized centroid matrix from the quantizer artifact —
@@ -210,13 +309,16 @@ object IvfIndex {
   /** The pruned candidate read: the probed cell set (≤ nLists values,
     * one bounded query-side job) becomes a LITERAL IN-filter on the
     * partition column, so the parquet scan reads only the probed cell
-    * directories (PartitionFilters — the whole point of the index). */
-  private def prunedLists(spark: SparkSession, path: String,
+    * directories (PartitionFilters — the whole point of the index).
+    * Only COMMITTED epochs are selected (`epoch < n_epochs` — also a
+    * partition filter), so files of a torn [[append]] are invisible. */
+  private def prunedLists(spark: SparkSession, path: String, meta: Meta,
       probes: DataFrame): DataFrame = {
     val cells = probes.select(col("cell").cast("int")).distinct()
       .collect().map(_.getInt(0))
     spark.read.parquet(s"$path/lists")
-      .filter(col("cell").isin(cells.map(Int.box): _*))
+      .filter(col("epoch") < meta.nEpochs &&
+        col("cell").isin(cells.map(Int.box): _*))
   }
 
   /** Exact-cosine top-k through the persisted lists — the
@@ -238,7 +340,7 @@ object IvfIndex {
       .select(col("query_id"), col("qv"),
         explode(slice(Similarity.cellsRankedExpr(col("qv"), centers),
           1, nProbe)("cell")).as("cell"))
-    val scored = prunedLists(spark, path, probes).as("c")
+    val scored = prunedLists(spark, path, meta, probes).as("c")
       .join(broadcast(probes).as("q"),
         col("c.cell") === col("q.cell") &&
           col("c.vec_id") =!= col("q.query_id"))
@@ -321,7 +423,7 @@ object IvfIndex {
         explode(probeCol).as("cell"),
         PqExprs.table(col("q"), cb, m, ksub, dsub).as("qt"),
         sqrt(VectorExprs.dot(col("q"), col("q"))).as("qnorm"))
-    val cand = prunedLists(spark, path, qs)
+    val cand = prunedLists(spark, path, meta, qs)
     val scored = cand.as("c").join(broadcast(qs).as("p"),
         col("c.cell") === col("p.cell") &&
           col("c.vec_id") =!= col("p.query_id"))
@@ -348,7 +450,7 @@ object IvfIndex {
       // candidate lives in a probed cell) — the corpus table is never
       // touched; cosine over the double-cast vector matches ivfPqTopK
       // (float→double widening is exact)
-      val exact = prunedLists(spark, path, qs)
+      val exact = prunedLists(spark, path, meta, qs)
         .select(col("vec_id"), col("v").cast("array<double>").as("v"))
         .join(broadcast(short), Seq("vec_id"))
         .join(broadcast(qv), Seq("query_id"))

@@ -100,6 +100,81 @@ class IvfIndexSpec extends SparkTestBase {
     assert(embScans.forall(_.contains("< 50)")), p)
   }
 
+  test("append under the frozen quantizer: searching the appended " +
+    "index equals ivfTopKWithCentroids over the union, row for row — " +
+    "and appended vectors are first-class neighbors") {
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val queries = emb.filter(col("vec_id") % 10 === 0 &&
+      col("vec_id") < 50)
+    val path = tmpPath("ivf_append")
+    IvfIndex.build(base, path, nLists = 16)
+    IvfIndex.append(spark, path, delta)
+    val viaIndex = IvfIndex.searchTopK(spark, path, queries,
+      k = 10, nProbe = 12)
+    // the reference: the SAME frozen quantizer (trained on base only)
+    // assigning the union inline
+    val recompute = Similarity.ivfTopKWithCentroids(
+      Similarity.ivfCentroids(base), base.unionAll(delta), queries,
+      k = 10, nProbe = 12)
+    assert(collectSorted(viaIndex) === collectSorted(recompute))
+    // delta vectors actually surface as neighbors (delta queries have
+    // near-identical delta siblings only when vec_id % 10 == 0 pairs
+    // exist — assert at least one hit from the delta id space)
+    assert(viaIndex.filter(col("vec_id") % 10 === 0).count() > 0)
+  }
+
+  test("append on a PQ index re-encodes the delta with the persisted " +
+    "codebooks: searches stay well-formed (no null scores) over the " +
+    "appended rows") {
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val qs = emb.filter(col("vec_id") < 5)
+    val path = tmpPath("ivfpq_append")
+    IvfIndex.build(base, path, nLists = 16, m = 32, ksub = 256)
+    IvfIndex.append(spark, path, delta)
+    val viaIndex = IvfIndex.searchPqTopK(spark, path, qs, k = 10,
+      nProbe = 4)
+    assert(viaIndex.count() > 0)
+    // every returned candidate must carry a REAL pq_cosine (codes were
+    // written for the appended rows too — a missing codes column would
+    // have failed the scan; null codes would null the score)
+    assert(viaIndex.filter(col("pq_cosine").isNull).count() === 0)
+  }
+
+  test("a torn append is invisible: files in an uncommitted epoch are " +
+    "never selected, and the next append sweeps them (no duplicates)") {
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val queries = emb.filter(col("vec_id") % 10 === 0 &&
+      col("vec_id") < 30)
+    val path = tmpPath("ivf_torn_append")
+    IvfIndex.build(base, path, nLists = 8)
+    val before = collectSorted(IvfIndex.searchTopK(spark, path, queries,
+      k = 5, nProbe = 8))
+    // simulate a crash mid-append: epoch-1 list files exist, but
+    // cellstats and meta were never restamped
+    delta.select(col("vec_id"), col("embedding").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("epoch", lit(1))
+      .withColumn("cell", lit(0))
+      .write.mode("append").partitionBy("epoch", "cell")
+      .parquet(s"$path/lists")
+    val torn = collectSorted(IvfIndex.searchTopK(spark, path, queries,
+      k = 5, nProbe = 8))
+    assert(torn === before) // the orphan epoch is never read
+    // a real append now sweeps the orphans and commits exactly one
+    // copy of the delta: results equal a clean build+append
+    IvfIndex.append(spark, path, delta)
+    val appended = collectSorted(IvfIndex.searchTopK(spark, path,
+      queries, k = 5, nProbe = 8))
+    val cleanPath = tmpPath("ivf_clean_append")
+    IvfIndex.build(base, cleanPath, nLists = 8)
+    IvfIndex.append(spark, cleanPath, delta)
+    assert(appended === collectSorted(IvfIndex.searchTopK(spark,
+      cleanPath, queries, k = 5, nProbe = 8)))
+  }
+
   test("build is atomic: a committed path holds a complete index, no " +
     ".build- temp residue is left, and rebuilding over an existing " +
     "index replaces it") {

@@ -195,6 +195,10 @@ class PlanSpec extends SparkTestBase {
         // partition-pruned scan), but its recall gate embeds the same
         // exact brute-force baseline as x6/x13/x84
         "x146_ann_ivfpq_index",
+        // x148 appends the delta into the index and probes through the
+        // pruned lists; its recall gate embeds the exact baseline over
+        // the union (the same deliberate brute-force scan)
+        "x148_ann_index_append",
         // x100 rides x20's broadcast route verbatim — the same ONE-row
         // benchmark-gram-array attach (1×N dimension attach, never a
         // quadratic pair scan)
