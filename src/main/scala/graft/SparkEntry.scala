@@ -34,6 +34,38 @@ object SparkEntry {
   val AnnIvfRecallFloor = 0.6 // nLists=16 nProbe=12: min 0.90/0.80/0.70
   val AnnPqRecallFloor = 0.6 // m=32 ksub=256: min 0.90/0.90/0.80
   val AnnIvfPqRecallFloor = 0.8 // nLists=16 probeMass=0.9 m=32 ksub=256 rerank=50: min 0.90/1.00/0.90 at sf0.001/0.01/0.1 (adaptive mass probing closed the unprobed-cell coverage gap the r9 re-rank sweep isolated; floor raised 0.6 → 0.8 with ≥ 0.1 margin)
+  /** Shared oracle CTEs materializing the deterministic ±1 sign matrix
+    * of [[graft.operators.Similarity.randomProjectVec]] (64 in × 16 out)
+    * by the same stepwise exact-BIGINT arithmetic (two affine+square
+    * rounds mod 2^31−1, parity): `sig(j, col_s)` = per output dim, the
+    * 64 signs in input-dim order. */
+  private val RpSignCtes: String =
+    """m AS (
+      |  SELECT i, j,
+      |         CASE WHEN ((w * w) % 2147483647) % 2 = 1
+      |              THEN -1.0 ELSE 1.0 END AS s
+      |  FROM (
+      |    SELECT i, j, ((z * 48271 + 17) % 2147483647) AS w
+      |    FROM (
+      |      SELECT i, j, ((y * y) % 2147483647) AS z
+      |      FROM (
+      |        SELECT i, j, (((i*131 + j + 17) * 48271 + 11) % 2147483647) AS y
+      |        FROM generate_series(0, 63) gi(i),
+      |             generate_series(0, 15) gj(j))))),
+      |sig AS (SELECT j, list(s ORDER BY i) AS col_s FROM m GROUP BY j)"""
+      .stripMargin
+
+  /** x152 keyword tag list — overlap-rich by design ("an" inside
+    * "scan", self-bordered "a a", cross-word "fast scan") so the gate
+    * exercises dictionary-suffix and self-overlap counting, not just
+    * disjoint hits. Shared by the query and (via [[keywordValuesSql]])
+    * the oracle, so the two cannot silently diverge. */
+  val KeywordTagList: Seq[String] =
+    Seq("spark", "table", "scan", "an", "fast scan", "row", "a a")
+
+  private def keywordValuesSql: String =
+    KeywordTagList.zipWithIndex
+      .map { case (k, i) => s"(${i + 1}, '$k')" }.mkString(", ")
 
   /** Exact, order-independent sum of a double column: cast each value to
     * DECIMAL(18,6) (exact for this corpus's ≤2-decimal doubles), sum
@@ -213,6 +245,37 @@ object SparkEntry {
         Similarity.cosineTopK(emb, queries, k = 10),
         floor = AnnIvfRecallFloor)
     }),
+    // keyword blocklist/taglist screening (bad-word filters, license
+    // and domain-term tagging): per-keyword overlapping-occurrence
+    // counts in ONE Aho–Corasick byte pass per row — cost independent
+    // of list size, vs K regex scans (K× the corpus scan at 100 TB) or
+    // an n-gram explode (corpus-amplifying shuffle). Pure projection;
+    // the oracle replays the definition by brute-force position scan
+    "x152_keyword_tags" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+          graft.functions.KeywordExprs.keywordCounts(col("text"),
+            KeywordTagList).as("_c"))
+        .select(col("doc_id"),
+          aggregate(col("_c"), lit(0L), (a, c) => a + c).as("n_hits"),
+          size(filter(col("_c"), c => c > lit(0L))).as("n_kinds"),
+          array_join(transform(col("_c"), c => c.cast("string")), ",")
+            .as("counts"))),
+    // Johnson–Lindenstrauss sign random projection (Achlioptas 2003):
+    // 64 → 16 dims with deterministic ±1/√16 entries derived from pure
+    // BIGINT arithmetic — the projection matrix is an engine constant
+    // the oracle replays literally, not a shipped artifact. Relational
+    // (vec_id, rp_dim, rp_val) rows; a pure projection, zero shuffle
+    "x150_random_projection" -> ((s, dir) =>
+      Similarity.randomProject(Tables.embeddings(s, dir),
+        dIn = 64, kOut = 16)),
+    // the JL distortion audit over the projection: per-pair original
+    // vs projected cosine and the absolute gap, on the 40-lowest-id
+    // sample (780 pairs at every SF) — the measurement run before
+    // choosing a projection width, and the measured reason no RP
+    // prefilter ships (see Similarity.rpDistortion docs + SCALE.md)
+    "x151_rp_distortion" -> ((s, dir) =>
+      Similarity.rpDistortion(Tables.embeddings(s, dir),
+        sampleIds = 40, dIn = 64, kOut = 16)),
     // Extensions: point-in-time (as-of) lookup — strictly-previous order
     // date per order, the inter-purchase-interval primitive
     "x14_asof_prev_order" -> ((s, dir) => {
@@ -1377,6 +1440,23 @@ object SparkEntry {
     // arithmetic is replayed exactly by the oracle
     "x34_quality_score" -> ((s, dir) =>
       graft.operators.ModelScoring.scoreDocuments(Tables.documents(s, dir))),
+    // PII redaction (the pre-training scrub every public-web corpus
+    // runs): the synthetic corpus carries no PII, so each doc is first
+    // decorated with one deterministic span per class (email, IP, SSN,
+    // phone, card — plain integer-modulus string building the oracle
+    // replays), then masked by the ordered regex chain. Pure projection
+    // — zero shuffle at any corpus size; every pattern stays inside the
+    // Java↔RE2-agreeing subset (no lookaround/backreferences)
+    "x149_pii_redact" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        graft.functions.TextAnalysis.scrubPii(
+          graft.functions.TextAnalysis.decorateSyntheticPii(
+            col("text"), col("doc_id"))).as("redacted"))
+        .withColumn("n_tags",
+          size(regexp_extract_all(col("redacted"),
+            lit("<(EMAIL|IP|SSN|NID|CC|PHONE)>"), lit(0)))
+            .cast("long"))),
     // lexical retrieval: BM25 against a fixed query (one corpus-stat
     // pass + one scoring projection with all constants as literals),
     // and the rare-token inverted index as relational posting rows
@@ -2873,6 +2953,74 @@ object SparkEntry {
     // recall floor held for every query
     "x6_ann_lsh" -> AnnExactTopkOracle,
     "x13_ann_ivf" -> AnnExactTopkOracle,
+    // x152: the oracle counts by brute-force position scan — the
+    // DEFINITION of overlapping occurrence — so the automaton is
+    // verified against the contract, not against another automaton
+    "x152_keyword_tags" ->
+      s"""WITH kw(kidx, kw) AS (VALUES $keywordValuesSql),
+        |cnt AS (
+        |  SELECT d.doc_id, k.kidx,
+        |         CAST(len(list_filter(
+        |           generate_series(1, length(d.text) - length(k.kw) + 1),
+        |           p -> substr(d.text, p, length(k.kw)) = k.kw)) AS BIGINT)
+        |           AS c
+        |  FROM documents d CROSS JOIN kw k)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_hits,
+        |       CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS INT) AS n_kinds,
+        |       array_to_string(list(c ORDER BY kidx), ',') AS counts
+        |FROM cnt GROUP BY doc_id""".stripMargin,
+    // x150/x151: the ±1/√16 sign matrix is pure BIGINT arithmetic
+    // (two affine+square rounds mod 2^31−1, parity — see
+    // Similarity.rpSign) — the oracle rebuilds it cell by cell in a
+    // stepwise CTE and replays the identical left-folded widened sums
+    "x150_random_projection" ->
+      s"""WITH $RpSignCtes
+        |SELECT e.vec_id, CAST(sig.j AS INT) AS rp_dim,
+        |       round(list_sum(list_transform(generate_series(1, 64), i ->
+        |           CAST(e.embedding[i] AS DOUBLE) * sig.col_s[i]))
+        |         / sqrt(CAST(16 AS DOUBLE)), 6) AS rp_val
+        |FROM embeddings e, sig""".stripMargin,
+    "x151_rp_distortion" ->
+      s"""WITH $RpSignCtes,
+        |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40),
+        |comp AS (
+        |  SELECT e.vec_id, sig.j,
+        |         list_sum(list_transform(generate_series(1, 64), i ->
+        |             CAST(e.embedding[i] AS DOUBLE) * sig.col_s[i]))
+        |           / sqrt(CAST(16 AS DOUBLE)) AS c
+        |  FROM e, sig),
+        |rp AS (SELECT vec_id, list(c ORDER BY j) AS rp
+        |       FROM comp GROUP BY vec_id),
+        |v AS (SELECT e.vec_id,
+        |             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS fv,
+        |             rp.rp
+        |      FROM e JOIN rp USING (vec_id))
+        |SELECT vec_a, vec_b, cos_full, cos_proj,
+        |       round(abs(cos_full - cos_proj), 6) AS abs_err
+        |FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    CASE WHEN sqrt(list_sum(list_transform(generate_series(1, 64),
+        |             i -> a.fv[i] * a.fv[i])))
+        |           * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |             i -> b.fv[i] * b.fv[i]))) > 0
+        |      THEN round(list_sum(list_transform(generate_series(1, 64),
+        |             i -> a.fv[i] * b.fv[i]))
+        |        / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |             i -> a.fv[i] * a.fv[i])))
+        |         * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |             i -> b.fv[i] * b.fv[i])))), 6) END AS cos_full,
+        |    CASE WHEN sqrt(list_sum(list_transform(generate_series(1, 16),
+        |             i -> a.rp[i] * a.rp[i])))
+        |           * sqrt(list_sum(list_transform(generate_series(1, 16),
+        |             i -> b.rp[i] * b.rp[i]))) > 0
+        |      THEN round(list_sum(list_transform(generate_series(1, 16),
+        |             i -> a.rp[i] * b.rp[i]))
+        |        / (sqrt(list_sum(list_transform(generate_series(1, 16),
+        |             i -> a.rp[i] * a.rp[i])))
+        |         * sqrt(list_sum(list_transform(generate_series(1, 16),
+        |             i -> b.rp[i] * b.rp[i])))), 6) END AS cos_proj
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)""".stripMargin,
     // x97: exact top-k with the delta split — corpus excludes every
     // 10th vector, queries are the first five of those
     "x97_ann_delta" ->
@@ -3014,6 +3162,35 @@ object SparkEntry {
         |                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.3""".stripMargin,
+    "x149_pii_redact" ->
+      """WITH dec AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |         '@mail.example.com ip 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+        |         '.' || CAST(doc_id % 250 AS VARCHAR) ||
+        |         '.' || CAST(doc_id % 100 AS VARCHAR) ||
+        |         ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR) ||
+        |         '-' || CAST(doc_id % 90 + 10 AS VARCHAR) ||
+        |         '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ||
+        |         ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |         ' card 4111 1111 1111 1111' AS t
+        |  FROM documents),
+        |msk AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b|\b(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}\b', '<IP>', 'g'),
+        |      '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b', '<IP>', 'g'),
+        |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |      '\b[A-CEGHJ-PR-TW-Z]{2}[0-9]{6}[A-D]\b', '<NID>', 'g'),
+        |      '\b(?:4[0-9]{3}|5[1-5][0-9]{2}|3[47][0-9]{2}|6(?:011|5[0-9]{2}))(?:[ -]?[0-9]{4}){2}(?:[ -]?[0-9]{1,4})?\b', '<CC>', 'g'),
+        |      '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted
+        |  FROM dec)
+        |SELECT doc_id, redacted,
+        |       CAST(len(regexp_extract_all(redacted,
+        |            '<(EMAIL|IP|SSN|NID|CC|PHONE)>')) AS BIGINT) AS n_tags
+        |FROM msk""".stripMargin,
     "x7_text_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,

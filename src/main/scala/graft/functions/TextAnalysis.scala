@@ -115,6 +115,26 @@ object TextAnalysis {
       regexp_replace(c, lit(re), lit(tag))
     }
 
+  /** Deterministic synthetic-PII decoration: appends one span of each
+    * [[piiPatterns]] class (email, IPv4, SSN, NANP phone, card number),
+    * derived arithmetically from `id`, to `text`. The synthetic corpus
+    * carries no PII of its own (lowercase word soup — no digits or
+    * `@`), so the redaction gate decorates first and masks second; the
+    * decoration is plain integer-modulus string building that the SQL
+    * oracle replays verbatim, making the masked output exactly
+    * comparable across engines. */
+  def decorateSyntheticPii(text: Column, id: Column): Column = {
+    val d = id.cast("long")
+    def s(c: Column): Column = c.cast("string")
+    concat(text,
+      lit(" contact user"), s(d), lit("@mail.example.com ip 10."),
+      s(d % 200), lit("."), s(d % 250), lit("."), s(d % 100),
+      lit(" ssn "), s(d % 900 + 100), lit("-"), s(d % 90 + 10),
+      lit("-"), s(d % 9000 + 1000),
+      lit(" call 415-555-"), lpad(s(d % 10000), 4, "0"),
+      lit(" card 4111 1111 1111 1111"))
+  }
+
   /** Luhn checksum validity of the digits in `number` (non-digits are
     * ignored, so grouped card layouts check directly). Null for null
     * input; false when fewer than 2 digits. Pure `transform`/`aggregate`

@@ -484,4 +484,34 @@ class KernelFuzzSpec extends SparkTestBase {
       assert(gotI === wantIds, s"ids for '$word' over $sorted")
     }
   }
+
+  test("keyword kernel fuzz: Aho–Corasick counts equal the byte-level " +
+    "brute-force definition (overlaps included) on low-alphabet and " +
+    "multibyte texts against random keyword sets") {
+    import graft.functions.KeywordExprs
+    // the definition: every byte offset where the pattern bytes match
+    def refCount(text: String, kw: String): Long = {
+      val t = text.getBytes("UTF-8")
+      val k = kw.getBytes("UTF-8")
+      (0 to t.length - k.length).count(p =>
+        java.util.Arrays.equals(t, p, p + k.length, k, 0, k.length)).toLong
+    }
+    // low-alphabet texts force dense overlap; multibyte stresses the
+    // byte-walk; the 10k text stresses throughput assumptions
+    val acTextGen: Gen[String] = Gen.oneOf(
+      Gen.listOfN(40, Gen.oneOf('a', 'b', ' ')).map(_.mkString),
+      Gen.listOfN(12, Gen.oneOf("日", "本", "a", "𝄞")).map(_.mkString),
+      Gen.const("ab" * 5000))
+    val kwPool = Seq("a", "b", "ab", "ba", "aa", "aba", "a a", "b a",
+      "abab", "日本", "本", "𝄞", "日a")
+    val kwGen: Gen[Seq[String]] =
+      Gen.chooseNum(1, kwPool.length).map(n => kwPool.take(n))
+    for ((text, kws) <- samples(Gen.zip(acTextGen, kwGen), 150)) {
+      val got = Seq(text).toDF("text")
+        .select(KeywordExprs.keywordCounts(col("text"), kws))
+        .as[Seq[Long]].head()
+      val want = kws.map(refCount(text, _))
+      assert(got === want, s"counts for '${text.take(60)}' over $kws")
+    }
+  }
 }

@@ -237,7 +237,11 @@ class PlanSpec extends SparkTestBase {
         "x117_containment_delta",
         // x107 is x5's scan over the label-FILTERED slice (the filter
         // pushes to the scan — asserted above)
-        "x107_ann_filtered")
+        "x107_ann_filtered",
+        // x151 is the JL distortion AUDIT: all pairs among a bounded
+        // 40-row id-filtered sample (780 pairs at every SF) — the
+        // broadcast sample×sample scan IS the workload, like x5
+        "x151_rp_distortion")
     for ((name, q) <- SparkEntry.queries) {
       val p = q(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
@@ -258,6 +262,28 @@ class PlanSpec extends SparkTestBase {
         s"$name: $p")
       assert(!p.contains("Join"), s"$name: $p")
     }
+  }
+
+  test("x149 PII redaction, x150 random projection, and x152 keyword " +
+    "tagging are pure projections: ZERO exchanges, zero joins — the " +
+    "regex chain, sign matrix, and keyword automaton all ride the " +
+    "plan as literals") {
+    for (name <- Seq("x149_pii_redact", "x150_random_projection",
+        "x152_keyword_tags")) {
+      val p = plan(name)
+      assert(p.linesIterator.count(_.contains("Exchange")) === 0,
+        s"$name: $p")
+      assert(!p.contains("Join"), s"$name: $p")
+    }
+  }
+
+  test("x151 rp distortion: the audit sample broadcasts (no shuffled " +
+    "self-join), and the id filter reaches the parquet scan") {
+    val p = plan("x151_rp_distortion")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p) // bounded sample × sample
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("PushedFilters") && p.contains("LessThan(vec_id"), p)
   }
 
   test("x133 balanced sample: one exchange, map-side-combined heap " +

@@ -69,7 +69,13 @@ class StreamOovMonitorSpec extends SparkTestBase {
     }
     val secs = (System.nanoTime() - t0) / 1e9
     assert(e.getMessage.contains("cardinality probe"))
-    assert(secs < 60.0, s"probe took ${secs}s — not bounded")
+    // generous wall bound: the limit-pruned probe reads ~1k rows
+    // (sub-second unloaded; observed 70 s under a fully contended box
+    // running the bench suite concurrently), while the failure mode it
+    // guards — collecting the 50M-row relation on the driver — stalls
+    // for many minutes or OOMs outright. 300 s separates the two
+    // regimes under any realistic contention without flaking.
+    assert(secs < 300.0, s"probe took ${secs}s — not bounded")
     // an in-cap vocab on the same relation shape still annotates
     val ok = StreamOovMonitor.annotate(df,
       spark.range(0, 10L).select(concat(lit("x"), col("id")).as("token")))
