@@ -55,6 +55,45 @@ object SparkEntry {
       |sig AS (SELECT j, list(s ORDER BY i) AS col_s FROM m GROUP BY j)"""
       .stripMargin
 
+  /** Shared oracle CTE chain for the CDC queries (x153/x154): the
+    * base-257 power table (recursive), window hashes at every end
+    * position, the mask-63 boundary predicate with the forced doc-end
+    * boundary, and the chunk segmentation `(doc_id, chunk_idx, start,
+    * len)` — fingerprinting differs per query and stays inline. */
+  private val CdcOracleCtes: String =
+    """WITH RECURSIVE pw(n, v) AS (
+      |  SELECT 0, CAST(1 AS BIGINT)
+      |  UNION ALL
+      |  SELECT n + 1, (v * 257) % 2147483647 FROM pw
+      |  WHERE n < (SELECT max(length(text)) FROM documents)
+      |),
+      |pl AS (SELECT list(v ORDER BY n) AS p FROM pw),
+      |d AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |      WHERE length(text) > 0),
+      |wh AS (
+      |  SELECT d.doc_id, g.i,
+      |         list_sum(list_transform(generate_series(1, 16), t ->
+      |           ord(substr(d.text, CAST(g.i - 16 + t AS INT), 1))
+      |             * pl.p[16 - t + 1]))
+      |           % 2147483647 AS h
+      |  FROM d, pl, unnest(generate_series(16, d.n)) g(i)),
+      |bl0 AS (SELECT doc_id, list(i ORDER BY i) AS bs
+      |        FROM wh WHERE h % 64 = 63 GROUP BY doc_id),
+      |bl AS (
+      |  SELECT d.doc_id, d.n,
+      |         CASE WHEN b.bs IS NULL THEN [CAST(d.n AS BIGINT)]
+      |              WHEN b.bs[len(b.bs)] = d.n THEN b.bs
+      |              ELSE list_append(b.bs, CAST(d.n AS BIGINT)) END AS bs
+      |  FROM d LEFT JOIN bl0 b USING (doc_id)),
+      |ch AS (
+      |  SELECT doc_id, g.k - 1 AS chunk_idx,
+      |         CASE WHEN g.k = 1 THEN 0
+      |              ELSE bs[CAST(g.k - 1 AS INT)] END AS start,
+      |         bs[CAST(g.k AS INT)]
+      |           - (CASE WHEN g.k = 1 THEN 0
+      |              ELSE bs[CAST(g.k - 1 AS INT)] END) AS len
+      |  FROM bl, unnest(generate_series(1, len(bs))) g(k))""".stripMargin
+
   /** x152 keyword tag list — overlap-rich by design ("an" inside
     * "scan", self-bordered "a a", cross-word "fast scan") so the gate
     * exercises dictionary-suffix and self-overlap counting, not just
@@ -245,6 +284,32 @@ object SparkEntry {
         Similarity.cosineTopK(emb, queries, k = 10),
         floor = AnnIvfRecallFloor)
     }),
+    // content-defined chunking (Rabin boundaries — LBFS and every
+    // dedup store since): boundary where the 16-byte rolling hash has
+    // its low 6 bits set, so an INSERTION perturbs boundaries only
+    // locally and every other chunk keeps its fingerprint — the
+    // shift-robust sub-document dedup that fixed windows and whole-doc
+    // hashing both miss. Chunk pass = one codegen byte-pass per row
+    // (zero shuffle); the oracle replays the exact mod-2^31−1
+    // polynomial arithmetic
+    "x153_cdc_chunks" -> ((s, dir) =>
+      graft.operators.Dedup.cdcChunks(Tables.documents(s, dir),
+        w = 16, maskBits = 6)),
+    // the dedup application: (fp, len) chunks present in >= 2 docs —
+    // one map-side-combinable aggregate whose shuffle carries distinct
+    // chunk keys only (the exact-dedup shape at chunk granularity)
+    "x154_cdc_dup_chunks" -> ((s, dir) =>
+      graft.operators.Dedup.cdcDupChunks(Tables.documents(s, dir),
+        w = 16, maskBits = 6, minLen = 24)),
+    // the pair-level CDC application: document pairs sharing >= 48
+    // bytes of distinct chunk keys — the chunk-posting join that
+    // surfaces shifted/partial duplicates; chunks in > 64 docs are
+    // dropped before pairing (boilerplate is not duplication evidence,
+    // and a k-doc chunk would emit k² pairs)
+    "x155_cdc_overlap" -> ((s, dir) =>
+      graft.operators.Dedup.cdcOverlapPairs(Tables.documents(s, dir),
+        w = 16, maskBits = 6, minLen = 24, minSharedBytes = 48,
+        maxDocsPerChunk = 64)),
     // keyword blocklist/taglist screening (bad-word filters, license
     // and domain-term tagging): per-keyword overlapping-occurrence
     // counts in ONE Aho–Corasick byte pass per row — cost independent
@@ -2953,6 +3018,58 @@ object SparkEntry {
     // recall floor held for every query
     "x6_ann_lsh" -> AnnExactTopkOracle,
     "x13_ann_ivf" -> AnnExactTopkOracle,
+    // x153/x154: the oracle replays the CDC contract from scratch —
+    // recursive-CTE power table, per-position window hashes, boundary
+    // predicate, segmentation, full-chunk fingerprints — all exact
+    // BIGINT arithmetic mod 2^31−1 (CdcOps's incremental residues
+    // equal the oracle's one-shot sums mod p)
+    "x153_cdc_chunks" -> (CdcOracleCtes +
+      """
+        |SELECT c.doc_id, CAST(c.chunk_idx AS INT) AS chunk_idx,
+        |       CAST(c.start AS INT) AS start, CAST(c.len AS INT) AS len,
+        |       list_sum(list_transform(generate_series(1, c.len), t ->
+        |         ord(substr(d2.text, CAST(c.start + t AS INT), 1))
+        |           * pl.p[c.len - t + 1]))
+        |         % 2147483647 AS fp
+        |FROM ch c JOIN d d2 USING (doc_id), pl""".stripMargin),
+    "x154_cdc_dup_chunks" -> (CdcOracleCtes +
+      """,
+        |fps AS (
+        |  SELECT c.doc_id, c.len,
+        |         list_sum(list_transform(generate_series(1, c.len), t ->
+        |           ord(substr(d2.text, CAST(c.start + t AS INT), 1))
+        |             * pl.p[c.len - t + 1]))
+        |           % 2147483647 AS fp
+        |  FROM ch c JOIN d d2 USING (doc_id), pl
+        |  WHERE c.len >= 24)
+        |SELECT fp, CAST(len AS INT) AS len,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occ
+        |FROM fps GROUP BY fp, len
+        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin),
+    "x155_cdc_overlap" -> (CdcOracleCtes +
+      """,
+        |fps AS (
+        |  SELECT DISTINCT c.doc_id, c.len,
+        |         list_sum(list_transform(generate_series(1, c.len), t ->
+        |           ord(substr(d2.text, CAST(c.start + t AS INT), 1))
+        |             * pl.p[c.len - t + 1]))
+        |           % 2147483647 AS fp
+        |  FROM ch c JOIN d d2 USING (doc_id), pl
+        |  WHERE c.len >= 24),
+        |capped AS (
+        |  SELECT doc_id, len, fp FROM (
+        |    SELECT doc_id, len, fp,
+        |           count(*) OVER (PARTITION BY fp, len) AS _n
+        |    FROM fps)
+        |  WHERE _n <= 64 AND _n >= 2)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(count(*) AS BIGINT) AS shared_chunks,
+        |       CAST(sum(a.len) AS BIGINT) AS shared_bytes
+        |FROM capped a JOIN capped b
+        |  ON a.fp = b.fp AND a.len = b.len AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING sum(a.len) >= 48""".stripMargin),
     // x152: the oracle counts by brute-force position scan — the
     // DEFINITION of overlapping occurrence — so the automaton is
     // verified against the contract, not against another automaton

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{BloomExprs, PrefixExprs, SetExprs, ShingleExprs}
+import graft.functions.{BloomExprs, CdcExprs, PrefixExprs, SetExprs, ShingleExprs}
 
 /** Document deduplication operators, each stated in partition-scalable
   * form: no driver collects, no O(n²) cross joins — candidate generation
@@ -179,6 +179,86 @@ object Dedup {
     * (no re-split, no re-concat), as in [[dedupParagraphs]].
     *
     * Output: idCol, rebuilt `text`, `n_dropped`. */
+  /** Content-defined chunking relation: one row per CDC chunk —
+    * `(idCol, chunk_idx, start, len, fp)`, byte offsets, expected
+    * chunk length ≈ 2^maskBits. The chunk pass is a pure codegen
+    * projection ([[graft.functions.CdcChunksExpr]] — one byte-level
+    * rolling-hash pass per row, no shuffle at any corpus size); see
+    * [[graft.functions.CdcOps]] for the boundary/fingerprint contract
+    * and why CDC (not fixed windows) is the shift-robust chunking
+    * every dedup store uses. */
+  def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 16,
+      maskBits: Int = 6): DataFrame =
+    docs.select(col(idCol),
+        posexplode(CdcExprs.cdcChunks(col(textCol), w, maskBits)))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        col("col.start").as("start"), col("col.len").as("len"),
+        col("col.fp").as("fp"))
+
+  /** Cross-document duplicate CDC chunks: `(fp, len, n_docs, n_occ)`
+    * for every chunk whose (fingerprint, length) appears in ≥ 2
+    * documents and is at least `minLen` bytes (tiny chunks — the
+    * no-min-bound artifact of the pure predicate — are dedup noise,
+    * filtered HERE where the policy belongs). One hash-keyed
+    * aggregate over the chunk relation: map-side combinable, shuffle
+    * carries distinct (fp, len) keys only — the exact-dedup shuffle
+    * shape ([[exact]]) applied at sub-document granularity, which is
+    * what catches a duplicated span pasted into otherwise-different
+    * documents (fixed-offset or whole-doc hashing both miss it). */
+  def cdcDupChunks(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 16, maskBits: Int = 6,
+      minLen: Int = 24): DataFrame =
+    cdcChunks(docs, idCol, textCol, w, maskBits)
+      .filter(col("len") >= minLen)
+      // two plain hash aggregates instead of countDistinct: no Expand,
+      // both stages map-side combinable (the x4 row-16 discipline)
+      .groupBy(col("fp"), col("len"), col(idCol))
+      .agg(count(lit(1)).as("_occ"))
+      .groupBy(col("fp"), col("len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_occ")).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+
+  /** Document pairs sharing CDC chunk content: `(doc_a, doc_b,
+    * shared_chunks, shared_bytes)` for pairs whose DISTINCT shared
+    * (fp, len) chunk keys sum to ≥ `minSharedBytes` bytes — the
+    * chunk-posting join every CDC dedup store runs to surface
+    * shifted/partial duplicates ([[cdcDupChunks]] names the content;
+    * this names the document pairs).
+    *
+    * Scale shape: per-doc chunk sets dedupe map-side, the pair join is
+    * a key-equality shuffle on (fp, len) — candidates ∝ duplicate
+    * mass, never all-pairs — and chunks present in more than
+    * `maxDocsPerChunk` documents are dropped BEFORE pairing (the
+    * [[removeBoilerplate]] rule: a boilerplate chunk in k docs would
+    * emit k² pairs; ubiquitous content is not duplication evidence).
+    * The cap is part of the declared semantics, mirrored by the
+    * oracle. */
+  def cdcOverlapPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 16, maskBits: Int = 6,
+      minLen: Int = 24, minSharedBytes: Int = 48,
+      maxDocsPerChunk: Int = 64): DataFrame = {
+    require(maxDocsPerChunk >= 2,
+      s"cdcOverlapPairs: maxDocsPerChunk must be >= 2, got $maxDocsPerChunk")
+    val perDoc = cdcChunks(docs, idCol, textCol, w, maskBits)
+      .filter(col("len") >= minLen)
+      .select(col("fp"), col("len"), col(idCol).as("_doc"))
+      .distinct()
+    val keyed = perDoc
+      .withColumn("_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"), col("len"))))
+      .filter(col("_n") <= maxDocsPerChunk && col("_n") >= 2)
+      .drop("_n")
+    keyed.as("a").join(keyed.as("b"),
+        col("a.fp") === col("b.fp") && col("a.len") === col("b.len") &&
+          col("a._doc") < col("b._doc"))
+      .groupBy(col("a._doc").as("doc_a"), col("b._doc").as("doc_b"))
+      .agg(count(lit(1)).as("shared_chunks"),
+        sum(col("a.len").cast("long")).as("shared_bytes"))
+      .filter(col("shared_bytes") >= minSharedBytes)
+  }
+
   def removeBoilerplate(docs: DataFrame, minDocs: Int = 3,
       delimiter: String = "\n", rejoin: String = "\n", minChars: Int = 1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

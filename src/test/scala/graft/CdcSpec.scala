@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CdcExprs
+import graft.operators.Dedup
+
+/** Laws for content-defined chunking (x153/x154): the kernel against a
+  * straightforward reference, the SHIFT-ROBUSTNESS property that is
+  * CDC's reason to exist, and the duplicate-chunk detector on planted
+  * shifted duplicates. */
+class CdcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val P = 2147483647L
+  private val B = 257L
+  private val W = 16
+  private val Mask = 63L
+
+  /** Straightforward reference: recompute every window hash from
+    * scratch (no rolling update — shares no arithmetic shortcut with
+    * the kernel). */
+  private def refChunks(text: String): Seq[(Int, Int, Long)] = {
+    val b = text.getBytes("UTF-8")
+    val n = b.length
+    if (n == 0) return Seq.empty
+    def polyHash(from: Int, until: Int): Long = {
+      var h = 0L
+      for (j <- from until until) h = (h * B + (b(j) & 0xff)) % P
+      h
+    }
+    val bounds0 = (W to n).filter(i =>
+      (polyHash(i - W, i) & Mask) == Mask)
+    val bounds =
+      if (bounds0.isEmpty || bounds0.last != n) bounds0 :+ n else bounds0
+    var start = 0
+    bounds.map { e =>
+      val c = (start, e - start, polyHash(start, e)); start = e; c
+    }
+  }
+
+  private def kernelChunks(text: String): Seq[(Int, Int, Long)] =
+    Seq(text).toDF("text")
+      .select(CdcExprs.cdcChunks($"text", 16, 6))
+      .as[Seq[(Int, Int, Long)]].head()
+
+  test("kernel equals the from-scratch reference on adversarial " +
+    "strings (short, boundary-dense, long, multibyte)") {
+    val texts = Seq(
+      "", "a", "short", "x" * 15, "x" * 16, "x" * 17,
+      "the quick brown fox jumps over the lazy dog " * 20,
+      (0 until 3000).map(i => ('a' + i % 26).toChar).mkString,
+      "日本語のテキスト " * 40, // multibyte: byte-level contract
+      "a b " * 500)
+    for (t <- texts)
+      assert(kernelChunks(t) === refChunks(t), s"text len ${t.length}")
+  }
+
+  test("shift robustness: every non-first chunk of a document " +
+    "reappears verbatim after a prefix insertion (boundaries are " +
+    "window-local, so only the first chunk can change)") {
+    // aperiodic fixture: a periodic string has only ~period distinct
+    // windows and may legitimately produce zero mask hits
+    val words = Seq("key", "agg", "row", "scan", "slow", "fast",
+      "table", "value", "part", "hash")
+    val doc = (0 until 400).map(i => words(i % 10) + i).mkString(" ")
+    for (ins <- Seq("X", "inserted preamble ", "Z" * 100)) {
+      val orig = kernelChunks(doc).map(c => (c._2, c._3)) // (len, fp)
+      val shifted = kernelChunks(ins + doc).map(c => (c._2, c._3))
+      assert(orig.size > 3, s"fixture degenerate: ${orig.size} chunks")
+      // multiset containment of all-but-first original chunks
+      val have = scala.collection.mutable.Map.empty[(Int, Long), Int]
+      shifted.foreach(c => have(c) = have.getOrElse(c, 0) + 1)
+      for (c <- orig.drop(1)) {
+        assert(have.getOrElse(c, 0) > 0,
+          s"chunk $c lost after inserting '${ins.take(10)}…'")
+        have(c) -= 1
+      }
+      // and by the same locality, a fixed-offset scheme would lose
+      // every chunk: the shift moved all byte offsets
+      assert(shifted.head != orig.head || ins.isEmpty)
+    }
+  }
+
+  test("cdcDupChunks finds a duplicated span pasted into otherwise " +
+    "different documents; whole-doc hashing cannot") {
+    val shared = "value fast merge batch part value fast spark " * 8
+    val docs = Seq(
+      (1L, "alpha " * 20 + shared + "omega " * 20),
+      (2L, "gamma " * 33 + shared + "delta " * 11),
+      (3L, "unrelated text entirely " * 25)
+    ).toDF("doc_id", "text")
+    val dup = Dedup.cdcDupChunks(docs, minLen = 24)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(dup.nonEmpty, "no shared chunks found in the planted overlap")
+    assert(dup.forall(_._3 >= 2))
+    // whole-doc content hash sees three distinct documents
+    assert(docs.select(Dedup.contentHash($"text")).distinct().count() === 3)
+  }
+
+  test("cdcOverlapPairs names the pair behind the planted duplicate " +
+    "span, and the boilerplate cap drops ubiquitous chunks before " +
+    "they explode into k² pairs") {
+    // aperiodic planted spans (a periodic span has ~period distinct
+    // windows and may deterministically produce no interior boundary)
+    val shared = (0 until 60).map(k => s"shared$k").mkString(" ")
+    val boiler = (0 until 50).map(k => s"footer$k").mkString(" ")
+    val docs = (1L to 20L).map { i =>
+      val body = s"doc $i " + (0 until 60).map(k => s"w${i * 100 + k}")
+        .mkString(" ")
+      // docs 1 and 2 share `shared`; EVERY doc carries `boiler`
+      val extra = if (i <= 2) shared else ""
+      (i, body + " " + extra + boiler)
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.cdcOverlapPairs(docs, minSharedBytes = 48,
+      maxDocsPerChunk = 8)
+      .select($"doc_a", $"doc_b", $"shared_bytes")
+      .as[(Long, Long, Long)].collect()
+    // the planted pair surfaces, with the LARGEST overlap
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"planted pair missing: ${pairs.toSeq}")
+    assert(pairs.maxBy(_._3)._1 == 1L && pairs.maxBy(_._3)._2 == 2L)
+    // the cap keeps the 20-doc boilerplate from exploding into k²
+    // pairs: a handful of junction-dependent low-cardinality chunks
+    // may legitimately pair (CDC locality), but nothing near all-pairs
+    assert(pairs.length <= 5, s"cap leaked: ${pairs.toSeq}")
+    val uncapped = Dedup.cdcOverlapPairs(docs, minSharedBytes = 48,
+      maxDocsPerChunk = 1000000).count()
+    assert(uncapped >= 150L,
+      s"fixture degenerate: uncapped only $uncapped pairs")
+    intercept[IllegalArgumentException] {
+      Dedup.cdcOverlapPairs(docs, maxDocsPerChunk = 1)
+    }
+  }
+
+  test("guards: null → null, parameter bounds fail loudly") {
+    val r = Seq[Option[String]](None, Some("abc")).toDF("text")
+      .select(CdcExprs.cdcChunks($"text", 16, 6)).collect()
+    assert(r(0).isNullAt(0))
+    assert(r(1).getSeq[Any](0).nonEmpty)
+    intercept[IllegalArgumentException] {
+      CdcExprs.cdcChunks($"text", 1, 6)
+    }
+    intercept[IllegalArgumentException] {
+      CdcExprs.cdcChunks($"text", 16, 0)
+    }
+  }
+}

@@ -514,4 +514,42 @@ class KernelFuzzSpec extends SparkTestBase {
       assert(got === want, s"counts for '${text.take(60)}' over $kws")
     }
   }
+
+  test("CDC kernel fuzz: rolling-hash chunking equals a from-scratch " +
+    "window-hash reference (no rolling update) on random texts, and " +
+    "chunks always tile the byte length exactly") {
+    import graft.functions.CdcExprs
+    val P = 2147483647L
+    val B = 257L
+    def ref(text: String, w: Int, maskBits: Int): Seq[(Int, Int, Long)] = {
+      val b = text.getBytes("UTF-8")
+      val n = b.length
+      if (n == 0) return Seq.empty
+      val mask = (1L << maskBits) - 1
+      def poly(from: Int, until: Int): Long = {
+        var h = 0L
+        for (j <- from until until) h = (h * B + (b(j) & 0xff)) % P
+        h
+      }
+      val b0 = (w to n).filter(i => (poly(i - w, i) & mask) == mask)
+      val bs = if (b0.isEmpty || b0.last != n) b0 :+ n else b0
+      var s = 0
+      bs.map { e => val c = (s, e - s, poly(s, e)); s = e; c }
+    }
+    val cdcTextGen: Gen[String] = Gen.oneOf(
+      Gen.chooseNum(0, 400).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)),
+      Gen.listOfN(30, Gen.oneOf("日", "𝄞", "x", " ")).map(_.mkString))
+    for ((text, (w, mb)) <- samples(Gen.zip(cdcTextGen,
+        Gen.oneOf((8, 4), (16, 6), (32, 5))), 120)) {
+      val got = Seq(text).toDF("text")
+        .select(CdcExprs.cdcChunks(col("text"), w, mb))
+        .as[Seq[(Int, Int, Long)]].head()
+      assert(got === ref(text, w, mb),
+        s"w=$w mb=$mb text='${text.take(40)}'")
+      val bytes = text.getBytes("UTF-8").length
+      assert(got.map(_._2).sum === bytes)
+      assert(got.forall(_._2 > 0) || bytes == 0)
+    }
+  }
 }

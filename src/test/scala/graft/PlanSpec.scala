@@ -277,6 +277,28 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("x153 CDC chunking is a pure projection; x154 dup-chunks is " +
+    "two map-side-combined hash aggregates — no Expand (countDistinct " +
+    "avoided), no window, shuffle carries chunk keys only") {
+    val p153 = plan("x153_cdc_chunks")
+    assert(p153.linesIterator.count(_.contains("Exchange")) === 0, p153)
+    assert(!p153.contains("Join"), p153)
+    val p154 = plan("x154_cdc_dup_chunks")
+    assert(p154.linesIterator.count(_.contains("Exchange")) === 2, p154)
+    assert(!p154.contains("Expand") && !p154.contains("Join"), p154)
+    assert(p154.contains("partial"), p154)
+  }
+
+  test("x155 CDC overlap: the pair join is key-equality on the chunk " +
+    "key (never nested-loop/cartesian), and the boilerplate-cap " +
+    "window is keyed by the same chunk key") {
+    val p = plan("x155_cdc_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") && p.contains("fp"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("x151 rp distortion: the audit sample broadcasts (no shuffled " +
     "self-join), and the id filter reaches the parquet scan") {
     val p = plan("x151_rp_distortion")
