@@ -310,6 +310,18 @@ object SparkEntry {
       graft.operators.Dedup.cdcOverlapPairs(Tables.documents(s, dir),
         w = 16, maskBits = 6, minLen = 24, minSharedBytes = 48,
         maxDocsPerChunk = 64)),
+    // the CDC delta route (every dedup family's incremental shape):
+    // chunk ONLY the arriving batch, probe the persisted chunk index —
+    // cost ∝ delta; corpus = doc_id % 10 != 0, delta = the rest (the
+    // x48 split)
+    "x156_cdc_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      graft.operators.Dedup.cdcOverlapDelta(delta,
+        graft.operators.Dedup.cdcChunkIndex(corpus),
+        minSharedBytes = 48, maxDocsPerChunk = 64)
+    }),
     // keyword blocklist/taglist screening (bad-word filters, license
     // and domain-term tagging): per-keyword overlapping-occurrence
     // counts in ONE Aho–Corasick byte pass per row — cost independent
@@ -3070,6 +3082,30 @@ object SparkEntry {
         |  ON a.fp = b.fp AND a.len = b.len AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING sum(a.len) >= 48""".stripMargin),
+    "x156_cdc_delta" -> (CdcOracleCtes +
+      """,
+        |fps AS (
+        |  SELECT DISTINCT c.doc_id, c.len,
+        |         list_sum(list_transform(generate_series(1, c.len), t ->
+        |           ord(substr(d2.text, CAST(c.start + t AS INT), 1))
+        |             * pl.p[c.len - t + 1]))
+        |           % 2147483647 AS fp
+        |  FROM ch c JOIN d d2 USING (doc_id), pl
+        |  WHERE c.len >= 24),
+        |corpus AS (
+        |  SELECT doc_id, len, fp FROM (
+        |    SELECT doc_id, len, fp,
+        |           count(*) OVER (PARTITION BY fp, len) AS _n
+        |    FROM fps WHERE doc_id % 10 <> 0)
+        |  WHERE _n <= 64),
+        |delta AS (SELECT doc_id, len, fp FROM fps WHERE doc_id % 10 = 0)
+        |SELECT dl.doc_id AS doc_delta, co.doc_id AS doc_corpus,
+        |       CAST(count(*) AS BIGINT) AS shared_chunks,
+        |       CAST(sum(dl.len) AS BIGINT) AS shared_bytes
+        |FROM delta dl JOIN corpus co
+        |  ON dl.fp = co.fp AND dl.len = co.len
+        |GROUP BY 1, 2
+        |HAVING sum(dl.len) >= 48""".stripMargin),
     // x152: the oracle counts by brute-force position scan — the
     // DEFINITION of overlapping occurrence — so the automaton is
     // verified against the contract, not against another automaton

@@ -259,6 +259,51 @@ object Dedup {
       .filter(col("shared_bytes") >= minSharedBytes)
   }
 
+  /** The persistable CDC chunk index of a corpus: DISTINCT
+    * `(fp, len, idCol)` chunk keys at ≥ `minLen` bytes — what an
+    * incremental pipeline writes once (bucketed or sorted by
+    * `(fp, len)` so the delta probe co-locates) and probes per batch. */
+  def cdcChunkIndex(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 16, maskBits: Int = 6,
+      minLen: Int = 24): DataFrame =
+    cdcChunks(corpus, idCol, textCol, w, maskBits)
+      .filter(col("len") >= minLen)
+      .select(col("fp"), col("len"), col(idCol))
+      .distinct()
+
+  /** Incremental CDC overlap: chunk ONLY the delta batch and probe the
+    * persisted [[cdcChunkIndex]] — cost ∝ |delta|, never a corpus
+    * re-chunk (the [[exactDelta]]/[[minhashLshDelta]] discipline
+    * applied to sub-document dedup). Output: `(doc_delta, doc_corpus,
+    * shared_chunks, shared_bytes)` for pairs sharing ≥
+    * `minSharedBytes` bytes of distinct chunk keys. Chunk keys in more
+    * than `maxDocsPerChunk` CORPUS documents are dropped before
+    * pairing (boilerplate known from the index side — the
+    * [[cdcOverlapPairs]] cap with the frequency measured where the
+    * mass lives). */
+  def cdcOverlapDelta(delta: DataFrame, index: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", w: Int = 16,
+      maskBits: Int = 6, minLen: Int = 24, minSharedBytes: Int = 48,
+      maxDocsPerChunk: Int = 64): DataFrame = {
+    require(maxDocsPerChunk >= 1,
+      s"cdcOverlapDelta: maxDocsPerChunk must be >= 1, got $maxDocsPerChunk")
+    val deltaKeys = cdcChunks(delta, idCol, textCol, w, maskBits)
+      .filter(col("len") >= minLen)
+      .select(col("fp"), col("len"), col(idCol).as("doc_delta"))
+      .distinct()
+    val capped = index
+      .withColumn("_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"), col("len"))))
+      .filter(col("_n") <= maxDocsPerChunk)
+      .select(col("fp"), col("len"), col(idCol).as("doc_corpus"))
+    deltaKeys.join(capped, Seq("fp", "len"))
+      .groupBy(col("doc_delta"), col("doc_corpus"))
+      .agg(count(lit(1)).as("shared_chunks"),
+        sum(col("len").cast("long")).as("shared_bytes"))
+      .filter(col("shared_bytes") >= minSharedBytes)
+  }
+
   def removeBoilerplate(docs: DataFrame, minDocs: Int = 3,
       delimiter: String = "\n", rejoin: String = "\n", minChars: Int = 1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -133,6 +133,46 @@ class CdcSpec extends SparkTestBase {
     }
   }
 
+  test("cdcOverlapDelta ≡ cdcOverlapPairs restricted to cross pairs " +
+    "(uncapped): probing the index finds exactly what re-running the " +
+    "batch over the union would") {
+    val shared = (0 until 60).map(k => s"xs$k").mkString(" ")
+    val docs = (1L to 20L).map { i =>
+      val body = s"doc $i " + (0 until 50).map(k => s"v${i * 137 + k}")
+        .mkString(" ")
+      // span shared across the split boundary (1 ↔ 10, 3 ↔ 20) and
+      // within the corpus (3 ↔ 7, must NOT appear in the delta route)
+      val extra =
+        if (Seq(1L, 10L, 3L, 20L, 7L).contains(i)) shared else ""
+      (i, body + " " + extra)
+    }.toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val delta = docs.filter($"doc_id" % 10 === 0)
+    val viaDelta = Dedup.cdcOverlapDelta(delta,
+        Dedup.cdcChunkIndex(corpus), minSharedBytes = 48,
+        maxDocsPerChunk = 1000000)
+      .select($"doc_delta", $"doc_corpus", $"shared_chunks",
+        $"shared_bytes")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Dedup.cdcOverlapPairs(docs, minSharedBytes = 48,
+        maxDocsPerChunk = 1000000)
+      .select($"doc_a", $"doc_b", $"shared_chunks", $"shared_bytes")
+      .as[(Long, Long, Long, Long)].collect()
+    val cross = batch.flatMap { case (a, b, c, s) =>
+      val aD = a % 10 == 0; val bD = b % 10 == 0
+      if (aD && !bD) Some((a, b, c, s))
+      else if (bD && !aD) Some((b, a, c, s))
+      else None
+    }.toSet
+    assert(viaDelta.nonEmpty, "fixture produced no cross pairs")
+    assert(viaDelta === cross)
+    // side discipline: doc_delta is always a delta doc, doc_corpus a
+    // corpus doc — and the corpus-internal planted pair (3,7) exists
+    // in the batch view but stays out of the delta route
+    assert(viaDelta.forall(p => p._1 % 10 == 0 && p._2 % 10 != 0))
+    assert(batch.exists(p => p._1 == 3L && p._2 == 7L))
+  }
+
   test("guards: null → null, parameter bounds fail loudly") {
     val r = Seq[Option[String]](None, Some("abc")).toDF("text")
       .select(CdcExprs.cdcChunks($"text", 16, 6)).collect()

@@ -292,11 +292,13 @@ class PlanSpec extends SparkTestBase {
   test("x155 CDC overlap: the pair join is key-equality on the chunk " +
     "key (never nested-loop/cartesian), and the boilerplate-cap " +
     "window is keyed by the same chunk key") {
-    val p = plan("x155_cdc_overlap")
-    assert(!p.contains("BroadcastNestedLoopJoin") &&
-      !p.contains("CartesianProduct"), p)
-    assert(p.contains("Join") && p.contains("fp"), p)
-    assert(p.contains("Window"), p)
+    for (name <- Seq("x155_cdc_overlap", "x156_cdc_delta")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"$name: $p")
+      assert(p.contains("Join") && p.contains("fp"), s"$name: $p")
+      assert(p.contains("Window"), s"$name: $p")
+    }
   }
 
   test("x151 rp distortion: the audit sample broadcasts (no shuffled " +
