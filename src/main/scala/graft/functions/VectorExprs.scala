@@ -105,9 +105,120 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel for the sign random projection. The ±1 matrix is the
+  * engine constant of `Similarity.rpSign` (two affine+square rounds mod
+  * 2^31−1, parity), precomputed once per (dIn, kOut) and cached; the
+  * projection itself is the identical IEEE arithmetic the higher-order
+  * `aggregate` formulation evaluated — per output dim a left fold of
+  * (widened element × ±1.0), then ONE division by √kOut — so replacing
+  * the interpreted HOF with this kernel changes nothing bit-wise, only
+  * the 16×64 interpreted lambda evaluations per row. */
+object RpOps {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Double]]()
+
+  /** Row-major [i*kOut + j] sign matrix — exact-BIGINT arithmetic the
+    * SQL oracle replays literally. */
+  def signMatrix(dIn: Int, kOut: Int): Array[Double] =
+    cache.computeIfAbsent((dIn.toLong << 32) | kOut.toLong, _ => {
+      val p = 2147483647L
+      val m = new Array[Double](dIn * kOut)
+      var i = 0
+      while (i < dIn) {
+        var j = 0
+        while (j < kOut) {
+          val x = i.toLong * 131L + j.toLong + 17L
+          val y = (x * 48271L + 11L) % p
+          val z = (y * y) % p
+          val w = (z * 48271L + 17L) % p
+          val u = (w * w) % p
+          m(i * kOut + j) = if (u % 2L == 1L) -1.0 else 1.0
+          j += 1
+        }
+        i += 1
+      }
+      m
+    })
+
+  private def project(v: ArrayData, dIn: Int, kOut: Int,
+      get: Int => Double): ArrayData = {
+    val n = v.numElements()
+    if (n != dIn) throw new IllegalArgumentException(
+      s"randomProjectVec: embedding dim mismatch, expected $dIn got $n")
+    val s = signMatrix(dIn, kOut)
+    val scale = math.sqrt(kOut.toDouble)
+    val out = new Array[Double](kOut)
+    var j = 0
+    while (j < kOut) {
+      var acc = 0.0
+      var i = 0
+      while (i < dIn) {
+        if (v.isNullAt(i)) throw new IllegalArgumentException(
+          s"randomProjectVec: null element at position $i")
+        acc += get(i) * s(i * kOut + j)
+        i += 1
+      }
+      out(j) = acc / scale
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def projectFloat(v: ArrayData, dIn: Int, kOut: Int): ArrayData =
+    project(v, dIn, kOut, i => v.getFloat(i).toDouble)
+
+  def projectDouble(v: ArrayData, dIn: Int, kOut: Int): ArrayData =
+    project(v, dIn, kOut, i => v.getDouble(i))
+}
+
+/** Codegen column: the whole `kOut`-dim sign projection of one vector
+  * in a single primitive pass (see [[RpOps]]). Null vector → null;
+  * width mismatch or a null ELEMENT fails loudly — a corrupt embedding
+  * must not silently vanish from downstream rankings. */
+case class RandomProjectExpr(child: Expression, dIn: Int, kOut: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType,
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_random_project"
+
+  private def fn: String = child.dataType match {
+    case ArrayType(FloatType, _) => "projectFloat"
+    case _ => "projectDouble"
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got " +
+        other.sql)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (fn == "projectFloat") RpOps.projectFloat(a, dIn, kOut)
+    else RpOps.projectDouble(a, dIn, kOut)
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RpOps.$fn($c, $dIn, $kOut)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RandomProjectExpr = copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column API for [[DotProduct]]. */
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column API for [[RandomProjectExpr]]. */
+  def randomProject(v: Column, dIn: Int, kOut: Int): Column =
+    GraftColumnBridge.column(RandomProjectExpr(
+      GraftColumnBridge.expression(v), dIn, kOut))
 }

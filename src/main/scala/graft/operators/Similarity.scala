@@ -613,9 +613,9 @@ object Similarity {
 
   // ---- Random projection (Johnson–Lindenstrauss sign sketch) -----------
 
-  /** Deterministic ±1.0 entry of the sign-projection matrix at
-    * (input dim `i`, output dim `j`). Two affine+SQUARE rounds mod the
-    * Mersenne prime 2^31−1, parity of the result:
+  /** The ±1 sign matrix entry at (input dim `i`, output dim `j`) is
+    * defined in [[graft.functions.RpOps.signMatrix]]: two affine+SQUARE
+    * rounds mod the Mersenne prime 2^31−1, parity of the result:
     * {{{ x = 131·i + j + 17
     *     y = (48271·x + 11) mod p ;  z = y² mod p
     *     w = (48271·z + 17) mod p ;  u = w² mod p
@@ -628,18 +628,11 @@ object Similarity {
     * rounds measure 0.097/0.119 (matching random) on the 64×32 matrix.
     * All intermediates stay < 2^62, so the arithmetic is EXACT BIGINT
     * in both engines and the matrix is a shared constant the SQL
-    * oracle replays literally — never a shipped artifact. */
-  private def rpSign(i: Column, j: Column): Column = {
-    val p = 2147483647L
-    val x = i.cast("long") * 131L + j.cast("long") + 17L
-    val y = (x * 48271L + 11L) % p
-    val z = (y * y) % p
-    val w = (z * 48271L + 17L) % p
-    val u = (w * w) % p
-    when(u % 2L === 1L, lit(-1.0)).otherwise(lit(1.0))
-  }
-
-  /** Dense sign random projection of one `array<float>` vector to
+    * oracle replays literally — never a shipped artifact.
+    * (KeywordSpec recovers the matrix via basis-vector projections and
+    * asserts non-degeneracy, so the affine bug class cannot return.)
+    *
+    * Dense sign random projection of one `array<float>` vector to
     * `kOut` dimensions (Achlioptas 2003: ±1/√k entries preserve inner
     * products in expectation — the database-friendly JL transform).
     * Per output dim: a left-folded IEEE sum of (widened element ×
@@ -649,24 +642,21 @@ object Similarity {
     * Scale shape: a pure projection — zero shuffle at any corpus
     * width. The point at 100 TB is everything DOWNSTREAM of it: a
     * 64→16 projection cuts every later dot product, shuffle row and
-    * broadcast byte by 4× while JL keeps relative similarity; pair it
-    * with an exact re-rank ([[rpPrefilterTopK]]) to buy back recall.
+    * broadcast byte by 4× while JL keeps relative similarity in the
+    * regime [[rpDistortion]] quantifies.
     * A vector whose width disagrees with `dIn` fails loudly (the
     * [[lshBucket]] discipline) — a silent null would vanish from
     * every downstream ranking. */
   def randomProjectVec(v: Column, dIn: Int, kOut: Int): Column = {
     require(dIn > 0, s"randomProjectVec: dIn must be positive, got $dIn")
     require(kOut > 0, s"randomProjectVec: kOut must be positive, got $kOut")
-    val scale = math.sqrt(kOut.toDouble)
-    val proj = transform(sequence(lit(0), lit(kOut - 1)), j =>
-      aggregate(sequence(lit(0), lit(dIn - 1)), lit(0.0),
-        (acc, i) => acc + element_at(v, i + 1).cast("double") * rpSign(i, j))
-        / lit(scale))
-    // assert_true is null on success, so the `when` branch below always
-    // selects `proj` — the guard only materializes as a raised error
-    when(assert_true(size(v) === dIn,
-      concat(lit(s"randomProjectVec: embedding dim mismatch, expected " +
-        s"$dIn got "), size(v).cast("string"))).isNull, proj)
+    // one primitive-loop codegen kernel per row (the DotProduct
+    // discipline): bit-identical to the higher-order aggregate
+    // formulation it replaced — same left fold, same single division —
+    // but without dIn×kOut interpreted lambda evaluations per row
+    // (SCALE.md records the x150 measurement); width mismatch still
+    // fails loudly
+    VectorExprs.randomProject(v, dIn, kOut)
   }
 
   /** Relational random-projection gate surface: one row per
