@@ -515,6 +515,48 @@ class KernelFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("random-projection kernel fuzz: RandomProjectExpr equals the " +
+    "driver-side sign-matrix fold bit for bit on random float AND " +
+    "double vectors (including ±0, subnormals, huge magnitudes)") {
+    import graft.functions.VectorExprs
+    def signRef(i: Int, j: Int): Double = {
+      val p = 2147483647L
+      val x = i.toLong * 131L + j.toLong + 17L
+      val y = (x * 48271L + 11L) % p
+      val z = (y * y) % p
+      val w = (z * 48271L + 17L) % p
+      if ((w * w) % p % 2L == 1L) -1.0 else 1.0
+    }
+    val valGen: Gen[Float] = Gen.oneOf(
+      Gen.chooseNum(-1e6f, 1e6f), Gen.oneOf(0.0f, -0.0f, 1e-40f,
+        Float.MaxValue / 1e10f, -3.4028e30f))
+    for ((d, k) <- Seq((8, 4), (64, 16), (33, 7))) {
+      val vecs = samples(Gen.listOfN(d, valGen), 40)
+      for (v <- vecs) {
+        val want = (0 until k).map { j =>
+          var acc = 0.0
+          for (i <- 0 until d) acc += v(i).toDouble * signRef(i, j)
+          acc / math.sqrt(k.toDouble)
+        }
+        val gotF = Seq(v).toDF("v")
+          .select(VectorExprs.randomProject(col("v"), d, k))
+          .as[Seq[Double]].head()
+        assert(gotF.map(java.lang.Double.doubleToLongBits) ===
+          want.map(java.lang.Double.doubleToLongBits), s"float d=$d k=$k")
+        val gotD = Seq(v.map(_.toDouble)).toDF("v")
+          .select(VectorExprs.randomProject(col("v"), d, k))
+          .as[Seq[Double]].head()
+        val wantD = (0 until k).map { j =>
+          var acc = 0.0
+          for (i <- 0 until d) acc += v(i).toDouble * signRef(i, j)
+          acc / math.sqrt(k.toDouble)
+        }
+        assert(gotD.map(java.lang.Double.doubleToLongBits) ===
+          wantD.map(java.lang.Double.doubleToLongBits), s"double d=$d k=$k")
+      }
+    }
+  }
+
   test("CDC kernel fuzz: rolling-hash chunking equals a from-scratch " +
     "window-hash reference (no rolling update) on random texts, and " +
     "chunks always tile the byte length exactly") {
