@@ -49,7 +49,15 @@ for name in sorted(oracle):
     eq = True
     for c in g.columns:
         gc, ec = g[c], e[c]
-        if str(gc.dtype).startswith("float") or str(ec.dtype).startswith("float"):
+        gf = str(gc.dtype).startswith("float")
+        ef = str(ec.dtype).startswith("float")
+        if gf != ef:
+            # dtype-class mismatch: the driver's gate hashes canonical
+            # string forms, so int 123 vs float 123.0 is a hard fail there
+            # even when numerically equal (the r13 x153/x154 lesson)
+            print(f"{name}: DTYPE CLASS MISMATCH col={c} spark={gc.dtype} oracle={ec.dtype}")
+            eq = False
+        elif gf:
             import numpy as np
             if not np.allclose(gc.astype(float), ec.astype(float), rtol=0, atol=0, equal_nan=True):
                 # exact compare — report max diff

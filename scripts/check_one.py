@@ -51,7 +51,16 @@ if len(g) != len(e):
 bad = []
 for c in g.columns:
     gc, ec = g[c], e[c]
-    if str(gc.dtype).startswith("float") or str(ec.dtype).startswith("float"):
+    gf = str(gc.dtype).startswith("float")
+    ef = str(ec.dtype).startswith("float")
+    if gf != ef:
+        # dtype-class mismatch: the driver's gate hashes canonical string
+        # forms, so int 123 vs float 123.0 is a hard fail there even when
+        # numerically equal — mirror that here (the r13 x153/x154 lesson)
+        print(f"{name}: DTYPE CLASS MISMATCH col={c} "
+              f"spark={gc.dtype} oracle={ec.dtype}")
+        bad.append(c)
+    elif gf:
         import numpy as np
         if not np.allclose(gc.astype(float), ec.astype(float),
                            rtol=0, atol=0, equal_nan=True):

@@ -59,8 +59,17 @@ object SparkEntry {
     * base-257 power table (recursive), window hashes at every end
     * position, the mask-63 boundary predicate with the forced doc-end
     * boundary, and the chunk segmentation `(doc_id, chunk_idx, start,
-    * len)` — fingerprinting differs per query and stays inline. */
-  private val CdcOracleCtes: String =
+    * len)` — fingerprinting differs per query and stays inline.
+    *
+    * ASCII ASSUMPTION: the engine (CdcOps, KeywordOps) operates on raw
+    * UTF-8 BYTES, while this oracle uses character semantics —
+    * `length(text)`, `substr`, `ord` (codepoint). The two agree because
+    * the synthetic documents corpus is pure ASCII (1 char = 1 byte =
+    * codepoint); a non-ASCII fixture would shift every CDC hash/offset
+    * and keyword position in the oracle, NOT in the engine — the engine's
+    * byte contract is the declared one. If the corpus ever grows
+    * non-ASCII text, re-express this oracle over `encode(text)` bytes. */
+  private val CdcOracleBaseCtes: String =
     """WITH RECURSIVE pw(n, v) AS (
       |  SELECT 0, CAST(1 AS BIGINT)
       |  UNION ALL
@@ -72,11 +81,14 @@ object SparkEntry {
       |      WHERE length(text) > 0),
       |wh AS (
       |  SELECT d.doc_id, g.i,
-      |         list_sum(list_transform(generate_series(1, 16), t ->
+      |         CAST(list_sum(list_transform(generate_series(1, 16), t ->
       |           ord(substr(d.text, CAST(g.i - 16 + t AS INT), 1))
       |             * pl.p[16 - t + 1]))
-      |           % 2147483647 AS h
-      |  FROM d, pl, unnest(generate_series(16, d.n)) g(i)),
+      |           % 2147483647 AS BIGINT) AS h
+      |  FROM d, pl, unnest(generate_series(16, d.n)) g(i))""".stripMargin
+
+  private val CdcOracleCtes: String = CdcOracleBaseCtes +
+    """,
       |bl0 AS (SELECT doc_id, list(i ORDER BY i) AS bs
       |        FROM wh WHERE h % 64 = 63 GROUP BY doc_id),
       |bl AS (
@@ -310,6 +322,14 @@ object SparkEntry {
       graft.operators.Dedup.cdcOverlapPairs(Tables.documents(s, dir),
         w = 16, maskBits = 6, minLen = 24, minSharedBytes = 48,
         maxDocsPerChunk = 64)),
+    // bounded CDC (the LBFS min/max rule production chunkers carry):
+    // mask boundaries suppressed under 32 bytes, forced at 128 — same
+    // one-codegen-byte-pass shape as x153; the bounds make boundary
+    // acceptance sequential, which the oracle replays with a recursive
+    // next-boundary CTE instead of the positional predicate
+    "x157_cdc_chunks_bounded" -> ((s, dir) =>
+      graft.operators.Dedup.cdcChunksBounded(Tables.documents(s, dir),
+        w = 16, maskBits = 6, minChunk = 32, maxChunk = 128)),
     // the CDC delta route (every dedup family's incremental shape):
     // chunk ONLY the arriving batch, probe the persisted chunk index —
     // cost ∝ delta; corpus = doc_id % 10 != 0, delta = the rest (the
@@ -3039,19 +3059,56 @@ object SparkEntry {
       """
         |SELECT c.doc_id, CAST(c.chunk_idx AS INT) AS chunk_idx,
         |       CAST(c.start AS INT) AS start, CAST(c.len AS INT) AS len,
-        |       list_sum(list_transform(generate_series(1, c.len), t ->
+        |       CAST(list_sum(list_transform(generate_series(1, c.len), t ->
         |         ord(substr(d2.text, CAST(c.start + t AS INT), 1))
         |           * pl.p[c.len - t + 1]))
-        |         % 2147483647 AS fp
+        |         % 2147483647 AS BIGINT) AS fp
         |FROM ch c JOIN d d2 USING (doc_id), pl""".stripMargin),
+    // x157: bounds make boundary acceptance SEQUENTIAL (the next
+    // boundary depends on the previous one), so the oracle replaces the
+    // positional bl0/bl CTEs with a recursive next-boundary fold: from
+    // boundary `fin`, the next is the earliest mask match at
+    // fin+minChunk or later, capped by the forced fin+maxChunk and the
+    // doc end — exactly the kernel's acceptance rule
+    "x157_cdc_chunks_bounded" -> (CdcOracleBaseCtes +
+      """,
+        |seg(doc_id, n, fin) AS (
+        |  SELECT doc_id, n, CAST(0 AS BIGINT) FROM d
+        |  UNION ALL
+        |  SELECT s.doc_id, s.n,
+        |         least(
+        |           coalesce((SELECT min(w2.i) FROM wh w2
+        |                     WHERE w2.doc_id = s.doc_id
+        |                       AND w2.h % 64 = 63
+        |                       AND w2.i >= s.fin + 32), s.fin + 128),
+        |           s.fin + 128, s.n)
+        |  FROM seg s WHERE s.fin < s.n
+        |),
+        |segc AS (
+        |  SELECT doc_id, fin,
+        |         lag(fin) OVER (PARTITION BY doc_id ORDER BY fin) AS prev
+        |  FROM seg),
+        |ch2 AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY fin) - 1 AS INT) AS chunk_idx,
+        |         prev AS start, fin - prev AS len
+        |  FROM segc WHERE prev IS NOT NULL)
+        |SELECT c.doc_id, c.chunk_idx, CAST(c.start AS INT) AS start,
+        |       CAST(c.len AS INT) AS len,
+        |       CAST(list_sum(list_transform(generate_series(1, c.len), t ->
+        |         ord(substr(d2.text, CAST(c.start + t AS INT), 1))
+        |           * pl.p[c.len - t + 1]))
+        |         % 2147483647 AS BIGINT) AS fp
+        |FROM ch2 c JOIN d d2 USING (doc_id), pl""".stripMargin),
     "x154_cdc_dup_chunks" -> (CdcOracleCtes +
       """,
         |fps AS (
         |  SELECT c.doc_id, c.len,
-        |         list_sum(list_transform(generate_series(1, c.len), t ->
+        |         CAST(list_sum(list_transform(generate_series(1, c.len), t ->
         |           ord(substr(d2.text, CAST(c.start + t AS INT), 1))
         |             * pl.p[c.len - t + 1]))
-        |           % 2147483647 AS fp
+        |           % 2147483647 AS BIGINT) AS fp
         |  FROM ch c JOIN d d2 USING (doc_id), pl
         |  WHERE c.len >= 24)
         |SELECT fp, CAST(len AS INT) AS len,
@@ -3063,10 +3120,10 @@ object SparkEntry {
       """,
         |fps AS (
         |  SELECT DISTINCT c.doc_id, c.len,
-        |         list_sum(list_transform(generate_series(1, c.len), t ->
+        |         CAST(list_sum(list_transform(generate_series(1, c.len), t ->
         |           ord(substr(d2.text, CAST(c.start + t AS INT), 1))
         |             * pl.p[c.len - t + 1]))
-        |           % 2147483647 AS fp
+        |           % 2147483647 AS BIGINT) AS fp
         |  FROM ch c JOIN d d2 USING (doc_id), pl
         |  WHERE c.len >= 24),
         |capped AS (
@@ -3086,10 +3143,10 @@ object SparkEntry {
       """,
         |fps AS (
         |  SELECT DISTINCT c.doc_id, c.len,
-        |         list_sum(list_transform(generate_series(1, c.len), t ->
+        |         CAST(list_sum(list_transform(generate_series(1, c.len), t ->
         |           ord(substr(d2.text, CAST(c.start + t AS INT), 1))
         |             * pl.p[c.len - t + 1]))
-        |           % 2147483647 AS fp
+        |           % 2147483647 AS BIGINT) AS fp
         |  FROM ch c JOIN d d2 USING (doc_id), pl
         |  WHERE c.len >= 24),
         |corpus AS (
@@ -3108,7 +3165,9 @@ object SparkEntry {
         |HAVING sum(dl.len) >= 48""".stripMargin),
     // x152: the oracle counts by brute-force position scan — the
     // DEFINITION of overlapping occurrence — so the automaton is
-    // verified against the contract, not against another automaton
+    // verified against the contract, not against another automaton.
+    // Same ASCII assumption as CdcOracleCtes: the engine scans UTF-8
+    // bytes, this oracle scans characters; equal only on ASCII corpora.
     "x152_keyword_tags" ->
       s"""WITH kw(kidx, kw) AS (VALUES $keywordValuesSql),
         |cnt AS (

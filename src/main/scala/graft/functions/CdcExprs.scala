@@ -41,7 +41,27 @@ object CdcOps {
   /** Chunk tuples (start, len, fp) of `text` — byte offsets; empty
     * array for the empty string. Caller guarantees w ≥ 2 and
     * 1 ≤ maskBits ≤ 30 (checked at Column construction). */
-  def chunks(text: UTF8String, w: Int, maskBits: Int): GenericArrayData = {
+  def chunks(text: UTF8String, w: Int, maskBits: Int): GenericArrayData =
+    chunks(text, w, maskBits, 1, Int.MaxValue)
+
+  /** [[chunks]] with the LBFS chunk-length bounds: a mask-predicate
+    * boundary is SUPPRESSED while the current chunk is shorter than
+    * `minChunk`, and a boundary is FORCED once it reaches `maxChunk`
+    * (the rolling hash itself stays global — never reset at a
+    * boundary — so a mask match is still a purely local property of
+    * the trailing `w` bytes; only its ACCEPTANCE depends on the
+    * previous boundary). `(1, Int.MaxValue)` degenerates exactly to
+    * the pure positional predicate. The doc-end boundary is always
+    * placed, so the FINAL chunk may be shorter than `minChunk`; every
+    * chunk is ≤ `maxChunk` unconditionally.
+    *
+    * Re-sync law (CdcSpec): after an edit, the two segmentations
+    * become identical from the first boundary ≥ w bytes past the edit
+    * that both place at the same (shifted) position — bounds keep
+    * boundary placement Markov in the previous boundary, so
+    * divergence cannot survive an aligned boundary. */
+  def chunks(text: UTF8String, w: Int, maskBits: Int,
+      minChunk: Int, maxChunk: Int): GenericArrayData = {
     val bytes = text.getBytes
     val n = bytes.length
     if (n == 0) return new GenericArrayData(Array.empty[Any])
@@ -53,6 +73,7 @@ object CdcOps {
     val bounds = new java.util.ArrayList[Integer]()
     var h = 0L
     var i = 0
+    var chunkStart = 0
     while (i < n) {
       val in = bytes(i) & 0xff
       if (i < w) h = (h * B + in) % P
@@ -61,7 +82,13 @@ object CdcOps {
         // ((h - out·B^(w−1)) · B + in) mod P, kept non-negative
         h = ((h - (out * pw) % P + P) % P * B + in) % P
       }
-      if (i + 1 >= w && (h & mask) == mask) bounds.add(i + 1)
+      val pos = i + 1
+      val chunkLen = pos - chunkStart
+      if (chunkLen >= maxChunk ||
+          (chunkLen >= minChunk && pos >= w && (h & mask) == mask)) {
+        bounds.add(pos)
+        chunkStart = pos
+      }
       i += 1
     }
     if (bounds.isEmpty || bounds.get(bounds.size - 1) != n) bounds.add(n)
@@ -81,8 +108,12 @@ object CdcOps {
   }
 }
 
-/** Codegen column: CDC chunk tuples of one document. Null → null. */
-case class CdcChunksExpr(child: Expression, w: Int, maskBits: Int)
+/** Codegen column: CDC chunk tuples of one document. Null → null.
+  * `(minChunk, maxChunk) = (1, Int.MaxValue)` is the pure positional
+  * predicate; anything tighter applies the LBFS bounds rule
+  * ([[CdcOps.chunks]]). */
+case class CdcChunksExpr(child: Expression, w: Int, maskBits: Int,
+    minChunk: Int = 1, maxChunk: Int = Int.MaxValue)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(
@@ -100,12 +131,15 @@ case class CdcChunksExpr(child: Expression, w: Int, maskBits: Int)
       s"$prettyName requires string, got ${child.dataType.sql}")
 
   override def nullSafeEval(v: Any): Any =
-    CdcOps.chunks(v.asInstanceOf[UTF8String], w, maskBits)
+    CdcOps.chunks(v.asInstanceOf[UTF8String], w, maskBits, minChunk,
+      maxChunk)
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.CdcOps.chunks($c, $w, $maskBits)")
+      s"graft.functions.CdcOps.chunks($c, $w, $maskBits, $minChunk, " +
+        s"${maxChunk match { case Int.MaxValue => "Integer.MAX_VALUE"
+          case v => v.toString }})")
 
   override protected def withNewChildInternal(
       newChild: Expression): CdcChunksExpr = copy(child = newChild)
@@ -115,11 +149,25 @@ object CdcExprs {
 
   /** CDC chunk tuples `array<struct<start,len,fp>>` of `text`; see
     * [[CdcOps]] for the boundary/fingerprint contract. */
-  def cdcChunks(text: Column, w: Int = 16, maskBits: Int = 6): Column = {
+  def cdcChunks(text: Column, w: Int = 16, maskBits: Int = 6): Column =
+    cdcChunksBounded(text, w, maskBits, 1, Int.MaxValue)
+
+  /** [[cdcChunks]] with the LBFS chunk-length bounds: mask boundaries
+    * suppressed below `minChunk`, forced at `maxChunk` (see
+    * [[CdcOps.chunks]]; the final chunk of a doc may still undershoot
+    * `minChunk` — the doc end is always a boundary). `maxChunk` must
+    * leave the mask predicate room to fire (`maxChunk > minChunk`),
+    * and `minChunk ≤ w` keeps at least one full hash window per
+    * accepted span. */
+  def cdcChunksBounded(text: Column, w: Int, maskBits: Int,
+      minChunk: Int, maxChunk: Int): Column = {
     require(w >= 2 && w <= 1024, s"cdcChunks: w must be in [2,1024], got $w")
     require(maskBits >= 1 && maskBits <= 30,
       s"cdcChunks: maskBits must be in [1,30], got $maskBits")
+    require(minChunk >= 1, s"cdcChunks: minChunk must be >= 1, got $minChunk")
+    require(maxChunk > minChunk,
+      s"cdcChunks: maxChunk must exceed minChunk, got ($minChunk, $maxChunk)")
     GraftColumnBridge.column(CdcChunksExpr(
-      GraftColumnBridge.expression(text), w, maskBits))
+      GraftColumnBridge.expression(text), w, maskBits, minChunk, maxChunk))
   }
 }

@@ -217,8 +217,20 @@ object VectorExprs {
     GraftColumnBridge.column(DotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
-  /** Column API for [[RandomProjectExpr]]. */
-  def randomProject(v: Column, dIn: Int, kOut: Int): Column =
+  /** Column API for [[RandomProjectExpr]].
+    *
+    * `kOut` is capped at 131: the sign-matrix seed is
+    * `x = 131*i + j + 17`, so `sign(i, j) == sign(i-1, j+131)` — any
+    * `kOut > 131` would reuse row-shifted columns, exactly the
+    * correlated-matrix degeneracy the quadratic rounds guard against.
+    * The cap keeps every (i, j) seed distinct within a matrix. (A JL
+    * projection is compressive anyway; an expansion past 131 dims has
+    * no use case here, so the cap costs nothing.) */
+  def randomProject(v: Column, dIn: Int, kOut: Int): Column = {
+    require(kOut > 0 && kOut <= 131,
+      s"randomProject: kOut must be in [1, 131] (seed stride — larger " +
+        s"kOut would duplicate row-shifted sign columns), got $kOut")
     GraftColumnBridge.column(RandomProjectExpr(
       GraftColumnBridge.expression(v), dIn, kOut))
+  }
 }

@@ -196,6 +196,26 @@ object Dedup {
         col("col.start").as("start"), col("col.len").as("len"),
         col("col.fp").as("fp"))
 
+  /** [[cdcChunks]] with the LBFS chunk-length bounds (production CDC
+    * systems — LBFS, restic, borg — all carry them): mask boundaries
+    * are suppressed while the chunk is under `minChunk` bytes and
+    * forced at `maxChunk`, capping both fingerprint-table noise (no
+    * degenerate 1-byte chunks from dense mask runs) and chunk-length
+    * variance (no unbounded span when the content never matches the
+    * mask — the adversarial-input worst case at 100 TB). Same pure
+    * single-pass projection as [[cdcChunks]]; the bounds live IN the
+    * kernel because acceptance depends on the previous boundary —
+    * a downstream length filter cannot express them. */
+  def cdcChunksBounded(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 16, maskBits: Int = 6,
+      minChunk: Int = 32, maxChunk: Int = 128): DataFrame =
+    docs.select(col(idCol),
+        posexplode(CdcExprs.cdcChunksBounded(col(textCol), w, maskBits,
+          minChunk, maxChunk)))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        col("col.start").as("start"), col("col.len").as("len"),
+        col("col.fp").as("fp"))
+
   /** Cross-document duplicate CDC chunks: `(fp, len, n_docs, n_occ)`
     * for every chunk whose (fingerprint, length) appears in ≥ 2
     * documents and is at least `minLen` bytes (tiny chunks — the
@@ -299,6 +319,53 @@ object Dedup {
       .select(col("fp"), col("len"), col(idCol).as("doc_corpus"))
     deltaKeys.join(capped, Seq("fp", "len"))
       .groupBy(col("doc_delta"), col("doc_corpus"))
+      .agg(count(lit(1)).as("shared_chunks"),
+        sum(col("len").cast("long")).as("shared_bytes"))
+      .filter(col("shared_bytes") >= minSharedBytes)
+  }
+
+  /** One micro-batch step of streaming CDC overlap
+    * ([[graft.streaming.StreamCdc]]): all overlap pairs TOUCHING the
+    * batch — batch↔corpus and batch-internal — over already-computed
+    * distinct chunk-key relations (`(fp, len, idCol)`; the
+    * [[cdcChunkIndex]] shape for both sides). The probe side is the
+    * batch only, so corpus-internal pairs can never form (they were
+    * emitted when THEIR later member arrived — each pair exactly once);
+    * batch-internal pairs arrive in both join orders and are
+    * canonicalized by least/greatest + distinct (the
+    * [[minhashLshDeltaSigs]] discipline).
+    *
+    * The boilerplate cap is measured over corpus ∪ batch — the
+    * frequency as of THIS batch. Chunk frequencies only grow, so the
+    * at-emission cap is one-sided vs batch [[cdcOverlapPairs]] on the
+    * final union: the stream never MISSES a pair the batch run keeps
+    * (over-cap now ⇒ over-cap at the end), but may additionally emit
+    * pairs whose chunk crossed the cap only after they were emitted. */
+  def cdcOverlapIncrement(batchKeys: DataFrame, corpusKeys: DataFrame,
+      idCol: String = "doc_id", minSharedBytes: Int = 48,
+      maxDocsPerChunk: Int = 64): DataFrame = {
+    require(maxDocsPerChunk >= 2,
+      s"cdcOverlapIncrement: maxDocsPerChunk must be >= 2, got " +
+        s"$maxDocsPerChunk")
+    val cols = Seq(col("fp"), col("len"), col(idCol))
+    val all = batchKeys.select(cols: _*)
+      .unionByName(corpusKeys.select(cols: _*))
+    val capped = all
+      .withColumn("_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"), col("len"))))
+      .filter(col("_n") <= maxDocsPerChunk)
+      .drop("_n")
+    val probe = capped.join(
+      batchKeys.select(col(idCol)).distinct(), Seq(idCol))
+    probe.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.len") === col("b.len") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_b"),
+        col("a.fp"), col("a.len"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_chunks"),
         sum(col("len").cast("long")).as("shared_bytes"))
       .filter(col("shared_bytes") >= minSharedBytes)

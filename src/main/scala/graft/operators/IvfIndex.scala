@@ -103,6 +103,7 @@ object IvfIndex {
     // path either holds a COMPLETE index or nothing — a crash between
     // the table writes can never leave a loadable-looking torn artifact
     val tmp = path + ".build-" + ProcessHandle.current().pid()
+    sweepTornBuilds(path, keep = tmp)
     deleteRecursively(new java.io.File(tmp))
     try {
       // quantized-unit centroid relation, the KMeans artifact contract
@@ -138,6 +139,35 @@ object IvfIndex {
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(): Unit
+  }
+
+  /** Sweep torn `.build-<pid>` tmp dirs left by CRASHED builders: the
+    * normal path deletes its own tmp in the `finally`, but a killed
+    * JVM's dir would otherwise survive forever next to the index. Run
+    * at build entry; a sibling is deleted only when the pid embedded in
+    * its name is no longer a live process (so a concurrent cross-JVM
+    * builder's in-flight tmp is never touched; `keep` — the current
+    * builder's own tmp name — is skipped regardless and recreated by
+    * the caller). */
+  private def sweepTornBuilds(path: String, keep: String): Unit = {
+    val base = new java.io.File(path)
+    val prefix = base.getName + ".build-"
+    val parent = base.getAbsoluteFile.getParentFile
+    val siblings = Option(parent).flatMap(p => Option(p.listFiles()))
+      .getOrElse(Array.empty[java.io.File])
+    siblings.foreach { f =>
+      if (f.isDirectory && f.getName.startsWith(prefix) &&
+          f.getName != new java.io.File(keep).getName) {
+        val alive = f.getName.stripPrefix(prefix).toLongOption.exists {
+          pid =>
+            pid > 0 && {
+              val h = ProcessHandle.of(pid)
+              h.isPresent && h.get.isAlive
+            }
+        }
+        if (!alive) deleteRecursively(f)
+      }
+    }
   }
 
   /** The shared assignment/encode projection of [[build]] and

@@ -649,7 +649,10 @@ object Similarity {
     * every downstream ranking. */
   def randomProjectVec(v: Column, dIn: Int, kOut: Int): Column = {
     require(dIn > 0, s"randomProjectVec: dIn must be positive, got $dIn")
-    require(kOut > 0, s"randomProjectVec: kOut must be positive, got $kOut")
+    // upper bound mirrors VectorExprs.randomProject: the sign-matrix seed
+    // stride is 131, so kOut > 131 would reuse row-shifted sign columns
+    require(kOut > 0 && kOut <= 131,
+      s"randomProjectVec: kOut must be in [1, 131], got $kOut")
     // one primitive-loop codegen kernel per row (the DotProduct
     // discipline): bit-identical to the higher-order aggregate
     // formulation it replaced — same left fold, same single division —

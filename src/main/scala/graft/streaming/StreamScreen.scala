@@ -37,7 +37,10 @@ object StreamScreen {
       !docsStream.columns.contains("kw_kinds"),
       "StreamScreen.annotate: input already carries kw_hits/kw_kinds")
     val redacted = TextAnalysis.scrubPii(col(textCol))
-    val counts: Column = KeywordExprs.keywordCounts(redacted, keywords)
+    // count on col(textCol) AFTER the replacing withColumn — not on the
+    // `redacted` expression — so the scrub regex chain runs once per row,
+    // not twice (the automaton then reads the already-redacted column)
+    val counts: Column = KeywordExprs.keywordCounts(col(textCol), keywords)
     docsStream
       .withColumn(textCol, redacted)
       .withColumn("_kc", counts)

@@ -184,5 +184,105 @@ class CdcSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       CdcExprs.cdcChunks($"text", 16, 0)
     }
+    intercept[IllegalArgumentException] { // minChunk < 1
+      CdcExprs.cdcChunksBounded($"text", 16, 6, 0, 128)
+    }
+    intercept[IllegalArgumentException] { // max must exceed min
+      CdcExprs.cdcChunksBounded($"text", 16, 6, 64, 64)
+    }
+  }
+
+  // ---- LBFS chunk-length bounds (x157) ----------------------------
+
+  /** Sequential from-scratch reference for the BOUNDED rule: mask
+    * matches precomputed positionally (each window rehashed, no
+    * rolling shortcut), then acceptance folded left — suppressed under
+    * `minC` bytes since the previous boundary, forced at `maxC`. */
+  private def refChunksBounded(text: String, minC: Int,
+      maxC: Int): Seq[(Int, Int, Long)] = {
+    val b = text.getBytes("UTF-8")
+    val n = b.length
+    if (n == 0) return Seq.empty
+    def polyHash(from: Int, until: Int): Long = {
+      var h = 0L
+      for (j <- from until until) h = (h * B + (b(j) & 0xff)) % P
+      h
+    }
+    val matches =
+      (W to n).filter(i => (polyHash(i - W, i) & Mask) == Mask).toSet
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var start = 0
+    var i = 1
+    while (i <= n) {
+      val len = i - start
+      if (len >= maxC || (len >= minC && i >= W && matches(i))) {
+        bounds += i; start = i
+      }
+      i += 1
+    }
+    if (bounds.isEmpty || bounds.last != n) bounds += n
+    var s = 0
+    bounds.map { e =>
+      val c = (s, e - s, polyHash(s, e)); s = e; c
+    }.toSeq
+  }
+
+  private def kernelChunksBounded(text: String, minC: Int,
+      maxC: Int): Seq[(Int, Int, Long)] =
+    Seq(text).toDF("text")
+      .select(CdcExprs.cdcChunksBounded($"text", 16, 6, minC, maxC))
+      .as[Seq[(Int, Int, Long)]].head()
+
+  private val boundedFixtures: Seq[String] = Seq(
+    "", "a", "short", "x" * 15, "x" * 16, "x" * 500, // mask-free runs
+    "the quick brown fox jumps over the lazy dog " * 20,
+    (0 until 3000).map(i => ('a' + i % 26).toChar).mkString,
+    "日本語のテキスト " * 40,
+    (0 until 400).map(i => Seq("key", "agg", "row", "scan", "slow",
+      "fast", "table", "value", "part", "hash")(i % 10) + i)
+      .mkString(" "))
+
+  test("bounded kernel equals the sequential from-scratch reference " +
+    "across (min,max) geometries, incl. mask-free forced-only runs") {
+    for {
+      t <- boundedFixtures
+      (minC, maxC) <- Seq((32, 128), (8, 48), (1, 17), (24, 25))
+    } assert(kernelChunksBounded(t, minC, maxC) ===
+        refChunksBounded(t, minC, maxC),
+      s"len ${t.length} bounds ($minC, $maxC)")
+  }
+
+  test("bounds hold: every chunk is <= maxChunk, every non-final " +
+    "chunk is >= minChunk (the doc-end boundary may undershoot), and " +
+    "(1, MaxValue) degenerates to the unbounded kernel exactly") {
+    for (t <- boundedFixtures if t.nonEmpty) {
+      val cs = kernelChunksBounded(t, 32, 128)
+      assert(cs.forall(_._2 <= 128), s"len ${t.length}")
+      assert(cs.dropRight(1).forall(_._2 >= 32), s"len ${t.length}")
+      assert(kernelChunksBounded(t, 1, Int.MaxValue) === kernelChunks(t),
+        s"len ${t.length}")
+    }
+  }
+
+  test("bounded re-sync law: after a prefix insertion the two " +
+    "segmentations are IDENTICAL from the first aligned boundary at " +
+    "or past the window width — divergence cannot survive an aligned " +
+    "boundary because acceptance is Markov in the previous boundary") {
+    val doc = boundedFixtures.last // aperiodic, ~2.7 kB
+    for (ins <- Seq("X", "inserted preamble ", "Z" * 100)) {
+      val orig = kernelChunksBounded(doc, 32, 128)
+      val shifted = kernelChunksBounded(ins + doc, 32, 128)
+      val insLen = ins.getBytes("UTF-8").length
+      val origEnds = orig.map(c => c._1 + c._2)
+      val shiftedEnds = shifted.map(c => c._1 + c._2).toSet
+      val sync = origEnds.find(q => q >= W && shiftedEnds(q + insLen))
+      assert(sync.nonEmpty, s"no aligned boundary for '${ins.take(8)}…'")
+      val q = sync.get
+      val oSuffix = orig.dropWhile(c => c._1 + c._2 <= q)
+      val sSuffix = shifted.dropWhile(c => c._1 + c._2 <= q + insLen)
+      assert(oSuffix.map(c => (c._2, c._3)) ===
+        sSuffix.map(c => (c._2, c._3)), s"ins '${ins.take(8)}…'")
+      assert(oSuffix.nonEmpty, "fixture degenerate: sync at doc end")
+    }
   }
 }

@@ -193,6 +193,31 @@ class IvfIndexSpec extends SparkTestBase {
       parent.listFiles().map(_.getName).mkString(", "))
   }
 
+  test("a crashed builder's torn .build- dir is swept by the next " +
+    "build (dead pid), while a live concurrent builder's tmp dir " +
+    "survives the sweep") {
+    val path = tmpPath("ivf_sweep")
+    val parent = new java.io.File(path).getParentFile
+    // torn residue of a CRASHED builder: pid that no longer exists
+    val dead = new java.io.File(path + ".build-999999999")
+    assert(new java.io.File(dead, "lists").mkdirs())
+    // in-flight tmp of a LIVE foreign builder: pid 1 is always alive
+    // and never this JVM
+    val live = new java.io.File(path + ".build-1")
+    assert(new java.io.File(live, "lists").mkdirs())
+    IvfIndex.build(emb, path, nLists = 4)
+    val names = parent.listFiles().map(_.getName).toSet
+    assert(!names.contains(dead.getName), names.mkString(", "))
+    assert(names.contains(live.getName), names.mkString(", "))
+    deleteDir(live)
+    // rebuild after the live builder "finished": now exactly one
+    // directory remains — the committed index
+    IvfIndex.build(emb, path, nLists = 4)
+    assert(parent.listFiles().map(_.getName).toSeq ===
+      Seq(new java.io.File(path).getName),
+      parent.listFiles().map(_.getName).mkString(", "))
+  }
+
   test("loads validate eagerly: a truncated lists relation (cellstats " +
     "stamp mismatch) and a missing quantizer both fail loudly") {
     val path = tmpPath("ivf_torn")

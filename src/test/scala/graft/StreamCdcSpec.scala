@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.StreamCdc
+
+/** Streaming CDC overlap mirrors batch [[Dedup.cdcOverlapPairs]]:
+  * after any prefix of micro-batches, [[StreamCdc.pairsView]] equals
+  * the batch pass over the union of those batches (within- and
+  * cross-batch pairs, each emitted exactly once), replays are
+  * idempotent, the boilerplate cap's streaming deviation is one-sided
+  * exactly as documented, and the accumulated chunk index is the
+  * relation the batch delta route consumes. */
+class StreamCdcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // APERIODIC shared spans long enough to carry whole CDC chunks: a
+  // periodic span has ~period distinct windows and may legitimately
+  // produce no interior boundary (the CdcSpec fixture discipline)
+  private val sharedA = (0 until 60).map(k => s"shared$k").mkString(" ")
+  private val sharedB = (0 until 60).map(k => s"other$k").mkString(" ")
+  private def noise(seed: String, n: Int): String =
+    (0 until n).map(i => seed + i).mkString(" ")
+
+  private type Pair = (Long, Long, Long, Long)
+
+  private def batchPairs(docs: Seq[(Long, String)]): Set[Pair] =
+    Dedup.cdcOverlapPairs(docs.toDF("doc_id", "text"))
+      .as[Pair].collect().toSet
+
+  test("pairsView across micro-batches equals batch cdcOverlapPairs " +
+    "on the union — within- and cross-batch pairs, each exactly once") {
+    implicit val sql = spark.sqlContext
+    val batches = Seq(
+      Seq((1L, noise("alpha", 20) + " " + sharedA + " " + noise("omega", 20)),
+        (2L, noise("gamma", 33) + " " + sharedA + " " + noise("delta", 11))),
+      Seq((3L, noise("beta", 8) + " " + sharedA + " " + noise("kappa", 15)),
+        (4L, sharedB + " " + noise("mu", 5))),
+      Seq((5L, noise("nu", 7) + " " + sharedB),
+        (6L, noise("unrelated", 25))))
+    val out = Files.createTempDirectory("cdc_stream_out").toString
+    val ckpt = Files.createTempDirectory("cdc_stream_ckpt").toString
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCdc.sink(input.toDF().toDF("doc_id", "text"), out, ckpt)
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = StreamCdc.pairsView(spark, out)
+      .as[Pair].collect().toSet
+    val batch = batchPairs(batches.flatten)
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // pairs within AND across batches were found
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 3L))
+    assert(streamed.exists(p => p._1 == 4L && p._2 == 5L))
+    // and no pair was emitted twice across batch partitions
+    val raw = spark.read.parquet(s"$out/pairs")
+      .groupBy("doc_a", "doc_b").count()
+      .filter(col("count") > 1).count()
+    assert(raw === 0L)
+  }
+
+  test("replayed batches overwrite their own contribution " +
+    "(idempotent): a second run over the same data changes nothing") {
+    implicit val sql = spark.sqlContext
+    val b1 = Seq((1L, noise("a", 10) + " " + sharedA),
+      (2L, sharedA + " " + noise("b", 10)))
+    val b2 = Seq((3L, noise("c", 6) + " " + sharedA + " " + noise("d", 6)))
+    val out = Files.createTempDirectory("cdc_replay_out").toString
+
+    def run(): Unit = {
+      val ckpt = Files.createTempDirectory("cdc_replay_ckpt").toString
+      val in = MemoryStream[(Long, String)]
+      val q = StreamCdc.sink(in.toDF().toDF("doc_id", "text"), out, ckpt)
+      try {
+        in.addData(b1); q.processAllAvailable()
+        in.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+    }
+    run()
+    val before = StreamCdc.pairsView(spark, out).as[Pair].collect().toSet
+    val idxBefore = StreamCdc.chunkIndexView(spark, out)
+      .as[(Long, Int, Long)].collect().toSet
+    run() // fresh checkpoint, same batches, same outDir
+    assert(StreamCdc.pairsView(spark, out)
+      .as[Pair].collect().toSet === before)
+    assert(StreamCdc.chunkIndexView(spark, out)
+      .as[(Long, Int, Long)].collect().toSet === idxBefore)
+    assert(before === batchPairs(b1 ++ b2))
+    assert(before.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
+  test("boilerplate cap at emission time is ONE-SIDED vs the batch " +
+    "run: a chunk under the cap when its pair was emitted may cross " +
+    "it later (stream keeps, batch drops), and an over-cap chunk " +
+    "never pairs in the stream") {
+    implicit val sql = spark.sqlContext
+    val docs1 = Seq((1L, noise("p", 5) + " " + sharedA),
+      (2L, sharedA + " " + noise("q", 5)))
+    val docs2 = Seq((3L, noise("r", 5) + " " + sharedA + " " +
+      noise("s", 5)))
+    val out = Files.createTempDirectory("cdc_cap_out").toString
+    val ckpt = Files.createTempDirectory("cdc_cap_ckpt").toString
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCdc.sink(input.toDF().toDF("doc_id", "text"), out,
+      ckpt, maxDocsPerChunk = 2)
+    try {
+      input.addData(docs1); q.processAllAvailable()
+      input.addData(docs2); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = StreamCdc.pairsView(spark, out)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // at batch 1, sharedA chunks sit at frequency 2 == cap: (1,2) emits;
+    // at batch 2, frequency 3 > cap: nothing touching doc 3 emits
+    assert(streamed === Set((1L, 2L)))
+    // the final batch run sees frequency 3 everywhere and drops ALL
+    // sharedA pairs — stream ⊇ batch, never the reverse
+    val batch = Dedup.cdcOverlapPairs(
+        (docs1 ++ docs2).toDF("doc_id", "text"), maxDocsPerChunk = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(batch === Set.empty[(Long, Long)])
+  }
+
+  test("chunkIndexView IS the batch cdcChunkIndex relation: the batch " +
+    "delta route probes the stream-built index unchanged") {
+    implicit val sql = spark.sqlContext
+    val corpus = Seq((1L, noise("a", 12) + " " + sharedA),
+      (2L, sharedB + " " + noise("b", 12)))
+    val out = Files.createTempDirectory("cdc_idx_out").toString
+    val ckpt = Files.createTempDirectory("cdc_idx_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCdc.sink(input.toDF().toDF("doc_id", "text"), out, ckpt)
+    try {
+      input.addData(corpus); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamIdx = StreamCdc.chunkIndexView(spark, out)
+    val batchIdx = Dedup.cdcChunkIndex(corpus.toDF("doc_id", "text"))
+    assert(streamIdx.as[(Long, Int, Long)].collect().toSet ===
+      batchIdx.as[(Long, Int, Long)].collect().toSet)
+
+    val delta = Seq((10L, noise("z", 4) + " " + sharedA + " " +
+      noise("y", 4))).toDF("doc_id", "text")
+    val viaStream = Dedup.cdcOverlapDelta(delta, streamIdx)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaBatch = Dedup.cdcOverlapDelta(delta, batchIdx)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaStream === viaBatch)
+    assert(viaStream.exists(p => p._1 == 10L && p._2 == 1L))
+  }
+}
