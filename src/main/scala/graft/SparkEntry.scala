@@ -342,6 +342,15 @@ object SparkEntry {
         graft.operators.Dedup.cdcChunkIndex(corpus),
         minSharedBytes = 48, maxDocsPerChunk = 64)
     }),
+    // per-doc CDC duplication accounting: how many of a doc's
+    // chunk-bytes exist elsewhere in the corpus (first arrival is
+    // canonical, every later occurrence — incl. within-doc repeats —
+    // is duplicate mass); the wholesale-drop curation signal next to
+    // the pair-level x155. One window keyed by (fp, len), one per-doc
+    // aggregate — shuffle ∝ chunks, never pairs
+    "x158_cdc_dup_stats" -> ((s, dir) =>
+      graft.operators.Dedup.cdcDupStats(Tables.documents(s, dir),
+        w = 16, maskBits = 6, minLen = 24)),
     // keyword blocklist/taglist screening (bad-word filters, license
     // and domain-term tagging): per-keyword overlapping-occurrence
     // counts in ONE Aho–Corasick byte pass per row — cost independent
@@ -3116,6 +3125,30 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_occ
         |FROM fps GROUP BY fp, len
         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin),
+    // x158: per-occurrence fingerprints (NOT distinct — within-doc
+    // repeats are occurrences), canonical = row_number 1 under the
+    // total (doc_id, chunk_idx) order, then per-doc sums
+    "x158_cdc_dup_stats" -> (CdcOracleCtes +
+      """,
+        |fpo AS (
+        |  SELECT c.doc_id, c.chunk_idx, c.len,
+        |         CAST(list_sum(list_transform(generate_series(1, c.len), t ->
+        |           ord(substr(d2.text, CAST(c.start + t AS INT), 1))
+        |             * pl.p[c.len - t + 1]))
+        |           % 2147483647 AS BIGINT) AS fp
+        |  FROM ch c JOIN d d2 USING (doc_id), pl
+        |  WHERE c.len >= 24),
+        |rn AS (
+        |  SELECT doc_id, len,
+        |         row_number() OVER (PARTITION BY fp, len
+        |           ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM fpo)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS dup_chunks,
+        |       CAST(sum(CASE WHEN rn > 1 THEN len ELSE 0 END) AS BIGINT)
+        |         AS dup_bytes
+        |FROM rn GROUP BY doc_id""".stripMargin),
     "x155_cdc_overlap" -> (CdcOracleCtes +
       """,
         |fps AS (

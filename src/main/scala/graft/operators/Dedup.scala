@@ -324,6 +324,38 @@ object Dedup {
       .filter(col("shared_bytes") >= minSharedBytes)
   }
 
+  /** Per-document CDC duplication accounting: for every document with
+    * at least one chunk ≥ `minLen` bytes, `(idCol, n_chunks,
+    * dup_chunks, dup_bytes)` where an occurrence of a chunk key
+    * `(fp, len)` is a DUPLICATE iff it is not the corpus-canonical
+    * first arrival (lexicographically smallest `(doc_id, chunk_idx)` —
+    * so repeats WITHIN the canonical doc count too, the x42 rule at
+    * chunk granularity). `dup_bytes / doc_bytes` is the curation
+    * signal a pipeline thresholds to drop near-copies wholesale where
+    * pair-level routes ([[cdcOverlapPairs]]) would be overkill.
+    *
+    * Scale shape: one chunk projection, one window keyed by
+    * `(fp, len)` (shuffle ∝ chunks — never pairs; partitioned, so the
+    * PlanSpec no-partition-less-window guard holds), one map-side
+    * combinable per-doc aggregate. Deterministic: the canonical
+    * occurrence is a total order, no ties. */
+  def cdcDupStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 16, maskBits: Int = 6,
+      minLen: Int = 24): DataFrame = {
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp"), col("len"))
+        .orderBy(col(idCol), col("chunk_idx")))
+    cdcChunks(docs, idCol, textCol, w, maskBits)
+      .filter(col("len") >= minLen)
+      .withColumn("_rn", rn)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_rn") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("_rn") > 1, col("len").cast("long"))
+          .otherwise(0L)).as("dup_bytes"))
+  }
+
   /** One micro-batch step of streaming CDC overlap
     * ([[graft.streaming.StreamCdc]]): all overlap pairs TOUCHING the
     * batch — batch↔corpus and batch-internal — over already-computed

@@ -173,6 +173,38 @@ class CdcSpec extends SparkTestBase {
     assert(batch.exists(p => p._1 == 3L && p._2 == 7L))
   }
 
+  test("cdcDupStats charges duplicate chunk mass to every occurrence " +
+    "except the corpus-canonical first arrival — within-doc repeats " +
+    "included — and unique docs carry zero") {
+    val shared = (0 until 60).map(k => s"dup$k").mkString(" ")
+    val docs = Seq(
+      (1L, "alpha " * 10 + shared),                    // canonical holder
+      (2L, "beta " * 15 + shared + " gamma " * 5),     // cross-doc dup
+      (3L, shared + " mid " + shared),                 // within-doc repeat
+      (4L, (0 until 80).map(i => s"uniq$i").mkString(" "))) // untouched
+      .toDF("doc_id", "text")
+    val stats = Dedup.cdcDupStats(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 holds the canonical occurrences: no duplicate bytes beyond
+    // any legitimately self-repeating chunk (there are none here)
+    assert(stats(1L)._4 === 0L, stats(1L))
+    // docs 2 and 3 re-carry doc 1's shared chunks
+    assert(stats(2L)._4 > 0L, stats(2L))
+    assert(stats(3L)._4 > 0L, stats(3L))
+    // doc 3's SECOND copy of the span is duplicate mass even where its
+    // first copy were canonical — it must exceed doc 2's single copy
+    assert(stats(3L)._3 > stats(2L)._3, s"${stats(3L)} vs ${stats(2L)}")
+    // unique doc: chunks, but zero duplicates
+    assert(stats(4L)._2 > 0L && stats(4L)._3 === 0L && stats(4L)._4 === 0L)
+    // conservation: total duplicate occurrences = total occurrences
+    // minus distinct (fp, len, first-arrival) keys
+    val ch = Dedup.cdcChunks(docs).filter($"len" >= 24)
+    val totalOcc = ch.count()
+    val distinctKeys = ch.select($"fp", $"len").distinct().count()
+    assert(stats.values.map(_._3).sum === totalOcc - distinctKeys)
+  }
+
   test("guards: null → null, parameter bounds fail loudly") {
     val r = Seq[Option[String]](None, Some("abc")).toDF("text")
       .select(CdcExprs.cdcChunks($"text", 16, 6)).collect()

@@ -594,4 +594,58 @@ class KernelFuzzSpec extends SparkTestBase {
       assert(got.forall(_._2 > 0) || bytes == 0)
     }
   }
+
+  test("bounded-CDC kernel fuzz: the LBFS min/max rule equals a " +
+    "sequential from-scratch reference on random (text, w, mask, " +
+    "min, max) draws; chunks tile exactly, respect maxChunk " +
+    "unconditionally and minChunk except the doc-final chunk") {
+    import graft.functions.CdcExprs
+    val P = 2147483647L
+    val B = 257L
+    def ref(text: String, w: Int, maskBits: Int, minC: Int,
+        maxC: Int): Seq[(Int, Int, Long)] = {
+      val b = text.getBytes("UTF-8")
+      val n = b.length
+      if (n == 0) return Seq.empty
+      val mask = (1L << maskBits) - 1
+      def poly(from: Int, until: Int): Long = {
+        var h = 0L
+        for (j <- from until until) h = (h * B + (b(j) & 0xff)) % P
+        h
+      }
+      val matches =
+        (w to n).filter(i => (poly(i - w, i) & mask) == mask).toSet
+      val bs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var start = 0
+      for (i <- 1 to n) {
+        val len = i - start
+        if (len >= maxC || (len >= minC && i >= w && matches(i))) {
+          bs += i; start = i
+        }
+      }
+      if (bs.isEmpty || bs.last != n) bs += n
+      var s = 0
+      bs.toSeq.map { e => val c = (s, e - s, poly(s, e)); s = e; c }
+    }
+    val cdcTextGen: Gen[String] = Gen.oneOf(
+      Gen.chooseNum(0, 400).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)),
+      Gen.listOfN(30, Gen.oneOf("日", "𝄞", "x", " ")).map(_.mkString))
+    val geomGen: Gen[((Int, Int), (Int, Int))] = Gen.zip(
+      Gen.oneOf((8, 4), (16, 6), (32, 5)),
+      Gen.zip(Gen.chooseNum(1, 48), Gen.chooseNum(2, 200))
+        .map { case (a, b) => if (a < b) (a, b) else (b - 1, a + 1) })
+    for ((text, ((w, mb), (minC, maxC))) <-
+        samples(Gen.zip(cdcTextGen, geomGen), 120)) {
+      val got = Seq(text).toDF("text")
+        .select(CdcExprs.cdcChunksBounded(col("text"), w, mb, minC, maxC))
+        .as[Seq[(Int, Int, Long)]].head()
+      assert(got === ref(text, w, mb, minC, maxC),
+        s"w=$w mb=$mb min=$minC max=$maxC text='${text.take(40)}'")
+      val bytes = text.getBytes("UTF-8").length
+      assert(got.map(_._2).sum === bytes)
+      assert(got.forall(_._2 <= maxC))
+      assert(got.dropRight(1).forall(_._2 >= minC))
+    }
+  }
 }
