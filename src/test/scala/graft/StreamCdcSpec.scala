@@ -97,6 +97,44 @@ class StreamCdcSpec extends SparkTestBase {
     assert(before.exists(p => p._1 == 1L && p._2 == 2L))
   }
 
+  test("restart from checkpoint: a resumed query continues the batch " +
+    "sequence without duplicating committed work, and the final views " +
+    "still equal the batch law on the union") {
+    implicit val sql = spark.sqlContext
+    val b1 = Seq((1L, noise("e", 9) + " " + sharedA),
+      (2L, sharedA + " " + noise("f", 9)))
+    val b2 = Seq((3L, noise("g", 5) + " " + sharedA + " " + noise("h", 5)),
+      (4L, noise("solo", 30)))
+    val out = Files.createTempDirectory("cdc_restart_out").toString
+    val ckpt = Files.createTempDirectory("cdc_restart_ckpt").toString
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q1 = StreamCdc.sink(docs, out, ckpt)
+    input.addData(b1)
+    q1.processAllAvailable(); q1.stop()
+
+    // resume from the SAME checkpoint: committed batch 0 must not
+    // re-emit; the new batch probes the index built before the stop
+    val q2 = StreamCdc.sink(docs, out, ckpt)
+    input.addData(b2)
+    q2.processAllAvailable(); q2.stop()
+
+    val streamed = StreamCdc.pairsView(spark, out)
+      .as[Pair].collect().toSet
+    assert(streamed === batchPairs(b1 ++ b2))
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 2L)) // pre-stop
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 3L)) // post-resume
+    // no pair emitted twice across batch partitions
+    assert(spark.read.parquet(s"$out/pairs")
+      .groupBy("doc_a", "doc_b").count()
+      .filter(col("count") > 1).count() === 0L)
+    // the chunk index carries each doc's keys exactly once
+    assert(spark.read.parquet(s"$out/chunks")
+      .groupBy("fp", "len", "doc_id").count()
+      .filter(col("count") > 1).count() === 0L)
+  }
+
   test("boilerplate cap at emission time is ONE-SIDED vs the batch " +
     "run: a chunk under the cap when its pair was emitted may cross " +
     "it later (stream keeps, batch drops), and an over-cap chunk " +
