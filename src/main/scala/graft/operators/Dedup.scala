@@ -228,8 +228,9 @@ object Dedup {
     * documents (fixed-offset or whole-doc hashing both miss it). */
   def cdcDupChunks(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", w: Int = 16, maskBits: Int = 6,
-      minLen: Int = 24): DataFrame =
-    cdcChunks(docs, idCol, textCol, w, maskBits)
+      minLen: Int = 24, minChunk: Int = 1,
+      maxChunk: Int = Int.MaxValue): DataFrame =
+    cdcChunksBounded(docs, idCol, textCol, w, maskBits, minChunk, maxChunk)
       .filter(col("len") >= minLen)
       // two plain hash aggregates instead of countDistinct: no Expand,
       // both stages map-side combinable (the x4 row-16 discipline)
@@ -257,10 +258,12 @@ object Dedup {
   def cdcOverlapPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", w: Int = 16, maskBits: Int = 6,
       minLen: Int = 24, minSharedBytes: Int = 48,
-      maxDocsPerChunk: Int = 64): DataFrame = {
+      maxDocsPerChunk: Int = 64, minChunk: Int = 1,
+      maxChunk: Int = Int.MaxValue): DataFrame = {
     require(maxDocsPerChunk >= 2,
       s"cdcOverlapPairs: maxDocsPerChunk must be >= 2, got $maxDocsPerChunk")
-    val perDoc = cdcChunks(docs, idCol, textCol, w, maskBits)
+    val perDoc =
+      cdcChunksBounded(docs, idCol, textCol, w, maskBits, minChunk, maxChunk)
       .filter(col("len") >= minLen)
       .select(col("fp"), col("len"), col(idCol).as("_doc"))
       .distinct()
@@ -285,8 +288,9 @@ object Dedup {
     * `(fp, len)` so the delta probe co-locates) and probes per batch. */
   def cdcChunkIndex(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", w: Int = 16, maskBits: Int = 6,
-      minLen: Int = 24): DataFrame =
-    cdcChunks(corpus, idCol, textCol, w, maskBits)
+      minLen: Int = 24, minChunk: Int = 1,
+      maxChunk: Int = Int.MaxValue): DataFrame =
+    cdcChunksBounded(corpus, idCol, textCol, w, maskBits, minChunk, maxChunk)
       .filter(col("len") >= minLen)
       .select(col("fp"), col("len"), col(idCol))
       .distinct()
@@ -304,10 +308,12 @@ object Dedup {
   def cdcOverlapDelta(delta: DataFrame, index: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", w: Int = 16,
       maskBits: Int = 6, minLen: Int = 24, minSharedBytes: Int = 48,
-      maxDocsPerChunk: Int = 64): DataFrame = {
+      maxDocsPerChunk: Int = 64, minChunk: Int = 1,
+      maxChunk: Int = Int.MaxValue): DataFrame = {
     require(maxDocsPerChunk >= 1,
       s"cdcOverlapDelta: maxDocsPerChunk must be >= 1, got $maxDocsPerChunk")
-    val deltaKeys = cdcChunks(delta, idCol, textCol, w, maskBits)
+    val deltaKeys =
+      cdcChunksBounded(delta, idCol, textCol, w, maskBits, minChunk, maxChunk)
       .filter(col("len") >= minLen)
       .select(col("fp"), col("len"), col(idCol).as("doc_delta"))
       .distinct()
@@ -341,12 +347,13 @@ object Dedup {
     * occurrence is a total order, no ties. */
   def cdcDupStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", w: Int = 16, maskBits: Int = 6,
-      minLen: Int = 24): DataFrame = {
+      minLen: Int = 24, minChunk: Int = 1,
+      maxChunk: Int = Int.MaxValue): DataFrame = {
     val rn = row_number().over(
       org.apache.spark.sql.expressions.Window
         .partitionBy(col("fp"), col("len"))
         .orderBy(col(idCol), col("chunk_idx")))
-    cdcChunks(docs, idCol, textCol, w, maskBits)
+    cdcChunksBounded(docs, idCol, textCol, w, maskBits, minChunk, maxChunk)
       .filter(col("len") >= minLen)
       .withColumn("_rn", rn)
       .groupBy(col(idCol))

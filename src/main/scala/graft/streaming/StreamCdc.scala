@@ -68,13 +68,15 @@ object StreamCdc {
   def sink(docs: DataFrame, outDir: String, checkpoint: String,
       w: Int = 16, maskBits: Int = 6, minLen: Int = 24,
       minSharedBytes: Int = 48, maxDocsPerChunk: Int = 64,
-      idCol: String = "doc_id", textCol: String = "text")
+      idCol: String = "doc_id", textCol: String = "text",
+      minChunk: Int = 1, maxChunk: Int = Int.MaxValue)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val keys = Dedup.cdcChunkIndex(batch, idCol, textCol, w,
-          maskBits, minLen).persist(StorageLevel.MEMORY_AND_DISK)
+            maskBits, minLen, minChunk, maxChunk)
+          .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           // strictly-older batches only: a replayed batch must not see
           // its own crashed partial write as "corpus"

@@ -173,6 +173,45 @@ class CdcSpec extends SparkTestBase {
     assert(batch.exists(p => p._1 == 3L && p._2 == 7L))
   }
 
+  test("the bounded kernel drives the whole family: with (min,max) " +
+    "bounds set, cdcOverlapDelta over a bounded cdcChunkIndex equals " +
+    "bounded cdcOverlapPairs restricted to cross pairs — and bounded " +
+    "results legitimately differ from unbounded ones") {
+    val shared = (0 until 60).map(k => s"bb$k").mkString(" ")
+    val docs = (1L to 20L).map { i =>
+      val body = s"doc $i " + (0 until 50).map(k => s"q${i * 211 + k}")
+        .mkString(" ")
+      val extra =
+        if (Seq(1L, 10L, 4L, 20L).contains(i)) shared else ""
+      (i, body + " " + extra)
+    }.toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val delta = docs.filter($"doc_id" % 10 === 0)
+    val (minC, maxC) = (8, 64)
+    val viaDelta = Dedup.cdcOverlapDelta(delta,
+        Dedup.cdcChunkIndex(corpus, minChunk = minC, maxChunk = maxC),
+        minSharedBytes = 48, maxDocsPerChunk = 1000000,
+        minChunk = minC, maxChunk = maxC)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Dedup.cdcOverlapPairs(docs, minSharedBytes = 48,
+        maxDocsPerChunk = 1000000, minChunk = minC, maxChunk = maxC)
+      .as[(Long, Long, Long, Long)].collect()
+    val cross = batch.flatMap { case (a, b, c, s) =>
+      val aD = a % 10 == 0; val bD = b % 10 == 0
+      if (aD && !bD) Some((a, b, c, s))
+      else if (bD && !aD) Some((b, a, c, s))
+      else None
+    }.toSet
+    assert(viaDelta.nonEmpty, "fixture produced no cross pairs")
+    assert(viaDelta === cross)
+    // the bounds actually bite: the bounded chunk relation differs
+    // from the unbounded one on this corpus
+    val bounded = Dedup.cdcChunksBounded(docs, minChunk = minC,
+      maxChunk = maxC).count()
+    val unbounded = Dedup.cdcChunks(docs).count()
+    assert(bounded !== unbounded, s"bounds did not bite: $bounded")
+  }
+
   test("cdcDupStats charges duplicate chunk mass to every occurrence " +
     "except the corpus-canonical first arrival — within-doc repeats " +
     "included — and unique docs carry zero") {
