@@ -156,9 +156,11 @@ object CdcExprs {
     * suppressed below `minChunk`, forced at `maxChunk` (see
     * [[CdcOps.chunks]]; the final chunk of a doc may still undershoot
     * `minChunk` — the doc end is always a boundary). `maxChunk` must
-    * leave the mask predicate room to fire (`maxChunk > minChunk`),
-    * and `minChunk ≤ w` keeps at least one full hash window per
-    * accepted span. */
+    * leave the mask predicate room to fire (`maxChunk > minChunk` —
+    * enforced). `minChunk ≤ w` is RECOMMENDED geometry, not a
+    * requirement: it keeps at least one full hash window per accepted
+    * span; `minChunk > w` is well-defined (boundaries are simply
+    * suppressed deeper into each chunk) and fuzz-covered. */
   def cdcChunksBounded(text: Column, w: Int, maskBits: Int,
       minChunk: Int, maxChunk: Int): Column = {
     require(w >= 2 && w <= 1024, s"cdcChunks: w must be in [2,1024], got $w")

@@ -267,12 +267,17 @@ object Dedup {
       .filter(col("len") >= minLen)
       .select(col("fp"), col("len"), col(idCol).as("_doc"))
       .distinct()
-    val keyed = perDoc
-      .withColumn("_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fp"), col("len"))))
+    // cap via a map-side-combinable count + join-back — NEVER a
+    // (fp, len)-keyed window: a window buffers every occurrence of a
+    // hot boilerplate chunk in one unsplittable task (the failure
+    // [[SpanDedup]] was designed around); the aggregate collapses hot
+    // keys map-side and the surviving-key relation is tiny (∝ shared
+    // chunk keys in [2, cap] docs)
+    val survivors = perDoc.groupBy(col("fp"), col("len"))
+      .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxDocsPerChunk && col("_n") >= 2)
-      .drop("_n")
+      .select(col("fp"), col("len"))
+    val keyed = perDoc.join(survivors, Seq("fp", "len"))
     keyed.as("a").join(keyed.as("b"),
         col("a.fp") === col("b.fp") && col("a.len") === col("b.len") &&
           col("a._doc") < col("b._doc"))
@@ -317,12 +322,22 @@ object Dedup {
       .filter(col("len") >= minLen)
       .select(col("fp"), col("len"), col(idCol).as("doc_delta"))
       .distinct()
-    val capped = index
-      .withColumn("_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fp"), col("len"))))
-      .filter(col("_n") <= maxDocsPerChunk)
+    // delta-driven cap: restrict the index to postings whose (fp, len)
+    // the delta actually touches BEFORE measuring frequency — the
+    // restriction is key-equality, so per-key counts over the hits
+    // equal counts over the full index for every key that can pair;
+    // then the same agg + join-back discipline as [[cdcOverlapPairs]]
+    // (never a keyed window — hot boilerplate chunks would buffer in
+    // one task). Per-call shuffle ∝ matching postings, not the index.
+    val hits = index
       .select(col("fp"), col("len"), col(idCol).as("doc_corpus"))
+      .join(deltaKeys.select(col("fp"), col("len")).distinct(),
+        Seq("fp", "len"))
+    val survivors = hits.groupBy(col("fp"), col("len"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxDocsPerChunk)
+      .select(col("fp"), col("len"))
+    val capped = hits.join(survivors, Seq("fp", "len"))
     deltaKeys.join(capped, Seq("fp", "len"))
       .groupBy(col("doc_delta"), col("doc_corpus"))
       .agg(count(lit(1)).as("shared_chunks"),
@@ -340,26 +355,38 @@ object Dedup {
     * signal a pipeline thresholds to drop near-copies wholesale where
     * pair-level routes ([[cdcOverlapPairs]]) would be overkill.
     *
-    * Scale shape: one chunk projection, one window keyed by
-    * `(fp, len)` (shuffle ∝ chunks — never pairs; partitioned, so the
-    * PlanSpec no-partition-less-window guard holds), one map-side
-    * combinable per-doc aggregate. Deterministic: the canonical
+    * Scale shape: one chunk projection, one map-side-combinable
+    * `min(struct)` canonical aggregate per `(fp, len)` key restricted
+    * to keys with ≥ 2 occurrences (∝ duplicate keys), one left
+    * join-back, one per-doc aggregate — shuffle ∝ chunks, never pairs,
+    * and NO keyed window (a hot boilerplate chunk would buffer all its
+    * occurrences in one unsplittable task; the [[SpanDedup]] min-struct
+    * discipline applies verbatim). Deterministic: the canonical
     * occurrence is a total order, no ties. */
   def cdcDupStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", w: Int = 16, maskBits: Int = 6,
       minLen: Int = 24, minChunk: Int = 1,
       maxChunk: Int = Int.MaxValue): DataFrame = {
-    val rn = row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(col("fp"), col("len"))
-        .orderBy(col(idCol), col("chunk_idx")))
-    cdcChunksBounded(docs, idCol, textCol, w, maskBits, minChunk, maxChunk)
+    val ch =
+      cdcChunksBounded(docs, idCol, textCol, w, maskBits, minChunk, maxChunk)
       .filter(col("len") >= minLen)
-      .withColumn("_rn", rn)
+    // canonical first arrival per duplicated key: min(struct) collapses
+    // hot keys map-side (a row_number window would sort every
+    // occurrence of a boilerplate chunk on one task); keys with one
+    // occurrence can contribute no duplicates and never join back
+    val dupCanon = ch.groupBy(col("fp"), col("len"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("_c"),
+        count(lit(1)).as("_occ"))
+      .filter(col("_occ") > 1)
+      .select(col("fp"), col("len"), col("_c"))
+    val isDup = col("_c").isNotNull &&
+      (col(idCol) =!= col("_c").getField(idCol) ||
+        col("chunk_idx") =!= col("_c").getField("chunk_idx"))
+    ch.join(dupCanon, Seq("fp", "len"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("_rn") > 1, 1L).otherwise(0L)).as("dup_chunks"),
-        sum(when(col("_rn") > 1, col("len").cast("long"))
+        sum(when(isDup, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(isDup, col("len").cast("long"))
           .otherwise(0L)).as("dup_bytes"))
   }
 
@@ -379,7 +406,14 @@ object Dedup {
     * at-emission cap is one-sided vs batch [[cdcOverlapPairs]] on the
     * final union: the stream never MISSES a pair the batch run keeps
     * (over-cap now ⇒ over-cap at the end), but may additionally emit
-    * pairs whose chunk crossed the cap only after they were emitted. */
+    * pairs whose chunk crossed the cap only after they were emitted.
+    *
+    * Scale shape: corpus postings are key-restricted to the batch's
+    * (fp, len) keys before any counting, so per-batch SHUFFLE is
+    * ∝ batch keys + matching corpus postings — never O(corpus index).
+    * (The corpus-side SCAN is the caller's concern:
+    * [[graft.streaming.StreamCdc]] partition-prunes it by fingerprint
+    * bucket.) */
   def cdcOverlapIncrement(batchKeys: DataFrame, corpusKeys: DataFrame,
       idCol: String = "doc_id", minSharedBytes: Int = 48,
       maxDocsPerChunk: Int = 64): DataFrame = {
@@ -387,14 +421,25 @@ object Dedup {
       s"cdcOverlapIncrement: maxDocsPerChunk must be >= 2, got " +
         s"$maxDocsPerChunk")
     val cols = Seq(col("fp"), col("len"), col(idCol))
-    val all = batchKeys.select(cols: _*)
-      .unionByName(corpusKeys.select(cols: _*))
-    val capped = all
-      .withColumn("_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fp"), col("len"))))
-      .filter(col("_n") <= maxDocsPerChunk)
-      .drop("_n")
+    // delta-driven: corpus postings are restricted to the batch's
+    // (fp, len) keys BEFORE anything is counted — keys the batch does
+    // not touch can form no pair and need no frequency, so per-batch
+    // shuffle is ∝ batch keys + matching corpus postings, never
+    // O(corpus). Frequency over (batch ∪ matching postings) equals the
+    // documented corpus-∪-batch frequency for every key that can pair.
+    // Cap via agg + join-back, never a keyed window (hot boilerplate
+    // chunks would buffer in one task — the [[SpanDedup]] discipline).
+    val bKeys = batchKeys.select(cols: _*)
+    val corpusHits = corpusKeys.select(cols: _*)
+      .join(bKeys.select(col("fp"), col("len")).distinct(),
+        Seq("fp", "len"))
+    val all = bKeys.unionByName(corpusHits)
+    val survivors = all.groupBy(col("fp"), col("len"))
+      .agg(count(lit(1)).as("_n"))
+      // _n >= 2 is pure pruning: a single-posting key joins no pair
+      .filter(col("_n") <= maxDocsPerChunk && col("_n") >= 2)
+      .select(col("fp"), col("len"))
+    val capped = all.join(survivors, Seq("fp", "len"))
     val probe = capped.join(
       batchKeys.select(col(idCol)).distinct(), Seq(idCol))
     probe.as("a").join(capped.as("b"),
@@ -786,7 +831,18 @@ object Dedup {
     * stream each) are gone. For an unbounded gram universe (word
     * n-grams over many blocks, where the dictionary cannot broadcast)
     * set `localPrefixRank = false` to keep the window plan — same
-    * output, unbounded-safe. */
+    * output, unbounded-safe.
+    *
+    * ACCEPTED-BY-DESIGN scaling step (the standing x4 sf1 α-flag):
+    * when the per-block df dictionary outgrows
+    * `spark.sql.autoBroadcastJoinThreshold`, AQE flips the df join
+    * from broadcast to shuffle — a ONE-TIME step in shuffle volume at
+    * the SF where the flip lands (measured α_shuffle ≈ 6 across the
+    * sf0.1→sf1 window that straddles it), not super-linear growth:
+    * past the flip, shuffle is ∝ token stream and the exponent returns
+    * to ~1. Pre-routing on a gram-universe estimate would just move
+    * the same step behind a hand-rolled size model that duplicates
+    * what AQE measures exactly at runtime — rejected. */
   def ngramJaccardBlocked(docs: DataFrame, blockCol: String,
       threshold: Double = 0.5, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text", localPrefixRank: Boolean = true,

@@ -289,15 +289,30 @@ class PlanSpec extends SparkTestBase {
     assert(p154.contains("partial"), p154)
   }
 
-  test("x155 CDC overlap: the pair join is key-equality on the chunk " +
-    "key (never nested-loop/cartesian), and the boilerplate-cap " +
-    "window is keyed by the same chunk key") {
-    for (name <- Seq("x155_cdc_overlap", "x156_cdc_delta")) {
-      val p = plan(name)
+  test("CDC family plans ZERO windows: boilerplate cap and canonical " +
+    "pick are map-side-combinable aggregates + join-back (the " +
+    "SpanDedup min-struct discipline) — a (fp,len)-keyed window would " +
+    "buffer every occurrence of a hot boilerplate chunk in one " +
+    "unsplittable task; pair joins stay key-equality on the chunk key") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    for (name <- Seq("x153_cdc_chunks", "x154_cdc_dup_chunks",
+        "x155_cdc_overlap", "x156_cdc_delta", "x157_cdc_chunks_bounded",
+        "x158_cdc_dup_stats")) {
+      val exec = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan
+      val windows = exec.collect {
+        case w: WindowExec => w
+        case w: WindowGroupLimitExec => w
+      }
+      assert(windows.isEmpty, s"$name plans a window:\n$exec")
+      val p = exec.toString
       assert(!p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct"), s"$name: $p")
+    }
+    // the pair-producing members still join key-equality on the chunk key
+    for (name <- Seq("x155_cdc_overlap", "x156_cdc_delta")) {
+      val p = plan(name)
       assert(p.contains("Join") && p.contains("fp"), s"$name: $p")
-      assert(p.contains("Window"), s"$name: $p")
     }
   }
 
