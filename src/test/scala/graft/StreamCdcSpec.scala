@@ -195,4 +195,172 @@ class StreamCdcSpec extends SparkTestBase {
     assert(viaStream === viaBatch)
     assert(viaStream.exists(p => p._1 == 10L && p._2 == 1L))
   }
+
+  test("compaction folds recent batch dirs into a bucket-partitioned " +
+    "base epoch WITHOUT changing either view: pairsView still equals " +
+    "the batch law, chunkIndexView still equals batch cdcChunkIndex, " +
+    "and the folded batch_id dirs are gone") {
+    implicit val sql = spark.sqlContext
+    val batches = (0 until 6).map { i =>
+      Seq((2L * i + 1, noise(s"a$i", 10) + " " + sharedA),
+        (2L * i + 2, sharedB + " " + noise(s"b$i", 10)))
+    }
+    val out = Files.createTempDirectory("cdc_compact_out").toString
+    val ckpt = Files.createTempDirectory("cdc_compact_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCdc.sink(input.toDF().toDF("doc_id", "text"), out,
+      ckpt, nBuckets = 4, compactEvery = 2)
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    val all = batches.flatten
+    assert(StreamCdc.pairsView(spark, out).as[Pair].collect().toSet ===
+      batchPairs(all))
+    assert(StreamCdc.chunkIndexView(spark, out)
+      .as[(Long, Int, Long)].collect().toSet ===
+      Dedup.cdcChunkIndex(all.toDF("doc_id", "text"))
+        .as[(Long, Int, Long)].collect().toSet)
+    // the base tier exists (exactly one committed epoch) and the
+    // folded batch dirs were deleted — the small-files curve is bounded
+    val baseDirs = new java.io.File(s"$out/chunks_base").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(baseDirs.size === 1, baseDirs)
+    assert(baseDirs.head.matches("e\\d+_upto\\d+"), baseDirs)
+    val recentDirs = new java.io.File(s"$out/chunks").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong).toSeq
+    val upto = baseDirs.head.split("_upto")(1).toLong
+    assert(recentDirs.forall(_ > upto), s"$recentDirs vs upto=$upto")
+    assert(recentDirs.size < 6, recentDirs)
+  }
+
+  test("restart from checkpoint AFTER a compaction: the resumed query " +
+    "probes the folded base tier and the views still equal the batch " +
+    "law on the union") {
+    implicit val sql = spark.sqlContext
+    val pre = (0 until 4).map { i =>
+      Seq((2L * i + 1, noise(s"c$i", 9) + " " + sharedA),
+        (2L * i + 2, sharedB + " " + noise(s"d$i", 9)))
+    }
+    val post = Seq((100L, noise("z", 4) + " " + sharedA + " " +
+      noise("y", 4)))
+    val out = Files.createTempDirectory("cdc_compres_out").toString
+    val ckpt = Files.createTempDirectory("cdc_compres_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q1 = StreamCdc.sink(docs, out, ckpt, nBuckets = 4,
+      compactEvery = 2)
+    pre.foreach { b => input.addData(b); q1.processAllAvailable() }
+    q1.stop()
+    assert(new java.io.File(s"$out/chunks_base").isDirectory)
+
+    val q2 = StreamCdc.sink(docs, out, ckpt, nBuckets = 4,
+      compactEvery = 2)
+    input.addData(post)
+    q2.processAllAvailable(); q2.stop()
+
+    val union = pre.flatten ++ post
+    assert(StreamCdc.pairsView(spark, out).as[Pair].collect().toSet ===
+      batchPairs(union))
+    // the post-restart doc paired against pre-compaction corpus docs
+    assert(StreamCdc.pairsView(spark, out).as[Pair].collect()
+      .exists(p => p._2 == 100L))
+  }
+
+  test("the per-batch probe is PARTITION-PRUNED: both index tiers are " +
+    "read through bucket PartitionFilters, so only directories that " +
+    "can hold a matching fingerprint are scanned") {
+    implicit val sql = spark.sqlContext
+    val batches = (0 until 4).map { i =>
+      Seq((2L * i + 1, noise(s"e$i", 10) + " " + sharedA),
+        (2L * i + 2, sharedB + " " + noise(s"f$i", 10)))
+    }
+    val out = Files.createTempDirectory("cdc_prune_out").toString
+    val ckpt = Files.createTempDirectory("cdc_prune_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCdc.sink(input.toDF().toDF("doc_id", "text"), out,
+      ckpt, nBuckets = 8, compactEvery = 2)
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    // the probe relation a later batch would read, pruned to one bucket
+    val probe = StreamCdc.corpusKeys(spark, out, batchId = 100L,
+      buckets = Some(Seq(3)))
+    val p = probe.queryExecution.executedPlan.toString
+    val scans = p.linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty, p)
+    // every index scan prunes on the bucket partition column
+    assert(scans.forall(l =>
+      l.substring(l.indexOf("PartitionFilters:")).takeWhile(_ != ']')
+        .contains("bucket")), p)
+    // and the pruned probe agrees with the unpruned view on that bucket
+    val full = StreamCdc.corpusKeys(spark, out, batchId = 100L,
+        buckets = None)
+      .filter(pmod(col("fp"), lit(8)).cast("int") === 3)
+    assert(probe.as[(Long, Int, Long)].collect().toSet ===
+      full.as[(Long, Int, Long)].collect().toSet)
+  }
+
+  test("a torn compaction write (no _SUCCESS) is invisible: readers " +
+    "pick the highest COMMITTED epoch only") {
+    implicit val sql = spark.sqlContext
+    val docs = Seq((1L, noise("g", 10) + " " + sharedA),
+      (2L, sharedA + " " + noise("h", 10)))
+    val out = Files.createTempDirectory("cdc_torn_out").toString
+    val ckpt = Files.createTempDirectory("cdc_torn_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCdc.sink(input.toDF().toDF("doc_id", "text"), out, ckpt)
+    try { input.addData(docs); q.processAllAvailable() } finally q.stop()
+    val before = StreamCdc.chunkIndexView(spark, out)
+      .as[(Long, Int, Long)].collect().toSet
+
+    // plant a torn epoch: parquet data, _SUCCESS removed
+    spark.range(1).select(lit(99L).as("fp"), lit(1).as("len"),
+        lit(999L).as("doc_id"), lit(0).as("bucket"))
+      .write.partitionBy("bucket")
+      .parquet(s"$out/chunks_base/e7_upto0")
+    assert(new java.io.File(s"$out/chunks_base/e7_upto0/_SUCCESS")
+      .delete())
+
+    assert(StreamCdc.chunkIndexView(spark, out)
+      .as[(Long, Int, Long)].collect().toSet === before)
+  }
+
+  test("cap crossing mid-stream, batch-nonempty case: pairs the batch " +
+    "run KEEPS are never missed by the stream; the stream's extras " +
+    "are exactly pairs whose chunk crossed the cap after emission") {
+    implicit val sql = spark.sqlContext
+    // sharedA crosses cap=2 at batch 3; sharedB never does
+    val b1 = Seq((1L, noise("p", 5) + " " + sharedA),
+      (2L, sharedA + " " + noise("q", 5)))
+    val b2 = Seq((3L, noise("r", 5) + " " + sharedB),
+      (4L, sharedB + " " + noise("s", 5)))
+    val b3 = Seq((5L, noise("t", 5) + " " + sharedA + " " + noise("u", 5)))
+    val out = Files.createTempDirectory("cdc_cross_out").toString
+    val ckpt = Files.createTempDirectory("cdc_cross_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCdc.sink(input.toDF().toDF("doc_id", "text"), out,
+      ckpt, maxDocsPerChunk = 2)
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = StreamCdc.pairsView(spark, out)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val batch = Dedup.cdcOverlapPairs(
+        (b1 ++ b2 ++ b3).toDF("doc_id", "text"), maxDocsPerChunk = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the batch run keeps (3,4) — sharedB stays under the cap — and
+    // drops every sharedA pair (frequency 3 > 2 at the end)
+    assert(batch === Set((3L, 4L)))
+    // one-sided: stream ⊇ batch, and the extras are only the sharedA
+    // pair emitted while its chunks were still under the cap
+    assert(streamed === Set((1L, 2L), (3L, 4L)))
+    assert(batch.subsetOf(streamed))
+  }
 }
