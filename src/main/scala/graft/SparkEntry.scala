@@ -67,8 +67,11 @@ object SparkEntry {
     * the synthetic documents corpus is pure ASCII (1 char = 1 byte =
     * codepoint); a non-ASCII fixture would shift every CDC hash/offset
     * and keyword position in the oracle, NOT in the engine — the engine's
-    * byte contract is the declared one. If the corpus ever grows
-    * non-ASCII text, re-express this oracle over `encode(text)` bytes. */
+    * byte contract is the declared one. The byte contract is gated
+    * where it DIVERGES from characters by x159/x160/x161
+    * ([[CdcOracleBytesBaseCtes]] — a non-ASCII corpus with the oracle
+    * folding over UTF-8 bytes), so this character oracle is a
+    * pure-ASCII convenience, not a hidden assumption. */
   private val CdcOracleBaseCtes: String =
     """WITH RECURSIVE pw(n, v) AS (
       |  SELECT 0, CAST(1 AS BIGINT)
@@ -87,7 +90,11 @@ object SparkEntry {
       |           % 2147483647 AS BIGINT) AS h
       |  FROM d, pl, unnest(generate_series(16, d.n)) g(i))""".stripMargin
 
-  private val CdcOracleCtes: String = CdcOracleBaseCtes +
+  /** Boundary/segmentation CTE chain shared by the character- and
+    * byte-semantics CDC oracles: consumes `wh(doc_id, i, h)` and
+    * `d(doc_id, …, n)` — position units (chars vs bytes) are whatever
+    * the base CTEs produced. */
+  private val CdcSegCtes: String =
     """,
       |bl0 AS (SELECT doc_id, list(i ORDER BY i) AS bs
       |        FROM wh WHERE h % 64 = 63 GROUP BY doc_id),
@@ -106,6 +113,106 @@ object SparkEntry {
       |              ELSE bs[CAST(g.k - 1 AS INT)] END) AS len
       |  FROM bl, unnest(generate_series(1, len(bs))) g(k))""".stripMargin
 
+  private val CdcOracleCtes: String = CdcOracleBaseCtes + CdcSegCtes
+
+  /** The non-ASCII CDC corpus transform: 'a'→'ä', 'e'→'é' (both
+    * 2-byte UTF-8). Spark-side `translate(text, "ae", "äé")` ≡ this
+    * nested `replace` — disjoint single-char maps whose replacements
+    * contain no map keys. */
+  private val CdcUtf8ReplaceSql =
+    "replace(replace(text, 'a', 'ä'), 'e', 'é')"
+
+  /** BYTE-semantics mirror of [[CdcOracleBaseCtes]] over the
+    * non-ASCII corpus (x159/x160): each character expands to its
+    * UTF-8 bytes by arithmetic on the codepoint (the RFC 3629 layout,
+    * replayed in SQL), and every downstream CTE — window hashes,
+    * boundaries, segmentation, fingerprints — folds over the per-doc
+    * byte list `vs`, so offsets, lengths, and hashes are byte-exact.
+    * This makes the engine's declared raw-UTF-8 contract load-bearing
+    * where [[CdcOracleBaseCtes]]'s character arithmetic merely
+    * coincides with it (pure-ASCII data). */
+  private val CdcOracleBytesBaseCtes: String =
+    s"""WITH RECURSIVE pw(n, v) AS (
+      |  SELECT 0, CAST(1 AS BIGINT)
+      |  UNION ALL
+      |  SELECT n + 1, (v * 257) % 2147483647 FROM pw
+      |  WHERE n < (SELECT max(octet_length(encode($CdcUtf8ReplaceSql)))
+      |             FROM documents)
+      |),
+      |pl AS (SELECT list(v ORDER BY n) AS p FROM pw),
+      |d0 AS (SELECT doc_id, $CdcUtf8ReplaceSql AS text FROM documents
+      |       WHERE length(text) > 0),
+      |cs AS (SELECT doc_id, g.i AS ci,
+      |              unicode(substr(d0.text, CAST(g.i AS INT), 1)) AS cp
+      |       FROM d0, unnest(generate_series(1, length(d0.text))) g(i)),
+      |cb AS (SELECT doc_id, ci,
+      |         CASE WHEN cp < 128 THEN [cp]
+      |              WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+      |              WHEN cp < 65536 THEN [224 + cp // 4096,
+      |                128 + (cp // 64) % 64, 128 + cp % 64]
+      |              ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+      |                128 + (cp // 64) % 64, 128 + cp % 64] END AS bl
+      |       FROM cs),
+      |by0 AS (SELECT doc_id, ci, g.o, bl[CAST(g.o AS INT)] AS v
+      |        FROM cb, unnest(generate_series(1, len(bl))) g(o)),
+      |d AS (SELECT doc_id, list(v ORDER BY ci, o) AS vs,
+      |             CAST(count(*) AS BIGINT) AS n
+      |      FROM by0 GROUP BY doc_id),
+      |wh AS (
+      |  SELECT d.doc_id, g.i,
+      |         CAST(list_sum(list_transform(generate_series(1, 16), t ->
+      |           CAST(vs[CAST(g.i - 16 + t AS INT)] AS BIGINT)
+      |             * pl.p[16 - t + 1]))
+      |           % 2147483647 AS BIGINT) AS h
+      |  FROM d, pl, unnest(generate_series(16, d.n)) g(i))""".stripMargin
+
+  /** Full-chunk fingerprint select over the byte list — the x153
+    * select with `ord(substr(text,…))` replaced by `vs` indexing;
+    * expects `ch(doc_id, chunk_idx, start, len)` in scope. */
+  private val CdcBytesFpSelect: String =
+    """
+      |SELECT c.doc_id, CAST(c.chunk_idx AS INT) AS chunk_idx,
+      |       CAST(c.start AS INT) AS start, CAST(c.len AS INT) AS len,
+      |       CAST(list_sum(list_transform(generate_series(1, c.len), t ->
+      |         CAST(d2.vs[CAST(c.start + t AS INT)] AS BIGINT)
+      |           * pl.p[c.len - t + 1]))
+      |         % 2147483647 AS BIGINT) AS fp
+      |FROM ch c JOIN d d2 USING (doc_id), pl""".stripMargin
+
+  /** Bounded-CDC (x157/x160) segmentation: boundary acceptance is
+    * SEQUENTIAL (the next boundary depends on the previous one), so a
+    * recursive next-boundary fold replaces the positional
+    * [[CdcSegCtes]]: from boundary `fin`, the next is the earliest
+    * mask match at fin+minChunk(32) or later, capped by the forced
+    * fin+maxChunk(128) and the doc end — exactly the kernel's
+    * acceptance rule. Consumes `wh`/`d`, yields
+    * `ch(doc_id, chunk_idx, start, len)`; position units are the base
+    * CTEs' (chars or bytes). */
+  private val CdcBoundedSegCtes: String =
+    """,
+      |seg(doc_id, n, fin) AS (
+      |  SELECT doc_id, n, CAST(0 AS BIGINT) FROM d
+      |  UNION ALL
+      |  SELECT s.doc_id, s.n,
+      |         least(
+      |           coalesce((SELECT min(w2.i) FROM wh w2
+      |                     WHERE w2.doc_id = s.doc_id
+      |                       AND w2.h % 64 = 63
+      |                       AND w2.i >= s.fin + 32), s.fin + 128),
+      |           s.fin + 128, s.n)
+      |  FROM seg s WHERE s.fin < s.n
+      |),
+      |segc AS (
+      |  SELECT doc_id, fin,
+      |         lag(fin) OVER (PARTITION BY doc_id ORDER BY fin) AS prev
+      |  FROM seg),
+      |ch AS (
+      |  SELECT doc_id,
+      |         CAST(row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY fin) - 1 AS INT) AS chunk_idx,
+      |         prev AS start, fin - prev AS len
+      |  FROM segc WHERE prev IS NOT NULL)""".stripMargin
+
   /** x152 keyword tag list — overlap-rich by design ("an" inside
     * "scan", self-bordered "a a", cross-word "fast scan") so the gate
     * exercises dictionary-suffix and self-overlap counting, not just
@@ -114,9 +221,19 @@ object SparkEntry {
   val KeywordTagList: Seq[String] =
     Seq("spark", "table", "scan", "an", "fast scan", "row", "a a")
 
-  private def keywordValuesSql: String =
-    KeywordTagList.zipWithIndex
+  private def keywordValues(tags: Seq[String]): String =
+    tags.zipWithIndex
       .map { case (k, i) => s"(${i + 1}, '$k')" }.mkString(", ")
+
+  private def keywordValuesSql: String = keywordValues(KeywordTagList)
+
+  /** x161: [[KeywordTagList]] under the non-ASCII transform — the
+    * byte automaton scans multi-byte UTF-8 where byte-level matching
+    * must still equal character-level matching (UTF-8 is
+    * self-synchronizing: pattern byte sequences align only on char
+    * boundaries), and the oracle verifies exactly that claim. */
+  val KeywordTagListUtf8: Seq[String] =
+    KeywordTagList.map(_.replace("a", "ä").replace("e", "é"))
 
   /** Exact, order-independent sum of a double column: cast each value to
     * DECIMAL(18,6) (exact for this corpus's ≤2-decimal doubles), sum
@@ -330,6 +447,19 @@ object SparkEntry {
     "x157_cdc_chunks_bounded" -> ((s, dir) =>
       graft.operators.Dedup.cdcChunksBounded(Tables.documents(s, dir),
         w = 16, maskBits = 6, minChunk = 32, maxChunk = 128)),
+    // x159/x160: x153/x157 over a NON-ASCII corpus ('a'→'ä', 'e'→'é';
+    // 2-byte UTF-8) — the engine's CDC kernel operates on raw UTF-8
+    // bytes, and here byte offsets/hashes genuinely diverge from
+    // character arithmetic, so the byte contract is load-bearing: the
+    // oracle expands chars to UTF-8 bytes in SQL and folds over bytes
+    "x159_cdc_chunks_utf8" -> ((s, dir) =>
+      graft.operators.Dedup.cdcChunks(Tables.documents(s, dir)
+          .withColumn("text", translate(col("text"), "ae", "äé")),
+        w = 16, maskBits = 6)),
+    "x160_cdc_bounded_utf8" -> ((s, dir) =>
+      graft.operators.Dedup.cdcChunksBounded(Tables.documents(s, dir)
+          .withColumn("text", translate(col("text"), "ae", "äé")),
+        w = 16, maskBits = 6, minChunk = 32, maxChunk = 128)),
     // the CDC delta route (every dedup family's incremental shape):
     // chunk ONLY the arriving batch, probe the persisted chunk index —
     // cost ∝ delta; corpus = doc_id % 10 != 0, delta = the rest (the
@@ -346,8 +476,9 @@ object SparkEntry {
     // chunk-bytes exist elsewhere in the corpus (first arrival is
     // canonical, every later occurrence — incl. within-doc repeats —
     // is duplicate mass); the wholesale-drop curation signal next to
-    // the pair-level x155. One window keyed by (fp, len), one per-doc
-    // aggregate — shuffle ∝ chunks, never pairs
+    // the pair-level x155. Canonical pick = min(struct) aggregate +
+    // join-back (never a keyed window — a hot boilerplate chunk would
+    // buffer in one task), one per-doc aggregate — shuffle ∝ chunks
     "x158_cdc_dup_stats" -> ((s, dir) =>
       graft.operators.Dedup.cdcDupStats(Tables.documents(s, dir),
         w = 16, maskBits = 6, minLen = 24)),
@@ -361,6 +492,21 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"),
           graft.functions.KeywordExprs.keywordCounts(col("text"),
             KeywordTagList).as("_c"))
+        .select(col("doc_id"),
+          aggregate(col("_c"), lit(0L), (a, c) => a + c).as("n_hits"),
+          size(filter(col("_c"), c => c > lit(0L))).as("n_kinds"),
+          array_join(transform(col("_c"), c => c.cast("string")), ",")
+            .as("counts"))),
+    // x161: x152 over the non-ASCII corpus with multi-byte keywords —
+    // the Aho–Corasick automaton walks raw UTF-8 bytes, and this gate
+    // proves byte matching ≡ character matching on multi-byte text
+    // (UTF-8 self-synchronization), which x152's ASCII corpus never
+    // exercised
+    "x161_keyword_tags_utf8" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+          graft.functions.KeywordExprs.keywordCounts(
+            translate(col("text"), "ae", "äé"),
+            KeywordTagListUtf8).as("_c"))
         .select(col("doc_id"),
           aggregate(col("_c"), lit(0L), (a, c) => a + c).as("n_hits"),
           size(filter(col("_c"), c => c > lit(0L))).as("n_kinds"),
@@ -594,6 +740,25 @@ object SparkEntry {
       graft.operators.Multimodal.dedupPayloads(
         graft.operators.Multimodal.mediaFromDocuments(
           Tables.documents(s, dir)))),
+    // perceptual (feature-level) media near-dedup: the pass AFTER x104's
+    // byte-identity — decode payloads map-side ONCE to fixed-width
+    // feature vectors (stub decoder: deterministic, oracle-replayable),
+    // candidates via quantized-feature chunk keys (the x3 SimHash
+    // pigeonhole at feature level — pairs differing in ≤3 of 16
+    // coordinates are guaranteed candidates), exact cosine verify.
+    // Payloads never shuffle; candidates ∝ duplicate mass, never a hot
+    // single-band quadratic
+    "x162_media_near_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.operators.Multimodal
+        .mediaFromDocuments(Tables.documents(s, dir))
+        .select(col("media_id").as("mediaId"),
+          col("media_type").as("mediaType"), col("payload"),
+          lit(0).as("width"), lit(0).as("height"),
+          lit(0L).as("durationMs"))
+        .as[graft.operators.Multimodal.MediaRecord]
+      graft.operators.Multimodal.nearDupPairs(media, threshold = 0.999)
+    }),
     // graded contamination: per-doc FRACTION of distinct 8-grams found
     // in the benchmark slice — the curation-feature companion to x20's
     // binary flag; same broadcast/semi-join routing, the per-doc gram
@@ -3079,37 +3244,25 @@ object SparkEntry {
     // boundary `fin`, the next is the earliest mask match at
     // fin+minChunk or later, capped by the forced fin+maxChunk and the
     // doc end — exactly the kernel's acceptance rule
-    "x157_cdc_chunks_bounded" -> (CdcOracleBaseCtes +
-      """,
-        |seg(doc_id, n, fin) AS (
-        |  SELECT doc_id, n, CAST(0 AS BIGINT) FROM d
-        |  UNION ALL
-        |  SELECT s.doc_id, s.n,
-        |         least(
-        |           coalesce((SELECT min(w2.i) FROM wh w2
-        |                     WHERE w2.doc_id = s.doc_id
-        |                       AND w2.h % 64 = 63
-        |                       AND w2.i >= s.fin + 32), s.fin + 128),
-        |           s.fin + 128, s.n)
-        |  FROM seg s WHERE s.fin < s.n
-        |),
-        |segc AS (
-        |  SELECT doc_id, fin,
-        |         lag(fin) OVER (PARTITION BY doc_id ORDER BY fin) AS prev
-        |  FROM seg),
-        |ch2 AS (
-        |  SELECT doc_id,
-        |         CAST(row_number() OVER (PARTITION BY doc_id
-        |           ORDER BY fin) - 1 AS INT) AS chunk_idx,
-        |         prev AS start, fin - prev AS len
-        |  FROM segc WHERE prev IS NOT NULL)
-        |SELECT c.doc_id, c.chunk_idx, CAST(c.start AS INT) AS start,
+    "x157_cdc_chunks_bounded" -> (CdcOracleBaseCtes + CdcBoundedSegCtes +
+      """
+        |SELECT c.doc_id, CAST(c.chunk_idx AS INT) AS chunk_idx,
+        |       CAST(c.start AS INT) AS start,
         |       CAST(c.len AS INT) AS len,
         |       CAST(list_sum(list_transform(generate_series(1, c.len), t ->
         |         ord(substr(d2.text, CAST(c.start + t AS INT), 1))
         |           * pl.p[c.len - t + 1]))
         |         % 2147483647 AS BIGINT) AS fp
-        |FROM ch2 c JOIN d d2 USING (doc_id), pl""".stripMargin),
+        |FROM ch c JOIN d d2 USING (doc_id), pl""".stripMargin),
+    // x159/x160: the SAME contracts as x153/x157 but over a non-ASCII
+    // corpus ('a'→'ä', 'e'→'é', both 2-byte UTF-8) with a BYTE-level
+    // oracle — chars expand to UTF-8 bytes in SQL and every hash/
+    // offset folds over bytes, so the engine's raw-UTF-8 contract is
+    // exercised exactly where character arithmetic diverges from it
+    "x159_cdc_chunks_utf8" -> (CdcOracleBytesBaseCtes + CdcSegCtes +
+      CdcBytesFpSelect),
+    "x160_cdc_bounded_utf8" -> (CdcOracleBytesBaseCtes +
+      CdcBoundedSegCtes + CdcBytesFpSelect),
     "x154_cdc_dup_chunks" -> (CdcOracleCtes +
       """,
         |fps AS (
@@ -3210,6 +3363,25 @@ object SparkEntry {
         |           p -> substr(d.text, p, length(k.kw)) = k.kw)) AS BIGINT)
         |           AS c
         |  FROM documents d CROSS JOIN kw k)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_hits,
+        |       CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS INT) AS n_kinds,
+        |       array_to_string(list(c ORDER BY kidx), ',') AS counts
+        |FROM cnt GROUP BY doc_id""".stripMargin,
+    // x161: the same brute-force character scan, but over the
+    // non-ASCII corpus with multi-byte keywords — character counts
+    // MUST equal the engine's byte-automaton counts on valid UTF-8
+    // (self-synchronization: pattern bytes align only on char bounds)
+    "x161_keyword_tags_utf8" ->
+      s"""WITH kw(kidx, kw) AS (VALUES ${keywordValues(KeywordTagListUtf8)}),
+        |du AS (SELECT doc_id, $CdcUtf8ReplaceSql AS text FROM documents),
+        |cnt AS (
+        |  SELECT d.doc_id, k.kidx,
+        |         CAST(len(list_filter(
+        |           generate_series(1, length(d.text) - length(k.kw) + 1),
+        |           p -> substr(d.text, p, length(k.kw)) = k.kw)) AS BIGINT)
+        |           AS c
+        |  FROM du d CROSS JOIN kw k)
         |SELECT doc_id,
         |       CAST(sum(c) AS BIGINT) AS n_hits,
         |       CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS INT) AS n_kinds,
@@ -3528,6 +3700,39 @@ object SparkEntry {
     "x104_payload_dedup" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // x162: the stub decoder replayed in SQL — 16 centered byte-sample
+    // features ((b−128)/128, exact in float AND double), chunk keys =
+    // 4 raw coordinates each (exact equality on the identical double
+    // values), cosine over doubles (the x12 oracle shape). ASCII
+    // corpus ⇒ ord(substr) = payload byte.
+    "x162_media_near_dedup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |           WHERE length(text) > 0),
+        |f AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 15), j ->
+        |           (CAST(ord(substr(text,
+        |              CAST(((j * 31) % n) + 1 AS INT), 1)) AS DOUBLE)
+        |             - 128.0) / 128.0) AS v
+        |  FROM d),
+        |g AS (SELECT doc_id, v,
+        |             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |      FROM f),
+        |nn AS (SELECT * FROM g WHERE nrm > 0),
+        |k AS (SELECT doc_id, v, nrm, u.j AS j,
+        |             v[4 * u.j + 1] AS k1, v[4 * u.j + 2] AS k2,
+        |             v[4 * u.j + 3] AS k3, v[4 * u.j + 4] AS k4
+        |      FROM nn, unnest(generate_series(0, 3)) u(j)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+        |         round(list_sum(list_transform(generate_series(1, 16),
+        |                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6)
+        |           AS cosine
+        |  FROM k a JOIN k b ON a.j = b.j AND a.k1 = b.k1
+        |    AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.k4 = b.k4
+        |    AND a.doc_id < b.doc_id)
+        |SELECT media_a, media_b, cosine FROM cand
+        |WHERE cosine >= 0.999""".stripMargin,
     "x108_pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
