@@ -141,6 +141,16 @@ object IvfIndex {
     f.delete(): Unit
   }
 
+  /** Newest mtime in the tree — an in-flight builder keeps touching
+    * leaf files even when the root dir's own mtime stays put. */
+  private def deepMtime(f: java.io.File): Long = {
+    val own = f.lastModified()
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foldLeft(own)((m, c) => math.max(m, deepMtime(c)))
+    else own
+  }
+
   /** Sweep torn `.build-<pid>` tmp dirs left by CRASHED builders: the
     * normal path deletes its own tmp in the `finally`, but a killed
     * JVM's dir would otherwise survive forever next to the index. Run
@@ -148,7 +158,17 @@ object IvfIndex {
     * its name is no longer a live process (so a concurrent cross-JVM
     * builder's in-flight tmp is never touched; `keep` — the current
     * builder's own tmp name — is skipped regardless and recreated by
-    * the caller). */
+    * the caller).
+    *
+    * SCOPE: the pid liveness check is SAME-MACHINE, same pid
+    * namespace. On a shared filesystem a live builder on another host
+    * would look dead — so a recent-mtime age guard additionally skips
+    * any dir modified in the last [[SweepMinAgeMs]] (an in-flight
+    * build keeps writing; a torn one goes stale). A recycled pid can
+    * still keep a torn dir alive indefinitely — acceptable garbage,
+    * never a correctness hazard (tmp dirs are invisible to readers). */
+  private[graft] val SweepMinAgeMs: Long = 10L * 60L * 1000L
+
   private def sweepTornBuilds(path: String, keep: String): Unit = {
     val base = new java.io.File(path)
     val prefix = base.getName + ".build-"
@@ -165,7 +185,11 @@ object IvfIndex {
               h.isPresent && h.get.isAlive
             }
         }
-        if (!alive) deleteRecursively(f)
+        // age guard: never touch a dir still being written (covers
+        // builders this machine's pid namespace cannot see)
+        val recentlyTouched =
+          System.currentTimeMillis() - deepMtime(f) < SweepMinAgeMs
+        if (!alive && !recentlyTouched) deleteRecursively(f)
       }
     }
   }

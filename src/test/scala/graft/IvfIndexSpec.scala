@@ -198,18 +198,29 @@ class IvfIndexSpec extends SparkTestBase {
     "survives the sweep") {
     val path = tmpPath("ivf_sweep")
     val parent = new java.io.File(path).getParentFile
-    // torn residue of a CRASHED builder: pid that no longer exists
+    // torn residue of a CRASHED builder: pid that no longer exists,
+    // backdated past the sweep age guard (a real torn dir is stale;
+    // the guard protects in-flight builders the pid check can't see)
     val dead = new java.io.File(path + ".build-999999999")
     assert(new java.io.File(dead, "lists").mkdirs())
+    val stale = System.currentTimeMillis() - IvfIndex.SweepMinAgeMs - 60000L
+    assert(new java.io.File(dead, "lists").setLastModified(stale))
+    assert(dead.setLastModified(stale))
     // in-flight tmp of a LIVE foreign builder: pid 1 is always alive
     // and never this JVM
     val live = new java.io.File(path + ".build-1")
     assert(new java.io.File(live, "lists").mkdirs())
+    // dead pid but RECENT mtime: the age guard keeps it (covers a
+    // live cross-host builder this pid namespace cannot see)
+    val fresh = new java.io.File(path + ".build-999999998")
+    assert(new java.io.File(fresh, "lists").mkdirs())
     IvfIndex.build(emb, path, nLists = 4)
     val names = parent.listFiles().map(_.getName).toSet
     assert(!names.contains(dead.getName), names.mkString(", "))
     assert(names.contains(live.getName), names.mkString(", "))
+    assert(names.contains(fresh.getName), names.mkString(", "))
     deleteDir(live)
+    deleteDir(fresh)
     // rebuild after the live builder "finished": now exactly one
     // directory remains — the committed index
     IvfIndex.build(emb, path, nLists = 4)
