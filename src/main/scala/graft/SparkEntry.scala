@@ -759,6 +759,27 @@ object SparkEntry {
         .as[graft.operators.Multimodal.MediaRecord]
       graft.operators.Multimodal.nearDupPairs(media, threshold = 0.999)
     }),
+    // the media delta route (every dedup family's incremental shape on
+    // the binary modality): decode ONLY the arriving batch, probe the
+    // persisted feature/chunk-key index — cost ∝ delta, the corpus is
+    // never re-decoded; corpus = doc_id % 10 != 0, delta = the rest
+    // (the x48/x156 split)
+    "x163_media_dedup_delta" -> ((s, dir) => {
+      import s.implicits._
+      def media(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("media_id").as("mediaId"),
+          col("media_type").as("mediaType"), col("payload"),
+          lit(0).as("width"), lit(0).as("height"),
+          lit(0L).as("durationMs"))
+        .as[graft.operators.Multimodal.MediaRecord]
+      val all = graft.operators.Multimodal
+        .mediaFromDocuments(Tables.documents(s, dir))
+      val corpus = media(all.filter(col("media_id") % 10 =!= 0))
+      val delta = media(all.filter(col("media_id") % 10 === 0))
+      graft.operators.Multimodal.nearDupDelta(delta,
+        graft.operators.Multimodal.nearDupIndex(corpus),
+        threshold = 0.999)
+    }),
     // graded contamination: per-doc FRACTION of distinct 8-grams found
     // in the benchmark slice — the curation-feature companion to x20's
     // binary flag; same broadcast/semi-join routing, the per-doc gram
@@ -3732,6 +3753,37 @@ object SparkEntry {
         |    AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.k4 = b.k4
         |    AND a.doc_id < b.doc_id)
         |SELECT media_a, media_b, cosine FROM cand
+        |WHERE cosine >= 0.999""".stripMargin,
+    // x163: the same replay restricted to delta×corpus pairs, delta id
+    // first (the nearDupDelta output orientation)
+    "x163_media_dedup_delta" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |           WHERE length(text) > 0),
+        |f AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 15), j ->
+        |           (CAST(ord(substr(text,
+        |              CAST(((j * 31) % n) + 1 AS INT), 1)) AS DOUBLE)
+        |             - 128.0) / 128.0) AS v
+        |  FROM d),
+        |g AS (SELECT doc_id, v,
+        |             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |      FROM f),
+        |nn AS (SELECT * FROM g WHERE nrm > 0),
+        |k AS (SELECT doc_id, v, nrm, u.j AS j,
+        |             v[4 * u.j + 1] AS k1, v[4 * u.j + 2] AS k2,
+        |             v[4 * u.j + 3] AS k3, v[4 * u.j + 4] AS k4
+        |      FROM nn, unnest(generate_series(0, 3)) u(j)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS media_delta,
+        |         b.doc_id AS media_corpus,
+        |         round(list_sum(list_transform(generate_series(1, 16),
+        |                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6)
+        |           AS cosine
+        |  FROM k a JOIN k b ON a.j = b.j AND a.k1 = b.k1
+        |    AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.k4 = b.k4
+        |    AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+        |SELECT media_delta, media_corpus, cosine FROM cand
         |WHERE cosine >= 0.999""".stripMargin,
     "x108_pack_sequences" ->
       """WITH toks AS (

@@ -186,24 +186,67 @@ object Multimodal {
       decoder: MediaDecoder = FakeDecoder): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"nearDupPairs: threshold must be in (0, 1], got $threshold")
-    val feats = Materialize.eager(extractFeatures(
+    val keys = Materialize.eager(chunkKeys(media, decoder))
+    val joinCond = keyEquality && col("a.id") < col("b.id")
+    keys.as("a").join(keys.as("b"), joinCond)
+      .select(col("a.id").as("media_a"), col("b.id").as("media_b"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cosine"))
+      .distinct() // a pair may share up to 4 chunk keys
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** The feature/chunk-key relation behind [[nearDupPairs]]: one row
+    * per (media id, chunk j) — `(id, v, j, k1..k4)`. */
+  private def chunkKeys(media: Dataset[MediaRecord],
+      decoder: MediaDecoder): DataFrame =
+    extractFeatures(
         media.filter((m: MediaRecord) => m.payload.nonEmpty), decoder)
-      .select(col("mediaId").as("id"), col("featureVec").as("v")))
-    val keys = feats.select(col("id"), col("v"),
+      .select(col("mediaId").as("id"), col("featureVec").as("v"))
+      .select(col("id"), col("v"),
         posexplode(array((0 until 4).map(j => struct(
           (1 to 4).map(c =>
             element_at(col("v"), 4 * j + c).as(s"k$c")): _*)): _*)))
       .select(col("id"), col("v"), col("pos").as("j"),
         col("col.k1").as("k1"), col("col.k2").as("k2"),
         col("col.k3").as("k3"), col("col.k4").as("k4"))
-    keys.as("a")
-      .join(keys.as("b"),
-        col("a.j") === col("b.j") && col("a.k1") === col("b.k1") &&
-          col("a.k2") === col("b.k2") && col("a.k3") === col("b.k3") &&
-          col("a.k4") === col("b.k4") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("media_a"), col("b.id").as("media_b"),
+
+  private def keyEquality =
+    col("a.j") === col("b.j") && col("a.k1") === col("b.k1") &&
+      col("a.k2") === col("b.k2") && col("a.k3") === col("b.k3") &&
+      col("a.k4") === col("b.k4")
+
+  /** The persistable media near-dup index: [[nearDupPairs]]'s
+    * feature/chunk-key relation of the CORPUS — what an incremental
+    * pipeline writes once (bucket or sort by the chunk key so the
+    * delta probe co-locates) and probes per batch
+    * ([[graft.operators.Dedup.cdcChunkIndex]]'s contract on the
+    * binary modality). Columns: `(media_id, v, j, k1..k4)`. */
+  def nearDupIndex(media: Dataset[MediaRecord],
+      decoder: MediaDecoder = FakeDecoder): DataFrame =
+    chunkKeys(media, decoder).withColumnRenamed("id", "media_id")
+
+  /** Incremental perceptual near-dedup: decode ONLY the delta batch
+    * and probe a persisted [[nearDupIndex]] — cost ∝ |delta|, the
+    * corpus is never re-decoded (the
+    * [[graft.operators.Dedup.cdcOverlapDelta]] discipline on the
+    * binary modality). Output `(media_delta, media_corpus, cosine)` —
+    * equal to [[nearDupPairs]] over (corpus ∪ delta) restricted to
+    * cross pairs, with the delta id first (law-tested). Media ids
+    * must be disjoint across the two sides, the same precondition as
+    * every delta route. */
+  def nearDupDelta(delta: Dataset[MediaRecord], index: DataFrame,
+      threshold: Double = 0.9,
+      decoder: MediaDecoder = FakeDecoder): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"nearDupDelta: threshold must be in (0, 1], got $threshold")
+    val dk = chunkKeys(delta, decoder)
+    dk.as("a")
+      .join(index.withColumnRenamed("media_id", "id").as("b"),
+        keyEquality)
+      .select(col("a.id").as("media_delta"),
+        col("b.id").as("media_corpus"),
         round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cosine"))
-      .distinct() // a pair may share up to 4 chunk keys
+      .distinct()
       .filter(col("cosine") >= threshold)
   }
 

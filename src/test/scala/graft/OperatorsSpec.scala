@@ -1916,6 +1916,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(cand.contains((1L, 7L)))
   }
 
+  test("media near-dup delta route: probing the persisted index equals " +
+    "batch nearDupPairs over the union restricted to cross pairs, and " +
+    "the delta side is never paired against itself") {
+    import Multimodal._
+    def payload(seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(400)(r.nextInt(256).toByte)
+    }
+    // corpus: 20 distinct payloads + make 3 of them near-dup targets
+    val corpus = (0 until 20).map(i =>
+      MediaRecord(i.toLong, "image/fake", payload(i), 32, 32, 0L))
+    // delta: copies of corpus payloads 1, 2, 3 (ids disjoint) plus two
+    // unrelated and one delta-internal dup pair (must NOT emit)
+    val delta = Seq(
+      MediaRecord(101L, "image/fake", payload(1), 32, 32, 0L),
+      MediaRecord(102L, "image/fake", payload(2), 32, 32, 0L),
+      MediaRecord(103L, "image/fake", payload(3), 32, 32, 0L),
+      MediaRecord(104L, "image/fake", payload(777), 32, 32, 0L),
+      MediaRecord(105L, "image/fake", payload(777), 32, 32, 0L))
+    val viaIndex = nearDupDelta(delta.toDS(),
+        nearDupIndex(corpus.toDS()), threshold = 0.999)
+      .as[(Long, Long, Double)].collect().toSet
+    val batchCross = nearDupPairs((corpus ++ delta).toDS(),
+        threshold = 0.999)
+      .as[(Long, Long, Double)].collect()
+      .filter(p => p._2 >= 100L && p._1 < 100L)
+      .map(p => (p._2, p._1, p._3)).toSet // delta id first
+    assert(viaIndex === batchCross)
+    assert(viaIndex.map(p => (p._1, p._2)) ===
+      Set((101L, 1L), (102L, 2L), (103L, 3L)))
+    // the delta-internal pair (104, 105) is batch work, not delta work
+    assert(!viaIndex.exists(p => p._1 >= 104L && p._2 >= 104L))
+  }
+
   test("media features flow into the ANN path: extractFeatures output " +
     "is a valid embeddings relation for cosineTopK") {
     import Multimodal._
