@@ -262,11 +262,15 @@ object Dedup {
       maxChunk: Int = Int.MaxValue): DataFrame = {
     require(maxDocsPerChunk >= 2,
       s"cdcOverlapPairs: maxDocsPerChunk must be >= 2, got $maxDocsPerChunk")
-    val perDoc =
+    // materialized once for its THREE consumers (freq count + both
+    // self-join sides): exchange reuse does not dedupe the branches,
+    // so without it the chunk kernel would re-scan the corpus 3–4×
+    // (the [[SpanDedup]] tokenBase discipline)
+    val perDoc = Materialize.eager(
       cdcChunksBounded(docs, idCol, textCol, w, maskBits, minChunk, maxChunk)
       .filter(col("len") >= minLen)
       .select(col("fp"), col("len"), col(idCol).as("_doc"))
-      .distinct()
+      .distinct())
     // cap via a map-side-combinable count + join-back — NEVER a
     // (fp, len)-keyed window: a window buffers every occurrence of a
     // hot boilerplate chunk in one unsplittable task (the failure
@@ -317,11 +321,14 @@ object Dedup {
       maxChunk: Int = Int.MaxValue): DataFrame = {
     require(maxDocsPerChunk >= 1,
       s"cdcOverlapDelta: maxDocsPerChunk must be >= 1, got $maxDocsPerChunk")
-    val deltaKeys =
+    // delta keys materialize once for their two consumers (the index
+    // restriction + the final pair join) — without it the delta is
+    // chunked twice; hits likewise (freq count + join-back)
+    val deltaKeys = Materialize.eager(
       cdcChunksBounded(delta, idCol, textCol, w, maskBits, minChunk, maxChunk)
       .filter(col("len") >= minLen)
       .select(col("fp"), col("len"), col(idCol).as("doc_delta"))
-      .distinct()
+      .distinct())
     // delta-driven cap: restrict the index to postings whose (fp, len)
     // the delta actually touches BEFORE measuring frequency — the
     // restriction is key-equality, so per-key counts over the hits
@@ -329,10 +336,10 @@ object Dedup {
     // then the same agg + join-back discipline as [[cdcOverlapPairs]]
     // (never a keyed window — hot boilerplate chunks would buffer in
     // one task). Per-call shuffle ∝ matching postings, not the index.
-    val hits = index
+    val hits = Materialize.eager(index
       .select(col("fp"), col("len"), col(idCol).as("doc_corpus"))
       .join(deltaKeys.select(col("fp"), col("len")).distinct(),
-        Seq("fp", "len"))
+        Seq("fp", "len")))
     val survivors = hits.groupBy(col("fp"), col("len"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxDocsPerChunk)
@@ -367,9 +374,11 @@ object Dedup {
       textCol: String = "text", w: Int = 16, maskBits: Int = 6,
       minLen: Int = 24, minChunk: Int = 1,
       maxChunk: Int = Int.MaxValue): DataFrame = {
-    val ch =
+    // materialized once for its two consumers (canonical aggregate +
+    // join-back): without it the chunk kernel re-scans the corpus
+    val ch = Materialize.eager(
       cdcChunksBounded(docs, idCol, textCol, w, maskBits, minChunk, maxChunk)
-      .filter(col("len") >= minLen)
+      .filter(col("len") >= minLen))
     // canonical first arrival per duplicated key: min(struct) collapses
     // hot keys map-side (a row_number window would sort every
     // occurrence of a boilerplate chunk on one task); keys with one
@@ -433,7 +442,9 @@ object Dedup {
     val corpusHits = corpusKeys.select(cols: _*)
       .join(bKeys.select(col("fp"), col("len")).distinct(),
         Seq("fp", "len"))
-    val all = bKeys.unionByName(corpusHits)
+    // materialized once for its three consumers (freq count + probe
+    // side + b side) — without it the corpus index read repeats
+    val all = Materialize.eager(bKeys.unionByName(corpusHits))
     val survivors = all.groupBy(col("fp"), col("len"))
       .agg(count(lit(1)).as("_n"))
       // _n >= 2 is pure pruning: a single-posting key joins no pair
