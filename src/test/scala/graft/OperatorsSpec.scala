@@ -1916,6 +1916,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(cand.contains((1L, 7L)))
   }
 
+  test("media near-dup pigeonhole law (fuzz): perturbing any <= 3 of " +
+    "the 16 sampled offsets always leaves the pair a candidate") {
+    import Multimodal._
+    val rnd = new scala.util.Random(131)
+    val cases = (0 until 12).map { t =>
+      // n > 15*31 keeps the 16 sampled offsets distinct, so one byte
+      // perturbation moves exactly one feature coordinate
+      val n = 466 + rnd.nextInt(512)
+      val base = Array.fill(n)(rnd.nextInt(256).toByte)
+      val offs = (0 until 16).map(j => (j * 31) % n).distinct
+      val nPerturb = 1 + rnd.nextInt(3)
+      val picks = rnd.shuffle(offs.toList).take(nPerturb)
+      val edited = base.clone()
+      picks.foreach(o => edited(o) = (edited(o) + 1 + rnd.nextInt(200)).toByte)
+      (2L * t, base, 2L * t + 1, edited)
+    }
+    val media = cases.flatMap { case (ia, a, ib, b) =>
+      Seq(MediaRecord(ia, "image/fake", a, 32, 32, 0L),
+        MediaRecord(ib, "image/fake", b, 32, 32, 0L))
+    }.toDS()
+    // threshold ~0 observes pure candidacy (cosine sign can vary);
+    // every (2t, 2t+1) pair differs in <= 3 sampled coords, so each
+    // MUST surface — unless its cosine is genuinely <= 0, which the
+    // fixture avoids by perturbing at most 3 of 16 coords
+    val cand = nearDupPairs(media, threshold = 1e-12)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    cases.foreach { case (ia, _, ib, _) =>
+      assert(cand.contains((ia, ib)), s"pair ($ia, $ib) missed")
+    }
+  }
+
   test("media near-dup delta route: probing the persisted index equals " +
     "batch nearDupPairs over the union restricted to cross pairs, and " +
     "the delta side is never paired against itself") {

@@ -304,6 +304,30 @@ class StreamCdcSpec extends SparkTestBase {
       full.as[(Long, Int, Long)].collect().toSet)
   }
 
+  test("the bucket modulus is immutable per outDir: a sink with a " +
+    "different nBuckets fails loudly instead of silently mis-pruning") {
+    implicit val sql = spark.sqlContext
+    val docs = Seq((1L, noise("i", 10) + " " + sharedA))
+    val out = Files.createTempDirectory("cdc_nb_out").toString
+    val ck1 = Files.createTempDirectory("cdc_nb_ck1").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCdc.sink(input.toDF().toDF("doc_id", "text"), out, ck1,
+      nBuckets = 8)
+    try { input.addData(docs); q.processAllAvailable() } finally q.stop()
+
+    val ck2 = Files.createTempDirectory("cdc_nb_ck2").toString
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamCdc.sink(in2.toDF().toDF("doc_id", "text"), out, ck2,
+      nBuckets = 16)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      in2.addData(Seq((2L, noise("j", 10))))
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(err.getMessage.contains("nBuckets") ||
+      Option(err.getCause).exists(_.getMessage.contains("nBuckets")), err)
+  }
+
   test("a torn compaction write (no _SUCCESS) is invisible: readers " +
     "pick the highest COMMITTED epoch only") {
     implicit val sql = spark.sqlContext
