@@ -780,6 +780,26 @@ object SparkEntry {
         graft.operators.Multimodal.nearDupIndex(corpus),
         threshold = 0.999)
     }),
+    // sub-file (frame-level) media overlap: the cdcOverlapPairs shape
+    // on the video modality — media pairs sharing distinct
+    // near-identical frames, boilerplate frames (> 64 media) dropped
+    // before pairing; frame decode is map-side fan-out, the pair join
+    // is key-equality on the frame feature key. The harness documents
+    // are ~300 bytes = one frame each, so minSharedFrames = 1 here;
+    // the multi-frame laws live in the unit spec with video-sized
+    // payloads
+    "x164_media_frame_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.operators.Multimodal
+        .mediaFromDocuments(Tables.documents(s, dir))
+        .select(col("media_id").as("mediaId"),
+          col("media_type").as("mediaType"), col("payload"),
+          lit(0).as("width"), lit(0).as("height"),
+          lit(0L).as("durationMs"))
+        .as[graft.operators.Multimodal.MediaRecord]
+      graft.operators.Multimodal.frameOverlapPairs(media,
+        minSharedFrames = 1, maxMediaPerFrame = 64)
+    }),
     // graded contamination: per-doc FRACTION of distinct 8-grams found
     // in the benchmark slice — the curation-feature companion to x20's
     // binary flag; same broadcast/semi-join routing, the per-doc gram
@@ -3785,6 +3805,37 @@ object SparkEntry {
         |    AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
         |SELECT media_delta, media_corpus, cosine FROM cand
         |WHERE cosine >= 0.999""".stripMargin,
+    // x164: frames replayed from text bytes — nFrames =
+    // max(1, floor(n/256)), frame f covers [f*256, f*256+256) (the
+    // final partial tail beyond nFrames*256 is never a frame, and a
+    // short doc is one frame of its own length); per-frame features
+    // are the decoder's 16 byte samples within the frame; DISTINCT
+    // keys per doc, boilerplate cap 2..64, pair counts
+    "x164_media_frame_overlap" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |           WHERE length(text) > 0),
+        |fr AS (
+        |  SELECT doc_id, g.f,
+        |         CASE WHEN n < 256 THEN n ELSE 256 END AS fl
+        |  FROM d, unnest(generate_series(0,
+        |    greatest(n // 256, 1) - 1)) g(f)),
+        |fk AS (
+        |  SELECT DISTINCT doc_id,
+        |         list_transform(generate_series(0, 15), j ->
+        |           (CAST(ord(substr(d.text,
+        |              CAST(fr.f * 256 + ((j * 31) % fr.fl) + 1 AS INT),
+        |              1)) AS DOUBLE) - 128.0) / 128.0) AS k
+        |  FROM fr JOIN d USING (doc_id)),
+        |surv AS (
+        |  SELECT k FROM fk GROUP BY k
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |keyed AS (SELECT doc_id, k FROM fk JOIN surv USING (k))
+        |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |       CAST(count(*) AS BIGINT) AS shared_frames
+        |FROM keyed a JOIN keyed b
+        |  ON a.k = b.k AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 1""".stripMargin,
     "x108_pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),

@@ -250,6 +250,56 @@ object Multimodal {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Sub-file (frame-level) media overlap: pairs of media sharing ≥
+    * `minSharedFrames` DISTINCT near-identical frames — the
+    * [[graft.operators.Dedup.cdcOverlapPairs]] shape on the video
+    * modality, where the natural sub-document unit is the FRAME (a
+    * fixed window is the right model here, unlike byte streams where
+    * CDC earns its shift-robustness: frames are positionally defined
+    * by the container, so an inserted frame shifts nothing). Catches
+    * re-cut / re-intro'd / partially-reused footage that whole-file
+    * routes ([[nearDupPairs]]) miss.
+    *
+    * Frame identity = the decoder's per-frame feature vector, used as
+    * the key itself (exact equality; the stub's 16-point byte sample —
+    * a real deployment swaps in a perceptual frame hash and nothing
+    * else changes). Frames present in more than `maxMediaPerFrame`
+    * media are dropped BEFORE pairing — the [[Dedup.removeBoilerplate]]
+    * rule: an intro/outro card in k videos would emit k² pairs and is
+    * not reuse evidence.
+    *
+    * Scale shape: frame decode is map-side fan-out (one iterator pass,
+    * payloads never shuffle — only (id, feature-key) rows move);
+    * per-media frame keys dedupe map-side; the cap is the
+    * agg + join-back discipline (never a keyed window); the pair join
+    * is key-equality on the frame key — candidates ∝ shared-frame
+    * mass, never corpus². Output: (media_a, media_b, shared_frames). */
+  def frameOverlapPairs(media: Dataset[MediaRecord], stride: Int = 1,
+      minSharedFrames: Int = 2, maxMediaPerFrame: Int = 64,
+      decoder: MediaDecoder = FakeDecoder): DataFrame = {
+    require(minSharedFrames >= 1,
+      s"frameOverlapPairs: minSharedFrames must be >= 1, got " +
+        s"$minSharedFrames")
+    require(maxMediaPerFrame >= 2,
+      s"frameOverlapPairs: maxMediaPerFrame must be >= 2, got " +
+        s"$maxMediaPerFrame")
+    val fr = Materialize.eager(sampleFrames(
+        media.filter((m: MediaRecord) => m.payload.nonEmpty), stride,
+        decoder)
+      .select(col("mediaId").as("_id"), col("features").as("fk"))
+      .distinct())
+    val survivors = fr.groupBy(col("fk"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxMediaPerFrame && col("_n") >= 2)
+      .select(col("fk"))
+    val keyed = fr.join(survivors, Seq("fk"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.fk") === col("b.fk") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("media_a"), col("b._id").as("media_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
+
   /** Exact payload dedup: group BYTE-identical payloads (md5 over the
     * raw binary — no text normalization; a payload is opaque), keep the
     * smallest id — [[Dedup.exact]]'s contract for the binary modality.

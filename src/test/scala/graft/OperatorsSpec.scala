@@ -1947,6 +1947,50 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("frame-level media overlap: frame-aligned shared footage pairs " +
+    "with the right distinct-count, within-media repeats count once, " +
+    "single-frame overlap stays below the floor, and a boilerplate " +
+    "frame past the cap never pairs") {
+    import Multimodal._
+    def block(seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(FrameBytes)(r.nextInt(256).toByte)
+    }
+    val f1 = block(1); val f2 = block(2); val boiler = block(9)
+    def cat(bs: Array[Byte]*): Array[Byte] = bs.flatten.toArray
+    val media = Seq(
+      // A: f1, f2, f1 again (repeat counts once), own footage
+      MediaRecord(1L, "video/fake", cat(f1, f2, f1, block(11)), 0, 0, 0L),
+      // B: shifted by one frame but frame-ALIGNED: shares f1, f2
+      MediaRecord(2L, "video/fake", cat(block(12), f1, f2), 0, 0, 0L),
+      // C: shares only f1 -> below minSharedFrames=2
+      MediaRecord(3L, "video/fake", cat(f1, block(13)), 0, 0, 0L),
+      // D/E/F: the boilerplate frame in 5 media total (cap 4)
+      MediaRecord(4L, "video/fake", cat(boiler, block(14)), 0, 0, 0L),
+      MediaRecord(5L, "video/fake", cat(boiler, block(15)), 0, 0, 0L),
+      MediaRecord(6L, "video/fake", cat(boiler, block(16)), 0, 0, 0L)
+    ).toDS()
+    // plant boiler into A and B too -> present in 5 media > cap 4
+    val media2 = Seq(
+      MediaRecord(1L, "video/fake", cat(f1, f2, f1, boiler), 0, 0, 0L),
+      MediaRecord(2L, "video/fake", cat(block(12), f1, f2, boiler), 0, 0, 0L),
+      MediaRecord(3L, "video/fake", cat(f1, block(13)), 0, 0, 0L),
+      MediaRecord(4L, "video/fake", cat(boiler, block(14)), 0, 0, 0L),
+      MediaRecord(5L, "video/fake", cat(boiler, block(15)), 0, 0, 0L),
+      MediaRecord(6L, "video/fake", cat(boiler, block(16)), 0, 0, 0L)
+    ).toDS()
+    val got = frameOverlapPairs(media, minSharedFrames = 2,
+        maxMediaPerFrame = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 2L))) // f1+f2, the f1 repeat once
+    val capped = frameOverlapPairs(media2, minSharedFrames = 2,
+        maxMediaPerFrame = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // boiler (5 media > cap) contributes nothing: (1,2) still 2, and
+    // no boiler-only pair (4,5)/(4,6)/(5,6) appears
+    assert(capped === Set((1L, 2L, 2L)))
+  }
+
   test("media near-dup delta route: probing the persisted index equals " +
     "batch nearDupPairs over the union restricted to cross pairs, and " +
     "the delta side is never paired against itself") {
