@@ -79,12 +79,49 @@ ID_COLS = {
 # per-shard-decomposable outputs.)
 SCALED_COLS = {}
 
+# Queries MEASURED shard-law-inapplicable, each with the reason and its
+# stronger substitute (formalizing the round-15 prose exemptions in the
+# tooling): asking for one of these prints the exemption instead of a
+# bogus FAIL. Every entry is covered by a DIRECT DuckDB oracle at sf1
+# (recorded in SCALE.md), which is strictly stronger than the law.
+EXEMPT = {
+    "x63_pagerank":
+        "simhash fingerprints hash the TOKENS; the shard splice "
+        "rewrites every token, so shard-k edge sets legitimately "
+        "differ from shard 0 (measured: 12,461 nodes vs 10 x 947). "
+        "Direct sf1 oracle instead.",
+    "x6_ann_lsh":
+        "global-neighborhood operator: at sf1 all ten shards share "
+        "one corpus, so true top-k legitimately differs from sf0.1. "
+        "Direct sf1 oracle instead.",
+    "x162_media_near_dedup":
+        "the 16-point byte-sample features ignore all but 16 payload "
+        "offsets; the splice preserves sampled bytes for ~1/16 of "
+        "spliced copies, so >=0.999-cosine CROSS-SHARD pairs "
+        "legitimately exist (measured r15; all oracle-confirmed). "
+        "Direct sf1 oracle instead.",
+    "x163_media_dedup_delta":
+        "same feature family as x162 (sampled-byte coincidences "
+        "survive the splice cross-shard). Direct sf1 oracle instead.",
+    "x164_media_frame_overlap":
+        "same feature family at frame granularity: frame keys are 16 "
+        "sampled bytes per 256-byte window, so spliced copies keep "
+        "most frame keys intact and cross-shard frame matches "
+        "legitimately exist. Direct sf1 oracle instead.",
+    "x165_media_frame_delta":
+        "x164's delta route - same frame-key family, same measured "
+        "cross-shard coincidences. Direct sf1 oracle instead.",
+}
+
 sf1_dir, sf01_dir = sys.argv[1], sys.argv[2]
 queries = sys.argv[3:] or list(ID_COLS)
 
 con = duckdb.connect()
 fails = 0
 for q in queries:
+    if q in EXEMPT:
+        print(f"{q}: EXEMPT (shard law inapplicable - {EXEMPT[q]})")
+        continue
     hi = f"'{sf1_dir}/{q}/*.parquet'"
     lo = f"'{sf01_dir}/{q}/*.parquet'"
     n_hi = con.sql(f"SELECT count(*) FROM {hi}").fetchone()[0]

@@ -451,7 +451,10 @@ object SparkEntry {
     // 2-byte UTF-8) — the engine's CDC kernel operates on raw UTF-8
     // bytes, and here byte offsets/hashes genuinely diverge from
     // character arithmetic, so the byte contract is load-bearing: the
-    // oracle expands chars to UTF-8 bytes in SQL and folds over bytes
+    // oracle expands chars to UTF-8 bytes in SQL and folds over bytes.
+    // Oracle SF ceiling is PINNED — see TESTDATA.md "Byte-expansion
+    // oracle protocol" (sf0.1 solo-process is the verified maximum;
+    // sf1 exceeds DuckDB memory by design of the byte CTE)
     "x159_cdc_chunks_utf8" -> ((s, dir) =>
       graft.operators.Dedup.cdcChunks(Tables.documents(s, dir)
           .withColumn("text", translate(col("text"), "ae", "äé")),
@@ -798,6 +801,29 @@ object SparkEntry {
           lit(0L).as("durationMs"))
         .as[graft.operators.Multimodal.MediaRecord]
       graft.operators.Multimodal.frameOverlapPairs(media,
+        minSharedFrames = 1, maxMediaPerFrame = 64)
+    }),
+    // the frame-level delta route (x164's incremental shape — the
+    // last dedup family member to gain one): decode ONLY the arriving
+    // batch's frames, probe the persisted (frame-key → media) posting
+    // index — re-cut detection over a growing video corpus never
+    // re-decodes the corpus; corpus = media_id % 10 != 0, delta = the
+    // rest (the x48/x156/x163 split); boilerplate cap over union
+    // frequency, so delta ≡ batch-restriction exactly (law-tested)
+    "x165_media_frame_delta" -> ((s, dir) => {
+      import s.implicits._
+      def media(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("media_id").as("mediaId"),
+          col("media_type").as("mediaType"), col("payload"),
+          lit(0).as("width"), lit(0).as("height"),
+          lit(0L).as("durationMs"))
+        .as[graft.operators.Multimodal.MediaRecord]
+      val all = graft.operators.Multimodal
+        .mediaFromDocuments(Tables.documents(s, dir))
+      val corpus = media(all.filter(col("media_id") % 10 =!= 0))
+      val delta = media(all.filter(col("media_id") % 10 === 0))
+      graft.operators.Multimodal.frameOverlapDelta(delta,
+        graft.operators.Multimodal.frameIndex(corpus),
         minSharedFrames = 1, maxMediaPerFrame = 64)
     }),
     // graded contamination: per-doc FRACTION of distinct 8-grams found
@@ -3834,6 +3860,35 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS shared_frames
         |FROM keyed a JOIN keyed b
         |  ON a.k = b.k AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 1""".stripMargin,
+    // x165: x164's frame replay restricted to delta×corpus pairs,
+    // delta id first (the frameOverlapDelta output orientation); the
+    // boilerplate cap counts UNION frequency — identical to x164's
+    // surv for every key a cross pair can use
+    "x165_media_frame_delta" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |           WHERE length(text) > 0),
+        |fr AS (
+        |  SELECT doc_id, g.f,
+        |         CASE WHEN n < 256 THEN n ELSE 256 END AS fl
+        |  FROM d, unnest(generate_series(0,
+        |    greatest(n // 256, 1) - 1)) g(f)),
+        |fk AS (
+        |  SELECT DISTINCT doc_id,
+        |         list_transform(generate_series(0, 15), j ->
+        |           (CAST(ord(substr(d.text,
+        |              CAST(fr.f * 256 + ((j * 31) % fr.fl) + 1 AS INT),
+        |              1)) AS DOUBLE) - 128.0) / 128.0) AS k
+        |  FROM fr JOIN d USING (doc_id)),
+        |surv AS (
+        |  SELECT k FROM fk GROUP BY k
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |keyed AS (SELECT doc_id, k FROM fk JOIN surv USING (k))
+        |SELECT a.doc_id AS media_delta, b.doc_id AS media_corpus,
+        |       CAST(count(*) AS BIGINT) AS shared_frames
+        |FROM keyed a JOIN keyed b
+        |  ON a.k = b.k AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
         |GROUP BY 1, 2
         |HAVING count(*) >= 1""".stripMargin,
     "x108_pack_sequences" ->

@@ -174,34 +174,66 @@ object Multimodal {
     * the null cosine.
     *
     * Scale shape: decode is map-side on the scan partition and runs
-    * ONCE (the feature relation is [[Materialize]]d for its two
-    * join sides — payloads never shuffle, only (id, 16-float vector,
-    * chunk key) rows move); candidate generation is a key-equality
-    * join on chunk keys — candidates ∝ duplicate mass, never corpus²
-    * (a single mean-luma band was measured collapsing this corpus
-    * into a few hot bands → a 6M-pair quadratic verify, 9 s at sf0.1;
-    * 4-coordinate content keys collide only on near-identical
-    * features). Output: (media_a, media_b, cosine). */
+    * ONCE (the feature relation is [[Materialize]]d; payloads never
+    * shuffle — the key join moves only (id, chunk key) rows, the
+    * vectors ride no wider than the two final join-backs); candidate
+    * generation is a key-equality join on chunk keys — candidates ∝
+    * duplicate mass, never corpus² (a single mean-luma band was
+    * measured collapsing this corpus into a few hot bands → a 6M-pair
+    * quadratic verify, 9 s at sf0.1; 4-coordinate content keys collide
+    * only on near-identical features). Id pairs DEDUPE BEFORE the
+    * cosine: a pair sharing k ≤ 4 chunk keys verifies once, not k
+    * times — at 16 stub floats that is a micro-saving, but with a real
+    * perceptual embedding (512+ dims) one-verify-per-pair and a
+    * vector-free key shuffle are the difference between the join
+    * moving kilobytes or megabytes per candidate.
+    * Output: (media_a, media_b, cosine). */
   def nearDupPairs(media: Dataset[MediaRecord], threshold: Double = 0.9,
       decoder: MediaDecoder = FakeDecoder): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"nearDupPairs: threshold must be in (0, 1], got $threshold")
-    val keys = Materialize.eager(chunkKeys(media, decoder))
-    val joinCond = keyEquality && col("a.id") < col("b.id")
-    keys.as("a").join(keys.as("b"), joinCond)
-      .select(col("a.id").as("media_a"), col("b.id").as("media_b"),
-        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cosine"))
-      .distinct() // a pair may share up to 4 chunk keys
+    val feats = Materialize.eager(featureRelation(media, decoder))
+    val keys = explodeChunkKeys(feats)
+    keys.as("a").join(keys.as("b"),
+        keyEquality && col("a.id") < col("b.id"))
+      .select(col("a.id").as("media_a"), col("b.id").as("media_b"))
+      .distinct() // a pair may share up to 4 chunk keys — verify once
+      .join(feats.select(col("id").as("media_a"), col("v").as("_va")),
+        Seq("media_a"))
+      .join(feats.select(col("id").as("media_b"), col("v").as("_vb")),
+        Seq("media_b"))
+      .select(col("media_a"), col("media_b"),
+        round(Similarity.cosine(col("_va"), col("_vb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
-  /** The feature/chunk-key relation behind [[nearDupPairs]]: one row
-    * per (media id, chunk j) — `(id, v, j, k1..k4)`. */
-  private def chunkKeys(media: Dataset[MediaRecord],
+  /** The deduped feature relation behind the pair routes: one row per
+    * non-empty media — `(id, v)`. */
+  private def featureRelation(media: Dataset[MediaRecord],
       decoder: MediaDecoder): DataFrame =
     extractFeatures(
         media.filter((m: MediaRecord) => m.payload.nonEmpty), decoder)
       .select(col("mediaId").as("id"), col("featureVec").as("v"))
+
+  /** The vector-FREE chunk-key relation the candidate join shuffles:
+    * one row per (id, chunk j) — `(id, j, k1..k4)`. */
+  private def explodeChunkKeys(feats: DataFrame): DataFrame =
+    feats.select(col("id"),
+        posexplode(array((0 until 4).map(j => struct(
+          (1 to 4).map(c =>
+            element_at(col("v"), 4 * j + c).as(s"k$c")): _*)): _*)))
+      .select(col("id"), col("pos").as("j"),
+        col("col.k1").as("k1"), col("col.k2").as("k2"),
+        col("col.k3").as("k3"), col("col.k4").as("k4"))
+
+  /** The SELF-CONTAINED feature/chunk-key relation persisted as the
+    * index: one row per (media id, chunk j) — `(id, v, j, k1..k4)`.
+    * The vector rides along so the index alone can verify candidates
+    * (the delta probe joins on the key columns only and reads `v`
+    * back per surviving pair). */
+  private def chunkKeys(media: Dataset[MediaRecord],
+      decoder: MediaDecoder): DataFrame =
+    featureRelation(media, decoder)
       .select(col("id"), col("v"),
         posexplode(array((0 until 4).map(j => struct(
           (1 to 4).map(c =>
@@ -239,14 +271,82 @@ object Multimodal {
       decoder: MediaDecoder = FakeDecoder): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"nearDupDelta: threshold must be in (0, 1], got $threshold")
-    val dk = chunkKeys(delta, decoder)
-    dk.as("a")
-      .join(index.withColumnRenamed("media_id", "id").as("b"),
-        keyEquality)
+    val dfeats = Materialize.eager(featureRelation(delta, decoder))
+    // the candidate join moves only (id, chunk key) rows — vectors
+    // join back per DEDUPED surviving pair (one cosine per pair, the
+    // nearDupPairs discipline; the index's v column is read only on
+    // the pair side, key-restricted)
+    val dk = explodeChunkKeys(dfeats)
+    val ik = index.select(col("media_id").as("id"), col("j"),
+      col("k1"), col("k2"), col("k3"), col("k4"))
+    val pairs = dk.as("a").join(ik.as("b"), keyEquality)
       .select(col("a.id").as("media_delta"),
-        col("b.id").as("media_corpus"),
-        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cosine"))
+        col("b.id").as("media_corpus"))
       .distinct()
+    val corpusV = index.select(col("media_id").as("media_corpus"),
+        col("v").as("_vb"))
+      .dropDuplicates("media_corpus")
+    pairs
+      .join(dfeats.select(col("id").as("media_delta"),
+        col("v").as("_va")), Seq("media_delta"))
+      .join(corpusV, Seq("media_corpus"))
+      .select(col("media_delta"), col("media_corpus"),
+        round(Similarity.cosine(col("_va"), col("_vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** One micro-batch step of streaming perceptual media dedup
+    * ([[graft.streaming.StreamMediaDedup]]): all near-dup pairs
+    * TOUCHING the batch — batch↔corpus and batch-internal — over
+    * already-computed feature/chunk-key relations (the
+    * [[nearDupIndex]] schema `(media_id, v, j, k1..k4)` on both
+    * sides; the [[graft.operators.Dedup.cdcOverlapIncrement]] shape
+    * on the binary modality). The probe side is the batch only, so
+    * corpus-internal pairs can never form (they were emitted when
+    * THEIR later member arrived — each pair exactly once);
+    * batch-internal pairs arrive in both join orders and are
+    * canonicalized by least/greatest + distinct.
+    *
+    * Scale shape: corpus postings are key-restricted to the batch's
+    * chunk keys before anything else — per-batch shuffle ∝ batch keys
+    * + matching postings, never O(corpus index) (the corpus-side SCAN
+    * is the caller's concern: [[graft.streaming.StreamMediaDedup]]
+    * partition-prunes it by feature bucket). The candidate join moves
+    * vector-free (id, chunk key) rows; vectors join back per DEDUPED
+    * surviving pair — one cosine per pair (the [[nearDupPairs]]
+    * discipline). Output: `(media_a, media_b, cosine)`, media_a <
+    * media_b. Ids must be globally unique across batches. */
+  def nearDupIncrement(batchKeys: DataFrame, corpusKeys: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"nearDupIncrement: threshold must be in (0, 1], got $threshold")
+    val cols = Seq("media_id", "v", "j", "k1", "k2", "k3", "k4").map(col)
+    val kcols = Seq("j", "k1", "k2", "k3", "k4")
+    val bk = batchKeys.select(cols: _*)
+    val corpusHits = corpusKeys.select(cols: _*)
+      .join(bk.select(kcols.map(col): _*).distinct(), kcols)
+      .select(cols: _*)
+    // materialized once for its three consumers (probe side, b side,
+    // vector join-back) — without it the corpus index read repeats
+    val all = Materialize.eager(bk.unionByName(corpusHits))
+    val keysOnly = all.select((col("media_id").as("id") +:
+      kcols.map(col)): _*)
+    val probe = keysOnly.join(
+      batchKeys.select(col("media_id").as("id")).distinct(), Seq("id"))
+    val pairs = probe.as("a").join(keysOnly.as("b"),
+        keyEquality && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("media_a"),
+        greatest(col("a.id"), col("b.id")).as("media_b"))
+      .distinct()
+    val vrel = all.select(col("media_id"), col("v"))
+      .dropDuplicates("media_id")
+    pairs
+      .join(vrel.select(col("media_id").as("media_a"),
+        col("v").as("_va")), Seq("media_a"))
+      .join(vrel.select(col("media_id").as("media_b"),
+        col("v").as("_vb")), Seq("media_b"))
+      .select(col("media_a"), col("media_b"),
+        round(Similarity.cosine(col("_va"), col("_vb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -296,6 +396,67 @@ object Multimodal {
     keyed.as("a").join(keyed.as("b"),
         col("a.fk") === col("b.fk") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("media_a"), col("b._id").as("media_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
+
+  /** The persistable frame-level index: [[frameOverlapPairs]]'s
+    * (frame-key → media) posting relation — one row per DISTINCT
+    * `(fk, media_id)`, what an incremental pipeline writes once and
+    * probes per batch ([[graft.operators.Dedup.cdcChunkIndex]]'s
+    * contract at frame granularity). Frame decode is map-side
+    * fan-out; only fixed-width (media_id, feature-key) rows flow. */
+  def frameIndex(media: Dataset[MediaRecord], stride: Int = 1,
+      decoder: MediaDecoder = FakeDecoder): DataFrame =
+    sampleFrames(media.filter((m: MediaRecord) => m.payload.nonEmpty),
+        stride, decoder)
+      .select(col("mediaId").as("media_id"), col("features").as("fk"))
+      .distinct()
+
+  /** Incremental frame-level overlap: decode ONLY the delta batch and
+    * probe a persisted [[frameIndex]] — re-cut detection over a
+    * growing video corpus never re-decodes the corpus (the
+    * [[graft.operators.Dedup.cdcOverlapDelta]] discipline at frame
+    * granularity, closing the one dedup family member that had no
+    * incremental shape). Output `(media_delta, media_corpus,
+    * shared_frames)` — EQUAL to [[frameOverlapPairs]] over
+    * (corpus ∪ delta) restricted to cross pairs, with the delta id
+    * first (law-tested, the [[nearDupDelta]] recipe): the boilerplate
+    * cap counts each frame key's media over delta ∪ matching corpus
+    * postings, which equals the union frequency for every key that
+    * can form a cross pair. Media ids must be disjoint across the two
+    * sides, the same precondition as every delta route.
+    *
+    * Scale shape: corpus postings are key-restricted to the batch's
+    * frame keys BEFORE any counting (per-call shuffle ∝ delta frames
+    * + matching postings, never the index); the cap is the
+    * agg + join-back discipline — never a keyed window. */
+  def frameOverlapDelta(delta: Dataset[MediaRecord], index: DataFrame,
+      stride: Int = 1, minSharedFrames: Int = 2,
+      maxMediaPerFrame: Int = 64,
+      decoder: MediaDecoder = FakeDecoder): DataFrame = {
+    require(minSharedFrames >= 1,
+      s"frameOverlapDelta: minSharedFrames must be >= 1, got " +
+        s"$minSharedFrames")
+    require(maxMediaPerFrame >= 2,
+      s"frameOverlapDelta: maxMediaPerFrame must be >= 2, got " +
+        s"$maxMediaPerFrame")
+    // delta frames materialize once for their three consumers (index
+    // restriction + frequency + pair join); hits likewise (frequency
+    // + join-back)
+    val dk = Materialize.eager(frameIndex(delta, stride, decoder)
+      .withColumnRenamed("media_id", "media_delta"))
+    val hits = Materialize.eager(index
+      .select(col("fk"), col("media_id").as("media_corpus"))
+      .join(dk.select(col("fk")).distinct(), Seq("fk")))
+    val survivors = dk.select(col("fk"))
+      .unionByName(hits.select(col("fk")))
+      .groupBy(col("fk")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxMediaPerFrame && col("_n") >= 2)
+      .select(col("fk"))
+    val capped = hits.join(survivors, Seq("fk"))
+    dk.join(capped, Seq("fk"))
+      .groupBy(col("media_delta"), col("media_corpus"))
       .agg(count(lit(1)).as("shared_frames"))
       .filter(col("shared_frames") >= minSharedFrames)
   }

@@ -2025,6 +2025,60 @@ class OperatorsSpec extends SparkTestBase {
     assert(!viaIndex.exists(p => p._1 >= 104L && p._2 >= 104L))
   }
 
+  test("frame-level delta route: probing the persisted frame index " +
+    "equals batch frameOverlapPairs over the union restricted to " +
+    "cross pairs (delta id first), and the boilerplate cap counts " +
+    "UNION frequency — a frame pushed over the cap by the delta " +
+    "itself never pairs") {
+    import Multimodal._
+    def block(seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(FrameBytes)(r.nextInt(256).toByte)
+    }
+    val f1 = block(1); val f2 = block(2); val hot = block(9)
+    def cat(bs: Array[Byte]*): Array[Byte] = bs.flatten.toArray
+    // corpus: two media sharing f1+f2 with each other, three carrying
+    // the hot frame (at cap 4 it still pairs — until the delta's own
+    // copy pushes the union count to 5)
+    val corpus = Seq(
+      MediaRecord(1L, "video/fake", cat(f1, f2, block(11)), 0, 0, 0L),
+      MediaRecord(2L, "video/fake", cat(block(12), f1, f2), 0, 0, 0L),
+      MediaRecord(3L, "video/fake", cat(hot, block(13), f1), 0, 0, 0L),
+      MediaRecord(4L, "video/fake", cat(hot, block(14)), 0, 0, 0L),
+      MediaRecord(5L, "video/fake", cat(hot, block(15)), 0, 0, 0L))
+    // delta: one media re-using f1+f2 (cross pairs with 1 and 2), one
+    // carrying the hot frame (pushes union count to 4 == cap: pairs),
+    // one delta-internal dup of 101 (must NOT emit — batch work)
+    val delta = Seq(
+      MediaRecord(101L, "video/fake", cat(f2, f1, block(21)), 0, 0, 0L),
+      MediaRecord(102L, "video/fake", cat(hot, block(22)), 0, 0, 0L),
+      MediaRecord(103L, "video/fake", cat(f1, f2, block(21)), 0, 0, 0L))
+    def crossOf(cap: Int): Set[(Long, Long, Long)] =
+      frameOverlapPairs((corpus ++ delta).toDS(), minSharedFrames = 1,
+          maxMediaPerFrame = cap)
+        .as[(Long, Long, Long)].collect()
+        .filter(p => p._2 >= 100L && p._1 < 100L)
+        .map(p => (p._2, p._1, p._3)).toSet // delta id first
+    val idx = frameIndex(corpus.toDS())
+    val viaIndex = frameOverlapDelta(delta.toDS(), idx,
+        minSharedFrames = 1, maxMediaPerFrame = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaIndex === crossOf(4))
+    // f1 is in corpus 1,2,3 and delta 101,103 -> union count 5 > 4:
+    // only f2 pairs for 101/103; hot is in exactly 4 -> 102 pairs
+    assert(viaIndex === Set((101L, 1L, 1L), (101L, 2L, 1L),
+      (103L, 1L, 1L), (103L, 2L, 1L),
+      (102L, 3L, 1L), (102L, 4L, 1L), (102L, 5L, 1L)))
+    // delta-internal pair (101,103) is batch work, not delta work
+    assert(!viaIndex.exists(p => p._1 >= 100L && p._2 >= 100L))
+    // raising the cap to 5 lets f1 through on BOTH routes identically
+    val viaIndex5 = frameOverlapDelta(delta.toDS(), idx,
+        minSharedFrames = 1, maxMediaPerFrame = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaIndex5 === crossOf(5))
+    assert(viaIndex5.contains((101L, 3L, 1L))) // f1 now pairs via 3
+  }
+
   test("media features flow into the ANN path: extractFeatures output " +
     "is a valid embeddings relation for cosineTopK") {
     import Multimodal._
