@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -28,48 +27,36 @@ import graft.operators.Dedup
   *     exactly its own contribution (the [[RegisterStream.dualSink]]
   *     idempotence discipline).
   *
-  * '''Index layout — partition-pruned probes, bounded file count.'''
-  * A per-trigger stream cannot pay a full index scan per batch (a
-  * batch delta route pays it once per RUN — fine; a 3-second trigger
-  * pays it forever), nor accrete one parquet dir per batch_id
-  * unboundedly (the classic streaming small-files curve). So the
-  * index is two-tiered, the [[graft.operators.IvfIndex]] discipline:
-  *
-  *  - '''recent tier''' `outDir/chunks/batch_id=N/bucket=B/` — each
-  *    batch's keys, sub-partitioned by fingerprint bucket
-  *    `pmod(fp, nBuckets)`; dynamic overwrite keeps replays
-  *    idempotent.
-  *  - '''base tier''' `outDir/chunks_base/e<E>_upto<N>/bucket=B/` —
-  *    every `compactEvery` batches, committed recent dirs fold into a
-  *    new epoch directory (bucket-partitioned), then the old epoch
-  *    and the folded batch dirs are deleted. The dir name carries the
-  *    epoch E and the highest folded batch id N; readers pick the
-  *    HIGHEST epoch that finished writing (parquet `_SUCCESS`
-  *    marker), so a torn compaction is invisible and a crash between
-  *    commit and cleanup leaves only ignorable garbage: recent dirs
-  *    `batch_id ≤ N` are never read again (`batch_id > N` filter) and
-  *    are swept by the next compaction. Only batches `≤ current − 1`
-  *    are ever folded — they are checkpoint-committed, so a replayed
-  *    batch can never find its own keys in the base tier. The fold
-  *    leans on exactly that checkpoint guarantee: once batches are
-  *    folded, their per-batch identity is gone, so re-running the
-  *    stream over the same outDir with a FRESH checkpoint is
-  *    supported only before the first compaction — wipe outDir and
-  *    checkpoint together.
-  *
-  * Probes read `base(bucket ∈ batch's buckets)` ∪
-  * `recent(N < batch_id < current, same buckets)` — both bucket
-  * filters are partition filters, so the scan touches only the
-  * directories that can contain a matching fingerprint; with the
-  * key-restricted join inside [[Dedup.cdcOverlapIncrement]], total
-  * per-batch cost is ∝ batch keys + matching postings.
+  * '''Index layout and maintenance''' live in [[TieredIndex]]: a
+  * recent tier of per-batch dirs sub-partitioned by fingerprint
+  * bucket `pmod(fp, nBuckets)`, folded every `compactEvery` batches
+  * into LSM size-tiered base epochs (O(log n) live epochs; a fold
+  * reads only the recent dirs it folds, a merge only the two epochs
+  * it merges — the base is never rewritten wholesale except at its
+  * own doubling point, so per-trigger maintenance cost is bounded by
+  * similar-sized tiers instead of O(corpus)). Probes read
+  * `liveEpochs(bucket ∈ batch's buckets)` ∪ `recent(upto < batch_id <
+  * current, same buckets)` — the bucket predicates are PARTITION
+  * filters, so the scan touches only directories that can contain a
+  * matching fingerprint; with the key-restricted join inside
+  * [[Dedup.cdcOverlapIncrement]], total per-batch cost is ∝ batch
+  * keys + matching postings. Crash safety (torn-fold invisibility via
+  * `_SUCCESS`-gated epoch selection, replay idempotence, restarts
+  * across folds) is the [[TieredIndex]] contract; only
+  * checkpoint-committed batches fold, so a replayed batch never meets
+  * its own keys. Once batches are folded their per-batch identity is
+  * gone, so re-running the stream over the same outDir with a FRESH
+  * checkpoint is supported only before the first fold — wipe outDir
+  * and checkpoint together.
   *
   * `nBuckets` is baked into the on-disk partition values, so it is
-  * recorded once at `outDir/cdc_meta` and later sinks on the same
-  * outDir must match (enforced at start).
+  * recorded once at `outDir/index_meta` and later sinks on the same
+  * outDir must match (enforced at start, atomically; the pre-bucket
+  * flat layout is rejected loudly — see
+  * [[TieredIndex.ensureNBuckets]]).
   *
   * '''Consistency of the views''': the pairs and chunks writes of one
-  * batch are two separate commits (plus compaction's deletes), atomic
+  * batch are two separate commits (plus maintenance deletes), atomic
   * only per-directory. [[pairsView]] and [[chunkIndexView]] are
   * therefore consistent BETWEEN batches — a reader concurrent with an
   * in-flight or replaying batch can observe that batch's partition
@@ -95,148 +82,37 @@ import graft.operators.Dedup
   * O(shingle sets)). */
 object StreamCdc {
 
-  private val chunkSchema =
-    "fp bigint, len int, doc_id bigint, batch_id bigint, bucket int"
-  private val baseSchema =
-    "fp bigint, len int, doc_id bigint, bucket int"
+  private val keySchema = "fp bigint, len int, doc_id bigint"
   private val pairSchema =
     "doc_a bigint, doc_b bigint, shared_chunks bigint, " +
       "shared_bytes bigint, batch_id bigint"
 
-  private def fs(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def index(outDir: String) = new TieredIndex(outDir, keySchema)
 
   private def readOrEmpty(spark: SparkSession, path: String,
       schema: String): DataFrame =
-    if (fs(spark, path).exists(new Path(path)))
+    if (new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(path)))
       spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(schema))
 
-  /** The committed base-tier epochs at `outDir`, newest first:
-    * `(epoch, uptoBatch, dirPath)`. Only dirs whose parquet commit
-    * finished (`_SUCCESS` present) count — a torn compaction write is
-    * invisible. */
-  private def baseEpochs(spark: SparkSession,
-      outDir: String): Seq[(Long, Long, String)] = {
-    val root = new Path(s"$outDir/chunks_base")
-    val f = fs(spark, outDir)
-    if (!f.exists(root)) return Nil
-    val Dir = """e(\d+)_upto(\d+)""".r
-    f.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .flatMap { st =>
-        st.getPath.getName match {
-          case Dir(e, n) if f.exists(new Path(st.getPath, "_SUCCESS")) =>
-            Some((e.toLong, n.toLong, st.getPath.toString))
-          case _ => None
-        }
-      }
-      .sortBy(-_._1)
-  }
-
-  /** Highest committed epoch, or (0, -1, none): batch ids start at 0,
-    * so upto = -1 means "nothing folded yet". */
-  private def currentBase(spark: SparkSession,
-      outDir: String): (Long, Long, Option[String]) =
-    baseEpochs(spark, outDir).headOption
-      .map { case (e, n, p) => (e, n, Some(p)) }
-      .getOrElse((0L, -1L, None))
-
   /** The corpus chunk-key relation visible to batch `batchId`,
-    * bucket-pruned to `buckets` (None = all buckets — the full-view
-    * read): base tier at the current epoch ∪ recent batch dirs in
-    * (upto, batchId). Both bucket predicates and the batch_id
-    * predicate are PARTITION filters — the scan reads only matching
-    * directories. */
+    * bucket-pruned to `buckets` (None = all buckets) — see
+    * [[TieredIndex.corpusKeys]]. */
   private[graft] def corpusKeys(spark: SparkSession, outDir: String,
-      batchId: Long, buckets: Option[Seq[Int]]): DataFrame = {
-    val (_, upto, baseDir) = currentBase(spark, outDir)
-    def pruned(df: DataFrame): DataFrame = buckets match {
-      case Some(bs) => df.filter(col("bucket").isin(bs.map(Int.box): _*))
-      case None => df
-    }
-    val base = baseDir match {
-      case Some(p) => pruned(spark.read.schema(baseSchema).parquet(p))
-      case None => readOrEmpty(spark, s"$outDir/__none__", baseSchema)
-    }
-    val recent = pruned(
-      readOrEmpty(spark, s"$outDir/chunks", chunkSchema)
-        .filter(col("batch_id") > upto && col("batch_id") < batchId))
-    base.select(col("fp"), col("len"), col("doc_id"))
-      .unionByName(recent.select(col("fp"), col("len"), col("doc_id")))
-  }
-
-  /** Fold committed recent batches (ids ≤ `upTo`) plus the current
-    * base epoch into a new epoch dir, then delete the superseded
-    * epoch(s) and the folded batch dirs. Idempotent and crash-safe:
-    * the new epoch becomes visible only when its `_SUCCESS` lands
-    * (readers pick the highest committed epoch), and every delete
-    * removes data that is already unreadable — a crash at any point
-    * leaves a correct index plus sweepable garbage. */
-  private def compact(spark: SparkSession, outDir: String,
-      upTo: Long): Unit = {
-    val (epoch, folded, _) = currentBase(spark, outDir)
-    if (folded >= upTo) return // a crashed attempt already committed
-    val next = s"$outDir/chunks_base/e${epoch + 1}_upto$upTo"
-    corpusKeys(spark, outDir, batchId = upTo + 1, buckets = None)
-      .withColumn("bucket",
-        pmod(col("fp"), lit(readNBuckets(spark, outDir))).cast("int"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(next)
-    val f = fs(spark, outDir)
-    // superseded epochs (committed or torn) and folded recent dirs
-    baseEpochs(spark, outDir).filter(_._1 <= epoch)
-      .foreach { case (_, _, p) => f.delete(new Path(p), true); () }
-    val chunksRoot = new Path(s"$outDir/chunks")
-    if (f.exists(chunksRoot))
-      f.listStatus(chunksRoot).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("batch_id=") &&
-          st.getPath.getName.stripPrefix("batch_id=").toLongOption
-            .exists(_ <= upTo))
-        .foreach(st => { f.delete(st.getPath, true); () })
-  }
-
-  private def countRecentDirs(spark: SparkSession, outDir: String,
-      upto: Long, below: Long): Int = {
-    val root = new Path(s"$outDir/chunks")
-    val f = fs(spark, outDir)
-    if (!f.exists(root)) 0
-    else f.listStatus(root).count(st => st.isDirectory &&
-      st.getPath.getName.startsWith("batch_id=") &&
-      st.getPath.getName.stripPrefix("batch_id=").toLongOption
-        .exists(b => b > upto && b < below))
-  }
-
-  /** Record `nBuckets` once per outDir; later sinks must match — the
-    * modulus is baked into every on-disk partition value, so a
-    * mismatch would silently mis-prune probes. */
-  private def ensureNBuckets(spark: SparkSession, outDir: String,
-      nBuckets: Int): Unit = {
-    val path = s"$outDir/cdc_meta"
-    if (fs(spark, outDir).exists(new Path(path))) {
-      val stored = readNBuckets(spark, outDir)
-      require(stored == nBuckets,
-        s"StreamCdc: index at $outDir was built with nBuckets=$stored, " +
-          s"got $nBuckets — the bucket modulus cannot change")
-    } else {
-      import spark.implicits._
-      Seq(nBuckets).toDF("n_buckets")
-        .coalesce(1).write.mode("overwrite").parquet(path)
-    }
-  }
-
-  private def readNBuckets(spark: SparkSession, outDir: String): Int =
-    spark.read.parquet(s"$outDir/cdc_meta")
-      .select(col("n_buckets").cast("int")).collect()(0).getInt(0)
+      batchId: Long, buckets: Option[Seq[Int]]): DataFrame =
+    index(outDir).corpusKeys(spark, batchId, buckets)
 
   /** Start the sink: for each micro-batch of documents, emit overlap
     * pairs touching the batch and grow the chunk index. `docs` must
     * carry a long id column and a text column. `nBuckets` fixes the
     * fingerprint-bucket partitioning of the index (immutable per
     * outDir); `compactEvery` bounds the recent tier — when that many
-    * committed batch dirs accumulate, they fold into the base tier. */
+    * committed batch dirs accumulate, they fold into a base epoch
+    * (size-tiered merges keep the base at O(log n) epochs). */
   def sink(docs: DataFrame, outDir: String, checkpoint: String,
       w: Int = 16, maskBits: Int = 6, minLen: Int = 24,
       minSharedBytes: Int = 48, maxDocsPerChunk: Int = 64,
@@ -248,10 +124,11 @@ object StreamCdc {
       s"StreamCdc: nBuckets must be >= 1, got $nBuckets")
     require(compactEvery >= 2,
       s"StreamCdc: compactEvery must be >= 2, got $compactEvery")
+    val idx = index(outDir)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        ensureNBuckets(spark, outDir, nBuckets)
+        idx.ensureNBuckets(spark, nBuckets)
         val keys = Dedup.cdcChunkIndex(batch, idCol, textCol, w,
             maskBits, minLen, minChunk, maxChunk)
           .withColumn("bucket",
@@ -266,7 +143,7 @@ object StreamCdc {
             .collect().map(_.getInt(0)).toSeq
           // strictly-older batches only: a replayed batch must not see
           // its own crashed partial write as "corpus"
-          val corpus = corpusKeys(spark, outDir, batchId, Some(buckets))
+          val corpus = idx.corpusKeys(spark, batchId, Some(buckets))
             .withColumnRenamed("doc_id", idCol)
           Dedup.cdcOverlapIncrement(
               keys.select(col("fp"), col("len"), col(idCol)), corpus,
@@ -275,18 +152,12 @@ object StreamCdc {
             .write.mode("overwrite").partitionBy("batch_id")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(s"$outDir/pairs")
-          keys.select(col("fp"), col("len"), col(idCol).as("doc_id"),
-              col("bucket"))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite").partitionBy("batch_id", "bucket")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(s"$outDir/chunks")
+          idx.append(keys.select(col("fp"), col("len"),
+            col(idCol).as("doc_id"), col("bucket")), batchId)
           // fold committed recent batches (strictly older than this
-          // one — they can never replay) once enough accumulate
-          val (_, upto, _) = currentBase(spark, outDir)
-          if (countRecentDirs(spark, outDir, upto, batchId) >=
-              compactEvery)
-            compact(spark, outDir, upTo = batchId - 1)
+          // one — they can never replay) once enough accumulate, plus
+          // at most one size-tiered merge
+          idx.maintain(spark, batchId, compactEvery)
         } finally { keys.unpersist(); () }
       }
       .option("checkpointLocation", checkpoint)
@@ -309,5 +180,6 @@ object StreamCdc {
     * ([[Dedup.cdcOverlapDelta]]). Consistent only between batches —
     * see the object doc. */
   def chunkIndexView(spark: SparkSession, outDir: String): DataFrame =
-    corpusKeys(spark, outDir, batchId = Long.MaxValue, buckets = None)
+    index(outDir).corpusKeys(spark, batchId = Long.MaxValue,
+      buckets = None)
 }

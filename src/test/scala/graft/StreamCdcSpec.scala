@@ -196,12 +196,13 @@ class StreamCdcSpec extends SparkTestBase {
     assert(viaStream.exists(p => p._1 == 10L && p._2 == 1L))
   }
 
-  test("compaction folds recent batch dirs into a bucket-partitioned " +
-    "base epoch WITHOUT changing either view: pairsView still equals " +
-    "the batch law, chunkIndexView still equals batch cdcChunkIndex, " +
-    "and the folded batch_id dirs are gone") {
+  test("compaction folds recent batch dirs into size-tiered base " +
+    "epochs WITHOUT changing either view: pairsView still equals the " +
+    "batch law across MULTI-epoch folds, chunkIndexView still equals " +
+    "batch cdcChunkIndex, folded batch_id dirs are gone, and the live " +
+    "epochs partition the folded range disjointly") {
     implicit val sql = spark.sqlContext
-    val batches = (0 until 6).map { i =>
+    val batches = (0 until 8).map { i =>
       Seq((2L * i + 1, noise(s"a$i", 10) + " " + sharedA),
         (2L * i + 2, sharedB + " " + noise(s"b$i", 10)))
     }
@@ -221,18 +222,115 @@ class StreamCdcSpec extends SparkTestBase {
       .as[(Long, Int, Long)].collect().toSet ===
       Dedup.cdcChunkIndex(all.toDF("doc_id", "text"))
         .as[(Long, Int, Long)].collect().toSet)
-    // the base tier exists (exactly one committed epoch) and the
-    // folded batch dirs were deleted — the small-files curve is bounded
+    // the base tier is size-tiered: with compactEvery=2 over 8
+    // batches, folds at b2/b4/b6 and merges leave [0,3] (merged at
+    // b4) and [4,5] (folded at b6, too small to merge into [0,3]) —
+    // TWO live epochs whose ranges are disjoint and contiguous, so
+    // the multi-epoch probe path is exercised, and the small-files
+    // curve is bounded
+    val Dir = """e\d+_from(\d+)_upto(\d+)""".r
     val baseDirs = new java.io.File(s"$out/chunks_base").listFiles()
       .filter(_.isDirectory).map(_.getName).toSeq
-    assert(baseDirs.size === 1, baseDirs)
-    assert(baseDirs.head.matches("e\\d+_upto\\d+"), baseDirs)
+    assert(baseDirs.forall(_.matches("e\\d+_from\\d+_upto\\d+")),
+      baseDirs)
+    val ranges = baseDirs.collect { case Dir(m, n) =>
+      (m.toLong, n.toLong) }.sorted
+    assert(ranges === Seq((0L, 3L), (4L, 5L)), baseDirs)
+    val upto = ranges.map(_._2).max
     val recentDirs = new java.io.File(s"$out/chunks").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
       .map(_.getName.stripPrefix("batch_id=").toLong).toSeq
-    val upto = baseDirs.head.split("_upto")(1).toLong
     assert(recentDirs.forall(_ > upto), s"$recentDirs vs upto=$upto")
-    assert(recentDirs.size < 6, recentDirs)
+    assert(recentDirs.size < 8, recentDirs)
+  }
+
+  test("LSM discipline: a fold reads only the recent dirs it folds " +
+    "and a merge only the two epochs it merges — the big base epoch " +
+    "is NEVER rewritten until its own doubling point") {
+    import graft.streaming.TieredIndex
+    val out = Files.createTempDirectory("cdc_lsm_out").toString
+    val idx = new TieredIndex(out, "fp bigint, len int, doc_id bigint")
+    idx.ensureNBuckets(spark, 4)
+    def append(b: Long): Unit =
+      idx.append(Seq((b * 10 + 1, 30, b), (b * 10 + 2, 40, b))
+        .toDF("fp", "len", "doc_id")
+        .withColumn("bucket", pmod(col("fp"), lit(4)).cast("int")), b)
+    def baseNames = new java.io.File(s"$out/chunks_base").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    def keysVisible = idx.corpusKeys(spark, Long.MaxValue, None)
+      .as[(Long, Int, Long)].collect().toSet
+
+    // batches 0..3 with compactEvery=2: fold [0,1], fold [2,3],
+    // merge -> one epoch [0,3]
+    (0L to 3L).foreach { b => append(b); idx.maintain(spark, b, 2) }
+    append(4L); idx.maintain(spark, 4L, 2) // fold of {2,3} + merge ran
+    val afterMerge = baseNames
+    val big = afterMerge.find(_.endsWith("_from0_upto3"))
+    assert(big.isDefined, afterMerge)
+
+    // two more batches -> fold [4,5]; merge condition size 2 >= 4 is
+    // FALSE, so the [0,3] epoch dir must be byte-identical (same
+    // name, never rewritten) — the fold read only the dirs it folded
+    append(5L); idx.maintain(spark, 5L, 2)
+    append(6L); idx.maintain(spark, 6L, 2)
+    assert(baseNames.contains(big.get), baseNames)
+    assert(baseNames.exists(_.endsWith("_from4_upto5")), baseNames)
+    // nothing lost across the multi-tier layout
+    assert(keysVisible ===
+      (0L to 6L).flatMap(b => Seq((b * 10 + 1, 30, b),
+        (b * 10 + 2, 40, b))).toSet)
+
+    // two more -> fold [6,7]; merge [4,5]+[6,7] -> [4,7]; the [0,3]
+    // epoch is STILL untouched (the merge read only the tiers it
+    // merged); one more maintenance call then reaches the doubling
+    // point and merges [0,3]+[4,7] -> [0,7]
+    append(7L); idx.maintain(spark, 7L, 2)
+    append(8L); idx.maintain(spark, 8L, 2)
+    assert(baseNames.contains(big.get), baseNames)
+    assert(baseNames.exists(_.endsWith("_from4_upto7")), baseNames)
+    idx.maintain(spark, 8L, 2)
+    assert(baseNames.exists(_.endsWith("_from0_upto7")), baseNames)
+    assert(!baseNames.contains(big.get), baseNames)
+    assert(keysVisible ===
+      (0L to 8L).flatMap(b => Seq((b * 10 + 1, 30, b),
+        (b * 10 + 2, 40, b))).toSet)
+  }
+
+  test("the legacy FLAT layout (batch dirs without bucket= children, " +
+    "no meta) is rejected loudly at sink start instead of silently " +
+    "dropping every legacy posting from pruned probes") {
+    implicit val sql = spark.sqlContext
+    val out = Files.createTempDirectory("cdc_flat_out").toString
+    // plant a flat-layout index: batch_id partitions, no bucket dirs,
+    // no meta — what the pre-bucket StreamCdc wrote
+    Seq((1L, 30, 1L, 0L)).toDF("fp", "len", "doc_id", "batch_id")
+      .write.partitionBy("batch_id").parquet(s"$out/chunks")
+    val ckpt = Files.createTempDirectory("cdc_flat_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = StreamCdc.sink(in.toDF().toDF("doc_id", "text"), out, ckpt)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      in.addData(Seq((2L, noise("fl", 10))))
+      q.processAllAvailable()
+    }
+    q.stop()
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(m => m.contains("legacy") ||
+        m.contains("FLAT")) || mentions(t.getCause))
+    assert(mentions(err), err)
+  }
+
+  test("a torn bucket-count meta (unreadable dir) fails with a clear " +
+    "corruption error, not a schema-inference mystery") {
+    import graft.streaming.TieredIndex
+    val out = Files.createTempDirectory("cdc_meta_out").toString
+    // a crash between meta-dir creation and parquet commit leaves an
+    // empty dir
+    assert(new java.io.File(s"$out/index_meta").mkdirs())
+    val idx = new TieredIndex(out, "fp bigint, len int, doc_id bigint")
+    val err = intercept[IllegalStateException] {
+      idx.ensureNBuckets(spark, 8)
+    }
+    assert(err.getMessage.contains("torn or corrupt"), err.getMessage)
   }
 
   test("restart from checkpoint AFTER a compaction: the resumed query " +
