@@ -164,10 +164,26 @@ object IvfIndex {
     * namespace. On a shared filesystem a live builder on another host
     * would look dead — so a recent-mtime age guard additionally skips
     * any dir modified in the last [[SweepMinAgeMs]] (an in-flight
-    * build keeps writing; a torn one goes stale). A recycled pid can
-    * still keep a torn dir alive indefinitely — acceptable garbage,
-    * never a correctness hazard (tmp dirs are invisible to readers). */
-  private[graft] val SweepMinAgeMs: Long = 10L * 60L * 1000L
+    * build keeps writing; a torn one goes stale). The guard is a
+    * HEURISTIC with a clock-skew assumption: it compares this host's
+    * clock against mtimes stamped by the writer's filesystem, so it
+    * holds only when |skew| + mtime-propagation lag stays well under
+    * the age floor — a sweeper minutes AHEAD of a writer whose last
+    * mtime landed at file close (one long write) could still sweep a
+    * live cross-host build. Deployments with skewed clocks or lazy
+    * mtime propagation should raise the floor via
+    * `spark.graft.ivf.sweepMinAgeMs` (or the JVM system property of
+    * the same name; the Spark conf wins), sized ≥ several × the
+    * worst-case skew. A recycled pid can still keep a torn dir alive
+    * indefinitely — acceptable garbage, never a correctness hazard
+    * (tmp dirs are invisible to readers). */
+  private[graft] def SweepMinAgeMs: Long = {
+    val key = "spark.graft.ivf.sweepMinAgeMs"
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => s.conf.getOption(key))
+      .orElse(sys.props.get(key))
+    conf.flatMap(_.toLongOption).getOrElse(10L * 60L * 1000L)
+  }
 
   private def sweepTornBuilds(path: String, keep: String): Unit = {
     val base = new java.io.File(path)
