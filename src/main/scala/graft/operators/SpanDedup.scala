@@ -225,33 +225,44 @@ object SpanDedup {
   /** Shared tail: per-doc span aggregation, doc-local interval merge,
     * and the token-filter rewrite. `spanRows` = (_id, _pos, ...) rows
     * marking a removed window at _pos. The join on _id is the one
-    * exchange that moves text. */
+    * exchange that moves text.
+    *
+    * The interval merge runs on the SPANS side, below the join's
+    * exchange boundary, so `_runs` materializes ONCE per doc. Computed
+    * after the join it would be a projection Catalyst collapses into
+    * the per-token `exists` lambda — re-folding the merge for every
+    * token, O(tokens × spans) array-building per doc instead of
+    * O(spans + tokens × runs). That exact inlining (plus the same
+    * lambda duplicated into a non-codegen join condition by the
+    * always-true modified-doc filter this version drops — every doc
+    * in `spanRows` has ≥ 1 excised window covering ≥ L in-range
+    * tokens, so `size(_kept) < _n` held vacuously) measured 23 s vs
+    * 7 s at sf1 on the same candidate mass. */
   private def rewrite(b: DataFrame, spanRows: DataFrame, L: Int,
       idCol: String): DataFrame = {
-    val spans = spanRows
-      .select(col("_id"), struct(col("_pos").as("s"),
-        (col("_pos") + (L - 1)).as("e")).as("_sp"))
-      .groupBy(col("_id"))
-      .agg(array_sort(collect_list(col("_sp"))).as("_spans"))
-
     // doc-local interval merge: sorted spans fold into disjoint runs
     val emptyRuns = array().cast("array<struct<s:int,e:int>>")
     val lastOf = (acc: org.apache.spark.sql.Column) => element_at(acc, -1)
-    val merged = aggregate(col("_spans"), emptyRuns, (acc, sp) =>
-      when(size(acc) === 0 || lastOf(acc)("e") < sp("s") - 1,
-        concat(acc, array(sp.cast("struct<s:int,e:int>"))))
-        .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
-          array(struct(lastOf(acc)("s").as("s"),
-            greatest(lastOf(acc)("e"), sp("e")).as("e"))))))
+    val merged = aggregate(
+      array_sort(collect_list(col("_sp"))), emptyRuns, (acc, sp) =>
+        when(size(acc) === 0 || lastOf(acc)("e") < sp("s") - 1,
+          concat(acc, array(sp.cast("struct<s:int,e:int>"))))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(lastOf(acc)("s").as("s"),
+              greatest(lastOf(acc)("e"), sp("e")).as("e"))))))
+    val runs = spanRows
+      .select(col("_id"), struct(col("_pos").as("s"),
+        (col("_pos") + (L - 1)).as("e")).as("_sp"))
+      .groupBy(col("_id"))
+      .agg(merged.as("_runs"))
 
     // keep tokens not covered by any merged run (1-based position i+1
-    // vs inclusive [s, e])
-    b.join(spans, Seq("_id"))
-      .withColumn("_runs", merged)
+    // vs inclusive [s, e]); every joined doc is modified by
+    // construction (see scaladoc), so no post-filter
+    b.join(runs, Seq("_id"))
       .withColumn("_kept", filter(col("_toks"), (t, i) =>
         !exists(col("_runs"),
           sp => (i + 1) >= sp("s") && (i + 1) <= sp("e"))))
-      .filter(size(col("_kept")) < col("_n"))
       .select(col("_id").as(idCol),
         col("_n").cast("long").as("n_tokens"),
         (col("_n") - size(col("_kept"))).cast("long").as("n_removed"),
