@@ -461,6 +461,66 @@ object Multimodal {
       .filter(col("shared_frames") >= minSharedFrames)
   }
 
+  /** One micro-batch step of streaming frame-level overlap
+    * ([[graft.streaming.StreamFrameOverlap]]): all overlap pairs
+    * TOUCHING the batch — batch↔corpus and batch-internal — over
+    * already-computed frame-posting relations (the [[frameIndex]]
+    * schema `(media_id, fk)` on both sides; the [[nearDupIncrement]]
+    * recipe at frame granularity). The probe side is the batch only,
+    * so corpus-internal pairs can never form; batch-internal pairs
+    * arrive in both join orders and are canonicalized by
+    * least/greatest + a per-(pair, key) distinct, so each shared key
+    * counts once — `shared_frames` matches [[frameOverlapPairs]]'s
+    * distinct-key count. Output `(media_a, media_b, shared_frames)`,
+    * media_a < media_b. Ids must be globally unique across batches.
+    *
+    * The boilerplate cap counts each key over batch ∪ matching corpus
+    * postings — the union frequency AS OF this batch. A key can cross
+    * `maxMediaPerFrame` in a LATER batch, after pairs sharing it were
+    * already emitted; the deviation from the batch law is one-sided
+    * (the stream may keep pairs / count keys a full recompute would
+    * drop, never the reverse) — [[graft.streaming.StreamCdc]]'s
+    * cap-crossing contract, law-tested in StreamFrameOverlapSpec.
+    *
+    * Scale shape: corpus postings are key-restricted to the batch's
+    * frame keys before any counting (per-batch shuffle ∝ batch frames
+    * + matching postings, never the index — the corpus-side SCAN is
+    * the caller's concern: [[graft.streaming.StreamFrameOverlap]]
+    * partition-prunes it by key bucket); the cap is agg + join-back —
+    * never a keyed window. */
+  def frameOverlapIncrement(batchKeys: DataFrame, corpusKeys: DataFrame,
+      minSharedFrames: Int = 2, maxMediaPerFrame: Int = 64): DataFrame = {
+    require(minSharedFrames >= 1,
+      s"frameOverlapIncrement: minSharedFrames must be >= 1, got " +
+        s"$minSharedFrames")
+    require(maxMediaPerFrame >= 2,
+      s"frameOverlapIncrement: maxMediaPerFrame must be >= 2, got " +
+        s"$maxMediaPerFrame")
+    val bk = batchKeys.select(col("media_id"), col("fk"))
+    val hits = corpusKeys.select(col("media_id"), col("fk"))
+      .join(bk.select(col("fk")).distinct(), Seq("fk"))
+    // materialized once for its three consumers (frequency, probe
+    // side, pair side) — without it the corpus index read repeats
+    val all = Materialize.eager(bk.unionByName(hits))
+    val survivors = all.groupBy(col("fk"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxMediaPerFrame && col("_n") >= 2)
+      .select(col("fk"))
+    val capped = all.join(survivors, Seq("fk"))
+    val probe = capped.join(
+      bk.select(col("media_id")).distinct(), Seq("media_id"))
+    probe.as("a").join(capped.as("b"),
+        col("a.fk") === col("b.fk") &&
+          col("a.media_id") =!= col("b.media_id"))
+      .select(least(col("a.media_id"), col("b.media_id")).as("media_a"),
+        greatest(col("a.media_id"), col("b.media_id")).as("media_b"),
+        col("a.fk").as("fk"))
+      .distinct() // batch-internal pairs arrive in both orders
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
+
   /** Exact payload dedup: group BYTE-identical payloads (md5 over the
     * raw binary — no text normalization; a payload is opaque), keep the
     * smallest id — [[Dedup.exact]]'s contract for the binary modality.
