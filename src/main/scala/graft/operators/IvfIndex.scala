@@ -252,17 +252,33 @@ object IvfIndex {
       .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
   }
 
+  /** Meta is the index's COMMIT POINT, so it is replaced via a staged
+    * copy + rename (the cellstats discipline) — a plain overwrite
+    * deletes the old dir before writing the new one, and a crash in
+    * that window would leave the whole index unreadable. `lastTag`
+    * rides the same commit: [[append]] stamps its caller-supplied tag
+    * atomically with the epoch bump, which is what makes a replayed
+    * streaming batch detectable (see [[append]]). The residual window
+    * is the delete+rename pair itself (microseconds, no job inside —
+    * the cellstats discipline), not the meta-building Spark job. */
   private def writeMeta(spark: SparkSession, path: String, nLists: Int,
-      dim: Int, nVecs: Long, m: Int, ksub: Int, nEpochs: Int): Unit = {
+      dim: Int, nVecs: Long, m: Int, ksub: Int, nEpochs: Int,
+      lastTag: Option[String] = None): Unit = {
     import spark.implicits._
-    Seq((IndexVersion, nLists, dim, nVecs, m, ksub, nEpochs))
+    Seq((IndexVersion, nLists, dim, nVecs, m, ksub, nEpochs,
+        lastTag.orNull))
       .toDF("version", "n_lists", "dim", "n_vecs", "m", "ksub",
-        "n_epochs")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+        "n_epochs", "last_tag")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_next")
+    val next = new java.io.File(s"$path/meta_next")
+    val cur = new java.io.File(s"$path/meta")
+    deleteRecursively(cur)
+    require(next.renameTo(cur),
+      s"IvfIndex: could not move meta into place at $path")
   }
 
   private case class Meta(nLists: Int, dim: Int, nVecs: Long, m: Int,
-      ksub: Int, nEpochs: Int)
+      ksub: Int, nEpochs: Int, lastTag: Option[String])
 
   private def loadMeta(spark: SparkSession, path: String): Meta = {
     val rows = spark.read.parquet(s"$path/meta").collect()
@@ -273,9 +289,14 @@ object IvfIndex {
     require(version == IndexVersion,
       s"IvfIndex: unsupported index version $version (this build " +
         s"reads $IndexVersion)")
+    // pre-round-16 metas carry no last_tag column
+    val tag =
+      if (r.schema.fieldNames.contains("last_tag"))
+        Option(r.getAs[String]("last_tag"))
+      else None
     Meta(r.getAs[Int]("n_lists"), r.getAs[Int]("dim"),
       r.getAs[Long]("n_vecs"), r.getAs[Int]("m"), r.getAs[Int]("ksub"),
-      r.getAs[Int]("n_epochs"))
+      r.getAs[Int]("n_epochs"), tag)
   }
 
   /** Append a delta batch under the FROZEN quantizer — incremental
@@ -298,10 +319,23 @@ object IvfIndex {
     *
     * Scale shape: one assignment/encode projection over the DELTA
     * only plus a cell-keyed write — cost ∝ |delta|; the restamp is a
-    * column-pruned cell read. No training, no corpus pass. */
+    * column-pruned cell read. No training, no corpus pass.
+    *
+    * @param tag optional idempotence handle: a tag equal to the
+    *   index's last committed one makes the call a no-op. Streaming
+    *   callers ([[graft.streaming.StreamAnnIngest]]) pass their batch
+    *   id so a checkpoint replay never appends twice; the tag commits
+    *   atomically with the epoch bump. */
   def append(spark: SparkSession, path: String, embeddings: DataFrame,
-      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      tag: Option[String] = None): Unit = {
     val meta = loadMeta(spark, path)
+    // idempotence handle for replayed appends (streaming foreachBatch):
+    // the tag commits atomically with the epoch bump in the meta
+    // write, so "this tag is already the last applied" means the
+    // append fully committed — a retried batch is a no-op. Batches
+    // apply in order, so checking only the LAST tag suffices.
+    if (tag.isDefined && meta.lastTag == tag) return
     val centers = loadCenters(spark, path, meta)
     val cbOpt =
       if (meta.m == 0) None
@@ -333,7 +367,7 @@ object IvfIndex {
       .parquet(s"$path/lists")
     val nVecs = writeCellStats(spark, path)
     writeMeta(spark, path, meta.nLists, meta.dim, nVecs, meta.m,
-      meta.ksub, meta.nEpochs + 1)
+      meta.ksub, meta.nEpochs + 1, lastTag = tag)
   }
 
   /** Dequantized centroid matrix from the quantizer artifact —
