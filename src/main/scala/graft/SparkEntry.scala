@@ -826,6 +826,14 @@ object SparkEntry {
         graft.operators.Multimodal.frameIndex(corpus),
         minSharedFrames = 1, maxMediaPerFrame = 64)
     }),
+    // cross-modal duplicate clusters: components over the UNION of
+    // paragraph-sharing text edges (partial overlap the 16 sampled
+    // media bytes miss) and perceptual media pairs (byte similarity
+    // that survives rewording) — the per-CLUSTER dedup decision a
+    // multimodal pipeline makes, bridged across modalities
+    "x166_cross_modal_components" -> ((s, dir) =>
+      graft.operators.Multimodal.crossModalComponents(
+        Tables.documents(s, dir))),
     // graded contamination: per-doc FRACTION of distinct 8-grams found
     // in the benchmark slice — the curation-feature companion to x20's
     // binary flag; same broadcast/semi-join routing, the per-doc gram
@@ -3891,6 +3899,55 @@ object SparkEntry {
         |  ON a.k = b.k AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
         |GROUP BY 1, 2
         |HAVING count(*) >= 1""".stripMargin,
+    // x166: the x162 media-pair replay UNION paragraph-sharing star
+    // edges (canonical = min doc_id per paragraph, df in (1, 16]),
+    // resolved by the x24/x55 recursive-CTE min-label components
+    "x166_cross_modal_components" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) > 0),
+        |f AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 15), j ->
+        |           (CAST(ord(substr(text,
+        |              CAST(((j * 31) % n) + 1 AS INT), 1)) AS DOUBLE)
+        |             - 128.0) / 128.0) AS v
+        |  FROM d),
+        |g AS (SELECT doc_id, v,
+        |             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |      FROM f),
+        |nn AS (SELECT * FROM g WHERE nrm > 0),
+        |k AS (SELECT doc_id, v, nrm, u.j AS j,
+        |             v[4 * u.j + 1] AS k1, v[4 * u.j + 2] AS k2,
+        |             v[4 * u.j + 3] AS k3, v[4 * u.j + 4] AS k4
+        |      FROM nn, unnest(generate_series(0, 3)) u(j)),
+        |mp AS (
+        |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM k a JOIN k b ON a.j = b.j AND a.k1 = b.k1
+        |    AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.k4 = b.k4
+        |    AND a.doc_id < b.doc_id
+        |  WHERE round(list_sum(list_transform(generate_series(1, 16),
+        |          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.999),
+        |parts AS (
+        |  SELECT doc_id, unnest(string_split(text, ' the ')) AS para
+        |  FROM documents WHERE text IS NOT NULL),
+        |np AS (
+        |  SELECT DISTINCT doc_id, lower(trim(para)) AS p FROM parts
+        |  WHERE length(lower(trim(para))) >= 20),
+        |pc AS (
+        |  SELECT p, min(doc_id) AS c FROM np GROUP BY p
+        |  HAVING count(*) > 1 AND count(*) <= 16),
+        |tp AS (
+        |  SELECT pc.c AS u, np.doc_id AS v FROM np JOIN pc USING (p)
+        |  WHERE np.doc_id <> pc.c),
+        |es AS (
+        |  SELECT u, v FROM tp UNION SELECT v, u FROM tp
+        |  UNION SELECT u, v FROM mp UNION SELECT v, u FROM mp),
+        |cc AS (
+        |  SELECT u AS node, u AS lbl FROM es
+        |  UNION
+        |  SELECT es.v, cc.lbl FROM cc JOIN es ON cc.node = es.u)
+        |SELECT node, MIN(lbl) AS component FROM cc GROUP BY node""".stripMargin,
     "x108_pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),

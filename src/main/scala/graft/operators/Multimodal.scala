@@ -521,6 +521,73 @@ object Multimodal {
       .filter(col("shared_frames") >= minSharedFrames)
   }
 
+  /** Cross-modal duplicate clusters: connected components over the
+    * UNION of two edge modalities —
+    *
+    *  - '''text''': documents sharing a normalized paragraph of ≥
+    *    `minParaLen` chars (split on `delimiter`, lower/trim, df-capped
+    *    at `maxParaDf` — partial textual overlap the sampled-byte
+    *    media features cannot see);
+    *  - '''media''': perceptual near-dup pairs over the documents'
+    *    payloads ([[nearDupPairs]] at `threshold` — byte-level
+    *    similarity that survives textual rewording of unsampled
+    *    regions).
+    *
+    * A re-encoded copy B of A and a quote-heavy derivative C of B land
+    * in ONE cluster even though no single modality links all three —
+    * the dedup decision a multimodal training pipeline actually needs
+    * (drop/keep per CLUSTER, not per pairwise detector). Output:
+    * `(node, component)` — [[Graph.connectedComponents]]'s contract,
+    * component = min doc_id reachable; singleton docs (no edge in
+    * either modality) are omitted, the x55 convention.
+    *
+    * Scale shape: text edges are one hash aggregate on the paragraph
+    * hash (map-side combinable, df-capped — boilerplate paragraphs
+    * drop before the join-back) plus one key-equality join-back —
+    * star edges (canonical → member), never the within-group
+    * quadratic; media edges are [[nearDupPairs]]'s chunk-key
+    * candidates (∝ duplicate mass); components run on the edge union
+    * (∝ edges, the x24 discipline — driver union-find under the
+    * bounded-edges gate, label propagation beyond it). */
+  def crossModalComponents(docs: DataFrame, delimiter: String = " the ",
+      minParaLen: Int = 20, maxParaDf: Int = 16,
+      threshold: Double = 0.999,
+      decoder: MediaDecoder = FakeDecoder): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(minParaLen >= 1,
+      s"crossModalComponents: minParaLen must be >= 1, got $minParaLen")
+    require(maxParaDf >= 2,
+      s"crossModalComponents: maxParaDf must be >= 2, got $maxParaDf")
+    // only the 64-bit paragraph hash ever shuffles (xxhash64 — the
+    // SpanDedup collision stance); paragraph text stays doc-local
+    val paras = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(split(col("text"), java.util.regex.Pattern
+          .quote(delimiter))).as("_p"))
+      .select(col("doc_id"), lower(trim(col("_p"))).as("_p"))
+      .filter(length(col("_p")) >= minParaLen)
+      .select(col("doc_id"), xxhash64(col("_p")).as("_h"))
+      .distinct()
+    val canon = paras.groupBy(col("_h"))
+      .agg(min(col("doc_id")).as("_c"), count(lit(1)).as("_df"))
+      .filter(col("_df") > 1 && col("_df") <= maxParaDf)
+      .select(col("_h"), col("_c"))
+    val textEdges = paras.join(canon, Seq("_h"))
+      .filter(col("doc_id") =!= col("_c"))
+      .select(col("_c").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    val media = mediaFromDocuments(docs)
+      .select(col("media_id").as("mediaId"),
+        col("media_type").as("mediaType"), col("payload"),
+        lit(0).as("width"), lit(0).as("height"),
+        lit(0L).as("durationMs"))
+      .as[MediaRecord]
+    val mediaEdges = nearDupPairs(media, threshold, decoder)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    Graph.connectedComponents(textEdges.unionByName(mediaEdges))
+  }
+
   /** Exact payload dedup: group BYTE-identical payloads (md5 over the
     * raw binary — no text normalization; a payload is opaque), keep the
     * smallest id — [[Dedup.exact]]'s contract for the binary modality.

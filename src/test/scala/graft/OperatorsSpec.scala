@@ -2079,6 +2079,50 @@ class OperatorsSpec extends SparkTestBase {
     assert(viaIndex5.contains((101L, 3L, 1L))) // f1 now pairs via 3
   }
 
+  test("crossModalComponents BRIDGES modalities: a text-only edge and " +
+    "a media-only edge chain three docs into one cluster neither " +
+    "detector finds alone") {
+    import Multimodal._
+    // B and C: same length, equal at every sampled feature offset
+    // ((j*31) % n, 0-based), different in one char of EACH paragraph
+    // (so they share NO normalized paragraph -> no text edge) -> the
+    // media cosine is exactly 1. A shares B's first paragraph but has
+    // a different length (different sampled offsets -> no media pair
+    // at 0.999).
+    val n = 101
+    val sampled = (0 until 16).map(j => (j * 31) % n).toSet
+    val base = Array.tabulate(n)(i => ('a' + (i % 26)).toChar)
+    " the ".zipWithIndex.foreach { case (c, i) => base(40 + i) = c }
+    val bTxt = new String(base)
+    val cArr = base.clone()
+    val flip1 = (0 until 40).find(i => !sampled.contains(i)).get
+    val flip2 = (45 until n).find(i => !sampled.contains(i)).get
+    cArr(flip1) = 'Z'; cArr(flip2) = 'Z'
+    val cTxt = new String(cArr)
+    val aTxt = bTxt.substring(0, 40) + " the 0123456789"
+    val docs = Seq((1L, aTxt), (2L, bTxt), (3L, cTxt))
+      .toDF("doc_id", "text")
+    // preconditions the bridge claim rests on
+    def paras(t: String) =
+      t.split(java.util.regex.Pattern.quote(" the "))
+        .map(_.trim.toLowerCase).filter(_.length >= 20).toSet
+    assert(paras(aTxt).intersect(paras(bTxt)).nonEmpty) // text A-B
+    assert(paras(bTxt).intersect(paras(cTxt)).isEmpty)  // no text B-C
+    assert(paras(aTxt).intersect(paras(cTxt)).isEmpty)  // no text A-C
+    val media = mediaFromDocuments(docs)
+      .select(col("media_id").as("mediaId"),
+        col("media_type").as("mediaType"), col("payload"),
+        lit(0).as("width"), lit(0).as("height"),
+        lit(0L).as("durationMs")).as[MediaRecord]
+    val mp = nearDupPairs(media, threshold = 0.999)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    assert(mp === Set((2L, 3L))) // media B-C only
+    // the cluster: A -text- B -media- C, one component labeled min id
+    val cc = crossModalComponents(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(cc === Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("media features flow into the ANN path: extractFeatures output " +
     "is a valid embeddings relation for cosineTopK") {
     import Multimodal._
