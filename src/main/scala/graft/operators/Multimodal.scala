@@ -553,39 +553,93 @@ object Multimodal {
       minParaLen: Int = 20, maxParaDf: Int = 16,
       threshold: Double = 0.999,
       decoder: MediaDecoder = FakeDecoder): DataFrame = {
-    import docs.sparkSession.implicits._
-    require(minParaLen >= 1,
-      s"crossModalComponents: minParaLen must be >= 1, got $minParaLen")
     require(maxParaDf >= 2,
       s"crossModalComponents: maxParaDf must be >= 2, got $maxParaDf")
-    // only the 64-bit paragraph hash ever shuffles (xxhash64 — the
-    // SpanDedup collision stance); paragraph text stays doc-local
-    val paras = docs
+    val paras = paragraphKeys(docs, delimiter, minParaLen)
+    val canon = paras.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("_c"), count(lit(1)).as("_df"))
+      .filter(col("_df") > 1 && col("_df") <= maxParaDf)
+      .select(col("h"), col("_c"))
+    val textEdges = paras.join(canon, Seq("h"))
+      .filter(col("doc_id") =!= col("_c"))
+      .select(col("_c").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    val mediaEdges = nearDupPairs(docsAsMedia(docs), threshold, decoder)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    Graph.connectedComponents(textEdges.unionByName(mediaEdges))
+  }
+
+  /** [[mediaFromDocuments]] lifted to the typed [[MediaRecord]] shape
+    * the perceptual routes consume. */
+  def docsAsMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    mediaFromDocuments(docs)
+      .select(col("media_id").as("mediaId"),
+        col("media_type").as("mediaType"), col("payload"),
+        lit(0).as("width"), lit(0).as("height"),
+        lit(0L).as("durationMs"))
+      .as[MediaRecord]
+  }
+
+  /** The normalized-paragraph posting relation behind the cross-modal
+    * text edges: one row per distinct (doc, paragraph hash) —
+    * `(doc_id, h)`. Only the 64-bit xxhash64 of the lower/trimmed
+    * paragraph ever shuffles (the [[SpanDedup]] collision stance);
+    * paragraph text stays doc-local. */
+  def paragraphKeys(docs: DataFrame, delimiter: String = " the ",
+      minParaLen: Int = 20): DataFrame = {
+    require(minParaLen >= 1,
+      s"paragraphKeys: minParaLen must be >= 1, got $minParaLen")
+    docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(split(col("text"), java.util.regex.Pattern
           .quote(delimiter))).as("_p"))
       .select(col("doc_id"), lower(trim(col("_p"))).as("_p"))
       .filter(length(col("_p")) >= minParaLen)
-      .select(col("doc_id"), xxhash64(col("_p")).as("_h"))
+      .select(col("doc_id"), xxhash64(col("_p")).as("h"))
       .distinct()
-    val canon = paras.groupBy(col("_h"))
+  }
+
+  /** One micro-batch step of streaming paragraph-sharing edges
+    * ([[graft.streaming.StreamCrossModal]]'s text modality): the
+    * star edges (canonical = min doc_id → member) of every paragraph
+    * key TOUCHING the batch, df-capped over batch ∪ matching corpus
+    * postings (the union frequency as of this batch). Emitting the
+    * full current star per qualifying key — corpus members included —
+    * keeps the accumulated edge relation connectivity-equal to the
+    * batch star over the final union for every key that never crosses
+    * `maxParaDf` (a doc that arrived before its key qualified is
+    * wired in when the key's second member lands); a later crossing
+    * deviates one-sided only (emitted edges stay — the stream's
+    * clusters may be coarser than the recompute's, never finer). The
+    * same edge can re-emit across batches as a key gains members —
+    * the product is the LABELS relation, where duplicates are free.
+    *
+    * Scale shape: corpus postings are key-restricted to the batch's
+    * paragraph hashes before any counting (per-batch shuffle ∝ batch
+    * paragraphs + matching postings, never the index; the corpus-side
+    * SCAN is the caller's concern — the sink partition-prunes it by
+    * hash bucket); the cap is agg + join-back, never a keyed
+    * window. */
+  def paragraphEdgeIncrement(batchKeys: DataFrame,
+      corpusKeys: DataFrame, maxParaDf: Int = 16): DataFrame = {
+    require(maxParaDf >= 2,
+      s"paragraphEdgeIncrement: maxParaDf must be >= 2, got $maxParaDf")
+    val bk = batchKeys.select(col("doc_id"), col("h"))
+    val hits = corpusKeys.select(col("doc_id"), col("h"))
+      .join(bk.select(col("h")).distinct(), Seq("h"))
+    // materialized once for its two consumers (canonical/df aggregate
+    // + edge join-back)
+    val all = Materialize.eager(bk.unionByName(hits))
+    val canon = all.groupBy(col("h"))
       .agg(min(col("doc_id")).as("_c"), count(lit(1)).as("_df"))
       .filter(col("_df") > 1 && col("_df") <= maxParaDf)
-      .select(col("_h"), col("_c"))
-    val textEdges = paras.join(canon, Seq("_h"))
+      .select(col("h"), col("_c"))
+    all.join(canon, Seq("h"))
       .filter(col("doc_id") =!= col("_c"))
       .select(col("_c").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
-    val media = mediaFromDocuments(docs)
-      .select(col("media_id").as("mediaId"),
-        col("media_type").as("mediaType"), col("payload"),
-        lit(0).as("width"), lit(0).as("height"),
-        lit(0L).as("durationMs"))
-      .as[MediaRecord]
-    val mediaEdges = nearDupPairs(media, threshold, decoder)
-      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
-    Graph.connectedComponents(textEdges.unionByName(mediaEdges))
   }
 
   /** Exact payload dedup: group BYTE-identical payloads (md5 over the
