@@ -111,6 +111,10 @@ EXEMPT = {
     "x165_media_frame_delta":
         "x164's delta route - same frame-key family, same measured "
         "cross-shard coincidences. Direct sf1 oracle instead.",
+    "x166_cross_modal_components":
+        "media edges use x162's sampled-byte features (cross-shard "
+        "coincidences survive the splice) and clusters span shards "
+        "through them. Direct sf1 oracle instead (44,163 rows green).",
 }
 
 sf1_dir, sf01_dir = sys.argv[1], sys.argv[2]
