@@ -199,23 +199,13 @@ object Bench {
       else QResult(times.min, spreadOfBest3, sr, sw, times.length)
     }
 
-    val results = selected.map { case (name, fn) => (name, time(name, fn)) }
-
-    // queries still reading >15% over a tight-spread previous best after
-    // the extended sample — the named drift list for the round diff
-    val driftFlags = results.collect {
-      case (name, r) if r.best > 0 && r.spread >= 0 && r.spread < 0.1 &&
-          prevRecord.get(name).exists { case (pBest, pSpread) =>
-            pBest > 0 && pSpread < 0.1 && r.best > 1.15 * pBest } => name
-    }
-
     // streaming throughput vs BASELINE.md's 1,000 rec/s ingest ceiling:
     // push 60k register lines (20 reference batches) through the J1
     // cumulative pipeline and measure end-to-end rec/s. Best of 3 —
     // the same steady-state protocol as the queries (a single sample
     // right after 151 batch plans is GC/cache-depressed; round-11
     // measured 17k vs 31-38k on a quiet JVM). -1 on failure.
-    def streamOnce(attempt: Int): Double = try {
+    def streamOnce(attempt: String): Double = try {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import spark.implicits._
       implicit val sql = spark.sqlContext
@@ -238,8 +228,27 @@ object Bench {
       System.err.println(s"[bench] streaming throughput FAILED: ${e.getMessage}")
       -1.0
     }
-    val streamRecPerSec: Double =
-      (0 until 3).map(streamOnce).max
+    // streaming throughput, PRE-suite attempts (guide §1: measure the
+    // engine, not JVM residue): after the 181-query marathon the same
+    // pipeline reads 5x slower on identical code (GC/allocator state),
+    // which once tripped the 10k floor — a 600 s false failure. The
+    // metric below takes the best over pre- and post-suite attempts;
+    // both sub-readings are kept in the record.
+    val streamPre: Double = (0 until 3).map(i => streamOnce(s"pre_$i")).max
+
+    val results = selected.map { case (name, fn) => (name, time(name, fn)) }
+
+    // queries still reading >15% over a tight-spread previous best after
+    // the extended sample — the named drift list for the round diff
+    val driftFlags = results.collect {
+      case (name, r) if r.best > 0 && r.spread >= 0 && r.spread < 0.1 &&
+          prevRecord.get(name).exists { case (pBest, pSpread) =>
+            pBest > 0 && pSpread < 0.1 && r.best > 1.15 * pBest } => name
+    }
+
+    val streamPost: Double =
+      (0 until 3).map(i => streamOnce(s"post_$i")).max
+    val streamRecPerSec: Double = math.max(streamPre, streamPost)
     // throughput FLOOR (round-11 advisory): steady-state best-of-3 has
     // measured 31-55k across SFs with the GC-depressed cold sample at
     // 17k — a conservative 10k floor catches a 10× streaming
@@ -269,7 +278,7 @@ object Bench {
     // per-query sample size actually taken.
     val runsTaken = jmap(_.nRuns)
     val driftJson = driftFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"base_runs":$Runs,"max_runs":$MaxRuns,"retry_rule":"rerun while spread(best3) > 0.5*min or tight-spread >15% drift vs previous BENCH_FULL; best/spread over 3 fastest","agg":"min","stream_rec_per_sec":${streamRecPerSec.round},"stream_floor":${StreamFloor.round},"stream_floor_ok":$streamFloorOk,"sf":"$sfDir","drift_flags":$driftJson,"runs":$runsTaken,"spreads":$spreads,"shuffle_read_bytes":$shufReads,"shuffle_write_bytes":$shufWrites,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"base_runs":$Runs,"max_runs":$MaxRuns,"retry_rule":"rerun while spread(best3) > 0.5*min or tight-spread >15% drift vs previous BENCH_FULL; best/spread over 3 fastest","agg":"min","stream_rec_per_sec":${streamRecPerSec.round},"stream_rec_per_sec_pre":${streamPre.round},"stream_rec_per_sec_post":${streamPost.round},"stream_floor":${StreamFloor.round},"stream_floor_ok":$streamFloorOk,"sf":"$sfDir","drift_flags":$driftJson,"runs":$runsTaken,"spreads":$spreads,"shuffle_read_bytes":$shufReads,"shuffle_write_bytes":$shufWrites,"queries":$qs}"""
     // STDOUT gets a COMPACT line, the full record goes to the files:
     // the harness keeps only the last ~2000 chars of output, and the
     // full per-query record (~5 KB at 141 queries) can never fit — it
@@ -286,7 +295,7 @@ object Bench {
       .sortBy(-_._2.best).take(5)
       .map { case (k, r) => "\"" + k + "\":" + r.best }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n_queries":${results.size},"agg":"min","base_runs":$Runs,"max_runs":$MaxRuns,"stream_rec_per_sec":${streamRecPerSec.round},"stream_floor":${StreamFloor.round},"stream_floor_ok":$streamFloorOk,"sf":"$sfDir","drift_flags_n":${driftFlags.size},"full_record":"BENCH_FULL.json","queries":$headline,"slowest_ext":$slowest}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n_queries":${results.size},"agg":"min","base_runs":$Runs,"max_runs":$MaxRuns,"stream_rec_per_sec":${streamRecPerSec.round},"stream_rec_per_sec_pre":${streamPre.round},"stream_rec_per_sec_post":${streamPost.round},"stream_floor":${StreamFloor.round},"stream_floor_ok":$streamFloorOk,"sf":"$sfDir","drift_flags_n":${driftFlags.size},"full_record":"BENCH_FULL.json","queries":$headline,"slowest_ext":$slowest}"""
     println(compact)
     // two mirrors of the FULL record: target/bench.json (untracked
     // scratch) and BENCH_FULL.json (repo root, COMMITTED) — the round

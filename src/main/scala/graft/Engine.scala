@@ -22,6 +22,19 @@ object Engine {
     (sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "10").toLong
       * 1024 * 1024).toString
 
+  /** AQE coalesce floor (spark.sql.adaptive.coalescePartitions
+    * .minPartitionSize), env-tunable (SPARK_GRAFT_MIN_PARTITION_SIZE).
+    * Spark's default (1m) sizes partitions by BYTES, which serializes
+    * CPU-dense byte-small stages: a 2.9 MB shuffle of q-gram candidate
+    * pairs coalesces to 2 tasks and the verify kernel runs on 2 of 32
+    * cores (measured on x70: the verify stage fell 0.99 s → 0.40 s at
+    * 64k, identical results — OPTIMIZATION_r16.md). 64k only bites when
+    * a stage's whole shuffle is megabytes — at production scale
+    * partitions sit at the advisory size (coalescing targets
+    * advisoryPartitionSizeInBytes) and this floor is inert. */
+  private def minPartitionSize: String =
+    sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k")
+
   def session(
       master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
       shufflePartitions: Int =
@@ -35,6 +48,8 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        minPartitionSize)
       // reliable checkpoints (the Materialize discipline) must be
       // garbage-collected with their plans — Spark's default (false)
       // would retain every checkpoint directory forever on a cluster
@@ -62,6 +77,8 @@ object Engine {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      minPartitionSize)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastThreshold)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +

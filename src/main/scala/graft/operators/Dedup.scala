@@ -592,10 +592,11 @@ object Dedup {
     require(minShared >= 1,
       s"winnowOverlap: minShared must be >= 1, got $minShared")
     require(maxDf >= 2, s"winnowOverlap: maxDf must be >= 2, got $maxDf")
-    val fps = docs
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("_id"),
-        explode(ShingleExprs.winnowSet(col(textCol), k, w)).as("_fp"))
+    val fps = Parallelism.fanOutScan(docs
+        .filter(col(textCol).isNotNull)
+        .select(col(idCol).as("_id"), col(textCol).as("_t")))
+      .select(col("_id"),
+        explode(ShingleExprs.winnowSet(col("_t"), k, w)).as("_fp"))
     val dfCounts = fps.groupBy(col("_fp"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf)
@@ -631,16 +632,17 @@ object Dedup {
     require(k >= 1 && w >= 1 && minShared >= 1 && maxDf >= 2,
       s"winnowOverlapSpans: invalid params k=$k w=$w " +
         s"minShared=$minShared maxDf=$maxDf")
-    val t = col(textCol)
+    val t = col("_t")
     // per-position gram hashes, relationally (polyFingerprint holds no
     // lambda, so embedding it in transform is safe); used only to
     // resolve each fingerprint to its first gram index, then dropped
     val grams = transform(sequence(lit(1), length(t) - (k - 1)),
       p => ShingleExprs.polyFingerprint(t.substr(p, lit(k))))
-    val fps = docs
-      .filter(t.isNotNull && length(t) >= k)
+    val fps = Parallelism.fanOutScan(docs
+        .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+        .select(col(idCol).as("_id"), col(textCol).as("_t")))
       .withColumn("_hs", grams)
-      .select(col(idCol).as("_id"),
+      .select(col("_id"),
         explode(ShingleExprs.winnowSet(t, k, w)).as("_fp"),
         col("_hs"))
       .select(col("_id"), col("_fp"),
@@ -721,8 +723,15 @@ object Dedup {
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
       shingleLen: Int = 5, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val base = signatureTable(docs, shingleLen, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager checkpoint, not lazy persist: the four join branches below
+    // are INDEPENDENT stages of one job — the scheduler launches them
+    // concurrently, none finds cached blocks, and the signature kernel
+    // ran four times (measured: 4 x 0.45 s single-task scans at sf0.1).
+    // Eager materialization runs the kernel once, fanned out across
+    // cores (Parallelism.fanOutScan — inert at production scan widths).
+    val base = Materialize.eager(signatureTable(
+      Parallelism.fanOutScan(docs.select(col(idCol), col(textCol))),
+      shingleLen, idCol, textCol))
 
     val bands = base.select(col("id"), explode(bandKeys(col("sig"))).as("k"))
       .select(col("id"), col("k.band").as("band"), col("k.bh").as("bh"))
@@ -859,9 +868,11 @@ object Dedup {
       textCol: String = "text", localPrefixRank: Boolean = true,
       allPairsMaxDocs: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = docs
-      .select(col(idCol).as("id"), col(blockCol).as("blk"),
-        ShingleExprs.shingleSetChars(col(textCol), n).as("ng"))
+    val g = Parallelism.fanOutScan(docs
+        .select(col(idCol).as("id"), col(blockCol).as("blk"),
+          col(textCol).as("_t")))
+      .select(col("id"), col("blk"),
+        ShingleExprs.shingleSetChars(col("_t"), n).as("ng"))
       .filter(col("ng").isNotNull)
       .withColumn("sz", size(col("ng")))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -169,13 +169,16 @@ object EditSimilarity {
   /** Per-doc gram relation (id, t, len, ng, n_grams) — the doc-local
     * codegen pass every route starts from. */
   private def gramRelation(docs: DataFrame, idCol: String,
-      textCol: String, q: Int): DataFrame =
-    docs
+      textCol: String, q: Int, fanOut: Boolean = true): DataFrame = {
+    val pruned = docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), col(textCol).as("t"),
-        length(col(textCol)).as("len"),
-        ShingleExprs.shingleSetChars(col(textCol), q).as("ng"))
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+    (if (fanOut) Parallelism.fanOutScan(pruned) else pruned)
+      .select(col("id"), col("t"),
+        length(col("t")).as("len"),
+        ShingleExprs.shingleSetChars(col("t"), q).as("ng"))
       .withColumn("n_grams", coalesce(size(col("ng")), lit(0)))
+  }
 
   /** One-row gram-ascending aligned-array dictionary for
     * [[graft.functions.RankedPrefixGramsK]]'s binary search. */
@@ -220,7 +223,8 @@ object EditSimilarity {
     val prefixLen = q * maxDist + 1
     // materialized checkpoint-style: g rides inside the returned
     // EditIndex plans (caller-unreleasable if persisted)
-    val g = Materialize.eager(gramRelation(corpus, idCol, textCol, q))
+    val g = Materialize.eager(
+      gramRelation(corpus, idCol, textCol, q, fanOut = false))
     val gramDf = g.filter(col("ng").isNotNull)
       .select(explode(col("ng")).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
@@ -258,7 +262,8 @@ object EditSimilarity {
     val q = index.q
     val maxDist = index.maxDist
     val prefixLen = q * maxDist + 1
-    val d = Materialize.eager(gramRelation(delta, idCol, textCol, q))
+    val d = Materialize.eager(
+      gramRelation(delta, idCol, textCol, q, fanOut = false))
 
     // frozen-order dictionary restricted to the delta's gram universe:
     // corpus df, 0 for grams the corpus has never seen

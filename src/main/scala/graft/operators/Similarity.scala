@@ -441,10 +441,19 @@ object Similarity {
     // on the cell column's raise_error firing first would couple
     // correctness to projection evaluation order
     val vg = dimGuarded(col("v"), dim, "ivfPqTopK")
-    val assigned = corpus
+    // adaptive-mass probing consumes the assignment twice (cell-mass
+    // aggregate now, candidate join at action time) — materialize the
+    // assign+encode kernel once, fanned out across cores BEFORE the
+    // kernel runs, instead of paying the corpus pass per consumer (the
+    // fan-out is inert at production scan widths; without probeMass
+    // there is one consumer and the lazy plan is already minimal)
+    def assignEncode(in: DataFrame): DataFrame = in
       .select(col("vec_id"),
         element_at(cellsRankedExpr(vg, centers), 1)("cell").as("cell"),
         PqExprs.encode(vg, cb, m, ksub, dsub).as("codes"))
+    val assigned =
+      if (probeMass <= 0.0) assignEncode(corpus)
+      else Materialize.eager(assignEncode(Parallelism.fanOutScan(corpus)))
     // adaptive probing: the per-cell corpus masses (inverted-list
     // lengths), one bounded nLists-row aggregate — column pruning drops
     // the PQ codes from this pass, it reads cells only

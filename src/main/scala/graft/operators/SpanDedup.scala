@@ -204,10 +204,10 @@ object SpanDedup {
   /** Doc-local base relation (_id, _t, _toks, _n). */
   private def tokenBase(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("_id"), col(textCol).as("_t"),
-        split(col(textCol), " ").as("_toks"))
+    Parallelism.fanOutScan(docs
+        .filter(col(textCol).isNotNull)
+        .select(col(idCol).as("_id"), col(textCol).as("_t")))
+      .select(col("_id"), col("_t"), split(col("_t"), " ").as("_toks"))
       .withColumn("_n", size(col("_toks")))
 
   /** Per-position window fingerprints (_id, _pos, _fp) — ONE doc-local

@@ -47,8 +47,12 @@ object Unigram {
   /** Word-frequency dictionary: one corpus pass, distinct-word-sized
     * shuffle (map-side combined). */
   private def wordFreqs(docs: DataFrame, textCol: Column): DataFrame =
-    docs.filter(textCol.isNotNull)
-      .select(explode(words(textCol)).as("w"))
+    // the word explode + partial count runs at scan width — fan the
+    // pruned text out first (inert at production scan widths; this is
+    // trainer-side work, so query plan laws see none of it)
+    Parallelism.fanOutScan(
+        docs.filter(textCol.isNotNull).select(textCol.as("_t")))
+      .select(explode(words(col("_t"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wf"))
 
   /** Seed (piece, freq) vocabulary — see the object doc. Output:

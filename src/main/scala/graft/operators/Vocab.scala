@@ -173,8 +173,8 @@ object Vocab {
     val training =
       if (sampleFraction >= 1.0) df
       else Corpus.sampleByHash(df, textCol, sampleFraction)
-    val syms = training
-      .select(array_remove(split(textCol, "\\s+"), "").as("s"),
+    val syms = Parallelism.fanOutScan(training.select(textCol.as("_t")))
+      .select(array_remove(split(col("_t"), "\\s+"), "").as("s"),
         lit(1L).as("w"))
     bpeTrain(syms, nMerges, minCount, sep, batchCap)
   }
@@ -369,8 +369,8 @@ object Vocab {
     val training =
       if (sampleFraction >= 1.0) df
       else Corpus.sampleByHash(df, textCol, sampleFraction)
-    val dict = training
-      .select(explode(array_remove(split(textCol, "\\s+"), "")).as("_w"))
+    val dict = Parallelism.fanOutScan(training.select(textCol.as("_t")))
+      .select(explode(array_remove(split(col("_t"), "\\s+"), "")).as("_w"))
       .groupBy(col("_w")).agg(count(lit(1)).as("w"))
       .select(charInit(col("_w"), eow).as("s"), col("w"))
     bpeTrain(dict, nMerges, minCount, sep = "", batchCap = batchCap)
@@ -441,9 +441,10 @@ object Vocab {
     require(eow.nonEmpty, "bpeEncodeChar: eow marker must be non-empty")
     val (ls0, rs0) = collectMergeTable(merges)
     val ls = typedlit(ls0); val rs = typedlit(rs0)
-    val words = array_remove(split(textCol, "\\s+"), "")
-    df.filter(textCol.isNotNull)
-      .select(idCol.as("id"),
+    val words = array_remove(split(col("_t"), "\\s+"), "")
+    Parallelism.fanOutScan(df.filter(textCol.isNotNull)
+        .select(idCol.as("id"), textCol.as("_t")))
+      .select(col("id"),
         flatten(transform(words, w =>
           BpeExprs.encode(charInit(w, eow), ls, rs, "")))
           .as("bpe"))
@@ -486,8 +487,8 @@ object Vocab {
     val training =
       if (sampleFraction >= 1.0) df
       else Corpus.sampleByHash(df, textCol, sampleFraction)
-    val dict = training
-      .select(explode(array_remove(split(textCol, "\\s+"), "")).as("_w"))
+    val dict = Parallelism.fanOutScan(training.select(textCol.as("_t")))
+      .select(explode(array_remove(split(col("_t"), "\\s+"), "")).as("_w"))
       .groupBy(col("_w")).agg(count(lit(1)).as("w"))
       .select(byteInit(col("_w"), eow).as("s"), col("w"))
     bpeTrain(dict, nMerges, minCount, sep = "", batchCap = batchCap)
@@ -505,9 +506,10 @@ object Vocab {
     require(eow.nonEmpty, "bpeEncodeByte: eow marker must be non-empty")
     val (ls0, rs0) = collectMergeTable(merges)
     val ls = typedlit(ls0); val rs = typedlit(rs0)
-    val words = array_remove(split(textCol, "\\s+"), "")
-    df.filter(textCol.isNotNull)
-      .select(idCol.as("id"),
+    val words = array_remove(split(col("_t"), "\\s+"), "")
+    Parallelism.fanOutScan(df.filter(textCol.isNotNull)
+        .select(idCol.as("id"), textCol.as("_t")))
+      .select(col("id"),
         flatten(transform(words, w =>
           BpeExprs.encode(byteInit(w, eow), ls, rs, "")))
           .as("bpe"))
@@ -537,9 +539,10 @@ object Vocab {
   def bpeEncode(df: DataFrame, idCol: Column, textCol: Column,
       merges: DataFrame, sep: String = " "): DataFrame = {
     val (ls0, rs0) = collectMergeTable(merges)
-    df.filter(textCol.isNotNull)
-      .select(idCol.as("id"),
-        BpeExprs.encode(array_remove(split(textCol, "\\s+"), ""),
+    Parallelism.fanOutScan(df.filter(textCol.isNotNull)
+        .select(idCol.as("id"), textCol.as("_t")))
+      .select(col("id"),
+        BpeExprs.encode(array_remove(split(col("_t"), "\\s+"), ""),
           typedlit(ls0), typedlit(rs0), sep).as("bpe"))
       .withColumn("n_tokens", size(col("bpe")).cast("long"))
   }
@@ -653,8 +656,8 @@ object Vocab {
     val spark = df.sparkSession
     import spark.implicits._
     val (ls0, rs0) = collectMergeTable(merges)
-    val dictEnc = df
-      .select(explode(array_remove(split(textCol, "\\s+"), "")).as("_w"))
+    val dictEnc = Parallelism.fanOutScan(df.select(textCol.as("_t")))
+      .select(explode(array_remove(split(col("_t"), "\\s+"), "")).as("_w"))
       .distinct()
       .select(BpeExprs.encode(init(col("_w"), eow),
         typedlit(ls0), typedlit(rs0), "").as("bpe"))
