@@ -184,10 +184,10 @@ object Relevance {
     require(k > 0, s"lmQualityScore: k must be > 0, got $k")
     def bigrams(df: DataFrame, cols: Seq[Column]): DataFrame = {
       val t = tokens(textCol)
-      // the explode + partial-count runs on the scan's own width —
-      // fan the (pruned) rows out first so the tokenize/explode pass
-      // parallelizes on single-file local fixtures (inert at scale)
-      Parallelism.fanOutScan(df.select(cols :+ col(textCol): _*))
+      // no fan-out: the bigram zip_with explode + map-side count is a
+      // cheap pass — round-17 A/B measured the round-16 repartition as
+      // a net loss at 32 cores (same shape as the Vocab dict builds)
+      df.select(cols :+ col(textCol): _*)
         .select(cols :+ explode(when(size(t) >= 2,
         zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2"))))
@@ -208,7 +208,7 @@ object Relevance {
     val c2 = Materialize.eager(bigrams(reference, Seq.empty)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_n2")))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("_n2")).as("_n1"))
-    val v = Parallelism.fanOutScan(reference.select(col(textCol)))
+    val v = reference.select(col(textCol))
       .select(explode(tokens(textCol)).as("_t"))
       .agg(countDistinct(col("_t")).as("_v"))
     bigrams(docs, Seq(col(idCol)))

@@ -47,11 +47,11 @@ object Unigram {
   /** Word-frequency dictionary: one corpus pass, distinct-word-sized
     * shuffle (map-side combined). */
   private def wordFreqs(docs: DataFrame, textCol: Column): DataFrame =
-    // the word explode + partial count runs at scan width — fan the
-    // pruned text out first (inert at production scan widths; this is
-    // trainer-side work, so query plan laws see none of it)
-    Parallelism.fanOutScan(
-        docs.filter(textCol.isNotNull).select(textCol.as("_t")))
+    // no fan-out: word explode + count is a cheap pass whose
+    // single-task cost sits below the repartition's shuffle + small-
+    // task overhead (round-17 A/B at 32 cores: 0.26 s single-task vs
+    // 0.41 s fanned — the round-16 fan-out was a net loss here)
+    docs.filter(textCol.isNotNull).select(textCol.as("_t"))
       .select(explode(words(col("_t"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wf"))
 

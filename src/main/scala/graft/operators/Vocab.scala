@@ -173,7 +173,11 @@ object Vocab {
     val training =
       if (sampleFraction >= 1.0) df
       else Corpus.sampleByHash(df, textCol, sampleFraction)
-    val syms = Parallelism.fanOutScan(training.select(textCol.as("_t")))
+    // no fan-out: the split-only projection is cheap and the trainer's
+    // per-occurrence pair count is a zip_with explode + map-side
+    // combine — both measured faster single-task than fanned at 32
+    // cores (round-17 A/B, same shape as the dict builds)
+    val syms = training.select(textCol.as("_t"))
       .select(array_remove(split(col("_t"), "\\s+"), "").as("s"),
         lit(1L).as("w"))
     bpeTrain(syms, nMerges, minCount, sep, batchCap)
@@ -244,7 +248,11 @@ object Vocab {
         // creation bounds + concat-collision probe for the candidate
         // symbols, from the cached pair counts: bounded aggregates
         // (≤ 2·cap keys / ≤ cap keys), only paid when a batch could
-        // actually extend past its head
+        // actually extend past its head — fused into ONE tagged
+        // union-aggregate job (round-17: the three separate collects
+        // each paid a full job-scheduling round trip on a relation
+        // already in cache; values are identical, max over a tagged
+        // union is max per branch)
         val (maxAsRight, maxAsLeft, presentConcats) =
           if (cands.length <= 1)
             (Map.empty[String, Long], Map.empty[String, Long],
@@ -252,18 +260,20 @@ object Vocab {
           else {
             val ls = cands.map(_._1).distinct.toIndexedSeq
             val rs = cands.map(_._2).distinct.toIndexedSeq
-            val mr = pc.filter(col("r").isin(ls: _*))
-              .groupBy(col("r")).agg(max(col("n")).as("m"))
-              .as[(String, Long)].collect().toMap
-            val ml = pc.filter(col("l").isin(rs: _*))
-              .groupBy(col("l")).agg(max(col("n")).as("m"))
-              .as[(String, Long)].collect().toMap
             val concats = cands.map(c => c._1 + sep + c._2).distinct.toSeq
-            val present = pc
-              .select(explode(array(col("l"), col("r"))).as("s"))
-              .filter(col("s").isin(concats: _*))
-              .distinct().as[String].collect().toSet
-            (mr, ml, present)
+            val guards = pc.filter(col("r").isin(ls: _*))
+                .select(lit("mr").as("t"), col("r").as("s"), col("n"))
+              .unionAll(pc.filter(col("l").isin(rs: _*))
+                .select(lit("ml").as("t"), col("l").as("s"), col("n")))
+              .unionAll(pc
+                .select(explode(array(col("l"), col("r"))).as("s"))
+                .filter(col("s").isin(concats: _*))
+                .select(lit("pr").as("t"), col("s"), lit(1L).as("n")))
+              .groupBy(col("t"), col("s")).agg(max(col("n")).as("m"))
+              .as[(String, String, Long)].collect()
+            (guards.collect { case ("mr", s, m) => s -> m }.toMap,
+              guards.collect { case ("ml", s, m) => s -> m }.toMap,
+              guards.collect { case ("pr", s, _) => s }.toSet)
           }
         val accepted = scala.collection.mutable.ArrayBuffer
           .empty[(String, String, Long)]
@@ -369,7 +379,11 @@ object Vocab {
     val training =
       if (sampleFraction >= 1.0) df
       else Corpus.sampleByHash(df, textCol, sampleFraction)
-    val dict = Parallelism.fanOutScan(training.select(textCol.as("_t")))
+    // no fan-out on the dictionary build: word explode + count is a
+    // cheap pass whose single-task cost is below the repartition's
+    // shuffle + 32-way small-task overhead (round-17 A/B: 0.26 s
+    // single-task vs 0.41 s fanned at 32 cores, sf0.1)
+    val dict = training.select(textCol.as("_t"))
       .select(explode(array_remove(split(col("_t"), "\\s+"), "")).as("_w"))
       .groupBy(col("_w")).agg(count(lit(1)).as("w"))
       .select(charInit(col("_w"), eow).as("s"), col("w"))
@@ -487,7 +501,8 @@ object Vocab {
     val training =
       if (sampleFraction >= 1.0) df
       else Corpus.sampleByHash(df, textCol, sampleFraction)
-    val dict = Parallelism.fanOutScan(training.select(textCol.as("_t")))
+    // no fan-out on the dictionary build (see bpeMergesChar)
+    val dict = training.select(textCol.as("_t"))
       .select(explode(array_remove(split(col("_t"), "\\s+"), "")).as("_w"))
       .groupBy(col("_w")).agg(count(lit(1)).as("w"))
       .select(byteInit(col("_w"), eow).as("s"), col("w"))
@@ -656,7 +671,11 @@ object Vocab {
     val spark = df.sparkSession
     import spark.implicits._
     val (ls0, rs0) = collectMergeTable(merges)
-    val dictEnc = Parallelism.fanOutScan(df.select(textCol.as("_t")))
+    // no fan-out on the universe pass: the encode runs over Zipf-few
+    // DISTINCT words, which measured 2.2× faster without the
+    // repartition at 32 cores (0.17 s vs 0.36 s, round-17 A/B) — the
+    // corpus-sized encode below keeps its fan-out
+    val dictEnc = df.select(textCol.as("_t"))
       .select(explode(array_remove(split(col("_t"), "\\s+"), "")).as("_w"))
       .distinct()
       .select(BpeExprs.encode(init(col("_w"), eow),

@@ -22,7 +22,8 @@ object Prof {
 
     final case class St(name: String, var ms: Long = 0L, var tasks: Int = 0,
         var taskMs: Long = 0L, var shufR: Long = 0L, var shufW: Long = 0L,
-        var in: Long = 0L, var out: Long = 0L)
+        var in: Long = 0L, var out: Long = 0L, var gcMs: Long = 0L,
+        var cpuMs: Long = 0L)
     val stages = mutable.ArrayBuffer.empty[St]
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     spark.sparkContext.addSparkListener(
@@ -45,6 +46,8 @@ object Prof {
             st.shufW = m.shuffleWriteMetrics.bytesWritten
             st.in = m.inputMetrics.bytesRead
             st.out = m.outputMetrics.bytesWritten
+            st.gcMs = m.jvmGCTime
+            st.cpuMs = m.executorCpuTime / 1000000L
           }
           stages.synchronized { stages += st }; ()
         }
@@ -67,11 +70,14 @@ object Prof {
       val snap = stages.synchronized(stages.toVector)
       println(f"\n=== $q  wall=$t%.2fs  jobs=${jobs.get}  stages=${snap.size}  " +
         f"sumStageWall=${snap.map(_.ms).sum / 1e3}%.2fs  " +
-        f"sumTaskTime=${snap.map(_.taskMs).sum / 1e3}%.2fs ===")
+        f"sumTaskTime=${snap.map(_.taskMs).sum / 1e3}%.2fs  " +
+        f"sumCpu=${snap.map(_.cpuMs).sum / 1e3}%.2fs  " +
+        f"sumGc=${snap.map(_.gcMs).sum / 1e3}%.2fs ===")
       for (st <- snap.sortBy(-_.ms).take(14))
         println(f"  ${st.ms / 1e3}%6.2fs wall ${st.taskMs / 1e3}%7.2fs task " +
-          f"n=${st.tasks}%4d in=${st.in / 1e6}%7.1fMB sr=${st.shufR / 1e6}%6.1fMB " +
-          f"sw=${st.shufW / 1e6}%6.1fMB  ${st.name.take(70)}")
+          f"${st.cpuMs / 1e3}%6.2fs cpu ${st.gcMs / 1e3}%5.2fs gc " +
+          f"n=${st.tasks}%4d in=${st.in / 1e6}%6.1fMB sr=${st.shufR / 1e6}%5.1fMB " +
+          f"sw=${st.shufW / 1e6}%5.1fMB  ${st.name.take(60)}")
     }
     spark.stop()
   }
