@@ -1311,6 +1311,12 @@ object Dedup {
       else g0.localCheckpoint(eager = true)
     val gramDf = g.select(explode(col("ng")).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    // docs stays LAZY here (round-17 A/B): an eager materialization was
+    // tried and lost on containmentPairsDelta (checkpoint blocks are
+    // row-format, so the three consumers that prune `prefix` away
+    // would pay full-row deserialization of the prefix arrays), while
+    // consumers that DO reuse the prefix kernel (ngramJaccardDelta)
+    // materialize at their own call site where the trade is positive.
     val docs = g.crossJoin(broadcast(jaccardDictRow(gramDf)))
       .select(col("id"), col("blk"), col("ng"), col("sz"),
         PrefixExprs.rankedPrefixGrams(col("ng"),
@@ -1383,6 +1389,18 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val tLow = BigDecimal.valueOf(index.threshold) - BigDecimal("1e-12")
     val blk = blockCol.map(c => col(c)).getOrElse(lit(""))
+    // the corpus index rows feed TWO consumers below (prefix explode +
+    // verify gram fetch); when they arrive as a LIVE derived plan (the
+    // x101 in-query build: dict broadcast + prefix kernel over the
+    // shingle checkpoint) each consumer would re-evaluate that chain —
+    // materialize once (§2.4; round-17 interleaved A/B: best 2.11→1.96
+    // with the 3.5–4.5 s recompute outliers gone). A scan-backed index
+    // (parquet read-back, the persisted-index contract) re-reads
+    // column-pruned for free and is left untouched.
+    val cDocs =
+      if (Parallelism.scanOnly(index.docs.queryExecution.analyzed))
+        index.docs
+      else Materialize.eager(index.docs)
     val d = delta
       .select(col(idCol).as("id"), blk.as("blk"),
         ShingleExprs.shingleSetChars(col(textCol), index.n).as("ng"))
@@ -1415,7 +1433,7 @@ object Dedup {
         .drop("_p0")
     val preDelta = explodePrefix(dPrefix)
     val preAll = preDelta.unionByName(
-      explodePrefix(index.docs
+      explodePrefix(cDocs
         .select(col("id"), col("blk"), col("sz"), col("prefix"))))
     // the full operator's candidate pruning, orientation-free (a
     // delta-corpus pair appears in ONE orientation, so the smaller
@@ -1440,7 +1458,7 @@ object Dedup {
         greatest(col("a.id"), col("b.id")).as("doc_b"))
       .distinct()
     val sets = d.select(col("id"), col("ng"))
-      .unionByName(index.docs.select(col("id"), col("ng")))
+      .unionByName(cDocs.select(col("id"), col("ng")))
     jaccardVerify(
       cands
         .join(sets.select(col("id"), col("ng").as("ng_a")),

@@ -50,8 +50,11 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPla
 object Parallelism {
 
   /** Scan-only check: project/filter chains over a leaf relation — the
-    * shapes whose `.rdd` probe plans cheaply and runs no job. */
-  private def scanOnly(p: LogicalPlan): Boolean = p match {
+    * shapes whose `.rdd` probe plans cheaply and runs no job. Also used
+    * by operators deciding whether a multi-consumer input needs a
+    * materialization (a scan re-reads cheaply; a derived plan pays its
+    * kernels once per consumer). */
+  private[operators] def scanOnly(p: LogicalPlan): Boolean = p match {
     case _: LeafNode => true
     case _: Project | _: Filter | _: SubqueryAlias =>
       p.children.forall(scanOnly)

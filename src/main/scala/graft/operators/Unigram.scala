@@ -296,20 +296,29 @@ object Unigram {
     var round = 0
     var exhausted = false
     while (round < nMerges && !exhausted) {
-      val pairs = dict
-        .select(col("n").as("_wt"), explode(when(size(col("s")) >= 2,
-          zip_with(
-            slice(col("s"), lit(1), size(col("s")) - 1),
-            slice(col("s"), lit(2), size(col("s")) - 1),
-            (a, b) => struct(a.as("l"), b.as("r"))))
-          .otherwise(array().cast("array<struct<l:string,r:string>>")))
+      // ONE tagged pair∪symbol explode + ONE shuffle per round (§2.4,
+      // round-17): pair rows carry (l, r), symbol rows (sym, null) —
+      // a zip_with pair's r is never null, so the slices are disjoint
+      // and both counts are exactly the two separate aggregates this
+      // fuses (the joins below then read the SAME exchange three
+      // times via Spark's exchange reuse instead of shuffling twice)
+      val tagged = dict
+        .select(col("n").as("_wt"), explode(concat(
+          when(size(col("s")) >= 2,
+            zip_with(
+              slice(col("s"), lit(1), size(col("s")) - 1),
+              slice(col("s"), lit(2), size(col("s")) - 1),
+              (a, b) => struct(a.as("l"), b.as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>")),
+          transform(col("s"), x =>
+            struct(x.as("l"), lit(null).cast("string").as("r")))))
           .as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("_wt")).as("n"))
+      val pairs = tagged.filter(col("r").isNotNull)
         .filter(col("n") >= minCount)
-      val syms = dict
-        .select(col("n"), explode(col("s")).as("sym"))
-        .groupBy(col("sym")).agg(sum(col("n")).as("c"))
+      val syms = tagged.filter(col("r").isNull)
+        .select(col("l").as("sym"), col("n").as("c"))
       // score = n / (c(l)·c(r)): exact integers, the double product
       // and division are the only roundings — bit-identical in any
       // IEEE engine, so the (score DESC, l, r) pick replays exactly
