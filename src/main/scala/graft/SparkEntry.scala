@@ -1275,7 +1275,7 @@ object SparkEntry {
       val vocab = graft.operators.Unigram.wordpieceVocabLikelihood(docs,
         col("text"), nMerges = 6, minCount = 2)
       graft.operators.Unigram.wordpieceBertEncodeIds(docs,
-          col("doc_id"), col("text"), vocab)
+          col("doc_id"), col("text"), vocab, fanOut = true)
         .select(col("id").as("doc_id"), col("n_tokens"),
           array_join(transform(col("ids"), i => i.cast("string")), ",")
             .as("encoded_ids"))
@@ -1293,7 +1293,7 @@ object SparkEntry {
         col("text"), maxPieceLen = 4, minCount = 2, vocabSize = 64)
       val (ps, _) = graft.operators.Unigram.collectVocab(vocab)
       graft.operators.Unigram.wordpieceBertEncodeIds(docs,
-          col("doc_id"), col("text"), vocab)
+          col("doc_id"), col("text"), vocab, fanOut = true)
         .select(col("id").as("doc_id"), col("n_tokens"),
           graft.operators.Unigram.wordpieceBertDecodeIds(col("ids"),
             typedlit(ps)).as("decoded"))

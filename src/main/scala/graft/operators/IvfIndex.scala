@@ -436,8 +436,13 @@ object IvfIndex {
     require(nProbe >= 1 && nProbe <= meta.nLists,
       s"IvfIndex.searchTopK: need 1 <= nProbe <= ${meta.nLists}, " +
         s"got $nProbe")
-    loadCellMasses(spark, path, meta) // lists completeness stamp
+    // overlap the two independent bounded loads (§2.6; see searchPqTopK)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fMasses = Future(loadCellMasses(spark, path, meta)) // stamp check
     val centers = loadCenters(spark, path, meta)
+    Await.result(fMasses, Duration.Inf): Unit
     val probes = queries
       .select(col(idCol).as("query_id"), col(embCol).as("qv"))
       .filter(col("qv").isNotNull && !exists(col("qv"), _.isNull))
@@ -485,16 +490,27 @@ object IvfIndex {
     require(pMax >= nProbe && pMax <= meta.nLists,
       s"IvfIndex.searchPqTopK: need nProbe <= nProbeMax <= " +
         s"${meta.nLists}, got $nProbe/$pMax/${meta.nLists}")
-    val centers = loadCenters(spark, path, meta)
-    val (cb, m, ksub, dsub) = Similarity.collectCodebooks(
-      spark.read.parquet(s"$path/codebooks"), "IvfIndex.searchPqTopK")
+    // the three bounded artifact loads (quantizer, codebooks, cell
+    // masses) are independent once meta is read — overlap them from a
+    // small driver pool (guide §2.6 "2-3 jobs in flight") instead of
+    // paying three sequential job round-trips; each is a bounded
+    // validated collect, read-only, so ordering is immaterial
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fCenters = Future(loadCenters(spark, path, meta))
+    val fCodebooks = Future(Similarity.collectCodebooks(
+      spark.read.parquet(s"$path/codebooks"), "IvfIndex.searchPqTopK"))
+    val fMasses = Future(loadCellMasses(spark, path, meta))
+    val centers = Await.result(fCenters, Duration.Inf)
+    val (cb, m, ksub, dsub) = Await.result(fCodebooks, Duration.Inf)
     require(m == meta.m && ksub == meta.ksub && m * dsub == meta.dim,
       s"IvfIndex.searchPqTopK: codebooks are m=$m ksub=$ksub " +
         s"dsub=$dsub, meta says m=${meta.m} ksub=${meta.ksub} " +
         s"dim=${meta.dim} — mixed artifact")
     val sqn = Similarity.pqSqNorms(cb, m, ksub, dsub)
     val dim = meta.dim
-    val massByCell = loadCellMasses(spark, path, meta)
+    val massByCell = Await.result(fMasses, Duration.Inf)
 
     val probeCol =
       if (probeMass <= 0.0)

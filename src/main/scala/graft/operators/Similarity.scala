@@ -58,7 +58,12 @@ object Similarity {
       embCol: String = "embedding"): DataFrame = {
     require(threshold > -1 && threshold <= 1,
       s"semanticDecontaminate: threshold must be in (-1, 1], got $threshold")
-    val c = corpus.select(col(idCol).as("_cid"), col(embCol).as("_cv"))
+    // the per-row kernel is |eval| cosines — CPU-dense enough that a
+    // single-task scan serializes the whole pass (round-17 Prof: 2.1 s
+    // on 1 of 32 cores); fan the pruned corpus out first (§2.5 — inert
+    // at production scan widths)
+    val c = Parallelism.fanOutScan(
+      corpus.select(col(idCol).as("_cid"), col(embCol).as("_cv")))
     val qs = evalSet.select(col(embCol).as("_qv"))
     // Plain broadcast cross join: corpus and eval are independent
     // relations with unrelated id namespaces, so no id predicate —
@@ -82,6 +87,11 @@ object Similarity {
     * output engine-portable. */
   def cosineTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // NO fan-out here (round-17 A/B): the recall-gate callers pass ≤ 5
+    // queries, so the per-row kernel is ~5 cosines — too cheap for the
+    // repartition (x5 0.19→0.28 s, x84/x146 regressed when tried).
+    // semanticDecontaminate (200-vector eval side, heavy per row) fans
+    // out in its own body where it measured 1.43→0.68 s.
     val corpus = embeddings.select(col(idCol).as("vec_id"),
       col(embCol).as("v"))
     val qs = queries.select(col(idCol).as("query_id"),

@@ -381,14 +381,24 @@ object Unigram {
   }
 
   /** [[wordpieceBertEncode]] as 1-based sorted-vocabulary ids
-    * (0 = `[UNK]`): output (`id`, `ids`, `n_tokens`). */
+    * (0 = `[UNK]`): output (`id`, `ids`, `n_tokens`).
+    *
+    * `fanOut = true` spreads the (CPU-dense, per-word-occurrence)
+    * encode kernel across cores when the scan is narrower than the
+    * session parallelism (§2.5 — round-17: x144's decode composition
+    * ran its whole 1.9 s kernel on 1 of 32 cores). Default FALSE:
+    * x141's pure-projection zero-exchange plan law (PlanSpec) is the
+    * 100 TB shape and stays pinned. */
   def wordpieceBertEncodeIds(docs: DataFrame, idCol: Column,
-      textCol: Column, vocab: DataFrame): DataFrame = {
+      textCol: Column, vocab: DataFrame,
+      fanOut: Boolean = false): DataFrame = {
     val (ps, fs) = collectVocab(vocab)
     val pl = typedlit(ps); val fl = typedlit(fs)
-    docs.filter(textCol.isNotNull)
-      .select(idCol.as("id"),
-        flatten(transform(words(textCol),
+    val in = docs.filter(textCol.isNotNull)
+      .select(idCol.as("id"), textCol.as("_t"))
+    (if (fanOut) Parallelism.fanOutScan(in) else in)
+      .select(col("id"),
+        flatten(transform(words(col("_t")),
           w => UnigramExprs.wordpieceBertIds(w, pl, fl))).as("ids"))
       .withColumn("n_tokens", size(col("ids")).cast("long"))
   }
