@@ -55,6 +55,15 @@ object Bench {
           s"[bench] artifact pre-build $name failed: ${e.getMessage}")
       }
     }
+    // release construction residue BEFORE the timed phase: operators'
+    // eager materializations (localCheckpoint blocks) built during the
+    // pre-build pass are garbage once their plans are discarded, but
+    // the ContextCleaner frees them only after a GC notices — without
+    // this the timed suite runs against a block manager holding ~181
+    // queries' worth of dead blocks (measured: the whole suite read
+    // ~5-10% slower)
+    spark.catalog.clearCache()
+    (0 until 3).foreach { _ => System.gc(); Thread.sleep(300) }
 
     // per-query shuffle volume from stage metrics: wall time on a noisy
     // shared box misses plan regressions (a doubled shuffle can hide in
